@@ -1,0 +1,822 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.operators._
+
+/** The driver-facing query registry: every operator from SURVEY §2 plus the
+  * training-data-pipeline extensions, each as a `(SparkSession, sfDir) =>
+  * DataFrame` with (where SQL-expressible) a DuckDB oracle over the same
+  * parquet tables.
+  *
+  * Cross-engine determinism rules used throughout (see README):
+  *  - no raw float aggregates: money/value sums go through per-row
+  *    `round(expr, s)` + `DECIMAL(18,s)` cast, summed exactly, cast back to
+  *    double and rounded at the end — immune to summation order;
+  *  - every ranking has a total tie-break (unique key last);
+  *  - hashes are md5-derived (`TextFunctions.hash60`) — engine-stable;
+  *  - timestamps are compared/emitted as epoch millis or formatted strings,
+  *    never raw timestamp values;
+  *  - every query ends in an explicit ORDER BY (same in both engines).
+  */
+object Queries {
+
+  final case class Q(
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String],
+      headline: Boolean = false)
+
+  // ---------------------------------------------------------------- helpers
+
+  private def rd(s: SparkSession, dir: String, t: String): DataFrame =
+    s.read.parquet(s"$dir/$t.parquet")
+
+  /** events.ts is nanosecond-precision parquet; Spark only reads it with the
+    * nanosAsLong fallback (value becomes epoch nanos as BIGINT). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    rd(s, dir, "events")
+  }
+
+  /** Exact-sum pattern: per-row round to `scale` + decimal cast. */
+  private def sdec(c: Column, scale: Int = 6): Column =
+    round(c, scale).cast(s"decimal(18,$scale)")
+
+  /** Decimal aggregate back to rounded double for output. */
+  private def outd(c: Column, scale: Int = 2): Column =
+    round(c.cast("double"), scale)
+
+  /** The same pattern on the DuckDB side. */
+  private def sqlSum(expr: String, rowScale: Int = 6, outScale: Int = 2): String =
+    s"round(CAST(sum(CAST(round($expr, $rowScale) AS DECIMAL(18,$rowScale))) AS DOUBLE), $outScale)"
+
+  // SQL fragments shared by the text oracles.
+  private val ToksCte =
+    """toks AS (SELECT doc_id, regexp_extract_all(text, '[\p{L}]+') AS t FROM documents)"""
+  private val StreamCte =
+    """stream AS (SELECT doc_id, unnest(t) AS token, unnest(range(1, len(t)+1)) AS pos FROM toks)"""
+  private val UniCte =
+    """uni AS (SELECT doc_id, token, count(*) AS "count" FROM stream GROUP BY doc_id, token)"""
+  private val VocabCte =
+    """vocab AS (SELECT token, "count", row_number() OVER (ORDER BY "count" DESC, token) - 1 AS wordid
+      |  FROM (SELECT token, count(*) AS "count" FROM stream GROUP BY token
+      |        ORDER BY count(*) DESC, token LIMIT 1000000))""".stripMargin
+
+  private def sqlHash60(x: String): String =
+    s"CAST('0x' || substring(md5($x), 1, 15) AS BIGINT)"
+
+  // =============================================================== queries
+
+  val all: Seq[(String, Q)] = relational ++ textCore ++ dedup ++ analysis ++
+    srp ++ vectors ++ multimodal
+
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (n, q) => n -> q.fn }.toMap
+  lazy val oracleSql: Map[String, String] =
+    all.collect { case (n, Q(_, Some(o), _)) => n -> o }.toMap
+  lazy val headlines: Seq[String] = all.collect { case (n, q) if q.headline => n }
+
+  // ------------------------------------------------------------ relational
+
+  private lazy val relational: Seq[(String, Q)] = Seq(
+
+    // A12/A1-style pricing summary: filter -> grouped exact sums (TPC-H Q1 shape).
+    "q1_pricing_summary" -> Q(
+      (s, dir) => {
+        val li = rd(s, dir, "lineitem").filter(col("l_shipdate") <= lit("1998-09-02"))
+        val qty = sdec(col("l_quantity"), 2)
+        val price = sdec(col("l_extendedprice"), 2)
+        val disc = sdec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        val charge = sdec(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax")), 4)
+        li.groupBy("l_returnflag", "l_linestatus").agg(
+            outd(sum(qty)).as("sum_qty"),
+            outd(sum(price)).as("sum_base_price"),
+            outd(sum(disc)).as("sum_disc_price"),
+            outd(sum(charge)).as("sum_charge"),
+            round(sum(qty).cast("double") / count(lit(1)), 4).as("avg_qty"),
+            round(sum(price).cast("double") / count(lit(1)), 4).as("avg_price"),
+            round(sum(sdec(col("l_discount"), 6)).cast("double") / count(lit(1)), 6)
+              .as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        |  ${sqlSum("l_quantity", 2)} AS sum_qty,
+        |  ${sqlSum("l_extendedprice", 2)} AS sum_base_price,
+        |  ${sqlSum("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+        |  ${sqlSum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 4)} AS sum_charge,
+        |  round(CAST(sum(CAST(round(l_quantity, 2) AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+        |  round(CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+        |  round(CAST(sum(CAST(round(l_discount, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      headline = true),
+
+    // 3-way join + grouped top-k (TPC-H Q3 shape). Customer side broadcasts.
+    "q3_top_orders" -> Q(
+      (s, dir) => {
+        val cust = rd(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val ord = rd(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+        val li = rd(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+          .agg(sum(sdec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+            .as("rev_dec"))
+          .orderBy(desc("rev_dec"), asc("o_orderkey"))
+          .limit(10)
+          .select(col("o_orderkey"), col("orderdate"), outd(col("rev_dec")).as("revenue"))
+          .orderBy(desc("revenue"), asc("o_orderkey"))
+      },
+      Some(s"""WITH r AS (
+        |  SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |    sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))) AS rev_dec
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+        |  ORDER BY rev_dec DESC, o_orderkey LIMIT 10)
+        |SELECT o_orderkey, orderdate, round(CAST(rev_dec AS DOUBLE), 2) AS revenue
+        |FROM r ORDER BY revenue DESC, o_orderkey""".stripMargin),
+      headline = true),
+
+    // 6-table star join, revenue by nation (TPC-H Q5 shape); dims broadcast.
+    "q5_nation_revenue" -> Q(
+      (s, dir) => {
+        val li = rd(s, dir, "lineitem")
+        val ord = rd(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1998-01-01"))
+        val cust = rd(s, dir, "customer")
+        val supp = rd(s, dir, "supplier")
+        val nat = rd(s, dir, "nation")
+        val reg = rd(s, dir, "region")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(sum(sdec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+            .as("rev_dec"))
+          .select(col("r_name"), col("n_name"), outd(col("rev_dec")).as("revenue"))
+          .orderBy("r_name", "n_name")
+      },
+      Some(s"""SELECT r_name, n_name,
+        |  ${sqlSum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin),
+      headline = true),
+
+    // Window rank: top-3 orders per customer (W2-style ranking).
+    "q_window_rank" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(sdec(col("o_totalprice"), 2).desc, col("o_orderkey").asc)
+        rd(s, dir, "orders")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("rn"),
+            round(col("o_totalprice"), 2).as("totalprice"))
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, rn, round(o_totalprice, 2) AS totalprice
+        |FROM (SELECT *, row_number() OVER (ORDER BY CAST(round(o_totalprice,2) AS DECIMAL(18,2)) DESC, o_orderkey) AS rn_g,
+        |             row_number() OVER (PARTITION BY o_custkey
+        |               ORDER BY CAST(round(o_totalprice,2) AS DECIMAL(18,2)) DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin),
+      headline = true),
+
+    // Running window sum per supplier (W3-style running offset).
+    "q_running_total" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        rd(s, dir, "lineitem")
+          .withColumn("running_qty", outd(sum(sdec(col("l_quantity"), 2)).over(w)))
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            col("running_qty"))
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  round(CAST(sum(CAST(round(l_quantity,2) AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_qty
+        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
+
+    // Anti join: customers that never ordered (left_anti / NOT EXISTS).
+    "q_customers_no_orders" -> Q(
+      (s, dir) => {
+        val cust = rd(s, dir, "customer")
+        val ord = rd(s, dir, "orders")
+        cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name", "c_mktsegment")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // Semi join: customers with at least one urgent order (left_semi / EXISTS).
+    "q_customers_urgent" -> Q(
+      (s, dir) => {
+        val cust = rd(s, dir, "customer")
+        val ord = rd(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_mktsegment")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // Set ops: nations with customers but no suppliers (EXCEPT), U1/U2 analog.
+    "q_nations_except" -> Q(
+      (s, dir) => {
+        val c = rd(s, dir, "customer").select(col("c_nationkey").as("nationkey")).distinct()
+        val su = rd(s, dir, "supplier").select(col("s_nationkey").as("nationkey")).distinct()
+        c.except(su).orderBy("nationkey")
+      },
+      Some("""SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT DISTINCT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin)),
+
+    // UNION ALL + distinct aggregation across two sources (U1).
+    "q_union_nations" -> Q(
+      (s, dir) => {
+        val c = rd(s, dir, "customer")
+          .select(col("c_nationkey").as("nationkey"), lit("customer").as("side"))
+        val su = rd(s, dir, "supplier")
+          .select(col("s_nationkey").as("nationkey"), lit("supplier").as("side"))
+        c.unionAll(su).groupBy("nationkey")
+          .agg(count(lit(1)).as("n_rows"), countDistinct(col("side")).as("n_sides"))
+          .orderBy("nationkey")
+      },
+      Some("""SELECT nationkey, count(*) AS n_rows, count(DISTINCT side) AS n_sides
+        |FROM (SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+        |      UNION ALL SELECT s_nationkey, 'supplier' FROM supplier)
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin)),
+
+    // Distinct aggregation (A7 cardinality per group).
+    "q_segment_stats" -> Q(
+      (s, dir) =>
+        rd(s, dir, "customer").groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"),
+            countDistinct(col("c_nationkey")).as("n_nations"),
+            outd(sum(sdec(col("c_acctbal"), 2))).as("sum_acctbal"))
+          .orderBy("c_mktsegment"),
+      Some(s"""SELECT c_mktsegment, count(*) AS n_customers,
+        |  count(DISTINCT c_nationkey) AS n_nations,
+        |  ${sqlSum("c_acctbal", 2)} AS sum_acctbal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // Broadcast join + top-k by revenue per part type (O1/O3 sort+limit).
+    "q_part_type_revenue" -> Q(
+      (s, dir) => {
+        val li = rd(s, dir, "lineitem")
+        val part = rd(s, dir, "part")
+        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .groupBy("p_type")
+          .agg(sum(sdec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+            .as("rev_dec"), count(lit(1)).as("n_items"))
+          .orderBy(desc("rev_dec"), asc("p_type"))
+          .limit(10)
+          .select(col("p_type"), outd(col("rev_dec")).as("revenue"), col("n_items"))
+          .orderBy(desc("revenue"), asc("p_type"))
+      },
+      Some("""WITH r AS (
+        |  SELECT p_type,
+        |    sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))) AS rev_dec,
+        |    count(*) AS n_items
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_type ORDER BY rev_dec DESC, p_type LIMIT 10)
+        |SELECT p_type, round(CAST(rev_dec AS DOUBLE), 2) AS revenue, n_items
+        |FROM r ORDER BY revenue DESC, p_type""".stripMargin)),
+
+    // Exact quantiles + cardinality stats (A7/A8).
+    "q_lineitem_stats" -> Q(
+      (s, dir) =>
+        rd(s, dir, "lineitem").agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_suppliers"),
+          round(percentile(col("l_quantity"), lit(0.25)), 6).as("qty_p25"),
+          round(percentile(col("l_quantity"), lit(0.5)), 6).as("qty_p50"),
+          round(percentile(col("l_quantity"), lit(0.75)), 6).as("qty_p75"),
+          round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("price_p50"),
+          round(percentile(col("l_extendedprice"), lit(0.95)), 6).as("price_p95"),
+          round(min(col("l_extendedprice")), 6).as("price_min"),
+          round(max(col("l_extendedprice")), 6).as("price_max")),
+      Some("""SELECT count(*) AS n_rows,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_suppliers,
+        |  round(quantile_cont(l_quantity, 0.25), 6) AS qty_p25,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
+        |  round(quantile_cont(l_quantity, 0.75), 6) AS qty_p75,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS price_p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 6) AS price_p95,
+        |  round(min(l_extendedprice), 6) AS price_min,
+        |  round(max(l_extendedprice), 6) AS price_max
+        |FROM lineitem""".stripMargin)),
+
+    // Sessionization over the events stream table (batch form of the
+    // streaming gap-session operator; see graft.streaming).
+    "q_events_sessions" -> Q(
+      (s, dir) => {
+        val ev = events(s, dir).withColumn("ms", expr("ts div 1000000"))
+        val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+        ev.withColumn("gap", col("ms") - lag("ms", 1).over(w))
+          .withColumn("new_s",
+            when(col("gap").isNull || col("gap") > 1800000L, 1L).otherwise(0L))
+          .groupBy("user_id")
+          .agg(sum("new_s").as("n_sessions"), count(lit(1)).as("n_events"),
+            outd(sum(sdec(col("value"), 6)), 4).as("total_value"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH e AS (
+        |  SELECT user_id, value, epoch_ms(ts) AS ms,
+        |    epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events,
+        |  ${sqlSum("value", 6, 4)} AS total_value
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin),
+      headline = true),
+
+    // Tumbling-window aggregation (batch form of the streaming hourly rollup).
+    "q_events_hourly" -> Q(
+      (s, dir) =>
+        events(s, dir)
+          .withColumn("hour_ms", expr("(ts div 3600000000000) * 3600000"))
+          .groupBy("hour_ms", "event_type")
+          .agg(count(lit(1)).as("n"), outd(sum(sdec(col("value"), 6)), 4).as("sum_value"))
+          .orderBy("hour_ms", "event_type"),
+      Some(s"""SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+        |  count(*) AS n, ${sqlSum("value", 6, 4)} AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin),
+      headline = true),
+
+    // Top users by total event value (sort+limit over aggregate).
+    "q_events_top_users" -> Q(
+      (s, dir) =>
+        events(s, dir).groupBy("user_id")
+          .agg(sum(sdec(col("value"), 6)).as("v_dec"), count(lit(1)).as("n_events"))
+          .orderBy(desc("v_dec"), asc("user_id"))
+          .limit(20)
+          .select(col("user_id"), outd(col("v_dec"), 4).as("total_value"), col("n_events"))
+          .orderBy(desc("total_value"), asc("user_id")),
+      Some("""WITH r AS (
+        |  SELECT user_id, sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS v_dec,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY user_id ORDER BY v_dec DESC, user_id LIMIT 20)
+        |SELECT user_id, round(CAST(v_dec AS DOUBLE), 4) AS total_value, n_events
+        |FROM r ORDER BY total_value DESC, user_id""".stripMargin)),
+
+    // JSON extraction from the props column (S4 semi-structured ingest analog).
+    "q_events_json" -> Q(
+      (s, dir) =>
+        events(s, dir)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+            sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_high"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(sum(CASE WHEN CAST(props->>'k' AS BIGINT) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Point lookup by id (P2, metadata.py:103-110).
+    "q_point_lookup" -> Q(
+      (s, dir) =>
+        rd(s, dir, "documents").filter(col("doc_id") === 42)
+          .select("doc_id", "lang", "source", "n_chars"),
+      Some("SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42"))
+  )
+
+  // ------------------------------------------------------- core text (§2)
+
+  private lazy val textCore: Seq[(String, Q)] = Seq(
+
+    // F1/F9: tokenization as a positional stream.
+    "t_tokens" -> Q(
+      (s, dir) =>
+        TextOps.tokenStream(rd(s, dir, "documents"))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+          .orderBy("doc_id", "pos"),
+      Some(s"""WITH $ToksCte, $StreamCte
+        |SELECT doc_id, pos, token FROM stream ORDER BY doc_id, pos""".stripMargin)),
+
+    // A6: document lengths.
+    "t_doc_lengths" -> Q(
+      (s, dir) =>
+        TextOps.documentLengths(rd(s, dir, "documents")).orderBy("doc_id"),
+      Some(s"""WITH $ToksCte
+        |SELECT doc_id, len(t)::BIGINT AS nwords FROM toks ORDER BY doc_id""".stripMargin)),
+
+    // A1(n=1)/A3: per-document unigram counts.
+    "t_unigrams" -> Q(
+      (s, dir) =>
+        TextOps.unigrams(rd(s, dir, "documents")).orderBy("doc_id", "token"),
+      Some(s"""WITH $ToksCte, $StreamCte
+        |SELECT doc_id, token, count(*) AS "count" FROM stream
+        |GROUP BY doc_id, token ORDER BY doc_id, token""".stripMargin),
+      headline = true),
+
+    // A5/W2/O3: corpus vocabulary with frequency-rank wordids.
+    "t_vocab" -> Q(
+      (s, dir) =>
+        TextOps.totalWordcounts(rd(s, dir, "documents")).orderBy("wordid"),
+      Some(s"""WITH $ToksCte, $StreamCte, $VocabCte
+        |SELECT token, "count", wordid FROM vocab ORDER BY wordid""".stripMargin),
+      headline = true),
+
+    // J1: encoded unigrams via broadcast vocabulary join.
+    "t_encoded_unigrams" -> Q(
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        TextOps.encodedUnigrams(docs, TextOps.totalWordcounts(docs))
+          .orderBy("doc_id", "wordid")
+      },
+      Some(s"""WITH $ToksCte, $StreamCte, $UniCte, $VocabCte
+        |SELECT u.doc_id, v.wordid, u."count"
+        |FROM uni u JOIN vocab v ON u.token = v.token
+        |ORDER BY u.doc_id, v.wordid""".stripMargin),
+      headline = true),
+
+    // A1(n=2)/W1: bigram counts.
+    "t_bigrams" -> Q(
+      (s, dir) =>
+        TextOps.bigrams(rd(s, dir, "documents")).orderBy("doc_id", "w0", "w1"),
+      Some(s"""WITH $ToksCte, $StreamCte,
+        |b AS (SELECT doc_id, token AS w0,
+        |        lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+        |      FROM stream)
+        |SELECT doc_id, w0, w1, count(*) AS "count" FROM b WHERE w1 IS NOT NULL
+        |GROUP BY doc_id, w0, w1 ORDER BY doc_id, w0, w1""".stripMargin),
+      headline = true),
+
+    // A1(n=3): trigram counts.
+    "t_trigrams" -> Q(
+      (s, dir) =>
+        TextOps.trigrams(rd(s, dir, "documents")).orderBy("doc_id", "w0", "w1", "w2"),
+      Some(s"""WITH $ToksCte, $StreamCte,
+        |b AS (SELECT doc_id, token AS w0,
+        |        lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+        |        lead(token, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |      FROM stream)
+        |SELECT doc_id, w0, w1, w2, count(*) AS "count" FROM b
+        |WHERE w1 IS NOT NULL AND w2 IS NOT NULL
+        |GROUP BY doc_id, w0, w1, w2 ORDER BY doc_id, w0, w1, w2""".stripMargin)),
+
+    // A4: chunked wordcounts (chunkSize 20).
+    "t_chunked_wordcounts" -> Q(
+      (s, dir) =>
+        TextOps.chunkedWordcounts(rd(s, dir, "documents"), 20)
+          .select(col("doc_id"), col("chunk").cast("long").as("chunk"),
+            col("token"), col("count"))
+          .orderBy("doc_id", "chunk", "token"),
+      Some(s"""WITH $ToksCte,
+        |st AS (SELECT doc_id, len(t)::BIGINT AS n, unnest(t) AS token,
+        |         unnest(range(0, len(t))) AS pos0 FROM toks),
+        |ch AS (SELECT doc_id, token,
+        |         CAST(floor(pos0 * greatest(1, CAST(round(n / 20.0, 0) AS BIGINT)) / n) AS BIGINT) AS chunk
+        |       FROM st)
+        |SELECT doc_id, chunk, token, count(*) AS "count" FROM ch
+        |GROUP BY doc_id, chunk, token ORDER BY doc_id, chunk, token""".stripMargin)),
+
+    // A9: frequency-ordered dictionary lookup table for `lang`.
+    "t_dict_lang" -> Q(
+      (s, dir) =>
+        FlatCatalog.dictionary(rd(s, dir, "documents"), "lang").orderBy("id"),
+      Some("""SELECT lang AS value, count(*) AS "count",
+        |  row_number() OVER (ORDER BY count(*) DESC, lang) - 1 AS id
+        |FROM documents GROUP BY lang ORDER BY id""".stripMargin)),
+
+    // A10: fastcat projection (dictionary ids for lang + source).
+    "t_fastcat" -> Q(
+      (s, dir) =>
+        FlatCatalog.fastcat(rd(s, dir, "documents"), "doc_id", Seq("lang", "source"))
+          .orderBy("doc_id"),
+      Some("""WITH dl AS (SELECT lang, row_number() OVER (ORDER BY count(*) DESC, lang) - 1 AS id
+        |        FROM documents GROUP BY lang),
+        |ds AS (SELECT source, row_number() OVER (ORDER BY count(*) DESC, source) - 1 AS id
+        |        FROM documents GROUP BY source)
+        |SELECT d.doc_id, dl.id AS lang__id, ds.id AS source__id
+        |FROM documents d JOIN dl ON d.lang = dl.lang JOIN ds ON d.source = ds.source
+        |ORDER BY d.doc_id""".stripMargin))
+  )
+
+  // ------------------------------------------------------------- dedup
+
+  private lazy val dedup: Seq[(String, Q)] = Seq(
+
+    // Exact dedup summary: corpus-level duplicate accounting by content hash.
+    "t_dedup_exact" -> Q(
+      (s, dir) =>
+        rd(s, dir, "documents").agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_unique"),
+          (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dups")),
+      Some("""SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
+        |  count(*) - count(DISTINCT md5(text)) AS n_dups FROM documents""".stripMargin)),
+
+    // Exact token-set Jaccard pairs (shingle k=1): the small-scale oracle
+    // baseline for near-dup detection.
+    "t_jaccard_pairs" -> Q(
+      (s, dir) =>
+        Dedup.jaccardPairs(rd(s, dir, "documents"), k = 1, threshold = 0.8)
+          .orderBy("id_a", "id_b"),
+      Some(s"""WITH $ToksCte,
+        |sh AS (SELECT DISTINCT doc_id AS id, unnest(t) AS s FROM toks),
+        |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+        |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+        |          GROUP BY a.id, b.id)
+        |SELECT id_a, id_b,
+        |  round(i::DOUBLE / (na.n + nb.n - i), 6) AS jaccard
+        |FROM inter JOIN sz na ON id_a = na.id JOIN sz nb ON id_b = nb.id
+        |WHERE round(i::DOUBLE / (na.n + nb.n - i), 6) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // MinHash signatures (12 engine-stable permutations over token sets).
+    "t_minhash_sigs" -> Q(
+      (s, dir) =>
+        Dedup.minhashSignatures(rd(s, dir, "documents"), shingleK = 1, numPerms = 12)
+          .orderBy("doc_id"),
+      Some {
+        val permCols = (0 until 12).map { i =>
+          s"min((h31 * ${2L * i + 3} + ${12289L * i + 1}) % 2147483647) AS m$i"
+        }.mkString(",\n  ")
+        s"""WITH $ToksCte,
+        |sh AS (SELECT DISTINCT doc_id, unnest(t) AS s FROM toks),
+        |h AS (SELECT doc_id, ${sqlHash60("s")} % 2147483647 AS h31 FROM sh)
+        |SELECT doc_id,
+        |  $permCols
+        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }),
+
+    // MinHash LSH near-dup pairs (4 bands x 3 rows), verified by signature
+    // agreement >= 0.75 — the linear-scale dedup path.
+    "t_minhash_lsh" -> Q(
+      (s, dir) =>
+        Dedup.minhashLshPairs(rd(s, dir, "documents"), shingleK = 1, numPerms = 12,
+            bands = 4, threshold = 0.75)
+          .orderBy("id_a", "id_b"),
+      Some {
+        val permCols = (0 until 12).map { i =>
+          s"min((h31 * ${2L * i + 3} + ${12289L * i + 1}) % 2147483647) AS m$i"
+        }.mkString(",\n  ")
+        val bandExprs = (0 until 4).map { b =>
+          val cols = (0 until 3).map(r => s"m${b * 3 + r}")
+          s"concat_ws('-', ${cols.mkString(", ")}) AS band$b"
+        }.mkString(",\n  ")
+        val candUnion = (0 until 4).map { b =>
+          s"SELECT x.doc_id AS id_a, y.doc_id AS id_b FROM banded x JOIN banded y ON x.band$b = y.band$b AND x.doc_id < y.doc_id"
+        }.mkString("\n  UNION\n  ")
+        val simExpr = (0 until 12)
+          .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH $ToksCte,
+        |sh AS (SELECT DISTINCT doc_id, unnest(t) AS s FROM toks),
+        |h AS (SELECT doc_id, ${sqlHash60("s")} % 2147483647 AS h31 FROM sh),
+        |sig AS (SELECT doc_id,
+        |  $permCols
+        |FROM h GROUP BY doc_id),
+        |banded AS (SELECT doc_id,
+        |  $bandExprs
+        |FROM sig),
+        |cand AS (
+        |  $candUnion
+        |)
+        |SELECT id_a, id_b, round(($simExpr) / 12.0, 6) AS sig_sim
+        |FROM cand JOIN sig sa ON id_a = sa.doc_id JOIN sig sb ON id_b = sb.doc_id
+        |WHERE round(($simExpr) / 12.0, 6) >= 0.75
+        |ORDER BY id_a, id_b""".stripMargin
+      },
+      headline = true),
+
+    // SimHash 60-bit fingerprints.
+    "t_simhash" -> Q(
+      (s, dir) =>
+        Dedup.simhash(rd(s, dir, "documents")).orderBy("doc_id"),
+      Some(s"""WITH $ToksCte, $StreamCte, $UniCte,
+        |hu AS (SELECT doc_id, ${sqlHash60("token")} AS h, "count" FROM uni),
+        |bits AS (SELECT doc_id, b.b AS b,
+        |    sum(CASE WHEN (h >> CAST(b.b AS INTEGER)) & 1 = 1 THEN "count" ELSE -"count" END) AS s
+        |  FROM hu, (SELECT unnest(range(0, 60)) AS b) b
+        |  GROUP BY doc_id, b.b)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      headline = true)
+  )
+
+  // ----------------------------------------------------- text analysis
+
+  private lazy val analysis: Seq[(String, Q)] = Seq(
+
+    "t_langid" -> Q(
+      (s, dir) =>
+        TextAnalysis.languageId(rd(s, dir, "documents")).orderBy("doc_id"),
+      Some {
+        val hitExprs = TextAnalysis.StopwordSets.map { case (lang, words) =>
+          val lst = words.map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(lt, x -> x IN ($lst))) AS hits_$lang"
+        }.mkString(",\n  ")
+        val langs = TextAnalysis.StopwordSets.map(_._1)
+        val bestExpr = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
+        val caseChain = langs.map(l => s"WHEN hits_$l = best AND best > 0 THEN '$l'")
+          .mkString(" ")
+        s"""WITH lt AS (SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}]+') AS lt FROM documents),
+        |sc AS (SELECT doc_id,
+        |  $hitExprs,
+        |  len(lt) AS n_toks FROM lt),
+        |b AS (SELECT *, $bestExpr AS best FROM sc)
+        |SELECT doc_id,
+        |  CASE $caseChain ELSE 'und' END AS lang_pred,
+        |  round(best::DOUBLE / greatest(n_toks, 1), 6) AS confidence
+        |FROM b ORDER BY doc_id""".stripMargin
+      }),
+
+    "t_quality" -> Q(
+      (s, dir) =>
+        TextAnalysis.qualityScore(rd(s, dir, "documents")).orderBy("doc_id"),
+      Some {
+        val stop = TextAnalysis.StopwordSets.head._2.map(w => s"'$w'").mkString(", ")
+        s"""WITH m AS (SELECT doc_id,
+        |  length(text) AS nc,
+        |  regexp_extract_all(text, '[\\p{L}]+') AS t,
+        |  len(regexp_extract_all(text, '[\\p{P}\\p{S}]')) AS np,
+        |  len(regexp_extract_all(text, '[0-9]')) AS nd,
+        |  len(list_filter(regexp_extract_all(lower(text), '[\\p{L}]+'), x -> x IN ($stop))) AS nstop
+        |  FROM documents),
+        |m2 AS (SELECT doc_id, nc, len(t) AS nt,
+        |  CASE WHEN len(t) > 0 THEN list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t) ELSE 0.0 END AS mtl,
+        |  np / greatest(nc, 1)::DOUBLE AS pr,
+        |  nd / greatest(nc, 1)::DOUBLE AS dr,
+        |  nstop / greatest(len(t), 1)::DOUBLE AS sr
+        |  FROM m)
+        |SELECT doc_id, nc::BIGINT AS n_chars_text, nt::BIGINT AS n_tokens,
+        |  round(mtl, 6) AS mean_token_len,
+        |  round(pr, 6) AS punct_ratio,
+        |  round(dr, 6) AS digit_ratio,
+        |  round(sr, 6) AS stopword_ratio,
+        |  round(least(greatest(1.0 - pr*2 - dr*2
+        |    + (CASE WHEN mtl BETWEEN 3 AND 12 THEN 0.0 ELSE -0.25 END)
+        |    + (CASE WHEN sr > 0.01 THEN 0.0 ELSE -0.25 END), 0.0), 1.0), 6) AS quality_score
+        |FROM m2 ORDER BY doc_id""".stripMargin
+      },
+      headline = true),
+
+    "t_token_counts" -> Q(
+      (s, dir) =>
+        TextAnalysis.tokenCounts(rd(s, dir, "documents")).orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        |  len(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens,
+        |  len(regexp_extract_all(text, '[\p{L}]+|[0-9]+|[^\p{L}0-9\s]'))::BIGINT AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "t_fingerprint" -> Q(
+      (s, dir) =>
+        TextAnalysis.fingerprint(rd(s, dir, "documents")).orderBy("doc_id"),
+      Some(s"""WITH $ToksCte
+        |SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fingerprint
+        |FROM toks ORDER BY doc_id""".stripMargin))
+  )
+
+  // ------------------------------------------------------------- SRP
+
+  private lazy val srp: Seq[(String, Q)] = Seq(
+
+    // F11: SRP embedding, 60-dim slice (one md5 block) in flat form. The
+    // library supports the reference's full 1280 dims (Srp.DefaultDims); the
+    // oracle uses one block to keep the SQL-side cross join tractable.
+    "s_srp" -> Q(
+      (s, dir) =>
+        Srp.srpFlat(rd(s, dir, "documents"), dims = 60).orderBy("doc_id", "dim"),
+      Some(s"""WITH $ToksCte, $StreamCte, $UniCte,
+        |hw AS (SELECT doc_id, CAST(round(ln(1 + "count") * 1000, 0) AS BIGINT) AS w,
+        |         ${sqlHash60("token || ':0'")} AS hs
+        |       FROM uni),
+        |x AS (SELECT doc_id, d.dim AS dim,
+        |        CASE WHEN (hs >> CAST(d.dim AS INTEGER)) & 1 = 1 THEN w ELSE -w END AS c
+        |      FROM hw, (SELECT unnest(range(0, 60)) AS dim) d)
+        |SELECT doc_id, dim, CAST(sum(c) AS DOUBLE) / 1000 AS value
+        |FROM x GROUP BY doc_id, dim ORDER BY doc_id, dim""".stripMargin),
+      headline = true),
+
+    // F12: packed SRP sign bits (60 bits -> one word).
+    "s_srp_bits" -> Q(
+      (s, dir) =>
+        Srp.srpBits(rd(s, dir, "documents"), dims = 60).orderBy("doc_id", "word_idx"),
+      Some(s"""WITH $ToksCte, $StreamCte, $UniCte,
+        |hw AS (SELECT doc_id, CAST(round(ln(1 + "count") * 1000, 0) AS BIGINT) AS w,
+        |         ${sqlHash60("token || ':0'")} AS hs
+        |       FROM uni),
+        |x AS (SELECT doc_id, d.dim AS dim,
+        |        CASE WHEN (hs >> CAST(d.dim AS INTEGER)) & 1 = 1 THEN w ELSE -w END AS c
+        |      FROM hw, (SELECT unnest(range(0, 60)) AS dim) d),
+        |v AS (SELECT doc_id, dim, sum(c) AS sv FROM x GROUP BY doc_id, dim)
+        |SELECT doc_id, (dim // 60)::BIGINT AS word_idx,
+        |  CAST(sum(CASE WHEN sv > 0 THEN (1::BIGINT << CAST(dim % 60 AS INTEGER)) ELSE 0 END) AS BIGINT) AS bits
+        |FROM v GROUP BY doc_id, dim // 60 ORDER BY doc_id, word_idx""".stripMargin))
+  )
+
+  // ----------------------------------------------------------- vectors
+
+  private lazy val vectors: Seq[(String, Q)] = Seq(
+
+    // Brute-force cosine top-5 for query vectors (vec_id < 10).
+    "e_knn_brute" -> Q(
+      (s, dir) => {
+        val emb = rd(s, dir, "embeddings")
+        Similarity.knnBrute(emb, emb.filter(col("vec_id") < 10), k = 5)
+          .select("query_id", "rank", "neighbor_id", "cos_sim")
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
+        |s AS (SELECT qid, nid, round(
+        |    list_reduce(list_transform(range(1, len(qv)+1),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)), (a, b) -> a + b)
+        |    / (sqrt(list_reduce(list_transform(range(1, len(qv)+1),
+        |         i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), (a, b) -> a + b))
+        |     * sqrt(list_reduce(list_transform(range(1, len(cv)+1),
+        |         i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)), (a, b) -> a + b))), 6) AS cos_sim
+        |  FROM q, c WHERE qid != nid),
+        |r AS (SELECT qid AS query_id, nid AS neighbor_id, cos_sim,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+        |      FROM s)
+        |SELECT query_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin),
+      headline = true),
+
+    // LSH-bucketed ANN — the scale path. Not SQL-expressible compactly;
+    // driver records the rows-only check.
+    "e_knn_lsh" -> Q(
+      (s, dir) =>
+        Similarity.knnLsh(rd(s, dir, "embeddings"), k = 5, nbits = 8)
+          .select("query_id", "rank", "neighbor_id", "cos_sim")
+          .orderBy("query_id", "rank"),
+      None)
+  )
+
+  // --------------------------------------------------------- multimodal
+
+  private lazy val multimodal: Seq[(String, Q)] = Seq(
+
+    // Binary-column plumbing: payload bytes + deterministic "frame" digests
+    // (decode itself is stubbed — see operators.Multimodal).
+    "m_payload_meta" -> Q(
+      (s, dir) => {
+        val text = col("text")
+        val n = length(text)
+        // char-quarter frame [i*n/4, (i+1)*n/4) digest
+        def frame(i: Int): Column = md5(text.substr(
+          (floor(n * i / 4) + 1).cast("int"),
+          (floor(n * (i + 1) / 4) - floor(n * i / 4)).cast("int")))
+        rd(s, dir, "documents").select(
+          col("doc_id"),
+          octet_length(text).cast("long").as("n_bytes"),
+          md5(text).as("payload_md5"),
+          frame(0).as("frame0_md5"), frame(1).as("frame1_md5"),
+          frame(2).as("frame2_md5"), frame(3).as("frame3_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, strlen(text)::BIGINT AS n_bytes, md5(text) AS payload_md5,
+        |  md5(substring(text, CAST(floor(length(text) * 0 / 4) AS INTEGER) + 1,
+        |    CAST(floor(length(text) * 1 / 4) - floor(length(text) * 0 / 4) AS INTEGER))) AS frame0_md5,
+        |  md5(substring(text, CAST(floor(length(text) * 1 / 4) AS INTEGER) + 1,
+        |    CAST(floor(length(text) * 2 / 4) - floor(length(text) * 1 / 4) AS INTEGER))) AS frame1_md5,
+        |  md5(substring(text, CAST(floor(length(text) * 2 / 4) AS INTEGER) + 1,
+        |    CAST(floor(length(text) * 3 / 4) - floor(length(text) * 2 / 4) AS INTEGER))) AS frame2_md5,
+        |  md5(substring(text, CAST(floor(length(text) * 3 / 4) AS INTEGER) + 1,
+        |    CAST(floor(length(text) * 4 / 4) - floor(length(text) * 3 / 4) AS INTEGER))) AS frame3_md5
+        |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

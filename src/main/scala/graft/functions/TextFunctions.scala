@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives shared by every text operator.
+  *
+  * Mirrors the reference's scalar surface (nonconsumptive/transformations.py:32-33
+  * regex tokenizer; catalog.py:495-504 year extraction) re-expressed as
+  * codegen-friendly `org.apache.spark.sql.functions` compositions — no Scala
+  * UDFs on the hot path.
+  *
+  * Cross-engine determinism contract: every function here must be expressible
+  * in ANSI-ish SQL with identical results in DuckDB (the driver's oracle).
+  * That is why the stable hash is built from `md5` (identical bytes in every
+  * engine) rather than `xxhash64`/`hash` (engine-specific seeds).
+  */
+object TextFunctions {
+
+  /** Unicode-letter token pattern. The reference splits on non-letters
+    * `[^\p{L}]` (transformations.py:32-33) which yields empty strings between
+    * adjacent separators; extracting `[\p{L}]+` is the same token multiset
+    * minus the empties, and is identical in Java regex and RE2 (DuckDB).
+    */
+  val TokenPattern = "[\\p{L}]+"
+
+  /** tokenize: text -> array<string> of letter-run tokens. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(text, lit(TokenPattern), lit(0))
+
+  /** Stable 60-bit non-negative hash of a string, identical across engines:
+    * first 15 hex chars of md5 parsed as an integer. 60 bits keeps it inside
+    * a signed 64-bit long with headroom for arithmetic.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** hash60 folded into a 31-bit space (mod the Mersenne prime 2^31-1):
+    * small enough that `a*h+b` stays exact in 64-bit for MinHash
+    * permutations. */
+  def hash31(c: Column): Column = hash60(c) % lit(2147483647L)
+
+  /** Year extraction: first 4-digit run, cast to int
+    * (reference catalog.py:495-504 `extract_year`). */
+  def extractYear(c: Column): Column =
+    nullif(regexp_extract(c, "([0-9]{4})", 1), lit("")).cast("int")
+
+  /** A BPE-ish token-count regex: word pieces, numbers, or single
+    * non-space symbols — a cheap proxy for LLM tokenizer counts. */
+  val BpePattern = "[\\p{L}]+|[0-9]+|[^\\p{L}0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+}

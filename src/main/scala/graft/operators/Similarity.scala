@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). Two paths:
+  *
+  *  - [[knnBrute]]: exact cosine top-k of a (small, broadcast) query set
+  *    against the full corpus — the correctness baseline. Scales linearly:
+  *    broadcast join, map-side dot products, per-query top-k via window.
+  *  - [[knnLsh]]: sign-random-projection LSH — each vector is bucketed by the
+  *    sign pattern of `nbits` deterministic hyperplanes; only same-bucket
+  *    pairs are scored. This is the 100TB path: the candidate join is an
+  *    equi-join on the bucket key instead of a cross join.
+  *
+  * Dot products use `aggregate` over `zip_with` (codegen'd higher-order
+  * functions, double accumulation, strict left-to-right order — the same
+  * order DuckDB's list functions use, keeping results oracle-comparable).
+  */
+object Similarity {
+
+  /** Sum of elementwise products, accumulated in double, left to right. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * @param queries  small DataFrame (vec_id, embedding) — broadcast.
+    * @param corpus   full DataFrame (vec_id, embedding).
+    */
+  def knnBrute(corpus: DataFrame, queries: DataFrame, k: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos_sim"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic hyperplane component for (bit b, dimension d): an
+    * engine-stable pseudo-random value in [-0.5, 0.5) derived from md5.
+    * Used as a *column expression* over a (b, d) grid so the whole plane
+    * matrix is generated inside the plan — no driver-side randomness. */
+  private def planeComponent(b: Column, d: Column): Column =
+    (hash60(concat(lit("plane:"), b, lit(":"), d)) % lit(1000000L))
+      .cast("double") / lit(1000000.0) - lit(0.5)
+
+  /** LSH bucket key: the `nbits` sign bits of projections onto deterministic
+    * hyperplanes. Vectors in the same bucket are ANN candidates. */
+  def lshBucket(vec: Column, nbits: Int): Column = {
+    val bitCols = (0 until nbits).map { b =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (v, d) => v.cast("double") * planeComponent(lit(b), d)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L) * (1L << b)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** ANN via LSH buckets: same-bucket pairs scored by cosine, per-query
+    * top-k. Recall < 1 by design; bench against knnBrute. */
+  def knnLsh(corpus: DataFrame, k: Int, nbits: Int = 8,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), nbits))
+    val pairs = bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"),
+        round(cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos_sim"), asc("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Stable Random Projection embeddings — the reference's shareable
+  * "nonconsumptive" document representation (transformations.py:134-189,
+  * extensions.py:12-66; method: hash every word to a ±1 vector via md5,
+  * weight by log counts, sum per document).
+  *
+  * Stability contract (SURVEY §7.5 #6): identical output across runs,
+  * machines, and engines. Achieved by
+  *  - deriving each word's ±1 pattern from md5 (`hash60`) per 60-bit block —
+  *    no RNG state anywhere;
+  *  - integer-scaled weights `w = round(1000 * ln(1 + count))` so per-dim
+  *    sums are exact integers — immune to float summation order (a plain
+  *    float sum would differ in the last ulp between engines/partitionings).
+  *
+  * Representation: flat `(docId, dim, value)` is canonical (scale-friendly);
+  * the dense `array<float>` form is an export view.
+  */
+object Srp {
+
+  /** Reference embedding width (transformations.py:147). */
+  val DefaultDims = 1280
+
+  /** Flat SRP: (docId, dim, value:double) where value =
+    * sum_tokens sign(token,dim) * round(1000*ln(1+count)) / 1000. */
+  def srpFlat(docs: DataFrame, dims: Int = DefaultDims,
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val nBlocks = (dims + 59) / 60
+    val uni = TextOps.unigrams(docs, idCol, textCol)
+      .withColumn("w", round(log(lit(1.0) + col("count")) * 1000, 0).cast("long"))
+      // one md5 per (token, block), reused for its 60 dims:
+      .withColumn("hs", transform(sequence(lit(0), lit(nBlocks - 1)),
+        b => hash60(concat(col("token"), lit(":"), b))))
+    uni
+      .select(col(idCol), col("w"), col("hs"),
+        explode(sequence(lit(0), lit(dims - 1))).as("dim"))
+      .withColumn("sign",
+        when(expr("(shiftright(element_at(hs, cast(dim div 60 as int) + 1), " +
+          "cast(dim % 60 as int)) & 1) = 1"), lit(1L)).otherwise(lit(-1L)))
+      .groupBy(col(idCol), col("dim"))
+      .agg((sum(col("sign") * col("w")).cast("double") / 1000.0).as("value"))
+  }
+
+  /** Dense export view: (docId, srp: array<double>[dims]). */
+  def srpDense(docs: DataFrame, dims: Int = DefaultDims,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    srpFlat(docs, dims, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("value")))),
+        s => s.getField("value")).as("srp"))
+
+  /** SRP sign bits packed 60-per-long: (docId, word_idx, bits) — the
+    * reference's 160-byte `SRP_bits` (transformations.py:176-189) as packed
+    * little-endian words. Engine-stable integers. */
+  def srpBits(docs: DataFrame, dims: Int = DefaultDims,
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    srpFlat(docs, dims, idCol, textCol)
+      .withColumn("word_idx", (col("dim") / 60).cast("long"))
+      .groupBy(col(idCol), col("word_idx"))
+      .agg(sum(when(col("value") > 0,
+        expr("shiftleft(cast(1 as bigint), cast(dim % 60 as int))"))
+        .otherwise(0L)).as("bits"))
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for training-data pipelines: language ID, quality
+  * scoring, tokenizer-cost estimation, content fingerprinting. All pure
+  * column expressions (whole-stage-codegen friendly) over one scan of the
+  * documents table — no UDFs, no shuffles except the final aggregates.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Order = deterministic tie-break priority. */
+  val StopwordSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "no", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "pour", "dans", "qui"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
+
+  private def stopHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words.map(_.toLowerCase))))
+
+  /** languageId: (docId, lang_pred, confidence). Scores each candidate
+    * language by stopword-hit share of tokens; argmax with list-order
+    * tie-break; "und" (undetermined) when nothing hits. */
+  def languageId(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val scored = docs.select(
+      col(idCol) +: StopwordSets.map { case (lang, words) =>
+        stopHits(toks, words).as(s"hits_$lang")
+      } :+ size(toks).as("n_toks"): _*)
+    val best = StopwordSets.map(s => col(s"hits_${s._1}")).reduce((a, b) => greatest(a, b))
+    // first language (in priority order) achieving the max — deterministic.
+    val predOrdered = StopwordSets.reverse.foldLeft(lit("und"): Column) {
+      case (acc, (lang, _)) =>
+        when(col(s"hits_$lang") === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    scored.select(col(idCol), predOrdered.as("lang_pred"),
+      round(best.cast("double") / greatest(col("n_toks"), lit(1)), 6).as("confidence"))
+  }
+
+  /** qualityScore: per-document heuristics used to filter training data —
+    * character/token counts, mean token length, punctuation & digit &
+    * whitespace ratios, stopword ratio, and a composite [0,1] score.
+    * All ratios rounded to 6 dp for cross-engine stability. */
+  def qualityScore(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val toks = tokens(text)
+    val nChars = length(text)
+    val nToks = size(toks)
+    val punct = size(regexp_extract_all(text, lit("[\\p{P}\\p{S}]"), lit(0)))
+    val digits = size(regexp_extract_all(text, lit("[0-9]"), lit(0)))
+    val spaces = size(regexp_extract_all(text, lit("\\s"), lit(0)))
+    val stop = stopHits(tokens(lower(text)), StopwordSets.head._2)
+    val meanTokLen = when(nToks > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nToks)
+      .otherwise(lit(0.0))
+    val safeChars = greatest(nChars, lit(1)).cast("double")
+    val punctRatio = punct / safeChars
+    val digitRatio = digits / safeChars
+    val stopRatio = stop / greatest(nToks, lit(1)).cast("double")
+    // composite: reward 3..12-char mean tokens & some stopwords; penalize
+    // punctuation/digit noise. Clamped to [0,1].
+    val raw = lit(1.0) - punctRatio * 2 - digitRatio * 2 +
+      when(meanTokLen.between(3, 12), lit(0.0)).otherwise(lit(-0.25)) +
+      when(stopRatio > 0.01, lit(0.0)).otherwise(lit(-0.25))
+    val score = least(greatest(raw, lit(0.0)), lit(1.0))
+    docs.select(col(idCol), nChars.cast("long").as("n_chars_text"),
+      nToks.cast("long").as("n_tokens"),
+      round(meanTokLen, 6).as("mean_token_len"),
+      round(punctRatio, 6).as("punct_ratio"),
+      round(digitRatio, 6).as("digit_ratio"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(score, 6).as("quality_score"))
+  }
+
+  /** tokenCounts: whitespace tokens vs BPE-ish regex pieces per document —
+    * the two standard "how many tokens will this cost" estimates. */
+  def tokenCounts(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      size(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).cast("long")
+        .as("ws_tokens"),
+      bpeTokenCount(col(textCol)).cast("long").as("bpe_tokens"))
+
+  /** Content-defined fingerprint: md5 over the sorted distinct token set.
+    * Robust to token order/duplication — catches shuffled/near-identical
+    * docs that exact text hashing misses; engine-stable by construction. */
+  def fingerprint(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      md5(concat_ws(" ", array_sort(array_distinct(tokens(col(textCol))))))
+        .as("fingerprint"))
+}

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Core per-document text operators: the reference's transformation DAG
+  * (nonconsumptive/transformations.py) re-expressed as declarative Spark
+  * plans over a flat `(docId, ...)` representation.
+  *
+  * Design notes for scale (SURVEY §7.1):
+  *  - flat exploded form `(docId, token | w0..wn-1, count)` is canonical;
+  *    nested list-of-struct (the reference's storage layout,
+  *    transformations.py:219-222) is an export view only.
+  *  - ngram windows are built with array higher-order functions INSIDE each
+  *    row (no window-function shuffle/sort): `transform(sequence(...),
+  *    i -> slice(tokens, i, n))`. The only shuffle is the final partial+final
+  *    hash aggregate on (docId, words), which map-side combines.
+  *  - the vocabulary is a groupBy/sum + top-k; Spark's partial aggregation
+  *    replaces the reference's manual polars-partial + bounter merge
+  *    (corpus.py:186-245).
+  */
+object TextOps {
+
+  /** Default vocabulary cap, from the reference (corpus.py:193,241). */
+  val VocabCap = 1000000
+
+  /** tokenization: (docId, text) -> (docId, tokens array<string>)
+    * (transformations.py:107-110). */
+  def tokenization(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), tokens(col(textCol)).as("tokens"))
+
+  /** Positional token stream: (docId, pos, token), pos is 1-based within the
+    * document. Uses posexplode — one pass, no shuffle. */
+  def tokenStream(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos0", "token")))
+      .select(col(idCol), (col("pos0") + 1).as("pos"), col("token"))
+
+  /** document_lengths: token count per document, zero-shuffle
+    * (transformations.py:113-132 — `size` replaces offsets arithmetic). */
+  def documentLengths(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), size(tokens(col(textCol))).cast("long").as("nwords"))
+
+  /** Per-document n-gram slices as an array column, built row-locally with
+    * higher-order functions (no window shuffle). Empty array when the doc has
+    * fewer than n tokens (guard: `sequence(1, size-n+1)` would run backwards
+    * otherwise). */
+  private def ngramArrays(toks: Column, n: Int): Column = {
+    val slices = transform(
+      sequence(lit(1), size(toks) - lit(n - 1)),
+      i => slice(toks, i, lit(n)))
+    when(size(toks) >= n, slices).otherwise(array())
+  }
+
+  /** ngrams: (docId, w0..w{n-1}, count) — the reference's core operator
+    * (A1, transformations.py:191-255). One map-side pass + one hash
+    * aggregate; incomplete windows dropped by construction. */
+  def ngrams(docs: DataFrame, n: Int, idCol: String = "doc_id",
+             textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"ngram order must be >= 1, got $n")
+    val toks = tokens(col(textCol))
+    val wordCols = (0 until n).map(i => col("ng").getItem(i).as(s"w$i"))
+    docs.select(col(idCol), explode(ngramArrays(toks, n)).as("ng"))
+      .select(col(idCol) +: wordCols: _*)
+      .groupBy(col(idCol) +: (0 until n).map(i => col(s"w$i")): _*)
+      .agg(count(lit(1)).as("count"))
+  }
+
+  /** unigrams: (docId, token, count) (A3, document.py:82-92). */
+  def unigrams(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("count"))
+
+  def bigrams(docs: DataFrame): DataFrame = ngrams(docs, 2)
+  def trigrams(docs: DataFrame): DataFrame = ngrams(docs, 3)
+  /** n=4 — fixing, not replicating, the reference's Quadgrams-passes-3 bug
+    * (transformations.py:288). */
+  def quadgrams(docs: DataFrame): DataFrame = ngrams(docs, 4)
+  def quintgrams(docs: DataFrame): DataFrame = ngrams(docs, 5)
+
+  /** total_wordcounts: corpus-wide token -> (count, wordid), frequency-ranked
+    * desc with token as deterministic tie-break, capped at `cap`
+    * (A5/W2/O3, corpus.py:186-245). The rank is a single-partition window
+    * over at most `cap` rows — the heavy lifting (groupBy.sum) is fully
+    * distributed, and the top-k is planned as TakeOrderedAndProject.
+    */
+  def totalWordcounts(docs: DataFrame, cap: Int = VocabCap,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("count"))
+      .orderBy(desc("count"), asc("token"))
+      .limit(cap)
+    // wordid over the already-truncated top-k: bounded single-partition work.
+    counts.withColumn("wordid",
+      row_number().over(Window.orderBy(desc("count"), asc("token"))).cast("long") - 1)
+  }
+
+  /** encoded unigram counts: token replaced by its frequency-rank wordid via
+    * a broadcast hash join against the (<=1M row) vocabulary
+    * (J1, transformations.py:320-346). */
+  def encodedUnigrams(docs: DataFrame, vocab: DataFrame,
+                      idCol: String = "doc_id"): DataFrame =
+    unigrams(docs, idCol)
+      .join(broadcast(vocab.select(col("token"), col("wordid"))), Seq("token"), "inner")
+      .select(col(idCol), col("wordid"), col("count"))
+
+  /** chunked_wordcounts (A4, wordcounting.py:5-55): split each document's
+    * token stream into ~equal chunks of ≈chunkSize tokens, count words per
+    * (doc, chunk). Chunk id is computed arithmetically from the position so
+    * the whole thing stays one explode + one aggregate:
+    * nchunks = max(1, round(n/chunkSize)); chunk = floor((pos-1)*nchunks/n).
+    * This balances the remainder across chunks like the reference's
+    * even-split. */
+  def chunkedWordcounts(docs: DataFrame, chunkSize: Int,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // doc length computed row-locally BEFORE the explode — no window shuffle.
+    val stream = docs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), size(col("toks")).cast("long").as("n"),
+        posexplode(col("toks")).as(Seq("pos0", "token")))
+    // round(n/chunkSize) with HALF_UP like both engines' round()
+    val nchunks = greatest(lit(1L), round(col("n") / lit(chunkSize), 0).cast("long"))
+    stream
+      .withColumn("chunk", floor(col("pos0") * nchunks / col("n")))
+      .groupBy(col(idCol), col("chunk"), col("token"))
+      .agg(count(lit(1)).as("count"))
+  }
+}
