@@ -21,6 +21,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: spin up executors/codegen so the first timed query
+    // measures the engine, not JVM start.
+    spark.read.parquet(s"$sfDir/nation.parquet").count()
+    spark.range(1000000).selectExpr("sum(id)").collect()
     val names = Queries.headlines
     val results = names.map { name =>
       val fn = Queries.queries(name)

@@ -223,17 +223,18 @@ object Queries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_qty
         |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
 
-    // Anti join: customers that never ordered (left_anti / NOT EXISTS).
+    // Anti join: customers with no order since 2000 (left_anti / NOT EXISTS).
     "q_customers_no_orders" -> Q(
       (s, dir) => {
         val cust = rd(s, dir, "customer")
-        val ord = rd(s, dir, "orders")
+        val ord = rd(s, dir, "orders").filter(col("o_orderdate") >= lit("2000-01-01"))
         cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
           .select("c_custkey", "c_name", "c_mktsegment")
           .orderBy("c_custkey")
       },
       Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin)),
 
     // Semi join: customers with at least one urgent order (left_semi / EXISTS).
@@ -250,16 +251,18 @@ object Queries {
         |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin)),
 
-    // Set ops: nations with customers but no suppliers (EXCEPT), U1/U2 analog.
-    "q_nations_except" -> Q(
+    // Set ops: part sizes that exist overall but not in Brand#13 (EXCEPT).
+    "q_sizes_except" -> Q(
       (s, dir) => {
-        val c = rd(s, dir, "customer").select(col("c_nationkey").as("nationkey")).distinct()
-        val su = rd(s, dir, "supplier").select(col("s_nationkey").as("nationkey")).distinct()
-        c.except(su).orderBy("nationkey")
+        val part = rd(s, dir, "part")
+        val allSizes = part.select(col("p_size").as("size")).distinct()
+        val brand = part.filter(col("p_brand") === "Brand#13")
+          .select(col("p_size").as("size")).distinct()
+        allSizes.except(brand).orderBy("size")
       },
-      Some("""SELECT DISTINCT c_nationkey AS nationkey FROM customer
-        |EXCEPT SELECT DISTINCT s_nationkey FROM supplier
-        |ORDER BY nationkey""".stripMargin)),
+      Some("""SELECT DISTINCT p_size AS size FROM part
+        |EXCEPT SELECT DISTINCT p_size FROM part WHERE p_brand = 'Brand#13'
+        |ORDER BY size""".stripMargin)),
 
     // UNION ALL + distinct aggregation across two sources (U1).
     "q_union_nations" -> Q(
@@ -579,22 +582,22 @@ object Queries {
         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
       }),
 
-    // MinHash LSH near-dup pairs (4 bands x 3 rows), verified by signature
-    // agreement >= 0.75 — the linear-scale dedup path.
+    // MinHash LSH near-dup pairs (3 bands x 4 rows; s-curve threshold ~0.76),
+    // verified by signature agreement >= 0.75 — the linear-scale dedup path.
     "t_minhash_lsh" -> Q(
       (s, dir) =>
         Dedup.minhashLshPairs(rd(s, dir, "documents"), shingleK = 1, numPerms = 12,
-            bands = 4, threshold = 0.75)
+            bands = 3, threshold = 0.75)
           .orderBy("id_a", "id_b"),
       Some {
         val permCols = (0 until 12).map { i =>
           s"min((h31 * ${2L * i + 3} + ${12289L * i + 1}) % 2147483647) AS m$i"
         }.mkString(",\n  ")
-        val bandExprs = (0 until 4).map { b =>
-          val cols = (0 until 3).map(r => s"m${b * 3 + r}")
+        val bandExprs = (0 until 3).map { b =>
+          val cols = (0 until 4).map(r => s"m${b * 4 + r}")
           s"concat_ws('-', ${cols.mkString(", ")}) AS band$b"
         }.mkString(",\n  ")
-        val candUnion = (0 until 4).map { b =>
+        val candUnion = (0 until 3).map { b =>
           s"SELECT x.doc_id AS id_a, y.doc_id AS id_b FROM banded x JOIN banded y ON x.band$b = y.band$b AND x.doc_id < y.doc_id"
         }.mkString("\n  UNION\n  ")
         val simExpr = (0 until 12)

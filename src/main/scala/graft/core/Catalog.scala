@@ -1,0 +1,175 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Metadata-catalog construction (reference: nonconsumptive/catalog.py).
+  *
+  * Pipeline: ingest (csv / ndjson / parquet) -> id-field inference ->
+  * duplicate-id audit -> per-column "best form" type normalization ->
+  * dense `nc:id` assignment. The reference's best_form ladder
+  * (catalog.py:455-493) is reproduced as ONE stats-gathering aggregate job
+  * over all columns followed by a single cast projection — the analysis is
+  * distributed, only the (columns x few stats) result touches the driver.
+  */
+object Catalog {
+
+  /** Id-field preference, reference catalog.py:525-535. */
+  val IdCandidates = Seq("@id", "id", "filename")
+
+  final case class ColumnPlan(
+      name: String,
+      target: DataType,
+      asDate: Boolean,
+      dictionary: Boolean)
+
+  // ------------------------------------------------------------- ingest
+
+  /** S5: CSV with header, types inferred (gz transparent). */
+  def loadCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** S4: NDJSON. Spark resolves the reference's string-vs-array conflicts
+    * (catalog.py:84-109) natively: a column that is sometimes scalar and
+    * sometimes array infers as string holding the JSON form. We replicate
+    * the reference's normalization (wrap scalars as 1-lists) in
+    * [[normalizeJsonListColumns]]. */
+  def loadNdjson(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  /** S6/S7: parquet catalog or bookstack directory. */
+  def loadParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Dispatch by extension (catalog.py:204-214). */
+  def load(spark: SparkSession, path: String): DataFrame = path match {
+    case p if p.endsWith(".csv") || p.endsWith(".csv.gz") => loadCsv(spark, p)
+    case p if p.endsWith(".ndjson") || p.endsWith(".json") ||
+      p.endsWith(".ndjson.gz") || p.endsWith(".json.gz") => loadNdjson(spark, p)
+    case p => loadParquet(spark, p)
+  }
+
+  /** The reference's list-wrap recovery (catalog.py:544-557): for a column
+    * that should be a list but was inferred scalar-or-JSON-string, produce a
+    * proper array column (scalars become 1-element lists). */
+  def normalizeJsonListColumns(df: DataFrame, listCols: Seq[String]): DataFrame =
+    listCols.foldLeft(df) { (acc, c) =>
+      val parsed = from_json(col(c), ArrayType(StringType))
+      acc.withColumn(c,
+        when(col(c).isNull, lit(null).cast(ArrayType(StringType)))
+          .when(col(c).startsWith("["), parsed)
+          .otherwise(array(col(c))))
+    }
+
+  // ------------------------------------------------------- id inference
+
+  /** Choose and normalize the id column: first candidate present, else the
+    * first column; cast to string and renamed `@id`
+    * (catalog.py:459-461,525-535). */
+  def inferIdField(df: DataFrame): String =
+    IdCandidates.find(df.columns.contains).getOrElse(df.columns.head)
+
+  def withId(df: DataFrame): DataFrame = {
+    val idField = inferIdField(df)
+    df.withColumn("@id", col(s"`$idField`").cast(StringType))
+      .drop((if (idField == "@id") Seq.empty else Seq(idField)): _*)
+  }
+
+  /** A11 duplicate-id audit (catalog.py:248-250): fail fast on duplicates. */
+  def assertUniqueIds(df: DataFrame): Unit = {
+    val dups = df.groupBy("@id").count().filter(col("count") > 1).limit(5)
+      .collect().map(_.getString(0))
+    require(dups.isEmpty,
+      s"duplicate @id values in catalog: ${dups.mkString(", ")} ...")
+  }
+
+  // --------------------------------------------------- best-form ladder
+
+  private val DateRegex = "^[0-9]{3,4}-[0-1]?[0-9]-[0-3]?[0-9]$"
+
+  /** One pass of per-column statistics driving the cast plan: min/max (for
+    * integer narrowing), distinct counts (dictionary gating), date-pattern
+    * match ratio (the reference's 95% heuristic, catalog.py:363-368). */
+  def planColumns(df: DataFrame, dictThreshold: Double = 0.5): Seq[ColumnPlan] = {
+    val n = math.max(df.count(), 1L)
+    val statCols = df.schema.fields.flatMap { f =>
+      val c = col(s"`${f.name}`")
+      f.dataType match {
+        case _: LongType | _: IntegerType | _: ShortType | _: ByteType => Seq(
+          min(c).cast(LongType).as(s"${f.name}__min"),
+          max(c).cast(LongType).as(s"${f.name}__max"))
+        case _: StringType => Seq(
+          approx_count_distinct(c).as(s"${f.name}__dist"),
+          avg(c.rlike(DateRegex).cast(IntegerType)).as(s"${f.name}__date"))
+        case _ => Seq.empty
+      }
+    }
+    if (statCols.isEmpty) return df.schema.fields.map(f =>
+      ColumnPlan(f.name, f.dataType, asDate = false, dictionary = false)).toSeq
+    val stats = df.agg(statCols.head, statCols.tail: _*).collect()(0)
+    df.schema.fields.map { f =>
+      f.dataType match {
+        case _: LongType | _: IntegerType | _: ShortType | _: ByteType =>
+          val lo = Option(stats.getAs[java.lang.Long](s"${f.name}__min"))
+            .map(_.longValue).getOrElse(0L)
+          val hi = Option(stats.getAs[java.lang.Long](s"${f.name}__max"))
+            .map(_.longValue).getOrElse(0L)
+          // narrowest signed integer type that fits (catalog.py:335-348;
+          // Spark has no unsigned types, SURVEY §1.3)
+          val t =
+            if (lo >= Byte.MinValue && hi <= Byte.MaxValue) ByteType
+            else if (lo >= Short.MinValue && hi <= Short.MaxValue) ShortType
+            else if (lo >= Int.MinValue && hi <= Int.MaxValue) IntegerType
+            else LongType
+          ColumnPlan(f.name, t, asDate = false, dictionary = false)
+        case _: DoubleType =>
+          // reference coerces inferred floats to float32 (catalog.py:467-473)
+          ColumnPlan(f.name, FloatType, asDate = false, dictionary = false)
+        case _: StringType if f.name != "@id" =>
+          val dateRatio = Option(stats.getAs[java.lang.Double](s"${f.name}__date"))
+            .map(_.doubleValue).getOrElse(0.0)
+          val dist = stats.getAs[Long](s"${f.name}__dist")
+          if (dateRatio > 0.95)
+            ColumnPlan(f.name, DateType, asDate = true, dictionary = false)
+          else
+            ColumnPlan(f.name, StringType, asDate = false,
+              dictionary = dist.toDouble / n < dictThreshold)
+        case other => ColumnPlan(f.name, other, asDate = false, dictionary = false)
+      }
+    }.toSeq
+  }
+
+  /** Apply a column plan: one cast projection (dates via lenient
+    * `to_date(_, yyyy-M-d)`, catalog.py:365-366). Dictionary columns stay
+    * strings logically (SURVEY §1.3) — their lookup tables come from
+    * [[graft.operators.FlatCatalog]]. */
+  def applyPlan(df: DataFrame, plan: Seq[ColumnPlan]): DataFrame = {
+    val cols = plan.map { p =>
+      val c = col(s"`${p.name}`")
+      val cast =
+        if (p.asDate) to_date(c, "y-M-d")
+        else if (p.target != df.schema(p.name).dataType) c.cast(p.target)
+        else c
+      cast.as(p.name)
+    }
+    df.select(cols: _*)
+  }
+
+  /** Full catalog build: ingest -> id -> audit -> best-form -> `nc:id`.
+    * Returns the normalized catalog with a dense `nc:id` ordered by `@id`.
+    */
+  def build(spark: SparkSession, path: String,
+            listCols: Seq[String] = Seq.empty): DataFrame = {
+    val raw0 = load(spark, path)
+    val raw = normalizeJsonListColumns(withId(raw0), listCols)
+    assertUniqueIds(raw)
+    val normalized = applyPlan(raw, planColumns(raw))
+    Ids.assignDense(normalized, "@id")
+  }
+
+  /** Names of plan columns flagged as dictionary-encodable — callers build
+    * the `<name>Lookup` tables via FlatCatalog.dictionary. */
+  def dictionaryColumns(plan: Seq[ColumnPlan]): Seq[String] =
+    plan.filter(_.dictionary).map(_.name)
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators over the events stream (the reference has
+  * no streaming — SURVEY §2.9 — so these are the engine's forward-looking
+  * stream analogs of the batch queries q_events_*; the batch forms serve as
+  * their correctness oracles on the same data).
+  */
+object EventsStreaming {
+
+  /** events.parquet schema with ns timestamps read as long (see Queries). */
+  val EventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // epoch nanos
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of event parquet files. */
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(EventSchema).parquet(dir)
+      .withColumn("event_time", timestamp_millis(expr("ts div 1000000")))
+  }
+
+  /** Hourly tumbling-window aggregation with a watermark — the streaming
+    * form of q_events_hourly. Late data beyond 2h is dropped. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", "2 hours")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value"), 6).cast("decimal(18,6)")).as("sum_value"))
+      .select(unix_millis(col("window.start")).as("hour_ms"), col("event_type"),
+        col("n"), round(col("sum_value").cast("double"), 4).as("sum_value"))
+
+  final case class Event(event_id: Long, ts: Long, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionState(lastMs: Long, nSessions: Long, nEvents: Long)
+  final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Stateful sessionization via mapGroupsWithState — the streaming form of
+    * q_events_sessions (30-minute inactivity gap). Emits the running
+    * per-user session count on every trigger (Update mode). */
+  def sessionize(events: DataFrame, gapMs: Long = 1800000L): Dataset[UserSessions] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, UserSessions](
+        GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          val prev = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          // events may arrive unsorted within a micro-batch: order by ms
+          val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
+          val next = sorted.foldLeft(prev) { (st, e) =>
+            val ms = e.ts / 1000000L
+            val newSession = st.lastMs == Long.MinValue || ms - st.lastMs > gapMs
+            SessionState(ms, st.nSessions + (if (newSession) 1 else 0), st.nEvents + 1)
+          }
+          state.update(next)
+          UserSessions(userId, next.nSessions, next.nEvents)
+      }
+  }
+
+  /** Drive a stream of the given dir to completion into a memory sink and
+    * return the result table (used by tests: batch-equivalence oracle). */
+  def runToMemory(spark: SparkSession, dir: String, name: String,
+                  build: DataFrame => DataFrame,
+                  outputMode: OutputMode = OutputMode.Append()): DataFrame = {
+    val q = build(readStream(spark, dir)).writeStream
+      .format("memory").queryName(name).outputMode(outputMode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Catalog, Ids}
+
+/** Port of the reference's catalog contract (tests/test_metadata.py):
+  * id-field inference, best-form type ladder, duplicate audit, dense ids. */
+class CatalogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val cat = Catalog.build(spark,
+    s"${TestSpark.fixtures}/catalogs/diss.ndjson")
+
+  test("id inferred from `filename`, renamed @id, cast to string") {
+    assert(cat.columns.contains("@id"))
+    assert(!cat.columns.contains("filename"))
+    assert(cat.schema("@id").dataType == StringType)
+  }
+
+  test("nc:id is dense 0..n-1 in sorted @id order") {
+    val rows = cat.select("@id", "nc:id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+    assert(rows.map(_._2).toSeq == (0L until 6L))
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+  }
+
+  test("best-form: ints narrowed, floats to float32, dates detected") {
+    assert(cat.schema("year").dataType == ShortType) // fits in int16
+    assert(cat.schema("score").dataType == FloatType)
+    assert(cat.schema("defended").dataType == DateType)
+  }
+
+  test("list column survives as array") {
+    assert(cat.schema("keywords").dataType.isInstanceOf[ArrayType])
+    val kw = cat.filter($"@id" === "003")
+      .select(explode($"keywords")).as[String].collect().toSet
+    assert(kw == Set("cats", "mats"))
+  }
+
+  test("dictionary gating by distinct/total < 0.5") {
+    val df = Seq(
+      ("1", "red", "alpha"), ("2", "red", "beta"), ("3", "blue", "gamma"),
+      ("4", "red", "delta"), ("5", "blue", "epsilon"), ("6", "red", "zeta"))
+      .toDF("@id", "color", "word")
+    val dicts = Catalog.dictionaryColumns(Catalog.planColumns(df)).toSet
+    assert(dicts.contains("color")) // 2/6 < 0.5
+    assert(!dicts.contains("word")) // 6/6 — unique strings stay plain
+  }
+
+  test("duplicate ids fail the audit") {
+    val dup = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("@id", "v")
+    val e = intercept[IllegalArgumentException](Catalog.assertUniqueIds(dup))
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("string<->array JSON conflict normalization wraps scalars") {
+    val path = java.nio.file.Files.createTempFile("labels", ".ndjson")
+    java.nio.file.Files.writeString(path,
+      """{"id": "1", "labels": "x"}
+        |{"id": "2", "labels": ["y", "z"]}
+        |""".stripMargin)
+    val df = Catalog.normalizeJsonListColumns(
+      Catalog.withId(Catalog.loadNdjson(spark, path.toString)), Seq("labels"))
+    val byId = df.collect().map(r =>
+      r.getString(r.fieldIndex("@id")) -> r.getSeq[String](r.fieldIndex("labels"))).toMap
+    assert(byId("1") == Seq("x"))
+    assert(byId("2") == Seq("y", "z"))
+  }
+
+  test("Ids.assignDense is deterministic across invocations") {
+    val df = Seq("q", "b", "m", "a", "z").toDF("@id")
+    val a = Ids.assignDense(df).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val b = Ids.assignDense(df).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a == b)
+    assert(a == Set(("a", 0L), ("b", 1L), ("m", 2L), ("q", 3L), ("z", 4L)))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity, Srp, TextAnalysis}
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the cat sat on the mat and purred loudly today"),
+    (2L, "the cat sat on the mat and purred loudly today"), // exact dup of 1
+    (3L, "the cat sat on the mat and purred loudly there"), // near dup of 1
+    (4L, "completely different words about spark query engines"),
+    (5L, "")).toDF("doc_id", "text")
+
+  test("exact duplicates found by content hash, keep lowest id") {
+    val dups = Dedup.exactDuplicates(docs).collect()
+    assert(dups.length == 1)
+    assert(dups(0).getAs[Long]("n_dups") == 2L)
+    assert(dups(0).getAs[Long]("keep_id") == 1L)
+  }
+
+  test("jaccard: identical docs = 1.0, near-dups high, unrelated absent") {
+    val pairs = Dedup.jaccardPairs(docs, k = 1, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 3L)) > 0.7 && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhash signatures: identical docs have identical signatures") {
+    val sigs = Dedup.minhashSignatures(docs, shingleK = 1, numPerms = 12)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+  }
+
+  test("minhash LSH surfaces the duplicate pair with sig_sim 1.0") {
+    val pairs = Dedup.minhashLshPairs(docs, shingleK = 1, numPerms = 12,
+        bands = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)))
+  }
+
+  test("simhash: identical docs equal; near-dups within small hamming distance") {
+    val sh = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(3L)) < hamming(sh(1L), sh(4L)))
+  }
+
+  test("fingerprint ignores token order and duplication") {
+    val shuffled = Seq(
+      (1L, "cat the mat sat purred on loudly the today and the"),
+      (2L, "the cat sat on the mat and purred loudly today"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprint(shuffled).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L))
+  }
+
+  test("srp: stable across runs, near-dups closer than unrelated docs") {
+    val a = Srp.srpDense(docs, dims = 64).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val b = Srp.srpDense(docs, dims = 64).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(a == b) // deterministic
+    assert(a(1L) == a(2L)) // identical docs -> identical embeddings
+    def cos(x: Seq[Double], y: Seq[Double]): Double = {
+      val d = x.zip(y).map { case (p, q) => p * q }.sum
+      d / (math.sqrt(x.map(v => v * v).sum) * math.sqrt(y.map(v => v * v).sum))
+    }
+    assert(cos(a(1L), a(3L)) > cos(a(1L), a(4L)))
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // four unit-ish vectors: v1 ~ v2 (same direction), v3 orthogonal, v4 = -v1
+  private lazy val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Array(0.99f, 0.1f, 0.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+    (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+
+  test("brute-force kNN ranks by cosine with deterministic ties") {
+    val knn = Similarity.knnBrute(vecs, vecs.filter($"vec_id" === 1), k = 3)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cos_sim")))
+    assert(knn.length == 3)
+    assert(knn(0)._2 == 2L && knn(0)._3 > 0.99)
+    assert(knn(1)._2 == 3L && math.abs(knn(1)._3) < 1e-9)
+    assert(knn(2)._2 == 4L && knn(2)._3 == -1.0)
+  }
+
+  test("LSH buckets put same-direction vectors together, opposite apart") {
+    val bucketed = vecs.select($"vec_id",
+      Similarity.lshBucket($"embedding", 8).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bucketed(1L) == bucketed(2L))
+    assert(bucketed(1L) != bucketed(4L))
+  }
+
+  test("LSH kNN recalls the strong neighbor found by brute force") {
+    val lsh = Similarity.knnLsh(vecs, k = 2, nbits = 4)
+      .filter($"query_id" === 1).collect()
+    assert(lsh.exists(r => r.getAs[Long]("neighbor_id") == 2L))
+  }
+
+  test("multimodal payload plumbing: meta, frames, decode-stub determinism") {
+    val docs = Seq((1L, "abcdefgh"), (2L, "")).toDF("doc_id", "text")
+    val withPayload = Multimodal.attachPayload(docs,
+      encode(col("text"), "UTF-8"), "text/plain")
+    val meta = withPayload.select("doc_id", "payload_meta.n_bytes").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(meta == Map(1L -> 8L, 2L -> 0L))
+    val frames = Multimodal.frameSample(withPayload, 4)
+      .filter(col("doc_id") === 1L).collect()
+    assert(frames.length == 4)
+    assert(frames.map(_.getAs[Long]("frame_bytes")).sum == 8L)
+    val f1 = Multimodal.decodeStub(withPayload).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val f2 = Multimodal.decodeStub(withPayload).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(f1 == f2)
+    assert(f1(1L).length == 8 && f1(1L).forall(v => v >= -0.5 && v < 0.5))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventsStreaming
+
+/** Streaming operators verified against their batch equivalents on the same
+  * parquet (the batch queries are the oracle — SURVEY §2.9). */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** File-stream sources need a directory: stage the single events.parquet
+    * into a temp dir (simulating an arriving-files stream). */
+  private lazy val streamDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("streaming hourly agg == batch q_events_hourly for finalized windows") {
+    val streamed = EventsStreaming.runToMemory(spark, streamDir,
+      "hourly_test", EventsStreaming.hourlyAgg)
+    val batch = Queries.queries("q_events_hourly")(spark, dir)
+    val s = streamed.select("hour_ms", "event_type", "n", "sum_value").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val b = batch.collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // Append mode emits a window only once the 2h watermark passes its end:
+    // windows near max event time stay open. Every emitted window must match
+    // the batch value exactly, and all clearly-finalized windows must emit.
+    assert(s.nonEmpty)
+    s.foreach { case (k, v) => assert(b(k) == v, s"window $k differs") }
+    import org.apache.spark.sql.functions._
+    val maxMs = spark.read.parquet(s"$dir/events.parquet")
+      .agg(max(expr("ts div 1000000"))).head().getLong(0)
+    val finalized = b.keySet.filter { case (hourMs, _) =>
+      hourMs + 3600000L < maxMs - 7200000L }
+    finalized.foreach(k => assert(s.contains(k), s"finalized window $k missing"))
+  }
+
+  test("stateful sessionization == batch q_events_sessions") {
+    val streamed = EventsStreaming.runToMemory(spark, streamDir,
+      "sessions_test", df => EventsStreaming.sessionize(df).toDF(),
+      OutputMode.Update())
+    // memory sink in Update mode may hold one row per trigger per user; the
+    // last update per user is the final state (single batch here -> unique).
+    val s = streamed.groupBy("user_id")
+      .agg(max("n_sessions").as("ns"), max("n_events").as("ne")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b = Queries.queries("q_events_sessions")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(s == b)
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextOps
+import graft.sources.TextSources
+
+/** Port of the reference's transformation contract (tests/
+  * test_transformations.py, test_throughput.py): doc counts, token totals,
+  * Unicode tokens, ngram windows, vocabulary ranking. */
+class TextOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = TextSources
+    .folder(spark, s"${TestSpark.fixtures}/corpora/test1/texts")
+    .withColumnRenamed("@id", "doc_id")
+
+  test("folder corpus has 3 docs including the empty one") {
+    val ids = docs.select("doc_id").as[String].collect().sorted
+    assert(ids.toSeq == Seq("a", "b", "c"))
+  }
+
+  test("document lengths: 10 / 6 / 0 tokens") {
+    val lens = TextOps.documentLengths(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(lens == Map("a" -> 10L, "b" -> 6L, "c" -> 0L))
+  }
+
+  test("total token count and unicode tokens") {
+    val uni = TextOps.unigrams(docs).cache()
+    assert(uni.agg(sum("count")).as[Long].head() == 16L)
+    val words = uni.select("token").as[String].collect().toSet
+    assert(words.contains("каждая"))
+  }
+
+  test("per-doc unigram counts: 'the' x3 in a") {
+    val theCount = TextOps.unigrams(docs)
+      .filter($"doc_id" === "a" && $"token" === "the")
+      .select("count").as[Long].head()
+    assert(theCount == 3L)
+  }
+
+  test("bigrams drop incomplete windows; counts correct") {
+    val bi = TextOps.bigrams(docs).cache()
+    // doc a: 10 tokens -> 9 bigrams; doc b: 6 -> 5; empty doc -> 0
+    assert(bi.agg(sum("count")).as[Long].head() == 14L)
+    val theCat = bi.filter($"doc_id" === "a" && $"w0" === "the" && $"w1" === "cat")
+      .select("count").as[Long].head()
+    assert(theCat == 2L)
+  }
+
+  test("ngrams guard: n larger than doc yields no rows, not an error") {
+    val tiny = Seq(("x", "hello world")).toDF("doc_id", "text")
+    assert(TextOps.ngrams(tiny, 5).count() == 0L)
+  }
+
+  test("quadgrams really are n=4 (reference bug fixed)") {
+    val quad = TextOps.quadgrams(docs).filter($"doc_id" === "a")
+    // 10 tokens -> 7 windows of 4
+    assert(quad.agg(sum("count")).as[Long].head() == 7L)
+    assert(quad.columns.count(_.startsWith("w")) == 4)
+  }
+
+  test("vocabulary: frequency-ranked, deterministic tie-break, dense ids") {
+    val vocab = TextOps.totalWordcounts(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(vocab.head._1 == "the" && vocab.head._3 == 0L) // top token
+    assert(vocab.map(_._3).toSeq == vocab.indices.map(_.toLong)) // dense
+    // ties (count=1) must be ordered by token
+    val ties = vocab.filter(_._2 == 1L).map(_._1)
+    assert(ties.sorted.toSeq == ties.toSeq)
+  }
+
+  test("encoded unigrams join preserves totals and maps top token to 0") {
+    val enc = TextOps.encodedUnigrams(docs, TextOps.totalWordcounts(docs)).cache()
+    assert(enc.agg(sum("count")).as[Long].head() == 16L)
+    assert(enc.filter($"doc_id" === "a" && $"wordid" === 0)
+      .select("count").as[Long].head() == 3L)
+  }
+
+  test("chunked wordcounts partition every token exactly once") {
+    val ch = TextOps.chunkedWordcounts(docs, chunkSize = 4)
+    assert(ch.agg(sum("count")).as[Long].head() == 16L)
+    // doc a: n=10, chunkSize=4 -> nchunks=round(2.5)=3, chunks 0..2
+    val chunksA = ch.filter($"doc_id" === "a").select("chunk").distinct()
+      .as[Long].collect().sorted
+    assert(chunksA.toSeq == Seq(0L, 1L, 2L))
+  }
+
+  test("tokenization is re-runnable (lazy plans, no shared state)") {
+    val t1 = TextOps.tokenization(docs).count()
+    val t2 = TextOps.tokenization(docs).count()
+    assert(t1 == 3L && t2 == 3L)
+  }
+}
