@@ -31,8 +31,22 @@ object Queries {
 
   // ---------------------------------------------------------------- helpers
 
-  private def rd(s: SparkSession, dir: String, t: String): DataFrame =
-    s.read.parquet(s"$dir/$t.parquet")
+  /** Tables whose queries do heavy per-row compute (regex, explode, vector
+    * math) before any shuffle. The testdata files are single-row-group
+    * parquet, so the scan yields ONE partition and that compute would run
+    * single-threaded; fan out to the session's parallelism when the source
+    * under-partitions. On real multi-file datasets this is a no-op. Queries
+    * whose first operation is a shuffle anyway (groupBy/window) gain nothing
+    * from a pre-shuffle, so other tables are left as scanned. */
+  private val FanOutTables = Set("documents", "embeddings")
+
+  private def rd(s: SparkSession, dir: String, t: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$t.parquet")
+    val target = s.sparkContext.defaultParallelism
+    if (FanOutTables(t) && df.rdd.getNumPartitions < math.min(target, 8))
+      df.repartition(target)
+    else df
+  }
 
   /** events.ts is nanosecond-precision parquet; Spark only reads it with the
     * nanosAsLong fallback (value becomes epoch nanos as BIGINT). */

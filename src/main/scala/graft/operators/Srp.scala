@@ -27,23 +27,27 @@ object Srp {
   val DefaultDims = 1280
 
   /** Flat SRP: (docId, dim, value:double) where value =
-    * sum_tokens sign(token,dim) * round(1000*ln(1+count)) / 1000. */
+    * sum_tokens sign(token,dim) * round(1000*ln(1+count)) / 1000.
+    *
+    * One pass: a typed Aggregator accumulates all `dims` integer sums in the
+    * aggregation buffer (partial agg per partition), instead of exploding
+    * `dims` rows per token before the shuffle — a `dims`x shuffle reduction
+    * with bit-identical output. The dense->flat posexplode happens AFTER the
+    * aggregate, on one row per document. */
   def srpFlat(docs: DataFrame, dims: Int = DefaultDims,
               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val nBlocks = (dims + 59) / 60
-    val uni = TextOps.unigrams(docs, idCol, textCol)
+    val agg = udaf(new graft.plans.HashAggregators.SrpAgg(dims))
+    TextOps.unigrams(docs, idCol, textCol)
       .withColumn("w", round(log(lit(1.0) + col("count")) * 1000, 0).cast("long"))
       // one md5 per (token, block), reused for its 60 dims:
       .withColumn("hs", transform(sequence(lit(0), lit(nBlocks - 1)),
         b => hash60(concat(col("token"), lit(":"), b))))
-    uni
-      .select(col(idCol), col("w"), col("hs"),
-        explode(sequence(lit(0), lit(dims - 1))).as("dim"))
-      .withColumn("sign",
-        when(expr("(shiftright(element_at(hs, cast(dim div 60 as int) + 1), " +
-          "cast(dim % 60 as int)) & 1) = 1"), lit(1L)).otherwise(lit(-1L)))
-      .groupBy(col(idCol), col("dim"))
-      .agg((sum(col("sign") * col("w")).cast("double") / 1000.0).as("value"))
+      .groupBy(col(idCol))
+      .agg(agg(col("hs"), col("w")).as("sums"))
+      .select(col(idCol), posexplode(col("sums")).as(Seq("dim", "s")))
+      .select(col(idCol), col("dim"),
+        (col("s").cast("double") / 1000.0).as("value"))
   }
 
   /** Dense export view: (docId, srp: array<double>[dims]). */
