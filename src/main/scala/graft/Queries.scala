@@ -426,6 +426,21 @@ object Queries {
         |  CAST(sum(CASE WHEN CAST(props->>'k' AS BIGINT) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // F4 extract_year: regex year extraction from formatted dates + rollup.
+    "q_orders_by_year" -> Q(
+      (s, dir) =>
+        rd(s, dir, "orders")
+          .withColumn("year",
+            graft.functions.TextFunctions.extractYear(
+              date_format(col("o_orderdate"), "yyyy-MM-dd")))
+          .groupBy("year")
+          .agg(count(lit(1)).as("n_orders"),
+            outd(sum(sdec(col("o_totalprice"), 2))).as("total"))
+          .orderBy("year"),
+      Some(s"""SELECT CAST(regexp_extract(strftime(o_orderdate, '%Y-%m-%d'), '([0-9]{4})', 1) AS INTEGER) AS year,
+        |  count(*) AS n_orders, ${sqlSum("o_totalprice", 2)} AS total
+        |FROM orders GROUP BY 1 ORDER BY year""".stripMargin)),
+
     // Point lookup by id (P2, metadata.py:103-110).
     "q_point_lookup" -> Q(
       (s, dir) =>
@@ -508,6 +523,22 @@ object Queries {
         |SELECT doc_id, w0, w1, w2, count(*) AS "count" FROM b
         |WHERE w1 IS NOT NULL AND w2 IS NOT NULL
         |GROUP BY doc_id, w0, w1, w2 ORDER BY doc_id, w0, w1, w2""".stripMargin)),
+
+    // A1(n=4): quadgram counts (the reference's Quadgrams actually computes
+    // n=3, transformations.py:288 — ours is a real n=4).
+    "t_quadgrams" -> Q(
+      (s, dir) =>
+        TextOps.quadgrams(rd(s, dir, "documents"))
+          .orderBy("doc_id", "w0", "w1", "w2", "w3"),
+      Some(s"""WITH $ToksCte, $StreamCte,
+        |b AS (SELECT doc_id, token AS w0,
+        |        lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+        |        lead(token, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+        |        lead(token, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+        |      FROM stream)
+        |SELECT doc_id, w0, w1, w2, w3, count(*) AS "count" FROM b
+        |WHERE w1 IS NOT NULL AND w2 IS NOT NULL AND w3 IS NOT NULL
+        |GROUP BY doc_id, w0, w1, w2, w3 ORDER BY doc_id, w0, w1, w2, w3""".stripMargin)),
 
     // A4: chunked wordcounts (chunkSize 20).
     "t_chunked_wordcounts" -> Q(
@@ -714,7 +745,8 @@ object Queries {
         TextAnalysis.tokenCounts(rd(s, dir, "documents")).orderBy("doc_id"),
       Some("""SELECT doc_id,
         |  len(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens,
-        |  len(regexp_extract_all(text, '[\p{L}]+|[0-9]+|[^\p{L}0-9\s]'))::BIGINT AS bpe_tokens
+        |  len(regexp_extract_all(text, '[\p{L}]+|[0-9]+|[^\p{L}0-9\s]'))::BIGINT AS bpe_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]+'))::BIGINT AS alt_tokens
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
     "t_fingerprint" -> Q(
@@ -800,7 +832,27 @@ object Queries {
         Similarity.knnLsh(rd(s, dir, "embeddings"), k = 5, nbits = 8)
           .select("query_id", "rank", "neighbor_id", "cos_sim")
           .orderBy("query_id", "rank"),
-      None)
+      None),
+
+    // Vector column statistics: norms + per-label rollup (array math).
+    "e_embed_stats" -> Q(
+      (s, dir) =>
+        rd(s, dir, "embeddings")
+          .select(col("label"),
+            round(Similarity.norm(col("embedding")), 6).as("nrm"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            round(min(col("nrm")), 6).as("min_norm"),
+            round(max(col("nrm")), 6).as("max_norm"))
+          .orderBy("label"),
+      Some("""WITH n AS (SELECT label, round(sqrt(list_reduce(
+        |    list_transform(range(1, len(embedding)+1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+        |    (a, b) -> a + b)), 6) AS nrm
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n, round(min(nrm), 6) AS min_norm,
+        |  round(max(nrm), 6) AS max_norm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin))
   )
 
   // --------------------------------------------------------- multimodal
@@ -834,6 +886,26 @@ object Queries {
         |    CAST(floor(length(text) * 3 / 4) - floor(length(text) * 2 / 4) AS INTEGER))) AS frame2_md5,
         |  md5(substring(text, CAST(floor(length(text) * 3 / 4) AS INTEGER) + 1,
         |    CAST(floor(length(text) * 4 / 4) - floor(length(text) * 3 / 4) AS INTEGER))) AS frame3_md5
-        |FROM documents ORDER BY doc_id""".stripMargin))
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Decode-stub features over the payload column: exercises the multimodal
+    // decode plumbing end-to-end (schema + deterministic fake features; the
+    // codec itself is stubbed, operators.Multimodal).
+    "m_decode_features" -> Q(
+      (s, dir) => {
+        val withPayload = Multimodal.attachPayload(rd(s, dir, "documents"),
+          encode(col("text"), "UTF-8"), "text/plain")
+        Multimodal.decodeStub(withPayload, featureDims = 8)
+          .select(col("doc_id"), posexplode(col("features")).as(Seq("dim", "feature")))
+          .select(col("doc_id"), col("dim").cast("long").as("dim"),
+            round(col("feature"), 6).as("feature"))
+          .orderBy("doc_id", "dim")
+      },
+      Some(s"""WITH p AS (SELECT doc_id, md5(text) AS digest FROM documents),
+        |f AS (SELECT doc_id, d.dim AS dim,
+        |    (${sqlHash60("digest || ':' || d.dim")} % 1000000) / 1000000.0 - 0.5 AS feature
+        |  FROM p, (SELECT unnest(range(0, 8)) AS dim) d)
+        |SELECT doc_id, dim, round(feature, 6) AS feature
+        |FROM f ORDER BY doc_id, dim""".stripMargin))
   )
 }

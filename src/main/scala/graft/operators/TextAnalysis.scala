@@ -80,14 +80,18 @@ object TextAnalysis {
       round(score, 6).as("quality_score"))
   }
 
-  /** tokenCounts: whitespace tokens vs BPE-ish regex pieces per document —
-    * the two standard "how many tokens will this cost" estimates. */
+  /** tokenCounts: whitespace tokens, BPE-ish regex pieces, and the
+    * reference's alternate words+punct tokenizer (document.py:79-80) — the
+    * standard "how many tokens will this cost" estimates. */
   def tokenCounts(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame =
     docs.select(col(idCol),
       size(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).cast("long")
         .as("ws_tokens"),
-      bpeTokenCount(col(textCol)).cast("long").as("bpe_tokens"))
+      bpeTokenCount(col(textCol)).cast("long").as("bpe_tokens"),
+      size(regexp_extract_all(col(textCol),
+        lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]+"), lit(0))).cast("long")
+        .as("alt_tokens"))
 
   /** Content-defined fingerprint: md5 over the sorted distinct token set.
     * Robust to token order/duplication — catches shuffled/near-identical
