@@ -50,6 +50,29 @@ object Catalog {
     case p => loadParquet(spark, p)
   }
 
+  /** S8 `MessyParquetCorpus` pre-clean (catalog.py:51-79): a directory of
+    * parquet files whose schemas drifted across files. True type conflicts
+    * (int vs string) break `mergeSchema`, so — like the reference — each
+    * file is resolved FIRST (cast map applied per file), then unioned by
+    * name with missing columns as null. Driver loops over file schemas;
+    * data reads stay distributed. */
+  def loadMessyParquet(spark: SparkSession, dir: String,
+                       castMap: Map[String, DataType]): DataFrame = {
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    require(files.nonEmpty, s"no parquet files under $dir")
+    files.map { f =>
+      val df = spark.read.parquet(f)
+      val cols = df.schema.fields.map { fl =>
+        castMap.get(fl.name) match {
+          case Some(t) if t != fl.dataType => col(s"`${fl.name}`").cast(t).as(fl.name)
+          case _ => col(s"`${fl.name}`")
+        }
+      }
+      df.select(cols.toSeq: _*)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** The reference's list-wrap recovery (catalog.py:544-557): for a column
     * that should be a list but was inferred scalar-or-JSON-string, produce a
     * proper array column (scalars become 1-element lists). */

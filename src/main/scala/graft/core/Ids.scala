@@ -17,6 +17,41 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object Ids {
 
+  /** F13 id-prefix chunk planning (reference utils.py:13-54): split a SORTED
+    * id list into chunks of [minSize, maxSize] docs, preferring to break
+    * where adjacent ids share the shortest common prefix — so each chunk
+    * spans a compact id-prefix range (good for partition pruning on id).
+    * Driver-side planning over the (small) id list, like the reference. */
+  def prefixChunks(sortedIds: IndexedSeq[String], minSize: Int = 256,
+                   maxSize: Int = 16384): Seq[IndexedSeq[String]] = {
+    require(minSize >= 1 && maxSize >= minSize, "need 1 <= minSize <= maxSize")
+    def commonPrefix(a: String, b: String): Int =
+      a.zip(b).takeWhile { case (x, y) => x == y }.size
+    val chunks = Seq.newBuilder[IndexedSeq[String]]
+    var start = 0
+    while (start < sortedIds.length) {
+      val remaining = sortedIds.length - start
+      if (remaining <= maxSize) {
+        chunks += sortedIds.slice(start, sortedIds.length)
+        start = sortedIds.length
+      } else {
+        // best break in [start+minSize, start+maxSize]: smallest shared
+        // prefix between the ids on either side of the cut (first wins).
+        var best = start + maxSize
+        var bestPrefix = Int.MaxValue
+        var i = start + minSize
+        while (i <= start + maxSize && i < sortedIds.length) {
+          val p = commonPrefix(sortedIds(i - 1), sortedIds(i))
+          if (p < bestPrefix) { bestPrefix = p; best = i }
+          i += 1
+        }
+        chunks += sortedIds.slice(start, best)
+        start = best
+      }
+    }
+    chunks.result()
+  }
+
   /** Append a dense `nc:id: long` numbered 0.. in ascending `orderCol`
     * order. Deterministic across runs given equal input data. */
   def assignDense(df: DataFrame, orderCol: String = "@id",
