@@ -798,6 +798,14 @@ object Queries {
 
   // ----------------------------------------------------------- vectors
 
+  /** DuckDB cosine between two list columns, sequential double accumulation
+    * (list_reduce) matching Spark's `aggregate` fold order. */
+  private def sqlCos(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_transform(range(1, len($x)+1), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (p, q) -> p + q)"
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
   private lazy val vectors: Seq[(String, Q)] = Seq(
 
     // Brute-force cosine top-5 for query vectors (vec_id < 10).
@@ -833,6 +841,34 @@ object Queries {
           .select("query_id", "rank", "neighbor_id", "cos_sim")
           .orderBy("query_id", "rank"),
       None),
+
+    // IVF-style ANN: deterministic coarse quantizer (8 lowest-id seeds),
+    // search within the assigned cell — the inverted-file scale path.
+    "e_knn_ivf" -> Q(
+      (s, dir) =>
+        Similarity.knnIvf(rd(s, dir, "embeddings"), k = 5, nlist = 8, nprobe = 1)
+          .select("query_id", "rank", "neighbor_id", "cos_sim")
+          .orderBy("query_id", "rank"),
+      Some(s"""WITH c AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+        |seeds AS (SELECT vec_id AS seed_id, embedding AS sv FROM embeddings
+        |          ORDER BY vec_id LIMIT 8),
+        |cells AS (SELECT id, seed_id, round(${sqlCos("v", "sv")}, 6) AS seed_cos
+        |          FROM c, seeds),
+        |ranked AS (SELECT id, seed_id,
+        |             row_number() OVER (PARTITION BY id ORDER BY seed_cos DESC, seed_id) AS cell_rank
+        |           FROM cells),
+        |assigned AS (SELECT id, seed_id AS cell FROM ranked WHERE cell_rank = 1),
+        |probed AS (SELECT id AS query_id, seed_id AS cell FROM ranked WHERE cell_rank <= 1),
+        |pairs AS (SELECT p.query_id, a.id AS neighbor_id,
+        |            round(${sqlCos("qc.v", "nc.v")}, 6) AS cos_sim
+        |          FROM probed p JOIN assigned a ON p.cell = a.cell AND p.query_id != a.id
+        |          JOIN c qc ON qc.id = p.query_id JOIN c nc ON nc.id = a.id),
+        |r AS (SELECT query_id, neighbor_id, cos_sim,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |      FROM pairs)
+        |SELECT query_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin),
+      headline = true),
 
     // Vector column statistics: norms + per-label rollup (array math).
     "e_embed_stats" -> Q(

@@ -71,6 +71,38 @@ object Similarity {
     bitCols.reduce(_ + _)
   }
 
+  /** IVF-style ANN with a deterministic coarse quantizer: `nlist` seed
+    * vectors (lowest ids — deterministic, no k-means RNG) act as centroids;
+    * every vector is assigned to its nearest seed (broadcast argmax — one
+    * map pass); queries search only their own cell. The classic
+    * inverted-file trade: recall bounded by cell assignment, cost divided by
+    * nlist. `nprobe` > 1 widens the search to several nearest cells. */
+  def knnIvf(corpus: DataFrame, k: Int, nlist: Int = 8, nprobe: Int = 1,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val seeds = broadcast(corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).as("seed_id"), col(vecCol).as("sv")))
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // rank cells per vector by cosine to seed (tie-break: seed id)
+    val wCell = Window.partitionBy("id").orderBy(desc("seed_cos"), asc("seed_id"))
+    val cells = c.join(seeds)
+      .select(col("id"), col("v"), col("seed_id"),
+        round(cosine(col("v"), col("sv")), 6).as("seed_cos"))
+      .withColumn("cell_rank", row_number().over(wCell))
+    val assigned = cells.filter(col("cell_rank") === 1)
+      .select(col("id"), col("v"), col("seed_id").as("cell"))
+    val probed = cells.filter(col("cell_rank") <= nprobe)
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        col("seed_id").as("cell"))
+    val pairs = probed.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos_sim"), asc("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** ANN via LSH buckets: same-bucket pairs scored by cosine, per-query
     * top-k. Recall < 1 by design; bench against knnBrute. */
   def knnLsh(corpus: DataFrame, k: Int, nbits: Int = 8,

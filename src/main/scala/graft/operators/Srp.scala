@@ -46,7 +46,7 @@ object Srp {
       .groupBy(col(idCol))
       .agg(agg(col("hs"), col("w")).as("sums"))
       .select(col(idCol), posexplode(col("sums")).as(Seq("dim", "s")))
-      .select(col(idCol), col("dim"),
+      .select(col(idCol), col("dim").cast("long").as("dim"),
         (col("s").cast("double") / 1000.0).as("value"))
   }
 

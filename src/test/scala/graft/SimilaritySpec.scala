@@ -34,6 +34,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(bucketed(1L) != bucketed(4L))
   }
 
+  test("IVF kNN: nprobe=1 bounded to own cell, nprobe=2 recovers the neighbor") {
+    // seeds are v1/v2 (lowest ids, same direction) -> they anchor separate
+    // cells, so with nprobe=1 v1 cannot see v2 (classic IVF boundary miss)...
+    val p1 = Similarity.knnIvf(vecs, k = 3, nlist = 2, nprobe = 1).collect()
+      .filter(_.getAs[Long]("query_id") == 1L).map(_.getAs[Long]("neighbor_id"))
+    assert(!p1.contains(2L))
+    // ...and probing 2 cells recovers it as the top neighbor.
+    val p2 = Similarity.knnIvf(vecs, k = 3, nlist = 2, nprobe = 2).collect()
+      .filter(_.getAs[Long]("query_id") == 1L)
+      .sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("neighbor_id"))
+    assert(p2.headOption.contains(2L))
+  }
+
   test("LSH kNN recalls the strong neighbor found by brute force") {
     val lsh = Similarity.knnLsh(vecs, k = 2, nbits = 4)
       .filter($"query_id" === 1).collect()
