@@ -149,6 +149,9 @@ object Catalog {
         case _: DoubleType =>
           // reference coerces inferred floats to float32 (catalog.py:467-473)
           ColumnPlan(f.name, FloatType, asDate = false, dictionary = false)
+        case _: TimestampType | _: TimestampNTZType =>
+          // F6 timestamp -> date coercion (catalog.py:353-360)
+          ColumnPlan(f.name, DateType, asDate = false, dictionary = false)
         case _: StringType if f.name != "@id" =>
           val dateRatio = Option(stats.getAs[java.lang.Double](s"${f.name}__date"))
             .map(_.doubleValue).getOrElse(0.0)
@@ -195,4 +198,47 @@ object Catalog {
     * the `<name>Lookup` tables via FlatCatalog.dictionary. */
   def dictionaryColumns(plan: Seq[ColumnPlan]): Seq[String] =
     plan.filter(_.dictionary).map(_.name)
+
+  /** A8/F14 per-field stats metadata (catalog.py:408-428): the reference's
+    * quantile ladder for numeric fields and top-10 values for strings,
+    * attached as JSON in each StructField's metadata (the Spark analog of
+    * Arrow field metadata). One aggregate job for all numeric columns + one
+    * small top-k job per string column. */
+  val StatsQuantiles: Seq[Double] = Seq(0, .005, .05, .25, .5, .75, .95, .995, 1)
+
+  def withStatsMetadata(df: DataFrame): DataFrame = {
+    val numeric = df.schema.fields.filter(_.dataType match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+           _: FloatType | _: DoubleType => true
+      case _ => false
+    })
+    val qCols = numeric.map(f => percentile_approx(col(s"`${f.name}`"),
+      lit(StatsQuantiles.toArray), lit(10000)).as(f.name))
+    val quantiles: Map[String, Seq[Double]] =
+      if (qCols.isEmpty) Map.empty
+      else {
+        val row = df.agg(qCols.head, qCols.tail.toSeq: _*).collect()(0)
+        numeric.map(f => f.name -> Option(row.getAs[scala.collection.Seq[Any]](f.name))
+          .map(_.map(v => Option(v).map(_.toString.toDouble).getOrElse(Double.NaN)).toSeq)
+          .getOrElse(Seq.empty)).toMap
+      }
+    val strings = df.schema.fields.filter(_.dataType == StringType)
+      .filter(_.name != "@id")
+    val topValues: Map[String, Seq[String]] = strings.map { f =>
+      f.name -> df.groupBy(col(s"`${f.name}`")).count()
+        .orderBy(desc("count"), col(s"`${f.name}`"))
+        .limit(10).collect().map(r => Option(r.get(0)).map(_.toString).getOrElse(""))
+        .toSeq
+    }.toMap
+    val fields = df.schema.fields.map { f =>
+      val mb = new MetadataBuilder().withMetadata(f.metadata)
+      quantiles.get(f.name).filter(_.nonEmpty)
+        .foreach(q => mb.putDoubleArray("quantiles", q.toArray))
+      topValues.get(f.name)
+        .foreach(tv => mb.putStringArray("top_values", tv.toArray))
+      mb.putString("nonconsumptive", "0.1.0") // version tag (catalog.py:259-260)
+      f.copy(metadata = mb.build())
+    }
+    df.sparkSession.createDataFrame(df.rdd, StructType(fields))
+  }
 }

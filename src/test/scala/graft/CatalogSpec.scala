@@ -71,6 +71,19 @@ class CatalogSpec extends AnyFunSuite {
     assert(byId("2") == Seq("y", "z"))
   }
 
+  test("stats metadata: quantiles on numerics, top values on strings, version tag") {
+    val df = Seq(("1", 10, "x"), ("2", 20, "y"), ("3", 30, "x"))
+      .toDF("@id", "n", "s")
+    val withStats = Catalog.withStatsMetadata(df)
+    val nMeta = withStats.schema("n").metadata
+    assert(nMeta.getDoubleArray("quantiles").length == Catalog.StatsQuantiles.length)
+    assert(nMeta.getDoubleArray("quantiles").head == 10.0)
+    assert(nMeta.getDoubleArray("quantiles").last == 30.0)
+    val sMeta = withStats.schema("s").metadata
+    assert(sMeta.getStringArray("top_values").head == "x") // freq-ordered
+    assert(withStats.schema("@id").metadata.getString("nonconsumptive") == "0.1.0")
+  }
+
   test("Ids.assignDense is deterministic across invocations") {
     val df = Seq("q", "b", "m", "a", "z").toDF("@id")
     val a = Ids.assignDense(df).collect().map(r => (r.getString(0), r.getLong(1))).toSet

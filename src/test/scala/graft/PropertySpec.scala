@@ -1,0 +1,68 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.core.Ids
+
+/** ScalaCheck properties for the pure driver-side logic (SURVEY §5's
+  * suggestion: property tests for the inference ladder and chunk plans). */
+object IdsProps extends Properties("Ids.prefixChunks") {
+
+  private val idsGen: Gen[Vector[String]] =
+    Gen.listOf(Gen.alphaNumStr.map(_.take(12))).map(_.distinct.sorted.toVector)
+
+  property("partition: preserves order and every id exactly once") =
+    forAll(idsGen) { ids =>
+      Ids.prefixChunks(ids, minSize = 2, maxSize = 7).flatten == ids
+    }
+
+  property("chunk sizes bounded by maxSize") =
+    forAll(idsGen) { ids =>
+      Ids.prefixChunks(ids, minSize = 2, maxSize = 7).forall(_.size <= 7)
+    }
+
+  property("all chunks except the last reach minSize") =
+    forAll(idsGen) { ids =>
+      val chunks = Ids.prefixChunks(ids, minSize = 2, maxSize = 7)
+      chunks.isEmpty || chunks.init.forall(_.size >= 2)
+    }
+}
+
+/** Properties of the n-gram window arithmetic (checked against the Spark
+  * implementation on small generated docs — one session, bounded cases). */
+object NgramProps extends Properties("TextOps.ngrams") {
+  import org.apache.spark.sql.functions._
+
+  private lazy val spark = TestSpark.spark
+
+  private val docGen: Gen[List[String]] =
+    Gen.listOfN(3, Gen.listOf(Gen.oneOf("a", "b", "c", "dd")).map(_.mkString(" ")))
+
+  property("total ngram count = sum of max(0, tokens - n + 1)") = {
+    import spark.implicits._
+    forAll(docGen, Gen.choose(1, 4)) { (texts, n) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.TextOps.ngrams(docs, n)
+        .agg(coalesce(sum("count"), lit(0L))).head().getLong(0)
+      val expected = texts.map { t =>
+        val toks = t.split("\\s+").count(_.nonEmpty)
+        math.max(0, toks - n + 1)
+      }.sum.toLong
+      Prop(got == expected) :| s"got=$got expected=$expected n=$n"
+    }
+  }
+
+  property("chunked wordcounts conserve every token") = {
+    import spark.implicits._
+    forAll(docGen, Gen.choose(1, 6)) { (texts, chunkSize) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.TextOps.chunkedWordcounts(docs, chunkSize)
+        .agg(coalesce(sum("count"), lit(0L))).head().getLong(0)
+      val expected = texts.map(_.split("\\s+").count(_.nonEmpty)).sum.toLong
+      Prop(got == expected) :| s"got=$got expected=$expected cs=$chunkSize"
+    }
+  }
+}
