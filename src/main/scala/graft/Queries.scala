@@ -38,7 +38,7 @@ object Queries {
     * under-partitions. On real multi-file datasets this is a no-op. Queries
     * whose first operation is a shuffle anyway (groupBy/window) gain nothing
     * from a pre-shuffle, so other tables are left as scanned. */
-  private val FanOutTables = Set("documents", "embeddings")
+  private val FanOutTables = Set("documents", "embeddings", "lineitem")
 
   private def rd(s: SparkSession, dir: String, t: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$t.parquet")
