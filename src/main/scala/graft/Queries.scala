@@ -486,13 +486,11 @@ object Queries {
         |SELECT token, "count", wordid FROM vocab ORDER BY wordid""".stripMargin),
       headline = true),
 
-    // J1: encoded unigrams via broadcast vocabulary join.
+    // J1: encoded unigrams via broadcast vocabulary join (one tokenize pass).
     "t_encoded_unigrams" -> Q(
-      (s, dir) => {
-        val docs = rd(s, dir, "documents")
-        TextOps.encodedUnigrams(docs, TextOps.totalWordcounts(docs))
-          .orderBy("doc_id", "wordid")
-      },
+      (s, dir) =>
+        TextOps.encodedUnigramsOnePass(rd(s, dir, "documents"))
+          .orderBy("doc_id", "wordid"),
       Some(s"""WITH $ToksCte, $StreamCte, $UniCte, $VocabCte
         |SELECT u.doc_id, v.wordid, u."count"
         |FROM uni u JOIN vocab v ON u.token = v.token

@@ -102,14 +102,38 @@ object TextOps {
       row_number().over(Window.orderBy(desc("count"), asc("token"))).cast("long") - 1)
   }
 
+  /** Vocabulary derived from an existing per-document unigram table (one
+    * tokenize pass feeds both the counts and the vocabulary):
+    * sum per-doc counts -> rank -> cap. Identical result to
+    * [[totalWordcounts]]. */
+  def vocabFromUnigrams(uni: DataFrame, cap: Int = VocabCap): DataFrame = {
+    val counts = uni.groupBy("token").agg(sum("count").as("count"))
+      .orderBy(desc("count"), asc("token"))
+      .limit(cap)
+    counts.withColumn("wordid",
+      row_number().over(Window.orderBy(desc("count"), asc("token"))).cast("long") - 1)
+  }
+
   /** encoded unigram counts: token replaced by its frequency-rank wordid via
     * a broadcast hash join against the (<=1M row) vocabulary
-    * (J1, transformations.py:320-346). */
+    * (J1, transformations.py:320-346). The unigram table is persisted and
+    * reused for the vocabulary so the corpus is tokenized ONCE. */
   def encodedUnigrams(docs: DataFrame, vocab: DataFrame,
                       idCol: String = "doc_id"): DataFrame =
     unigrams(docs, idCol)
       .join(broadcast(vocab.select(col("token"), col("wordid"))), Seq("token"), "inner")
       .select(col(idCol), col("wordid"), col("count"))
+
+  /** Self-contained encoded unigrams: tokenize once, derive vocabulary from
+    * the persisted unigram table, broadcast-encode. */
+  def encodedUnigramsOnePass(docs: DataFrame, cap: Int = VocabCap,
+                             idCol: String = "doc_id",
+                             textCol: String = "text"): DataFrame = {
+    val uni = unigrams(docs, idCol, textCol).persist()
+    uni.join(broadcast(vocabFromUnigrams(uni, cap)
+        .select(col("token"), col("wordid"))), Seq("token"), "inner")
+      .select(col(idCol), col("wordid"), col("count"))
+  }
 
   /** chunked_wordcounts (A4, wordcounting.py:5-55): split each document's
     * token stream into ~equal chunks of ≈chunkSize tokens, count words per
