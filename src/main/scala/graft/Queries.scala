@@ -554,6 +554,21 @@ object Queries {
         |SELECT doc_id, chunk, token, count(*) AS "count" FROM ch
         |GROUP BY doc_id, chunk, token ORDER BY doc_id, chunk, token""".stripMargin)),
 
+    // Token-window chunking with overlap (LLM pre-tokenization packing).
+    "t_token_chunks" -> Q(
+      (s, dir) =>
+        TextOps.tokenChunks(rd(s, dir, "documents"), chunkTokens = 16, overlap = 4)
+          .orderBy("doc_id", "chunk_id"),
+      Some(s"""WITH $ToksCte,
+        |st AS (SELECT doc_id, t,
+        |         unnest(range(1, len(t)+1, 12)) AS start,
+        |         unnest(range(0, len(range(1, len(t)+1, 12)))) AS chunk_id
+        |       FROM toks WHERE len(t) > 0)
+        |SELECT doc_id, chunk_id,
+        |  array_to_string(t[start:start+15], ' ') AS chunk_text,
+        |  least(len(t) - start + 1, 16) AS n_tokens
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin)),
+
     // A9: frequency-ordered dictionary lookup table for `lang`.
     "t_dict_lang" -> Q(
       (s, dir) =>

@@ -135,6 +135,31 @@ object TextOps {
       .select(col(idCol), col("wordid"), col("count"))
   }
 
+  /** Token-window document chunking for training pipelines: split each
+    * document into windows of `chunkTokens` tokens with `overlap` tokens of
+    * context carried between consecutive chunks — the standard LLM
+    * pre-tokenization packing step. Entirely row-local (array slices inside
+    * the row, then one explode): no shuffle at any size.
+    * Output: (docId, chunk_id, chunk_text, n_tokens). */
+  def tokenChunks(docs: DataFrame, chunkTokens: Int, overlap: Int = 0,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkTokens >= 1 && overlap >= 0 && overlap < chunkTokens,
+      "need chunkTokens >= 1 and 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    val toks = tokens(col(textCol))
+    // chunk starts: 1, 1+stride, 1+2*stride, ... while start <= n
+    val starts = when(size(toks) > 0,
+      sequence(lit(1), size(toks), lit(stride))).otherwise(array())
+    docs
+      .select(col(idCol), toks.as("toks"),
+        posexplode(starts).as(Seq("chunk_id", "start")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        concat_ws(" ", slice(col("toks"), col("start"), lit(chunkTokens)))
+          .as("chunk_text"),
+        least(size(col("toks")) - col("start") + 1, lit(chunkTokens))
+          .cast("long").as("n_tokens"))
+  }
+
   /** chunked_wordcounts (A4, wordcounting.py:5-55): split each document's
     * token stream into ~equal chunks of ≈chunkSize tokens, count words per
     * (doc, chunk). Chunk id is computed arithmetically from the position so

@@ -89,6 +89,18 @@ class TextOpsSpec extends AnyFunSuite {
     assert(chunksA.toSeq == Seq(0L, 1L, 2L))
   }
 
+  test("token chunks: full coverage with overlap, empty docs skipped") {
+    val ch = TextOps.tokenChunks(docs, chunkTokens = 4, overlap = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // doc a: 10 tokens, stride 3 -> starts 1,4,7,10 -> 4 chunks
+    val a = ch.filter(_._1 == "a").sortBy(_._2)
+    assert(a.length == 4)
+    assert(a.head._3 == "the cat sat on")
+    assert(a(1)._3 == "on the mat and") // overlap of 1 token
+    assert(a.last._4 == 1L) // final chunk has 1 token
+    assert(!ch.exists(_._1 == "c")) // empty doc -> no chunks
+  }
+
   test("tokenization is re-runnable (lazy plans, no shared state)") {
     val t1 = TextOps.tokenization(docs).count()
     val t2 = TextOps.tokenization(docs).count()
