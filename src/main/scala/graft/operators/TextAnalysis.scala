@@ -29,8 +29,11 @@ object TextAnalysis {
     * tie-break; "und" (undetermined) when nothing hits. */
   def languageId(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
-    val toks = tokens(lower(col(textCol)))
-    val scored = docs.select(
+    // tokenize once per row; the per-language scores read the bound column
+    val toks = col("lt")
+    val scored = docs
+      .select(col(idCol), tokens(lower(col(textCol))).as("lt"))
+      .select(
       col(idCol) +: StopwordSets.map { case (lang, words) =>
         stopHits(toks, words).as(s"hits_$lang")
       } :+ size(toks).as("n_toks"): _*)
@@ -51,13 +54,15 @@ object TextAnalysis {
   def qualityScore(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
     val text = col(textCol)
-    val toks = tokens(text)
+    // token arrays projected once per row; downstream reads bound columns
+    val pre = docs.select(col(idCol), text,
+      tokens(text).as("q_toks"), tokens(lower(text)).as("q_ltoks"))
+    val toks = col("q_toks")
     val nChars = length(text)
     val nToks = size(toks)
     val punct = size(regexp_extract_all(text, lit("[\\p{P}\\p{S}]"), lit(0)))
     val digits = size(regexp_extract_all(text, lit("[0-9]"), lit(0)))
-    val spaces = size(regexp_extract_all(text, lit("\\s"), lit(0)))
-    val stop = stopHits(tokens(lower(text)), StopwordSets.head._2)
+    val stop = stopHits(col("q_ltoks"), StopwordSets.head._2)
     val meanTokLen = when(nToks > 0,
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nToks)
       .otherwise(lit(0.0))
@@ -71,7 +76,7 @@ object TextAnalysis {
       when(meanTokLen.between(3, 12), lit(0.0)).otherwise(lit(-0.25)) +
       when(stopRatio > 0.01, lit(0.0)).otherwise(lit(-0.25))
     val score = least(greatest(raw, lit(0.0)), lit(1.0))
-    docs.select(col(idCol), nChars.cast("long").as("n_chars_text"),
+    pre.select(col(idCol), nChars.cast("long").as("n_chars_text"),
       nToks.cast("long").as("n_tokens"),
       round(meanTokLen, 6).as("mean_token_len"),
       round(punctRatio, 6).as("punct_ratio"),

@@ -49,7 +49,12 @@ object TextOps {
   /** Per-document n-gram slices as an array column, built row-locally with
     * higher-order functions (no window shuffle). Empty array when the doc has
     * fewer than n tokens (guard: `sequence(1, size-n+1)` would run backwards
-    * otherwise). */
+    * otherwise).
+    *
+    * `toks` MUST be a bound column (a projected attribute), not an inline
+    * expression: the transform lambda references it per ELEMENT, and in
+    * interpreted eval an inline `regexp_extract_all` subtree would re-run
+    * per window — quadratic in document length. */
   private def ngramArrays(toks: Column, n: Int): Column = {
     val slices = transform(
       sequence(lit(1), size(toks) - lit(n - 1)),
@@ -59,13 +64,14 @@ object TextOps {
 
   /** ngrams: (docId, w0..w{n-1}, count) — the reference's core operator
     * (A1, transformations.py:191-255). One map-side pass + one hash
-    * aggregate; incomplete windows dropped by construction. */
+    * aggregate; incomplete windows dropped by construction. Tokens are
+    * projected ONCE before the window lambda (see ngramArrays). */
   def ngrams(docs: DataFrame, n: Int, idCol: String = "doc_id",
              textCol: String = "text"): DataFrame = {
     require(n >= 1, s"ngram order must be >= 1, got $n")
-    val toks = tokens(col(textCol))
     val wordCols = (0 until n).map(i => col("ng").getItem(i).as(s"w$i"))
-    docs.select(col(idCol), explode(ngramArrays(toks, n)).as("ng"))
+    docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), explode(ngramArrays(col("toks"), n)).as("ng"))
       .select(col(idCol) +: wordCols: _*)
       .groupBy(col(idCol) +: (0 until n).map(i => col(s"w$i")): _*)
       .agg(count(lit(1)).as("count"))

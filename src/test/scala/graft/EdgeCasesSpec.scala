@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Catalog
+import graft.operators.{FlatCatalog, Multimodal, Srp, TextOps}
+
+/** Edge cases from the reference's test contract (tests/test_metadata.py
+  * messy inputs, mixed-precision dates, alternate id fields) plus
+  * big-document robustness. */
+class EdgeCasesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("id preference order: @id beats id beats filename beats first column") {
+    val all = Seq(("x", "y", "z", "w")).toDF("filename", "id", "@id", "other")
+    assert(Catalog.inferIdField(all) == "@id")
+    assert(Catalog.inferIdField(all.drop("@id")) == "id")
+    assert(Catalog.inferIdField(all.drop("@id", "id")) == "filename")
+    assert(Catalog.inferIdField(all.select("other")) == "other")
+  }
+
+  test("messy 'NA' strings make a numeric column string-typed, not an error") {
+    val path = java.nio.file.Files.createTempFile("na", ".ndjson")
+    java.nio.file.Files.writeString(path,
+      """{"id": "1", "year": 1995}
+        |{"id": "2", "year": "NA"}
+        |""".stripMargin)
+    val cat = Catalog.withId(Catalog.loadNdjson(spark, path.toString))
+    // mixed number/string infers string; best-form keeps it readable
+    val planned = Catalog.applyPlan(cat, Catalog.planColumns(cat))
+    assert(planned.schema("year").dataType == StringType)
+    assert(planned.count() == 2)
+  }
+
+  test("date heuristic: sub-95% full-date match ratio stays string") {
+    // mixed precision like the ia.ndjson fixture: '1878-10-12' vs '1955-03'
+    val df = Seq(("1", "1878-10-12"), ("2", "1955-03"), ("3", "1990-01"))
+      .toDF("@id", "date")
+    val plan = Catalog.planColumns(df)
+    assert(plan.find(_.name == "date").get.target == StringType)
+    // and >95%: all full dates -> DateType
+    val df2 = Seq(("1", "1878-10-12"), ("2", "1955-03-01")).toDF("@id", "date")
+    assert(Catalog.planColumns(df2).find(_.name == "date").get.target == DateType)
+  }
+
+  test("big document: 200k tokens flow through tokenize/ngrams/chunks") {
+    val big = (1 to 200000).map(i => s"w${i % 997}").mkString(" ")
+    val docs = Seq((1L, big)).toDF("doc_id", "text")
+    assert(TextOps.documentLengths(docs).head().getLong(1) == 200000L)
+    assert(TextOps.bigrams(docs).agg(sum("count")).as[Long].head() == 199999L)
+    val chunks = TextOps.tokenChunks(docs, 2048, 64)
+    assert(chunks.agg(sum("n_tokens")).as[Long].head() >= 200000L)
+  }
+
+  test("srpBits signs agree with srpFlat values") {
+    val docs = Seq((1L, "the cat sat on the mat"), (2L, "spark plans are lazy"))
+      .toDF("doc_id", "text")
+    val flat = Srp.srpFlat(docs, dims = 60).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bits = Srp.srpBits(docs, dims = 60).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (((doc, dim), v) <- flat) {
+      val bit = (bits((doc, 0L)) >>> dim.toInt) & 1L
+      assert(bit == (if (v > 0) 1L else 0L), s"doc $doc dim $dim v=$v")
+    }
+  }
+
+  test("multimodal frames of an empty payload are empty digests, not errors") {
+    val docs = Seq((1L, "")).toDF("doc_id", "text")
+    val p = Multimodal.attachPayload(docs, encode(col("text"), "UTF-8"), "text/plain")
+    val frames = Multimodal.frameSample(p, 4).collect()
+    assert(frames.length == 4)
+    assert(frames.forall(_.getAs[Long]("frame_bytes") == 0L))
+  }
+
+  test("flat-catalog list child table explodes with ids") {
+    val df = Seq(("1", Seq("a", "b")), ("2", Seq("c"))).toDF("@id", "keywords")
+    val child = FlatCatalog.listChild(df, "@id", "keywords").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(child == Set("1" -> "a", "1" -> "b", "2" -> "c"))
+  }
+}
