@@ -152,12 +152,14 @@ object TextOps {
     require(chunkTokens >= 1 && overlap >= 0 && overlap < chunkTokens,
       "need chunkTokens >= 1 and 0 <= overlap < chunkTokens")
     val stride = chunkTokens - overlap
-    val toks = tokens(col(textCol))
+    // tokenize once per row; chunk arithmetic reads the bound column
+    val toks = col("toks")
     // chunk starts: 1, 1+stride, 1+2*stride, ... while start <= n
     val starts = when(size(toks) > 0,
       sequence(lit(1), size(toks), lit(stride))).otherwise(array())
     docs
-      .select(col(idCol), toks.as("toks"),
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), col("toks"),
         posexplode(starts).as(Seq("chunk_id", "start")))
       .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
         concat_ws(" ", slice(col("toks"), col("start"), lit(chunkTokens)))
