@@ -85,7 +85,7 @@ object Queries {
   // =============================================================== queries
 
   val all: Seq[(String, Q)] = relational ++ textCore ++ dedup ++ analysis ++
-    srp ++ vectors ++ multimodal
+    srp ++ srpExtra ++ vectors ++ multimodal
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, q) => n -> q.fn }.toMap
@@ -807,6 +807,62 @@ object Queries {
         |SELECT doc_id, (dim // 60)::BIGINT AS word_idx,
         |  CAST(sum(CASE WHEN sv > 0 THEN (1::BIGINT << CAST(dim % 60 AS INTEGER)) ELSE 0 END) AS BIGINT) AS bits
         |FROM v GROUP BY doc_id, dim // 60 ORDER BY doc_id, word_idx""".stripMargin))
+  )
+
+  // -------------------------------------------------- srp extensions
+
+  private lazy val srpExtra: Seq[(String, Q)] = Seq(
+
+    // Hamming near-dup pairs over SRP sign bits: pigeonhole-banded equi-join
+    // (exact recall for dist <= 3), no cross join.
+    "s_srp_hamming" -> Q(
+      (s, dir) =>
+        Srp.hammingPairs(rd(s, dir, "documents"), maxDist = 3)
+          .orderBy("id_a", "id_b"),
+      Some(s"""WITH $ToksCte, $StreamCte, $UniCte,
+        |hw AS (SELECT doc_id, CAST(round(ln(1 + "count") * 1000, 0) AS BIGINT) AS w,
+        |         ${sqlHash60("token || ':0'")} AS hs
+        |       FROM uni),
+        |x AS (SELECT doc_id, d.dim AS dim,
+        |        CASE WHEN (hs >> CAST(d.dim AS INTEGER)) & 1 = 1 THEN w ELSE -w END AS c
+        |      FROM hw, (SELECT unnest(range(0, 60)) AS dim) d),
+        |v AS (SELECT doc_id, dim, sum(c) AS sv FROM x GROUP BY doc_id, dim),
+        |bits AS (SELECT doc_id AS id,
+        |    CAST(sum(CASE WHEN sv > 0 THEN (1::BIGINT << CAST(dim AS INTEGER)) ELSE 0 END) AS BIGINT) AS bits
+        |  FROM v GROUP BY doc_id),
+        |banded AS (SELECT id, bits, b.blk AS blk,
+        |    (bits >> (b.blk * 15)) & 32767 AS bv
+        |  FROM bits, (SELECT unnest(range(0, 4)) AS blk) b),
+        |pairs AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+        |    CAST(bit_count(xor(x.bits, y.bits)) AS BIGINT) AS hamming
+        |  FROM banded x JOIN banded y ON x.blk = y.blk AND x.bv = y.bv AND x.id < y.id)
+        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Trigram successor lookup (the reference notebooks' Markov-chain use):
+    // most frequent next word for each corpus-wide bigram context.
+    "t_trigram_successors" -> Q(
+      (s, dir) => {
+        val tri = TextOps.trigrams(rd(s, dir, "documents"))
+          .groupBy("w0", "w1", "w2").agg(sum("count").as("n"))
+        val w = Window.partitionBy("w0", "w1").orderBy(desc("n"), asc("w2"))
+        tri.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("w0"), col("w1"), col("w2").as("next_word"), col("n"))
+          .orderBy("w0", "w1")
+      },
+      Some(s"""WITH $ToksCte, $StreamCte,
+        |b AS (SELECT doc_id, token AS w0,
+        |        lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+        |        lead(token, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |      FROM stream),
+        |tri AS (SELECT w0, w1, w2, count(*) AS n FROM b
+        |        WHERE w1 IS NOT NULL AND w2 IS NOT NULL GROUP BY w0, w1, w2),
+        |r AS (SELECT w0, w1, w2, n,
+        |        row_number() OVER (PARTITION BY w0, w1 ORDER BY n DESC, w2) AS rn
+        |      FROM tri)
+        |SELECT w0, w1, w2 AS next_word, n FROM r WHERE rn = 1
+        |ORDER BY w0, w1""".stripMargin))
   )
 
   // ----------------------------------------------------------- vectors

@@ -58,6 +58,38 @@ object Srp {
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("value")))),
         s => s.getField("value")).as("srp"))
 
+  /** Hamming near-duplicate pairs over the packed SRP sign bits (the
+    * reference's SRP_bits similarity use, extensions.py:12-66): pairs of
+    * documents whose 60-bit fingerprints differ in at most `maxDist` bits.
+    *
+    * NOT a cross join: the fingerprint is split into `maxDist + 1` blocks —
+    * by pigeonhole, any pair within `maxDist` agrees exactly on at least one
+    * block — so candidates come from a (blockIdx, blockValue) equi-join and
+    * recall is EXACT. Linear-ish shuffle, quadratic work only inside
+    * matching buckets. */
+  def hammingPairs(docs: DataFrame, maxDist: Int = 3, dims: Int = 60,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(dims == 60, "hammingPairs currently packs one 60-bit word")
+    val nBlocks = maxDist + 1
+    val blockBits = dims / nBlocks
+    val mask = (1L << blockBits) - 1
+    val bits = srpBits(docs, dims, idCol, textCol)
+      .select(col(idCol).as("id"), col("bits")).persist()
+    val blockStructs = array((0 until nBlocks).map { i =>
+      struct(lit(i).as("blk"),
+        expr(s"(shiftright(bits, ${i * blockBits}) & $mask)").as("bv"))
+    }: _*)
+    val banded = bits.select(col("id"), col("bits"),
+        explode(blockStructs).as("bd"))
+      .select(col("id"), col("bits"), col("bd.blk").as("blk"), col("bd.bv").as("bv"))
+    banded.as("x").join(banded.as("y"), Seq("blk", "bv"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        expr("bit_count(x.bits ^ y.bits)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
   /** SRP sign bits packed 60-per-long: (docId, word_idx, bits) — the
     * reference's 160-byte `SRP_bits` (transformations.py:176-189) as packed
     * little-endian words. Engine-stable integers. */
