@@ -640,22 +640,23 @@ object Queries {
         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
       }),
 
-    // MinHash LSH near-dup pairs (3 bands x 4 rows; s-curve threshold ~0.76),
-    // verified by signature agreement >= 0.75 — the linear-scale dedup path.
+    // MinHash LSH near-dup pairs (2 bands x 6 rows; s-curve threshold ~0.89 —
+    // the standard "remove near-duplicates" operating point), verified by
+    // signature agreement >= 0.75 — the linear-scale dedup path.
     "t_minhash_lsh" -> Q(
       (s, dir) =>
         Dedup.minhashLshPairs(rd(s, dir, "documents"), shingleK = 1, numPerms = 12,
-            bands = 3, threshold = 0.75)
+            bands = 2, threshold = 0.75)
           .orderBy("id_a", "id_b"),
       Some {
         val permCols = (0 until 12).map { i =>
           s"min((h31 * ${2L * i + 3} + ${12289L * i + 1}) % 2147483647) AS m$i"
         }.mkString(",\n  ")
-        val bandExprs = (0 until 3).map { b =>
-          val cols = (0 until 4).map(r => s"m${b * 4 + r}")
+        val bandExprs = (0 until 2).map { b =>
+          val cols = (0 until 6).map(r => s"m${b * 6 + r}")
           s"concat_ws('-', ${cols.mkString(", ")}) AS band$b"
         }.mkString(",\n  ")
-        val candUnion = (0 until 3).map { b =>
+        val candUnion = (0 until 2).map { b =>
           s"SELECT x.doc_id AS id_a, y.doc_id AS id_b FROM banded x JOIN banded y ON x.band$b = y.band$b AND x.doc_id < y.doc_id"
         }.mkString("\n  UNION\n  ")
         val simExpr = (0 until 12)

@@ -130,7 +130,7 @@ object Catalog {
     }
     if (statCols.isEmpty) return df.schema.fields.map(f =>
       ColumnPlan(f.name, f.dataType, asDate = false, dictionary = false)).toSeq
-    val stats = df.agg(statCols.head, statCols.tail: _*).collect()(0)
+    val stats = df.agg(statCols.head, statCols.tail.toSeq: _*).collect()(0)
     df.schema.fields.map { f =>
       f.dataType match {
         case _: LongType | _: IntegerType | _: ShortType | _: ByteType =>

@@ -81,7 +81,7 @@ object TextSources {
 
   /** The metadata view of a bookstack dataset: all non-`nc:` columns. */
   def bookstackMetadata(stacks: DataFrame): DataFrame =
-    stacks.select(stacks.columns.filterNot(_.startsWith("nc:")).map(col): _*)
+    stacks.select(stacks.columns.filterNot(_.startsWith("nc:")).toSeq.map(col): _*)
 
   /** The text view of a bookstack dataset. */
   def bookstackText(stacks: DataFrame): DataFrame =
