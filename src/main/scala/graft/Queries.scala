@@ -441,6 +441,31 @@ object Queries {
         |  count(*) AS n_orders, ${sqlSum("o_totalprice", 2)} AS total
         |FROM orders GROUP BY 1 ORDER BY year""".stripMargin)),
 
+    // As-of join (engine extension; validated against DuckDB's native ASOF
+    // JOIN): for each error event, the user's most recent prior purchase.
+    "q_events_asof" -> Q(
+      (s, dir) => {
+        val ev = events(s, dir).withColumn("ms", expr("ts div 1000000"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select("event_id", "user_id", "ms")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ms"), col("event_id").as("p_event"))
+        AsOfJoin.asofLeft(errors, purchases, key = "user_id", ts = "ms",
+            valueCols = Seq("p_event", "ms"), rightTieBreak = Some("p_event"))
+          .select(col("event_id"), col("user_id"), col("ms"),
+            col("asof_p_event").as("last_purchase_event"),
+            col("asof_ms").as("last_purchase_ms"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms
+        |           FROM events WHERE event_type = 'error'),
+        |p AS (SELECT user_id, epoch_ms(ts) AS ms, event_id AS p_event
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_id, e.ms,
+        |  p.p_event AS last_purchase_event, p.ms AS last_purchase_ms
+        |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ms >= p.ms
+        |ORDER BY e.event_id""".stripMargin)),
+
     // Point lookup by id (P2, metadata.py:103-110).
     "q_point_lookup" -> Q(
       (s, dir) =>
