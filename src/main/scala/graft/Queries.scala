@@ -464,7 +464,8 @@ object Queries {
         |SELECT e.event_id, e.user_id, e.ms,
         |  p.p_event AS last_purchase_event, p.ms AS last_purchase_ms
         |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ms >= p.ms
-        |ORDER BY e.event_id""".stripMargin)),
+        |ORDER BY e.event_id""".stripMargin),
+      headline = true),
 
     // Point lookup by id (P2, metadata.py:103-110).
     "q_point_lookup" -> Q(
@@ -863,7 +864,8 @@ object Queries {
         |    CAST(bit_count(xor(x.bits, y.bits)) AS BIGINT) AS hamming
         |  FROM banded x JOIN banded y ON x.blk = y.blk AND x.bv = y.bv AND x.id < y.id)
         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
-        |ORDER BY id_a, id_b""".stripMargin)),
+        |ORDER BY id_a, id_b""".stripMargin),
+      headline = true),
 
     // Trigram successor lookup (the reference notebooks' Markov-chain use):
     // most frequent next word for each corpus-wide bigram context.
