@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, Srp, TextAnalysis, TextOps}
+
+/** Scale-up smoke (not part of the driver contract): replicates the sf0.1
+  * documents/embeddings N-fold with distinct ids and times the heavy
+  * operators, to check that plans scale linearly rather than degrade.
+  * Run: `sbt "runMain graft.ScaleSmoke [replication]"`.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val factor = if (args.nonEmpty) args(0).toInt else 20
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val n = base.count()
+    val docs = base.crossJoin(
+        spark.range(factor).withColumnRenamed("id", "rep"))
+      .withColumn("doc_id", col("doc_id") + col("rep") * n)
+      .drop("rep")
+      .repartition(64)
+      .persist()
+    println(s"[scale] docs=${docs.count()} (${factor}x)")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"[scale] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$rows")
+    }
+    time("unigrams")(TextOps.unigrams(docs).count())
+    time("vocab")(TextOps.totalWordcounts(docs).count())
+    time("bigrams")(TextOps.bigrams(docs).count())
+    time("doc_lengths")(TextOps.documentLengths(docs).count())
+    time("quality")(TextAnalysis.qualityScore(docs).count())
+    time("simhash")(Dedup.simhash(docs).count())
+    time("srp_flat_60")(Srp.srpFlat(docs, 60).count())
+    time("token_chunks")(TextOps.tokenChunks(docs, 128, 16).count())
+    time("exact_dedup")(Dedup.exactDuplicates(docs).count())
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val bigEmb = emb.crossJoin(spark.range(factor).withColumnRenamed("id", "rep"))
+      .withColumn("vec_id", col("vec_id") + col("rep") * 5000L)
+      .drop("rep").repartition(64).persist()
+    println(s"[scale] vectors=${bigEmb.count()}")
+    time("knn_ivf_64cells")(
+      Similarity.knnIvf(bigEmb, k = 5, nlist = 64, nprobe = 1).count())
+    spark.stop()
+  }
+}
