@@ -74,10 +74,13 @@ object HashAggregators {
   }
 }
 
-/** Encoders for primitive-array buffers (kryo: opaque, compact, fast enough
-  * for per-partition partial buffers). */
+/** Encoders for primitive-array buffers. The buffer round-trips through its
+  * encoder on every input row (ComplexTypedAggregateExpression stores it in
+  * the hash map as serialized bytes), so the native primitive-array
+  * ExpressionEncoder (flat ArrayData copy) beats kryo by a wide margin. */
 object ExplicitEncoders {
-  val longArray: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+  val longArray: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   implicit val longSeq: Encoder[Seq[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
 }
