@@ -523,6 +523,46 @@ object Queries {
         |ORDER BY u.doc_id, v.wordid""".stripMargin),
       headline = true),
 
+    // J1: encoded bigrams — every word position vocab-encoded (the
+    // reference's EncodedBigrams, transformations.py:257-297,320-346).
+    "t_encoded_bigrams" -> Q(
+      (s, dir) =>
+        TextOps.encodedNgramsOnePass(rd(s, dir, "documents"), n = 2)
+          .orderBy(asc_nulls_first("doc_id"), asc_nulls_first("wordid0"),
+            asc_nulls_first("wordid1")),
+      Some(s"""WITH $ToksCte, $StreamCte, $VocabCte,
+        |b AS (SELECT doc_id, token AS w0,
+        |        lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+        |      FROM stream),
+        |bg AS (SELECT doc_id, w0, w1, count(*) AS "count" FROM b
+        |       WHERE w1 IS NOT NULL GROUP BY doc_id, w0, w1)
+        |SELECT bg.doc_id, v0.wordid AS wordid0, v1.wordid AS wordid1, bg."count"
+        |FROM bg LEFT JOIN vocab v0 ON bg.w0 = v0.token
+        |        LEFT JOIN vocab v1 ON bg.w1 = v1.token
+        |ORDER BY bg.doc_id, wordid0 NULLS FIRST, wordid1 NULLS FIRST""".stripMargin)),
+
+    // J1: encoded trigrams (EncodedTrigrams, transformations.py:292-294).
+    "t_encoded_trigrams" -> Q(
+      (s, dir) =>
+        TextOps.encodedNgramsOnePass(rd(s, dir, "documents"), n = 3)
+          .orderBy(asc_nulls_first("doc_id"), asc_nulls_first("wordid0"),
+            asc_nulls_first("wordid1"), asc_nulls_first("wordid2")),
+      Some(s"""WITH $ToksCte, $StreamCte, $VocabCte,
+        |b AS (SELECT doc_id, token AS w0,
+        |        lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+        |        lead(token, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |      FROM stream),
+        |tg AS (SELECT doc_id, w0, w1, w2, count(*) AS "count" FROM b
+        |       WHERE w1 IS NOT NULL AND w2 IS NOT NULL
+        |       GROUP BY doc_id, w0, w1, w2)
+        |SELECT tg.doc_id, v0.wordid AS wordid0, v1.wordid AS wordid1,
+        |       v2.wordid AS wordid2, tg."count"
+        |FROM tg LEFT JOIN vocab v0 ON tg.w0 = v0.token
+        |        LEFT JOIN vocab v1 ON tg.w1 = v1.token
+        |        LEFT JOIN vocab v2 ON tg.w2 = v2.token
+        |ORDER BY tg.doc_id, wordid0 NULLS FIRST, wordid1 NULLS FIRST,
+        |         wordid2 NULLS FIRST""".stripMargin)),
+
     // A1(n=2)/W1: bigram counts.
     "t_bigrams" -> Q(
       (s, dir) =>
@@ -563,6 +603,23 @@ object Queries {
         |SELECT doc_id, w0, w1, w2, w3, count(*) AS "count" FROM b
         |WHERE w1 IS NOT NULL AND w2 IS NOT NULL AND w3 IS NOT NULL
         |GROUP BY doc_id, w0, w1, w2, w3 ORDER BY doc_id, w0, w1, w2, w3""".stripMargin)),
+
+    // A1(n=5): quintgram counts (transformations.py:295-297).
+    "t_quintgrams" -> Q(
+      (s, dir) =>
+        TextOps.quintgrams(rd(s, dir, "documents"))
+          .orderBy("doc_id", "w0", "w1", "w2", "w3", "w4"),
+      Some(s"""WITH $ToksCte, $StreamCte,
+        |b AS (SELECT doc_id, token AS w0,
+        |        lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+        |        lead(token, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+        |        lead(token, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS w3,
+        |        lead(token, 4) OVER (PARTITION BY doc_id ORDER BY pos) AS w4
+        |      FROM stream)
+        |SELECT doc_id, w0, w1, w2, w3, w4, count(*) AS "count" FROM b
+        |WHERE w1 IS NOT NULL AND w2 IS NOT NULL AND w3 IS NOT NULL AND w4 IS NOT NULL
+        |GROUP BY doc_id, w0, w1, w2, w3, w4
+        |ORDER BY doc_id, w0, w1, w2, w3, w4""".stripMargin)),
 
     // A4: chunked wordcounts (chunkSize 20).
     "t_chunked_wordcounts" -> Q(
@@ -760,7 +817,7 @@ object Queries {
         |  regexp_extract_all(text, '[\\p{L}]+') AS t,
         |  len(regexp_extract_all(text, '[\\p{P}\\p{S}]')) AS np,
         |  len(regexp_extract_all(text, '[0-9]')) AS nd,
-        |  len(list_filter(regexp_extract_all(lower(text), '[\\p{L}]+'), x -> x IN ($stop))) AS nstop
+        |  len(list_filter(list_transform(regexp_extract_all(text, '[\\p{L}]+'), x -> lower(x)), x -> x IN ($stop))) AS nstop
         |  FROM documents),
         |m2 AS (SELECT doc_id, nc, len(t) AS nt,
         |  CASE WHEN len(t) > 0 THEN list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t) ELSE 0.0 END AS mtl,
@@ -930,14 +987,38 @@ object Queries {
         |ORDER BY query_id, rank""".stripMargin),
       headline = true),
 
-    // LSH-bucketed ANN — the scale path. Not SQL-expressible compactly;
-    // driver records the rows-only check.
+    // LSH-bucketed ANN — the scale path. The bucket function is md5-derived
+    // hyperplane signs, so the oracle replays it exactly: the same plane
+    // literals (Similarity.planeMatrix) are inlined into the SQL.
     "e_knn_lsh" -> Q(
       (s, dir) =>
-        Similarity.knnLsh(rd(s, dir, "embeddings"), k = 5, nbits = 8)
+        Similarity.knnLsh(rd(s, dir, "embeddings"), k = 5, nbits = 8, dim = 64)
           .select("query_id", "rank", "neighbor_id", "cos_sim")
           .orderBy("query_id", "rank"),
-      None),
+      Some {
+        val planesSql = Similarity.planeMatrix(8, 64).zipWithIndex.map {
+          case (row, b) => s"($b, [${row.mkString(", ")}])"
+        }.mkString(",\n  ")
+        s"""WITH pl(b, pv) AS (VALUES
+        |  $planesSql),
+        |v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+        |proj AS (SELECT id, b,
+        |    list_reduce(list_transform(range(1, len(v)+1),
+        |      i -> CAST(v[i] AS DOUBLE) * pv[i]), (p, q) -> p + q) AS pr
+        |  FROM v, pl),
+        |bk AS (SELECT id,
+        |    CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY id),
+        |pairs AS (SELECT a.id AS query_id, c.id AS neighbor_id,
+        |    round(${sqlCos("qv.v", "nv.v")}, 6) AS cos_sim
+        |  FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.id != c.id
+        |  JOIN v qv ON qv.id = a.id JOIN v nv ON nv.id = c.id),
+        |r AS (SELECT query_id, neighbor_id, cos_sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM pairs)
+        |SELECT query_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin
+      }),
 
     // IVF-style ANN: deterministic coarse quantizer (8 lowest-id seeds),
     // search within the assigned cell — the inverted-file scale path.

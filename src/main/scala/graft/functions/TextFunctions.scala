@@ -31,9 +31,12 @@ object TextFunctions {
   /** Stable 60-bit non-negative hash of a string, identical across engines:
     * first 15 hex chars of md5 parsed as an integer. 60 bits keeps it inside
     * a signed 64-bit long with headroom for arithmetic.
+    *
+    * Backed by the codegen'd [[graft.plans.Hash60]] expression — numerically
+    * identical to `conv(substring(md5(c), 1, 15), 16, 10)::long` (the SQL
+    * form the DuckDB oracles use) without the hex-string round-trip.
     */
-  def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def hash60(c: Column): Column = graft.plans.HashExpressions.hash60(c)
 
   /** hash60 folded into a 31-bit space (mod the Mersenne prime 2^31-1):
     * small enough that `a*h+b` stays exact in 64-bit for MinHash

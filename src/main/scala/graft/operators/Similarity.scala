@@ -56,24 +56,44 @@ object Similarity {
   }
 
   /** Deterministic hyperplane component for (bit b, dimension d): an
-    * engine-stable pseudo-random value in [-0.5, 0.5) derived from md5.
-    * Used as a *column expression* over a (b, d) grid so the whole plane
-    * matrix is generated inside the plan — no driver-side randomness. */
-  private def planeComponent(b: Column, d: Column): Column =
-    (hash60(concat(lit("plane:"), b, lit(":"), d)) % lit(1000000L))
-      .cast("double") / lit(1000000.0) - lit(0.5)
+    * engine-stable pseudo-random value in [-0.5, 0.5) derived from md5 —
+    * exactly reproducible in SQL as
+    * `(hash60('plane:b:d') % 1000000) / 1e6 - 0.5`, which is how the
+    * `e_knn_lsh` oracle replays it. */
+  def planeValue(b: Int, d: Int): Double =
+    (graft.plans.HashUtil.hash60(s"plane:$b:$d") % 1000000L).toDouble /
+      1000000.0 - 0.5
+
+  /** The full (nbits x dim) hyperplane matrix, computed ONCE driver-side and
+    * shipped into the plan as array literals. (The previous formulation
+    * derived each component inside interpreted HOF lambdas — an md5 per
+    * (bit x dim x element) per ROW, the dominant `knnLsh` cost.) */
+  def planeMatrix(nbits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nbits, dim)(planeValue)
 
   /** LSH bucket key: the `nbits` sign bits of projections onto deterministic
-    * hyperplanes. Vectors in the same bucket are ANN candidates. */
-  def lshBucket(vec: Column, nbits: Int): Column = {
-    val bitCols = (0 until nbits).map { b =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (v, d) => v.cast("double") * planeComponent(lit(b), d)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L) * (1L << b)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
+    * hyperplanes. Vectors in the same bucket are ANN candidates. Each
+    * projection is a codegen'd [[graft.plans.DotProduct]] against a literal
+    * plane row — same left-to-right double accumulation as the interpreted
+    * fold, so bucket keys are engine-stable. */
+  def lshBucket(vec: Column, nbits: Int, dim: Int): Column = {
+    val planes = planeMatrix(nbits, dim)
+    (0 until nbits).map { b =>
+      val proj = dot(vec, typedlit(planes(b).toSeq))
+      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Bucket-count geometry for a corpus of `n` vectors: enough bits that the
+    * EXPECTED bucket occupancy stays near `targetBucket`, so within-bucket
+    * scoring stays bounded as the corpus grows (a fixed 2^nbits geometry
+    * degrades to all-pairs at scale — the 100TB failure mode). Callers at
+    * scale pass `nbits = adaptiveNbits(corpusCount)`. */
+  def adaptiveNbits(n: Long, targetBucket: Int = 64,
+                    minBits: Int = 4, maxBits: Int = 24): Int = {
+    val want = math.ceil(
+      math.log(math.max(n, 1L).toDouble / targetBucket) / math.log(2.0)).toInt
+    math.min(maxBits, math.max(minBits, want))
   }
 
   /** IVF-style ANN with a deterministic coarse quantizer: `nlist` seed
@@ -111,12 +131,18 @@ object Similarity {
   }
 
   /** ANN via LSH buckets: same-bucket pairs scored by cosine, per-query
-    * top-k. Recall < 1 by design; bench against knnBrute. */
-  def knnLsh(corpus: DataFrame, k: Int, nbits: Int = 8,
+    * top-k. Recall < 1 by design; verified by the `e_knn_lsh` oracle (bucket
+    * function replayed in SQL) and the recall@k spec vs [[knnBrute]].
+    * `dim` is the embedding width (plane literals need it at plan time);
+    * pass -1 to sniff it from the first row. At scale pass
+    * `nbits = adaptiveNbits(count)` to hold bucket occupancy flat. */
+  def knnLsh(corpus: DataFrame, k: Int, nbits: Int = 8, dim: Int = -1,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val d = if (dim > 0) dim
+      else corpus.select(size(col(vecCol))).head().getInt(0)
     val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
         norm(col(vecCol)).as("vn"))
-      .withColumn("bucket", lshBucket(col("v"), nbits))
+      .withColumn("bucket", lshBucket(col("v"), nbits, d))
     val pairs = bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"),

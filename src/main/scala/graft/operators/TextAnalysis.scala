@@ -50,21 +50,30 @@ object TextAnalysis {
   /** qualityScore: per-document heuristics used to filter training data —
     * character/token counts, mean token length, punctuation & digit &
     * whitespace ratios, stopword ratio, and a composite [0,1] score.
-    * All ratios rounded to 6 dp for cross-engine stability. */
+    * All ratios rounded to 6 dp for cross-engine stability.
+    *
+    * Two regex passes total per document (BENCH_r01's version ran ~5):
+    * one letter-token pass shared by token count / mean length / stopwords
+    * (lowercase derived per token, not via a second tokenize of
+    * `lower(text)`), and one combined `[punct|symbol|digit]` char-class pass
+    * split arithmetically into punctuation vs digit counts (the classes are
+    * disjoint). Mean token length reads `length(concat_ws("", toks))` —
+    * no per-element fold. */
   def qualityScore(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
     val text = col(textCol)
-    // token arrays projected once per row; downstream reads bound columns
-    val pre = docs.select(col(idCol), text,
-      tokens(text).as("q_toks"), tokens(lower(text)).as("q_ltoks"))
+    // token + mark arrays projected once per row; downstream reads bound cols
+    val pre = docs.select(col(idCol), length(text).as("q_nchars"),
+      tokens(text).as("q_toks"),
+      regexp_extract_all(text, lit("[\\p{P}\\p{S}0-9]"), lit(0)).as("q_marks"))
     val toks = col("q_toks")
-    val nChars = length(text)
+    val nChars = col("q_nchars")
     val nToks = size(toks)
-    val punct = size(regexp_extract_all(text, lit("[\\p{P}\\p{S}]"), lit(0)))
-    val digits = size(regexp_extract_all(text, lit("[0-9]"), lit(0)))
-    val stop = stopHits(col("q_ltoks"), StopwordSets.head._2)
+    val digits = size(filter(col("q_marks"), m => m >= "0" && m <= "9"))
+    val punct = size(col("q_marks")) - digits
+    val stop = stopHits(transform(toks, t => lower(t)), StopwordSets.head._2)
     val meanTokLen = when(nToks > 0,
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nToks)
+      length(concat_ws("", toks)).cast("double") / nToks)
       .otherwise(lit(0.0))
     val safeChars = greatest(nChars, lit(1)).cast("double")
     val punctRatio = punct / safeChars

@@ -141,6 +141,35 @@ object TextOps {
       .select(col(idCol), col("wordid"), col("count"))
   }
 
+  /** Encoded n-gram counts (J1, transformations.py:257-297 named
+    * EncodedBigrams/Trigrams; encoding loop :320-346): EVERY word position of
+    * the n-gram table is replaced by its frequency-rank wordid. One broadcast
+    * hash join per position against the (<=1M row) vocabulary — the fact
+    * table is never shuffled. Out-of-vocabulary words encode as null,
+    * mirroring the reference's `pc.index_in` semantics.
+    *
+    * The vocabulary is persisted so the n broadcast builds read the (tiny)
+    * cached relation instead of re-running the corpus-wide count. */
+  def encodeNgramTable(ngramTable: DataFrame, vocab: DataFrame, n: Int,
+                       idCol: String = "doc_id"): DataFrame = {
+    val v = vocab.select(col("token"), col("wordid")).persist()
+    val joined = (0 until n).foldLeft(ngramTable) { (acc, i) =>
+      acc.join(
+        broadcast(v.select(col("token").as(s"__t$i"), col("wordid").as(s"wordid$i"))),
+        col(s"w$i") === col(s"__t$i"), "left")
+    }
+    joined.select(
+      col(idCol) +: (0 until n).map(i => col(s"wordid$i")) :+ col("count"): _*)
+  }
+
+  /** Self-contained encoded n-grams: vocabulary derived from one unigram
+    * pass, n-gram table encoded per position. */
+  def encodedNgramsOnePass(docs: DataFrame, n: Int, cap: Int = VocabCap,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame =
+    encodeNgramTable(ngrams(docs, n, idCol, textCol),
+      vocabFromUnigrams(unigrams(docs, idCol, textCol), cap), n, idCol)
+
   /** Token-window document chunking for training pipelines: split each
     * document into windows of `chunkTokens` tokens with `overlap` tokens of
     * context carried between consecutive chunks — the standard LLM

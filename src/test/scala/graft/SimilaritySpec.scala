@@ -28,10 +28,52 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("LSH buckets put same-direction vectors together, opposite apart") {
     val bucketed = vecs.select($"vec_id",
-      Similarity.lshBucket($"embedding", 8).as("bucket"))
+      Similarity.lshBucket($"embedding", 8, 4).as("bucket"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(bucketed(1L) == bucketed(2L))
     assert(bucketed(1L) != bucketed(4L))
+  }
+
+  test("LSH kNN recall@5 vs brute force is measured and acceptable") {
+    // real 64-dim embeddings (sf0.001): recall of the bucketed path against
+    // the exact baseline — an ANN path whose recall is never measured is
+    // indistinguishable from a broken one.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Similarity.knnBrute(emb, emb.filter($"vec_id" < 50), k = 5)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(nbits: Int): Double = {
+      val lsh = Similarity.knnLsh(emb, k = 5, nbits = nbits, dim = 64)
+        .filter($"query_id" < 50)
+        .select($"query_id", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute & lsh).size.toDouble / brute.size
+    }
+    val r2 = recallAt(2)
+    val r8 = recallAt(8)
+    info(f"lsh recall@5: nbits=2 -> $r2%.3f, nbits=8 -> $r8%.3f")
+    // coarse buckets must recover a solid fraction of true neighbors; finer
+    // buckets trade recall for candidate volume but must not collapse to 0.
+    assert(r2 >= 0.25, s"recall@5 at nbits=2 collapsed: $r2")
+    assert(r8 > 0.0, s"recall@5 at nbits=8 is zero — bucketing broken")
+  }
+
+  test("adaptiveNbits holds expected bucket occupancy flat") {
+    assert(Similarity.adaptiveNbits(1000, targetBucket = 64) == 4)
+    assert(Similarity.adaptiveNbits(1000000, targetBucket = 64) == 14)
+    assert(Similarity.adaptiveNbits(100000000000L, targetBucket = 64) == 24) // capped
+    assert(Similarity.adaptiveNbits(0) == 4)
+  }
+
+  test("plane matrix is deterministic and engine-stable in [-0.5, 0.5)") {
+    val m1 = Similarity.planeMatrix(8, 64)
+    val m2 = Similarity.planeMatrix(8, 64)
+    assert(m1.flatten.toSeq == m2.flatten.toSeq)
+    assert(m1.flatten.forall(v => v >= -0.5 && v < 0.5))
+    // spot value equals the column-expression derivation used in round 1
+    import graft.plans.HashUtil
+    assert(m1(3)(17) ==
+      (HashUtil.hash60("plane:3:17") % 1000000L).toDouble / 1000000.0 - 0.5)
   }
 
   test("IVF kNN: nprobe=1 bounded to own cell, nprobe=2 recovers the neighbor") {

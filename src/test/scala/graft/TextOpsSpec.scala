@@ -80,6 +80,29 @@ class TextOpsSpec extends AnyFunSuite {
       .select("count").as[Long].head() == 3L)
   }
 
+  test("encoded bigrams: every position encoded, OOV becomes null") {
+    val vocab = TextOps.totalWordcounts(docs)
+    val enc = TextOps.encodeNgramTable(TextOps.bigrams(docs), vocab, 2).cache()
+    // same mass as the raw bigram table; all positions in-vocab here
+    assert(enc.agg(sum("count")).as[Long].head() == 14L)
+    assert(enc.filter($"wordid0".isNull || $"wordid1".isNull).count() == 0L)
+    // 'the cat' x2 in doc a: 'the' is wordid 0
+    val theCat = enc.filter($"doc_id" === "a" && $"wordid0" === 0L)
+      .agg(sum("count")).as[Long].head()
+    assert(theCat == 3L) // 'the cat','the cat','the mat'
+    // a vocabulary missing a word yields null at that position (index_in)
+    val tiny = vocab.filter($"token" =!= "cat")
+    val encOov = TextOps.encodeNgramTable(TextOps.bigrams(docs), tiny, 2)
+    assert(encOov.filter($"wordid0".isNull || $"wordid1".isNull)
+      .agg(sum("count")).as[Long].head() > 0L)
+  }
+
+  test("encoded trigrams one-pass: mass preserved, three wordid columns") {
+    val enc = TextOps.encodedNgramsOnePass(docs, n = 3)
+    assert(enc.columns.toSeq == Seq("doc_id", "wordid0", "wordid1", "wordid2", "count"))
+    assert(enc.agg(sum("count")).as[Long].head() == 12L) // 8 + 4 windows
+  }
+
   test("chunked wordcounts partition every token exactly once") {
     val ch = TextOps.chunkedWordcounts(docs, chunkSize = 4)
     assert(ch.agg(sum("count")).as[Long].head() == 16L)
