@@ -43,7 +43,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.3f"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // bare stdout line (build.sbt strips sbt's [info] framing via
+    // OutputStrategy) + a file copy, so the driver's parser always finds it.
+    println(json)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LAST.json"), json + "\n")
     spark.stop()
   }
 }

@@ -42,6 +42,12 @@ object ScaleSmoke {
     time("srp_flat_60")(Srp.srpFlat(docs, 60).count())
     time("token_chunks")(TextOps.tokenChunks(docs, 128, 16).count())
     time("exact_dedup")(Dedup.exactDuplicates(docs).count())
+    // df-capped exact Jaccard: the cap bounds stop-shingle buckets, keeping
+    // the candidate self-join linear-ish at scale (uncapped k=1 would be
+    // quadratic here).
+    time("jaccard_k3_dfcap")(
+      Dedup.jaccardPairs(docs, k = 3, threshold = 0.8,
+        maxShingleDf = 1000L).count())
     val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val bigEmb = emb.crossJoin(spark.range(factor).withColumnRenamed("id", "rep"))
       .withColumn("vec_id", col("vec_id") + col("rep") * 5000L)
@@ -49,6 +55,12 @@ object ScaleSmoke {
     println(s"[scale] vectors=${bigEmb.count()}")
     time("knn_ivf_64cells")(
       Similarity.knnIvf(bigEmb, k = 5, nlist = 64, nprobe = 1).count())
+    // LSH with corpus-size-adaptive bucket geometry: occupancy (and so the
+    // within-bucket quadratic term) stays flat as the corpus grows.
+    val nVec = bigEmb.count()
+    time(s"knn_lsh_adaptive_b${Similarity.adaptiveNbits(nVec)}")(
+      Similarity.knnLsh(bigEmb, k = 5,
+        nbits = Similarity.adaptiveNbits(nVec), dim = 64).count())
     spark.stop()
   }
 }

@@ -85,6 +85,30 @@ object Catalog {
           .otherwise(array(col(c))))
     }
 
+  /** Auto-detection of string<->array conflicted NDJSON columns (the
+    * reference discovers them via error-recovery re-parse,
+    * catalog.py:314-322,544-557). Spark's JSON inference resolves a column
+    * that is sometimes scalar and sometimes array to StringType, and the
+    * array-shaped rows keep their raw JSON text (`["a","b"]`) — so one
+    * distributed aggregate counting bracketed-and-parseable values per
+    * string column finds every conflicted column; no caller hints needed.
+    * The parse check (`from_json` non-null) keeps prose that merely starts
+    * with '[' from being misdetected. */
+  def detectListColumns(df: DataFrame): Seq[String] = {
+    val cand = df.schema.fields
+      .filter(f => f.dataType == StringType && f.name != "@id")
+    if (cand.isEmpty) return Seq.empty
+    val aggCols = cand.map { f =>
+      val c = col(s"`${f.name}`")
+      val isListForm = c.rlike("^\\[.*\\]$") &&
+        from_json(c, ArrayType(StringType)).isNotNull
+      sum(when(isListForm, 1L).otherwise(0L)).as(f.name)
+    }
+    val row = df.agg(aggCols.head, aggCols.tail.toSeq: _*).collect()(0)
+    cand.map(_.name)
+      .filter(n => Option(row.getAs[java.lang.Long](n)).exists(_ > 0)).toSeq
+  }
+
   // ------------------------------------------------------- id inference
 
   /** Choose and normalize the id column: first candidate present, else the
@@ -184,11 +208,17 @@ object Catalog {
 
   /** Full catalog build: ingest -> id -> audit -> best-form -> `nc:id`.
     * Returns the normalized catalog with a dense `nc:id` ordered by `@id`.
-    */
+    * For NDJSON sources, string<->array conflicted columns are detected
+    * automatically ([[detectListColumns]]) and list-normalized; `listCols`
+    * adds caller-known columns on top (needed for CSV, where bracketed text
+    * is not evidence of a list). */
   def build(spark: SparkSession, path: String,
             listCols: Seq[String] = Seq.empty): DataFrame = {
-    val raw0 = load(spark, path)
-    val raw = normalizeJsonListColumns(withId(raw0), listCols)
+    val raw0 = withId(load(spark, path))
+    val isJson = Seq(".ndjson", ".json", ".ndjson.gz", ".json.gz")
+      .exists(path.endsWith)
+    val auto = if (isJson) detectListColumns(raw0) else Seq.empty
+    val raw = normalizeJsonListColumns(raw0, (listCols ++ auto).distinct)
     assertUniqueIds(raw)
     val normalized = applyPlan(raw, planColumns(raw))
     Ids.assignDense(normalized, "@id")
@@ -212,8 +242,10 @@ object Catalog {
            _: FloatType | _: DoubleType => true
       case _ => false
     })
-    val qCols = numeric.map(f => percentile_approx(col(s"`${f.name}`"),
-      lit(StatsQuantiles.toArray), lit(10000)).as(f.name))
+    // exact percentile, matching the reference's pc.quantile
+    // (catalog.py:408-418) — approx would drift from any cross-engine check
+    val qCols = numeric.map(f => percentile(col(s"`${f.name}`"),
+      lit(StatsQuantiles.toArray)).as(f.name))
     val quantiles: Map[String, Seq[Double]] =
       if (qCols.isEmpty) Map.empty
       else {

@@ -26,21 +26,25 @@ object TextSources {
       .option("pathGlobFilter", s"*.$format*")
       .text(dir)
       .select(idFromPath(input_file_name()).as("@id"), col("value").as("text"))
-    // Spark's file index drops 0-byte files for every file source; the
-    // reference's contract includes empty documents (empty-doc fixture).
-    // Recover them from a Hadoop FS recursive listing (the same status scan
-    // Spark's own InMemoryFileIndex performs) and left-join the content.
+    // Spark's scan planning silently drops 0-byte files for every file
+    // source (createReadRDD keeps only length > 0), but the reference's
+    // contract includes empty documents (empty-doc fixture). Recover ONLY
+    // the zero-length files from a Hadoop FS recursive listing — the same
+    // driver-side status scan Spark's own InMemoryFileIndex already runs —
+    // and union them in: driver memory is bounded by the number of EMPTY
+    // files, never the corpus size.
     import org.apache.hadoop.fs.Path
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val suffix = raw"\.$format(\.gz)?$$".r
     val it = fs.listFiles(new Path(dir), true)
-    val ids = Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+    val emptyIds = Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+      .filter(_.getLen == 0)
       .map(_.getPath.getName).filter(n => suffix.findFirstIn(n).isDefined)
       .map(n => suffix.replaceAllIn(n, "")).toSeq
     import spark.implicits._
-    val listing = ids.toDF("@id")
-    listing.join(raw, Seq("@id"), "left")
-      .select(col("@id"), coalesce(col("text"), lit("")).as("text"))
+    if (emptyIds.isEmpty) raw
+    else raw.unionByName(
+      emptyIds.toDF("@id").select(col("@id"), lit("").as("text")))
   }
 
   /** S2 `SingleFileInput` (inputs.py:46-98): mallet-style file, one document

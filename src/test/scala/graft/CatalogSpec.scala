@@ -71,6 +71,25 @@ class CatalogSpec extends AnyFunSuite {
     assert(byId("2") == Seq("y", "z"))
   }
 
+  test("build auto-detects string<->array conflicted NDJSON columns (no hints)") {
+    val path = java.nio.file.Files.createTempFile("split", ".ndjson")
+    java.nio.file.Files.writeString(path,
+      // `labels` is conflicted (scalar vs array) -> Spark infers string;
+      // `note` is prose that merely starts with '[' -> must stay a string
+      """{"id": "1", "labels": "x", "note": "[sic] quoted"}
+        |{"id": "2", "labels": ["y", "z"], "note": "plain"}
+        |{"id": "3", "labels": "w", "note": "[draft] pending"}
+        |""".stripMargin)
+    val cat = Catalog.build(spark, path.toString)
+    assert(cat.schema("labels").dataType.isInstanceOf[ArrayType])
+    assert(cat.schema("note").dataType == StringType)
+    val byId = cat.collect().map(r =>
+      r.getString(r.fieldIndex("@id")) -> r.getSeq[String](r.fieldIndex("labels"))).toMap
+    assert(byId("1") == Seq("x"))
+    assert(byId("2") == Seq("y", "z"))
+    assert(byId("3") == Seq("w"))
+  }
+
   test("stats metadata: quantiles on numerics, top values on strings, version tag") {
     val df = Seq(("1", 10, "x"), ("2", 20, "y"), ("3", 30, "x"))
       .toDF("@id", "n", "s")

@@ -31,6 +31,23 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("jaccard df-cap: infinite cap is exact; finite cap drops stop shingles") {
+    val exact = Dedup.jaccardPairs(docs, k = 1, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val capped = Dedup.jaccardPairs(docs, k = 1, threshold = 0.5,
+        maxShingleDf = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact == capped) // default path unchanged
+    // cap df<=2: 'the' appears in docs 1,2,3 -> dropped from the universe;
+    // identical docs still jaccard 1.0 over their informative shingles
+    val df2 = Dedup.jaccardPairs(docs, k = 1, threshold = 0.5, maxShingleDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(df2((1L, 2L)) == 1.0)
+    // a cap of 1 removes every shared shingle -> no candidate pairs at all
+    assert(Dedup.jaccardPairs(docs, k = 1, threshold = 0.01,
+      maxShingleDf = 1).count() == 0L)
+  }
+
   test("minhash signatures: identical docs have identical signatures") {
     val sigs = Dedup.minhashSignatures(docs, shingleK = 1, numPerms = 12)
       .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
