@@ -38,4 +38,17 @@ object FlatCatalog {
     * (metadata.py:152-155). */
   def listChild(df: DataFrame, idCol: String, listCol: String): DataFrame =
     df.select(col(idCol), explode(col(listCol)).as("value"))
+
+  /** Narrowest signed index type holding `cardinality` dictionary ids —
+    * the reference's dict_encode width ladder (catalog.py:506-513:
+    * int8 below 2^7, int16 below 2^15, else int32; int64 beyond that).
+    * Ids stay logical longs in memory; the narrowing is applied at the
+    * flat-catalog sink so the parquet carries the compact physical type. */
+  def indexType(cardinality: Long): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    if (cardinality < (1L << 7)) ByteType
+    else if (cardinality < (1L << 15)) ShortType
+    else if (cardinality < (1L << 31)) IntegerType
+    else LongType
+  }
 }

@@ -96,6 +96,31 @@ object Similarity {
     math.min(maxBits, math.max(minBits, want))
   }
 
+  /** Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= threshold):
+    * the bucketed variant of all-pairs cosine dedup — the fifth dedup mode
+    * next to exact / MinHash-LSH / SimHash / Jaccard. Candidates come from
+    * sign-bucket equality (one equi-join, never a cross join); each
+    * candidate is scored once with the codegen'd dot product. Recall per
+    * true pair follows the SRP collision curve `(1 - theta/pi)^nbits`:
+    * fewer bits = higher recall but bigger buckets; at 100TB run several
+    * independent plane tables (union the pair sets) instead of dropping
+    * nbits. Oracle-checked end-to-end (`e_cosine_dups`). */
+  def cosineDupPairs(corpus: DataFrame, threshold: Double, nbits: Int = 4,
+                     dim: Int = -1, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val d = if (dim > 0) dim
+      else corpus.select(size(col(vecCol))).head().getInt(0)
+    val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("vn"))
+      .withColumn("bucket", lshBucket(col("v"), nbits, d))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.vn") * col("b.vn")), 6)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** IVF-style ANN with a deterministic coarse quantizer: `nlist` seed
     * vectors (lowest ids — deterministic, no k-means RNG) act as centroids;
     * every vector is assigned to its nearest seed (broadcast argmax — one
