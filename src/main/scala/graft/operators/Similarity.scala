@@ -96,6 +96,48 @@ object Similarity {
     math.min(maxBits, math.max(minBits, want))
   }
 
+  /** Multi-table LSH kNN — the recall knob that does NOT coarsen buckets:
+    * `tables` independent plane sets (table t reads rows
+    * [t*nbits, (t+1)*nbits) of the deterministic plane matrix, so table 0
+    * reproduces single-table buckets exactly); candidates are the union of
+    * same-bucket pairs across tables. A true neighbor colliding with
+    * per-plane probability p is recalled with `1 - (1 - p^nbits)^tables`
+    * while per-table bucket occupancy — the quadratic term — stays fixed.
+    * This is the 100TB recall strategy: hold nbits at
+    * [[adaptiveNbits]](count) and raise `tables`.
+    *
+    * One bucketed table with an exploded (table, bucket) key; the join is
+    * still a single hash-partitioned equi-join. Duplicate candidate pairs
+    * (same pair, several tables) are deduplicated per query before ranking.
+    */
+  def knnLshMulti(corpus: DataFrame, k: Int, nbits: Int = 8, tables: Int = 4,
+                  dim: Int = -1, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val d = if (dim > 0) dim
+      else corpus.select(size(col(vecCol))).head().getInt(0)
+    val planes = planeMatrix(nbits * tables, d)
+    val tableBuckets = array((0 until tables).map { t =>
+      val bucket = (0 until nbits).map { b =>
+        val proj = dot(col("v"), typedlit(planes(t * nbits + b).toSeq))
+        when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("t"), bucket.as("bk"))
+    }: _*)
+    val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("vn"))
+      .withColumn("tb", explode(tableBuckets))
+    val pairs = bucketed.as("a").join(bucketed.as("b"),
+        col("a.tb") === col("b.tb") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.vn") * col("b.vn")), 6)
+          .as("cos_sim"))
+      .distinct() // same pair via several tables scores identically
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos_sim"), asc("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= threshold):
     * the bucketed variant of all-pairs cosine dedup — the fifth dedup mode
     * next to exact / MinHash-LSH / SimHash / Jaccard. Candidates come from

@@ -1,0 +1,40 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL surface for the engine's codegen expressions, injected the standard
+  * Spark way (`SparkSessionExtensions`): set
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (or
+  * `builder.withExtensions(new GraftExtensions)`) and the functions are
+  * callable from `spark.sql` / views / SQL files:
+  *
+  *   SELECT hash60(token)            -- engine-stable 60-bit md5 hash
+  *   SELECT dot_product(a.emb, b.emb)
+  *
+  * This is the extension-point story for SURVEY §2.10: scalar semantics the
+  * built-ins lack are native `Expression`s (full codegen), registered into
+  * the session's FunctionRegistry — never Scala UDFs. No custom
+  * Rule/Strategy/SparkPlan is injected because every operator's physical
+  * shape is already expressible declaratively (verified in PLANS.md).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("hash60"),
+      new ExpressionInfo(classOf[Hash60].getName, "hash60"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "hash60(expr) takes exactly one argument")
+        Hash60(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "dot_product(a, b) takes two arguments")
+        DotProduct(children(0), children(1))
+      }))
+  }
+}

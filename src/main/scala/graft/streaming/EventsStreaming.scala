@@ -71,6 +71,24 @@ object EventsStreaming {
       }
   }
 
+  /** Streaming exact deduplication — the stream form of the batch content-
+    * hash dedup (Dedup.exactDuplicates), for ingest pipelines where the
+    * corpus arrives continuously. First occurrence of each content hash
+    * passes; replays and late duplicates are dropped by state keyed on the
+    * hash. The watermark bounds state: a duplicate arriving more than
+    * `horizon` after its original is beyond the dedup guarantee (standard
+    * `dropDuplicatesWithinWatermark` semantics — state is evictable, which
+    * is what makes this runnable forever at scale).
+    */
+  def dedupStream(events: DataFrame, horizon: String = "2 hours",
+                  hashCols: Seq[String] = Seq("event_type", "value", "props"))
+      : DataFrame =
+    events
+      .withWatermark("event_time", horizon)
+      .withColumn("content_hash", md5(concat_ws("",
+        hashCols.map(col): _*)))
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Drive a stream of the given dir to completion into a memory sink and
     * return the result table (used by tests: batch-equivalence oracle). */
   def runToMemory(spark: SparkSession, dir: String, name: String,

@@ -58,6 +58,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r8 > 0.0, s"recall@5 at nbits=8 is zero — bucketing broken")
   }
 
+  test("multi-table LSH recall dominates single-table at equal nbits") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Similarity.knnBrute(emb, emb.filter($"vec_id" < 50), k = 5)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.filter($"query_id" < 50)
+        .select($"query_id", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute & got).size.toDouble / brute.size
+    }
+    val single = recall(Similarity.knnLsh(emb, k = 5, nbits = 4, dim = 64))
+    val multi = recall(Similarity.knnLshMulti(emb, k = 5, nbits = 4,
+      tables = 4, dim = 64))
+    info(f"recall@5 nbits=4: single $single%.3f, 4 tables $multi%.3f")
+    // table 0 of the multi-table geometry IS the single-table bucket set, so
+    // the candidate superset makes recall monotonically non-decreasing
+    assert(multi >= single)
+    assert(multi >= 0.10, s"multi-table recall collapsed: $multi")
+  }
+
   test("adaptiveNbits holds expected bucket occupancy flat") {
     assert(Similarity.adaptiveNbits(1000, targetBucket = 64) == 4)
     assert(Similarity.adaptiveNbits(1000000, targetBucket = 64) == 14)

@@ -44,6 +44,20 @@ class StreamingSpec extends AnyFunSuite {
     finalized.foreach(k => assert(s.contains(k), s"finalized window $k missing"))
   }
 
+  test("streaming dedup passes first occurrence, drops in-horizon replays") {
+    val streamed = EventsStreaming.runToMemory(spark, streamDir,
+      "dedup_test", EventsStreaming.dedupStream(_))
+    // the batch oracle: distinct content hashes in the same file
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .select(md5(concat_ws("", col("event_type"), col("value"), col("props")))
+        .as("h"))
+      .distinct().count()
+    assert(streamed.count() == batch,
+      "streamed survivor count != distinct content hashes")
+    // survivors themselves are unique by content hash
+    assert(streamed.select("content_hash").distinct().count() == streamed.count())
+  }
+
   test("watermark drops data later than 2 hours behind the max event time") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

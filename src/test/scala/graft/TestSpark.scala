@@ -8,6 +8,9 @@ object TestSpark {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-tests")
+      // config-based extension injection — the deployment route; proves the
+      // SQL function surface loads without code access to the builder
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
