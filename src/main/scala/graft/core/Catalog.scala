@@ -58,8 +58,13 @@ object Catalog {
     * data reads stay distributed. */
   def loadMessyParquet(spark: SparkSession, dir: String,
                        castMap: Map[String, DataType]): DataFrame = {
-    val files = new java.io.File(dir).listFiles()
-      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    // Hadoop FS listing so messy directories resolve on any scheme
+    // (hdfs://, s3a://), not only the local filesystem.
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).sorted
     require(files.nonEmpty, s"no parquet files under $dir")
     files.map { f =>
       val df = spark.read.parquet(f)

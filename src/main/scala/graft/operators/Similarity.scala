@@ -165,28 +165,42 @@ object Similarity {
 
   /** IVF-style ANN with a deterministic coarse quantizer: `nlist` seed
     * vectors (lowest ids — deterministic, no k-means RNG) act as centroids;
-    * every vector is assigned to its nearest seed (broadcast argmax — one
-    * map pass); queries search only their own cell. The classic
-    * inverted-file trade: recall bounded by cell assignment, cost divided by
-    * nlist. `nprobe` > 1 widens the search to several nearest cells. */
+    * every vector is assigned to its nearest seed; queries search only their
+    * own cell. The classic inverted-file trade: recall bounded by cell
+    * assignment, cost divided by nlist. `nprobe` > 1 widens the search to
+    * several nearest cells.
+    *
+    * Centroids are collected to the driver (bounded by nlist — IVF
+    * centroid sets are small by construction) and shipped as literals, so
+    * cell assignment is a pure row-local projection: per-seed cosines +
+    * an `array_sort` argmax INSIDE the row. No shuffle anywhere before the
+    * cell equi-join — round 1 ranked cells with a per-vector window, which
+    * cost two extra hash shuffles of the full corpus. */
   def knnIvf(corpus: DataFrame, k: Int, nlist: Int = 8, nprobe: Int = 1,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val seeds = broadcast(corpus.orderBy(col(idCol)).limit(nlist)
-      .select(col(idCol).as("seed_id"), col(vecCol).as("sv"),
-        norm(col(vecCol)).as("sn")))
+    val seeds: Array[(Long, Seq[Double])] =
+      corpus.orderBy(col(idCol)).limit(nlist)
+        .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("vn"))
-    // rank cells per vector by cosine to seed (tie-break: seed id)
-    val wCell = Window.partitionBy("id").orderBy(desc("seed_cos"), asc("seed_id"))
-    val cells = c.join(seeds)
-      .select(col("id"), col("v"), col("vn"), col("seed_id"),
-        round(dot(col("v"), col("sv")) / (col("vn") * col("sn")), 6).as("seed_cos"))
-      .withColumn("cell_rank", row_number().over(wCell))
-    val assigned = cells.filter(col("cell_rank") === 1)
-      .select(col("id"), col("v"), col("vn"), col("seed_id").as("cell"))
-    val probed = cells.filter(col("cell_rank") <= nprobe)
+    // (negCos, seedId) structs sort ascending == cosine desc, seed-id asc —
+    // the same total order the round-1 window (and the oracle) used.
+    val ranked = array_sort(array(seeds.map { case (sid, sv) =>
+      val sn = math.sqrt(sv.map(x => x * x).sum)
+      struct(
+        (-round(dot(col("v"), typedlit(sv)) / (col("vn") * lit(sn)), 6))
+          .as("neg_cos"),
+        lit(sid).as("seed_id"))
+    }: _*))
+    val cells = c.withColumn("cells",
+      transform(slice(ranked, 1, nprobe), s => s.getField("seed_id")))
+    val assigned = cells
+      .select(col("id"), col("v"), col("vn"), col("cells").getItem(0).as("cell"))
+    val probed = cells
       .select(col("id").as("query_id"), col("v").as("qv"), col("vn").as("qn"),
-        col("seed_id").as("cell"))
+        explode(col("cells")).as("cell"))
     val pairs = probed.join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
