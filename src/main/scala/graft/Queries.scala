@@ -846,6 +846,39 @@ object Queries {
         |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]+'))::BIGINT AS alt_tokens
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic train/val/test split: engine-stable hash buckets, no
+    // RNG — membership replayed exactly by the oracle.
+    "t_splits" -> Q(
+      (s, dir) =>
+        Sampling.assignSplits(rd(s, dir, "documents"), "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+          .orderBy("lang", "split"),
+      Some(s"""WITH b AS (SELECT lang,
+        |    ${sqlHash60("CAST(doc_id AS VARCHAR) || ':split'")} % 10000 AS bk
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN bk < 8000 THEN 'train' WHEN bk < 9000 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n
+        |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)),
+
+    // Stratified deterministic sampling (the training-mix knob): keep 50%
+    // of en, 25% of de, all other strata full.
+    "t_sample_strata" -> Q(
+      (s, dir) =>
+        Sampling.stratifiedSample(rd(s, dir, "documents"), "doc_id", "lang",
+            Map("en" -> 0.5, "de" -> 0.25))
+          .select("doc_id", "lang").orderBy("doc_id"),
+      Some(s"""WITH b AS (SELECT doc_id, lang,
+        |    ${sqlHash60("CAST(doc_id AS VARCHAR) || ':sample'")} % 10000 AS bk
+        |  FROM documents)
+        |SELECT doc_id, lang FROM b
+        |WHERE bk < CAST(round((CASE WHEN lang = 'en' THEN 0.5
+        |                            WHEN lang = 'de' THEN 0.25
+        |                            ELSE 1.0 END) * 10000, 0) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin)),
+
     "t_fingerprint" -> Q(
       (s, dir) =>
         TextAnalysis.fingerprint(rd(s, dir, "documents")).orderBy("doc_id"),

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Deterministic sampling and splitting for training-data pipelines.
+  *
+  * Everything here derives from the engine-stable `hash60` of the document
+  * id (+ a salt), NOT from RNG state: the same row lands in the same
+  * split/sample on every run, machine, and engine — the property that makes
+  * train/val/test splits leakage-safe under reprocessing, and lets the
+  * DuckDB oracle replay the exact membership. Pure row-local projections or
+  * filters: no shuffle, no sort, no driver state at any corpus size.
+  */
+object Sampling {
+
+  /** Hash bucket in [0, buckets) for an id column + salt. */
+  def hashBucket(id: Column, salt: String, buckets: Int): Column =
+    hash60(concat(id.cast("string"), lit(":" + salt))) % buckets
+
+  /** Train/val/test (or any weighted) split assignment: a `split` column
+    * from cumulative weight boundaries over a 10000-bucket hash space.
+    * Weights need not sum to 1 — they are normalized. */
+  def assignSplits(df: DataFrame, idCol: String,
+                   weights: Seq[(String, Double)],
+                   salt: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive")
+    val total = weights.map(_._2).sum
+    val bounds = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+      .tail.map(b => math.round(b * 10000).toInt)
+    val bucket = hashBucket(col(idCol), salt, 10000)
+    val expr = weights.zip(bounds).reverse.tail.foldLeft(
+      lit(weights.last._1): Column) {
+      case (acc, ((name, _), bound)) =>
+        when(bucket < bound, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Per-stratum deterministic sampling: keep a row iff its hash bucket
+    * falls under the stratum's rate (rate 1.0 keeps everything; strata not
+    * in `rates` use `defaultRate`). The standard training-mix knob —
+    * "downsample lang X to 10%" — as one row-local filter. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       rates: Map[String, Double], defaultRate: Double = 1.0,
+                       salt: String = "sample"): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    val bucket = hashBucket(col(idCol), salt, 10000)
+    val rateExpr = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate): Column) {
+      case (acc, (stratum, r)) =>
+        when(col(strataCol) === stratum, lit(r)).otherwise(acc)
+    }
+    df.filter(bucket < round(rateExpr * 10000, 0).cast("long"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sampling
+
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("splits partition every row, deterministically, near the weights") {
+    val s = Sampling.assignSplits(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).cache()
+    val n = docs.count()
+    val byName = s.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.values.sum == n) // total partition, no loss/dup
+    assert(byName("train").toDouble / n > 0.7 && byName("train").toDouble / n < 0.9)
+    // rerun = identical membership (hash-deterministic, no RNG)
+    val again = Sampling.assignSplits(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(s.select("doc_id", "split").except(
+      again.select("doc_id", "split")).count() == 0)
+  }
+
+  test("unnormalized weights behave like their normalized form") {
+    val a = Sampling.assignSplits(docs, "doc_id", Seq("x" -> 8.0, "y" -> 2.0))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = Sampling.assignSplits(docs, "doc_id", Seq("x" -> 0.8, "y" -> 0.2))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("stratified sampling downsamples only the named strata") {
+    val sampled = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.5), defaultRate = 1.0).cache()
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // non-named strata untouched
+    full.keys.filter(_ != "en").foreach(l => assert(kept(l) == full(l)))
+    // named stratum roughly halved
+    val ratio = kept("en").toDouble / full("en")
+    assert(ratio > 0.3 && ratio < 0.7, s"en keep ratio $ratio")
+    // rate 0 removes, rate 1 keeps everything
+    assert(Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.0)).filter($"lang" === "en").count() == 0)
+    assert(Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map.empty, defaultRate = 1.0).count() == docs.count())
+  }
+}
