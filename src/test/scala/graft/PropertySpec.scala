@@ -65,4 +65,13 @@ object NgramProps extends Properties("TextOps.ngrams") {
       Prop(got == expected) :| s"got=$got expected=$expected cs=$chunkSize"
     }
   }
+
+  property("driver-side Hash60 equals the md5 reference formula on any string") =
+    forAll(Gen.asciiPrintableStr, Gen.alphaNumStr) { (a, b) =>
+      val s = a + b
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map(x => f"$x%02x").mkString.take(15)
+      Prop(graft.plans.HashUtil.hash60(s) == java.lang.Long.parseLong(hex, 16))
+    }
 }
