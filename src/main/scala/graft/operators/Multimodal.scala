@@ -70,4 +70,35 @@ object Multimodal {
           .cast(DoubleType) / 1000000.0 - 0.5))
       .select(col(idCol), col("features"))
   }
+
+  /** The BATCHED decode plumbing — the exact execution shape a real codec
+    * plugs into (the JVM analog of `mapInPandas`): rows stream through
+    * `mapPartitions`, grouped into fixed-size batches; a native decoder
+    * would hand each whole batch to the library in one call (amortizing
+    * model/codec setup) and emit one feature row per input. The per-batch
+    * "decode" here is the same deterministic stub as [[decodeStub]] — the
+    * two paths produce IDENTICAL output (tested), so swapping in a real
+    * decoder changes only the closure body, never the plan or schema.
+    */
+  def decodeStubBatched(df: DataFrame, featureDims: Int = 8,
+                        batchSize: Int = 64,
+                        idCol: String = "doc_id"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col("payload_meta.digest"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // batch-granular boundary: a real implementation decodes the
+          // whole `batch` here in one library call
+          batch.iterator.map { case (id, digest) =>
+            val feats = Array.tabulate(featureDims)(d =>
+              (graft.plans.HashUtil.hash60(s"$digest:$d") % 1000000L)
+                .toDouble / 1000000.0 - 0.5)
+            (id, feats)
+          }
+        }
+      }
+      .toDF(idCol, "features")
+  }
 }

@@ -97,6 +97,20 @@ class SimilaritySpec extends AnyFunSuite {
       (HashUtil.hash60("plane:3:17") % 1000000L).toDouble / 1000000.0 - 0.5)
   }
 
+  test("batched decode path is row-identical to the expression path") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(100)
+    val withPayload = Multimodal.attachPayload(docs,
+      encode($"text", "UTF-8"), "text/plain")
+    val exprPath = Multimodal.decodeStub(withPayload, featureDims = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    val batchPath = Multimodal.decodeStubBatched(withPayload,
+        featureDims = 8, batchSize = 7)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    assert(exprPath == batchPath)
+    assert(exprPath.size == 100)
+  }
+
   test("IVF kNN: nprobe=1 bounded to own cell, nprobe=2 recovers the neighbor") {
     // seeds are v1/v2 (lowest ids, same direction) -> they anchor separate
     // cells, so with nprobe=1 v1 cannot see v2 (classic IVF boundary miss)...
