@@ -846,6 +846,38 @@ object Queries {
         |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]+'))::BIGINT AS alt_tokens
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // TF-IDF term weights (integer-scaled ln, see TextRanking): the
+    // retrieval layer over the unigram tables.
+    "t_tfidf" -> Q(
+      (s, dir) =>
+        TextRanking.tfidf(rd(s, dir, "documents")).orderBy("doc_id", "token"),
+      Some(s"""WITH $ToksCte, $StreamCte, $UniCte,
+        |dfx AS (SELECT token, count(*) AS df,
+        |    CAST(round(ln((SELECT count(*) FROM documents)::DOUBLE / count(*)) * 1000000, 0) AS BIGINT) AS idf_scaled
+        |  FROM uni GROUP BY token)
+        |SELECT u.doc_id, u.token, u."count" AS tf, d.df,
+        |  (u."count" * d.idf_scaled) / 1000000.0 AS tfidf
+        |FROM uni u JOIN dfx d USING (token)
+        |ORDER BY u.doc_id, u.token""".stripMargin)),
+
+    // Per-document keyword extraction: top-3 tokens by TF-IDF.
+    "t_keywords" -> Q(
+      (s, dir) =>
+        TextRanking.keywords(rd(s, dir, "documents"), k = 3)
+          .orderBy("doc_id", "rank"),
+      Some(s"""WITH $ToksCte, $StreamCte, $UniCte,
+        |dfx AS (SELECT token, count(*) AS df,
+        |    CAST(round(ln((SELECT count(*) FROM documents)::DOUBLE / count(*)) * 1000000, 0) AS BIGINT) AS idf_scaled
+        |  FROM uni GROUP BY token),
+        |tfx AS (SELECT u.doc_id, u.token,
+        |    (u."count" * d.idf_scaled) / 1000000.0 AS tfidf
+        |  FROM uni u JOIN dfx d USING (token)),
+        |r AS (SELECT doc_id, token, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+        |  FROM tfx)
+        |SELECT doc_id, rank, token, tfidf FROM r WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin)),
+
     // Deterministic train/val/test split: engine-stable hash buckets, no
     // RNG — membership replayed exactly by the oracle.
     "t_splits" -> Q(

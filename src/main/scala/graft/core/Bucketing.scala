@@ -1,0 +1,32 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Co-located storage for repeated equi-joins — Spark's bucketing.
+  *
+  * At 100TB, a join that runs more than once on the same key should never
+  * shuffle more than once: write both sides `bucketBy(n, key).sortBy(key)`
+  * and every later join/aggregation on that key reads co-located,
+  * pre-sorted buckets — the physical plan is a SortMergeJoin with NO
+  * Exchange on either side (asserted in BucketingSpec). This is the batch
+  * analog of the reference's per-bookstack file alignment, done the way a
+  * cluster does it.
+  *
+  * Bucket counts should be sized so one bucket of the LARGER table fits an
+  * executor's memory comfortably (e.g. 100TB / 4096 buckets ≈ 24GB — too
+  * big; pick 32k+ buckets at that scale; testdata uses single digits).
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed + per-bucket-sorted external table. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    key: String, buckets: Int): Unit =
+    df.write.mode("overwrite").option("path", path)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
+  /** Read a bucketed table back (bucket metadata comes from the catalog —
+    * a plain `spark.read.parquet(path)` would NOT know the bucketing). */
+  def readBucketed(spark: org.apache.spark.sql.SparkSession,
+                   table: String): DataFrame = spark.table(table)
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-relative term weighting: TF-IDF and keyword extraction — the
+  * retrieval/feature layer on top of the unigram tables (the reference stops
+  * at raw counts; search-ready weights are the natural next operator a
+  * training/retrieval pipeline needs).
+  *
+  * Engine-stable float contract (same trick as [[Srp]]): `ln` outputs are
+  * integer-scaled (`round(ln(...) * 1e6)` as a long) BEFORE any arithmetic,
+  * so every downstream value is derived from exact integers and the DuckDB
+  * oracle reproduces it bit-for-bit regardless of summation order.
+  */
+object TextRanking {
+
+  /** TF-IDF per (doc, token): tf = in-document count, idf = ln(N / df)
+    * with df = number of documents containing the token.
+    *
+    * Plan shape: one unigram aggregate (map-side combined), one groupBy on
+    * token for document frequencies, one hash equi-join keyed by token.
+    * The document count N is a driver-side scalar (parquet-metadata cheap),
+    * shipped as a literal — no cross join, no window. */
+  def tfidf(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame = {
+    val n = docs.count()
+    val uni = TextOps.unigrams(docs, idCol, textCol)
+    // unigrams are already distinct per (doc, token): df = row count
+    val dfTable = uni.groupBy("token").agg(count(lit(1)).as("df"))
+      .withColumn("idf_scaled",
+        round(log(lit(n.toDouble) / col("df")) * 1e6, 0).cast("long"))
+    uni.join(dfTable, Seq("token"))
+      .select(col(idCol), col("token"), col("count").as("tf"), col("df"),
+        (col("count") * col("idf_scaled") / 1e6).as("tfidf"))
+  }
+
+  /** Top-`k` keywords per document by TF-IDF (desc, token asc tie-break) —
+    * the standard document-keyword extraction. The rank window partitions by
+    * document, so the sort is per-document-sized — scale-safe. */
+  def keywords(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy(desc("tfidf"), asc("token"))
+    tfidf(docs, idCol, textCol)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("token"), col("tfidf"))
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextRanking
+
+class TextRankingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "durian durian durian")).toDF("doc_id", "text")
+
+  test("tfidf: corpus-wide tokens score zero, rare tokens score high") {
+    val t = TextRanking.tfidf(docs).cache()
+    val byKey = t.collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(4)).toMap
+    // banana appears in 2 of 3 docs: idf = ln(1.5) > 0
+    assert(byKey((1L, "banana")) > 0)
+    // durian: df=1, tf=3 -> 3 * ln(3); apple: df=1, tf=2 -> 2 * ln(3)
+    assert(byKey((3L, "durian")) > byKey((1L, "apple")))
+    assert(math.abs(byKey((3L, "durian")) - 3.0 * math.log(3.0)) < 1e-4)
+    // deterministic across invocations (integer-scaled ln)
+    val again = TextRanking.tfidf(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(byKey == again)
+  }
+
+  test("keywords: top-k per doc, rank dense from 1, tie-break by token") {
+    val kw = TextRanking.keywords(docs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val doc1 = kw.filter(_._1 == 1L).sortBy(_._2)
+    // apple (tf=2, df=1) outranks banana (tf=1, df=2)
+    assert(doc1.map(_._3).toSeq == Seq("apple", "banana"))
+    assert(kw.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._2).sorted.toSeq == (1L to rs.length) })
+  }
+}
