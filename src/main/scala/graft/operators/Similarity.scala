@@ -148,13 +148,16 @@ object Similarity {
     * independent plane tables (union the pair sets) instead of dropping
     * nbits. Oracle-checked end-to-end (`e_cosine_dups`). */
   def cosineDupPairs(corpus: DataFrame, threshold: Double, nbits: Int = 4,
-                     dim: Int = -1, idCol: String = "vec_id",
+                     dim: Int = -1, maxBucket: Int = Int.MaxValue,
+                     idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
     val d = if (dim > 0) dim
       else corpus.select(size(col(vecCol))).head().getInt(0)
-    val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-        norm(col(vecCol)).as("vn"))
-      .withColumn("bucket", lshBucket(col("v"), nbits, d))
+    val bucketed = capBuckets(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+          norm(col(vecCol)).as("vn"))
+        .withColumn("bucket", lshBucket(col("v"), nbits, d)),
+      maxBucket)
     bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -211,19 +214,36 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Drop rows whose bucket holds more than `maxBucket` members: the hard
+    * backstop against a degenerate bucket (all-equal vectors, adversarial
+    * data) going quadratic. One extra linear groupBy; deterministic — a
+    * bucket is kept or dropped wholesale, never sampled. Skipped entirely
+    * at the default cap. */
+  private def capBuckets(bucketed: DataFrame, maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) bucketed
+    else {
+      val keep = bucketed.groupBy("bucket").agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= maxBucket).select("bucket")
+      bucketed.join(keep, Seq("bucket"))
+    }
+
   /** ANN via LSH buckets: same-bucket pairs scored by cosine, per-query
     * top-k. Recall < 1 by design; verified by the `e_knn_lsh` oracle (bucket
     * function replayed in SQL) and the recall@k spec vs [[knnBrute]].
     * `dim` is the embedding width (plane literals need it at plan time);
     * pass -1 to sniff it from the first row. At scale pass
-    * `nbits = adaptiveNbits(count)` to hold bucket occupancy flat. */
+    * `nbits = adaptiveNbits(count)` to hold EXPECTED bucket occupancy flat,
+    * and `maxBucket` as the hard cap on pathological buckets. */
   def knnLsh(corpus: DataFrame, k: Int, nbits: Int = 8, dim: Int = -1,
+             maxBucket: Int = Int.MaxValue,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val d = if (dim > 0) dim
       else corpus.select(size(col(vecCol))).head().getInt(0)
-    val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-        norm(col(vecCol)).as("vn"))
-      .withColumn("bucket", lshBucket(col("v"), nbits, d))
+    val bucketed = capBuckets(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+          norm(col(vecCol)).as("vn"))
+        .withColumn("bucket", lshBucket(col("v"), nbits, d)),
+      maxBucket)
     val pairs = bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"),

@@ -79,6 +79,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(multi >= 0.10, s"multi-table recall collapsed: $multi")
   }
 
+  test("bucket cap drops only overfull buckets, default cap is a no-op") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val uncapped = Similarity.knnLsh(emb, k = 5, nbits = 2, dim = 64)
+    val defaulted = Similarity.knnLsh(emb, k = 5, nbits = 2, dim = 64,
+      maxBucket = Int.MaxValue)
+    assert(uncapped.count() == defaulted.count())
+    // nbits=2 -> 4 buckets of ~125 for 500 vectors; a cap of 50 kills all
+    val capped = Similarity.knnLsh(emb, k = 5, nbits = 2, dim = 64,
+      maxBucket = 50)
+    assert(capped.count() == 0L)
+    // a generous cap keeps everything
+    assert(Similarity.knnLsh(emb, k = 5, nbits = 2, dim = 64,
+      maxBucket = 100000).count() == uncapped.count())
+  }
+
   test("adaptiveNbits holds expected bucket occupancy flat") {
     assert(Similarity.adaptiveNbits(1000, targetBucket = 64) == 4)
     assert(Similarity.adaptiveNbits(1000000, targetBucket = 64) == 14)
