@@ -878,6 +878,32 @@ object Queries {
         |SELECT doc_id, rank, token, tfidf FROM r WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin)),
 
+    // Bigram collocations by PMI (integer-scaled ln; rank + cut on the
+    // scaled integer, so the top-k is engine-exact).
+    "t_collocations" -> Q(
+      (s, dir) =>
+        TextRanking.collocations(rd(s, dir, "documents"), minCount = 5, k = 50)
+          .orderBy(desc("pmi"), asc("w0"), asc("w1")),
+      Some(s"""WITH $ToksCte, $StreamCte, $UniCte,
+        |ut AS (SELECT token, CAST(sum("count") AS BIGINT) AS c FROM uni GROUP BY token),
+        |bg AS (SELECT doc_id, token AS w0,
+        |        lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+        |      FROM stream),
+        |bt AS (SELECT w0, w1, CAST(count(*) AS BIGINT) AS cbi FROM bg
+        |       WHERE w1 IS NOT NULL GROUP BY w0, w1),
+        |tot AS (SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM ut) AS t,
+        |               (SELECT CAST(sum(cbi) AS DOUBLE) FROM bt) AS bb),
+        |p AS (SELECT w0, w1, cbi,
+        |    CAST(round(ln(CAST(cbi AS DOUBLE) * t * t / (bb * c0.c * c1.c)) * 1000000, 0) AS BIGINT) AS ps
+        |  FROM bt
+        |  CROSS JOIN tot
+        |  JOIN ut c0 ON bt.w0 = c0.token
+        |  JOIN ut c1 ON bt.w1 = c1.token
+        |  WHERE cbi >= 5),
+        |r AS (SELECT w0, w1, cbi, ps FROM p ORDER BY ps DESC, w0, w1 LIMIT 50)
+        |SELECT w0, w1, cbi, ps / 1000000.0 AS pmi FROM r
+        |ORDER BY pmi DESC, w0, w1""".stripMargin)),
+
     // Deterministic train/val/test split: engine-stable hash buckets, no
     // RNG — membership replayed exactly by the oracle.
     "t_splits" -> Q(

@@ -36,6 +36,33 @@ object TextRanking {
         (col("count") * col("idf_scaled") / 1e6).as("tfidf"))
   }
 
+  /** Bigram collocations by pointwise mutual information:
+    * `pmi = ln(p(w0,w1) / (p(w0) p(w1)))` over corpus-wide bigram/unigram
+    * totals — the classic word-association measure. Ranking and the top-k
+    * cut happen on the INTEGER-scaled pmi (never on raw doubles), so the
+    * cut is engine-exact. Both count joins are vocabulary-sized —
+    * broadcastable; corpus totals are two driver scalars. `minCount` drops
+    * noise pairs before the join. */
+  def collocations(docs: DataFrame, minCount: Long = 5, k: Int = 50,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val uniTot = TextOps.unigrams(docs, idCol, textCol)
+      .groupBy("token").agg(sum("count").as("c"))
+    val biTot = TextOps.ngrams(docs, 2, idCol, textCol)
+      .groupBy("w0", "w1").agg(sum("count").as("cbi"))
+    val t = uniTot.agg(sum("c")).head().getLong(0).toDouble
+    val b = biTot.agg(sum("cbi")).head().getLong(0).toDouble
+    biTot.filter(col("cbi") >= minCount)
+      .join(broadcast(uniTot.select(col("token").as("w0"), col("c").as("c0"))), Seq("w0"))
+      .join(broadcast(uniTot.select(col("token").as("w1"), col("c").as("c1"))), Seq("w1"))
+      .withColumn("pmi_scaled",
+        round(log(col("cbi").cast("double") * t * t /
+          (lit(b) * col("c0") * col("c1"))) * 1e6, 0).cast("long"))
+      .orderBy(desc("pmi_scaled"), asc("w0"), asc("w1"))
+      .limit(k)
+      .select(col("w0"), col("w1"), col("cbi"),
+        (col("pmi_scaled") / 1e6).as("pmi"))
+  }
+
   /** Top-`k` keywords per document by TF-IDF (desc, token asc tie-break) —
     * the standard document-keyword extraction. The rank window partitions by
     * document, so the sort is per-document-sized — scale-safe. */

@@ -29,6 +29,24 @@ class TextRankingSpec extends AnyFunSuite {
     assert(byKey == again)
   }
 
+  test("collocations: frequent-together pairs outrank chance pairs") {
+    // "strong tea" always co-occurs; "strong" and "cat" never pair up
+    val d = Seq(
+      (1L, "strong tea strong tea strong tea strong tea strong tea"),
+      (2L, "cat nap cat nap cat nap cat nap cat nap"),
+      (3L, "strong cat tea nap strong cat tea nap strong cat tea nap")
+    ).toDF("doc_id", "text")
+    val top = TextRanking.collocations(d, minCount = 3, k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(3)))
+    val pmis = top.map(t => (t._1, t._2) -> t._3).toMap
+    assert(pmis.contains(("strong", "tea")))
+    assert(pmis(("strong", "tea")) > 0) // together more than chance
+    // deterministic rerun
+    val again = TextRanking.collocations(d, minCount = 3, k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(3))).toSeq
+    assert(top.toSeq == again)
+  }
+
   test("keywords: top-k per doc, rank dense from 1, tie-break by token") {
     val kw = TextRanking.keywords(docs, k = 2).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
