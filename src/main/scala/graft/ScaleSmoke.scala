@@ -61,6 +61,10 @@ object ScaleSmoke {
     time(s"knn_lsh_adaptive_b${Similarity.adaptiveNbits(nVec)}")(
       Similarity.knnLsh(bigEmb, k = 5,
         nbits = Similarity.adaptiveNbits(nVec), dim = 64).count())
+    // recall-buying geometry: same per-table occupancy, 4 plane tables
+    time(s"knn_lsh_multi4_b${Similarity.adaptiveNbits(nVec)}")(
+      Similarity.knnLshMulti(bigEmb, k = 5,
+        nbits = Similarity.adaptiveNbits(nVec), tables = 4, dim = 64).count())
     spark.stop()
   }
 }

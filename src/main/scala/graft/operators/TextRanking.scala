@@ -49,8 +49,10 @@ object TextRanking {
       .groupBy("token").agg(sum("count").as("c"))
     val biTot = TextOps.ngrams(docs, 2, idCol, textCol)
       .groupBy("w0", "w1").agg(sum("count").as("cbi"))
-    val t = uniTot.agg(sum("c")).head().getLong(0).toDouble
-    val b = biTot.agg(sum("cbi")).head().getLong(0).toDouble
+    // coalesce: an empty or one-token corpus has no bigrams — totals must
+    // be 0, not null (the filter below then yields an empty result, no NPE)
+    val t = uniTot.agg(coalesce(sum("c"), lit(0L))).head().getLong(0).toDouble
+    val b = biTot.agg(coalesce(sum("cbi"), lit(0L))).head().getLong(0).toDouble
     biTot.filter(col("cbi") >= minCount)
       .join(broadcast(uniTot.select(col("token").as("w0"), col("c").as("c0"))), Seq("w0"))
       .join(broadcast(uniTot.select(col("token").as("w1"), col("c").as("c1"))), Seq("w1"))

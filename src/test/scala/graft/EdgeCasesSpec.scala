@@ -5,7 +5,7 @@ import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core.Catalog
-import graft.operators.{FlatCatalog, Multimodal, Srp, TextOps}
+import graft.operators.{FlatCatalog, Multimodal, Sampling, Srp, TextOps, TextRanking}
 
 /** Edge cases from the reference's test contract (tests/test_metadata.py
   * messy inputs, mixed-precision dates, alternate id fields) plus
@@ -74,6 +74,18 @@ class EdgeCasesSpec extends AnyFunSuite {
     val frames = Multimodal.frameSample(p, 4).collect()
     assert(frames.length == 4)
     assert(frames.forall(_.getAs[Long]("frame_bytes") == 0L))
+  }
+
+  test("ranking/sampling operators survive empty and degenerate corpora") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextRanking.tfidf(empty).count() == 0L)
+    assert(TextRanking.keywords(empty).count() == 0L)
+    assert(TextRanking.collocations(empty).count() == 0L) // no NPE on null totals
+    // one-token docs: unigrams exist, bigrams do not
+    val oneTok = Seq((1L, "hello"), (2L, "world")).toDF("doc_id", "text")
+    assert(TextRanking.collocations(oneTok, minCount = 1).count() == 0L)
+    assert(TextRanking.tfidf(oneTok).count() == 2L)
+    assert(Sampling.assignSplits(empty, "doc_id", Seq("a" -> 1.0)).count() == 0L)
   }
 
   test("flat-catalog list child table explodes with ids") {
