@@ -637,6 +637,19 @@ object Queries {
         |SELECT doc_id, chunk, token, count(*) AS "count" FROM ch
         |GROUP BY doc_id, chunk, token ORDER BY doc_id, chunk, token""".stripMargin)),
 
+    // Sentence segmentation: the sentence-level unit for chunking/dedup.
+    "t_sentences" -> Q(
+      (s, dir) =>
+        TextOps.sentences(rd(s, dir, "documents")).orderBy("doc_id", "sent_idx"),
+      Some("""WITH sx AS (SELECT doc_id,
+        |    regexp_extract_all(text, '\s*([^\s.!?][^.!?]*[.!?]*)', 1) AS ss
+        |  FROM documents)
+        |SELECT doc_id,
+        |  unnest(range(1, len(ss)+1)) AS sent_idx,
+        |  unnest(ss) AS sentence,
+        |  unnest(list_transform(ss, x -> len(regexp_extract_all(x, '[\p{L}]+'))::BIGINT)) AS n_tokens
+        |FROM sx ORDER BY doc_id, sent_idx""".stripMargin)),
+
     // Token-window chunking with overlap (LLM pre-tokenization packing).
     "t_token_chunks" -> Q(
       (s, dir) =>

@@ -170,6 +170,24 @@ object TextOps {
     encodeNgramTable(ngrams(docs, n, idCol, textCol),
       vocabFromUnigrams(unigrams(docs, idCol, textCol), cap), n, idCol)
 
+  /** Sentence segmentation (regex, engine-portable): a sentence is a
+    * maximal run starting at a non-space non-terminator character, through
+    * any non-terminators, plus its trailing `.!?` terminators; leading
+    * whitespace is consumed outside the capture. Entirely row-local (one
+    * regex pass + posexplode) — the sentence-level unit for chunking and
+    * dedup pipelines. Output: (docId, sent_idx (1-based), sentence,
+    * n_tokens). */
+  val SentencePattern = "\\s*([^\\s.!?][^.!?]*[.!?]*)"
+
+  def sentences(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        posexplode(regexp_extract_all(col(textCol), lit(SentencePattern), lit(1)))
+          .as(Seq("idx0", "sentence")))
+      .select(col(idCol), (col("idx0") + 1).cast("long").as("sent_idx"),
+        col("sentence"),
+        size(tokens(col("sentence"))).cast("long").as("n_tokens"))
+
   /** Token-window document chunking for training pipelines: split each
     * document into windows of `chunkTokens` tokens with `overlap` tokens of
     * context carried between consecutive chunks — the standard LLM

@@ -112,6 +112,21 @@ class TextOpsSpec extends AnyFunSuite {
     assert(chunksA.toSeq == Seq(0L, 1L, 2L))
   }
 
+  test("sentence segmentation: terminators kept, whitespace stripped, indexed") {
+    val d = Seq(
+      (1L, "Hello world. How are you?! Fine... yes"),
+      (2L, "no terminators here"),
+      (3L, "")).toDF("doc_id", "text")
+    val s = TextOps.sentences(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val doc1 = s.filter(_._1 == 1L).sortBy(_._2)
+    assert(doc1.map(_._3).toSeq ==
+      Seq("Hello world.", "How are you?!", "Fine...", "yes"))
+    assert(doc1.map(_._4).toSeq == Seq(2L, 3L, 1L, 1L))
+    assert(s.filter(_._1 == 2L).map(_._3).toSeq == Seq("no terminators here"))
+    assert(!s.exists(_._1 == 3L)) // empty doc -> no sentences
+  }
+
   test("token chunks: full coverage with overlap, empty docs skipped") {
     val ch = TextOps.tokenChunks(docs, chunkTokens = 4, overlap = 1)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
