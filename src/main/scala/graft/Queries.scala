@@ -917,6 +917,30 @@ object Queries {
         |SELECT w0, w1, cbi, ps / 1000000.0 AS pmi FROM r
         |ORDER BY pmi DESC, w0, w1""".stripMargin)),
 
+    // Per-document cross-entropy under the corpus bigram LM (add-1
+    // smoothing): the in-distribution quality filter.
+    "t_crossentropy" -> Q(
+      (s, dir) =>
+        TextRanking.bigramCrossEntropy(rd(s, dir, "documents"), alpha = 1.0)
+          .orderBy("doc_id"),
+      Some(s"""WITH $ToksCte, $StreamCte, $UniCte,
+        |ut AS (SELECT token, CAST(sum("count") AS BIGINT) AS c0 FROM uni GROUP BY token),
+        |vsz AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM ut),
+        |bg AS (SELECT doc_id, token AS w0,
+        |        lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+        |      FROM stream),
+        |bd AS (SELECT doc_id, w0, w1, CAST(count(*) AS BIGINT) AS "count" FROM bg
+        |       WHERE w1 IS NOT NULL GROUP BY doc_id, w0, w1),
+        |bt AS (SELECT w0, w1, CAST(sum("count") AS BIGINT) AS cbi FROM bd GROUP BY w0, w1),
+        |j AS (SELECT bd.doc_id, bd."count",
+        |    CAST(round(ln((CAST(bt.cbi AS DOUBLE) + 1.0) / (CAST(ut.c0 AS DOUBLE) + 1.0 * v)) * 1000000, 0) AS BIGINT) AS lp
+        |  FROM bd JOIN bt ON bd.w0 = bt.w0 AND bd.w1 = bt.w1
+        |  JOIN ut ON bd.w0 = ut.token
+        |  CROSS JOIN vsz)
+        |SELECT doc_id, CAST(sum("count") AS BIGINT) AS n_bigrams,
+        |  round(-(CAST(sum("count" * lp) AS BIGINT) / 1000000.0) / CAST(sum("count") AS BIGINT), 6) AS cross_entropy
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Deterministic train/val/test split: engine-stable hash buckets, no
     // RNG — membership replayed exactly by the oracle.
     "t_splits" -> Q(

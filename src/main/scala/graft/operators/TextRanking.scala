@@ -65,6 +65,41 @@ object TextRanking {
         (col("pmi_scaled") / 1e6).as("pmi"))
   }
 
+  /** Per-document cross-entropy under the corpus's own bigram language
+    * model with add-alpha smoothing — the CCNet-style quality signal
+    * (documents scoring far above the corpus norm are out-of-distribution:
+    * boilerplate, gibberish, wrong language).
+    *
+    *   logP(w1|w0) = ln((c(w0,w1) + alpha) / (c(w0) + alpha * V))
+    *   CE(doc)     = -mean over the doc's bigram instances
+    *
+    * Each ln is integer-scaled (engine-stable); the per-doc mean divides
+    * two exact integers. Plan: per-doc bigrams join corpus bigram totals
+    * (hash equi-join on the pair — NOT broadcast; the bigram table is
+    * vocab^2-ish) + unigram totals (broadcastable); one final per-doc
+    * aggregate. Documents with < 2 tokens have no bigrams and are absent.
+    */
+  def bigramCrossEntropy(docs: DataFrame, alpha: Double = 1.0,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val bi = TextOps.ngrams(docs, 2, idCol, textCol).persist()
+    val biTot = bi.groupBy("w0", "w1").agg(sum("count").as("cbi"))
+    val uniTot = TextOps.unigrams(docs, idCol, textCol)
+      .groupBy("token").agg(sum("count").as("c0"))
+    val v = uniTot.count().toDouble
+    bi.join(biTot, Seq("w0", "w1"))
+      .join(broadcast(uniTot.withColumnRenamed("token", "w0")), Seq("w0"))
+      .withColumn("lp_scaled",
+        round(log((col("cbi").cast("double") + alpha) /
+          (col("c0").cast("double") + lit(alpha) * v)) * 1e6, 0).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("count") * col("lp_scaled")).as("s"),
+        sum("count").as("n_bigrams"))
+      .select(col(idCol), col("n_bigrams"),
+        round(-(col("s").cast("double") / 1e6) / col("n_bigrams"), 6)
+          .as("cross_entropy"))
+  }
+
   /** Top-`k` keywords per document by TF-IDF (desc, token asc tie-break) —
     * the standard document-keyword extraction. The rank window partitions by
     * document, so the sort is per-document-sized — scale-safe. */

@@ -47,6 +47,20 @@ class TextRankingSpec extends AnyFunSuite {
     assert(top.toSeq == again)
   }
 
+  test("cross-entropy: repetitive in-distribution docs score lower than odd ones") {
+    val d = Seq(
+      (1L, "the cat sat the cat sat the cat sat the cat sat"),
+      (2L, "the cat sat the cat sat the cat sat the cat sat"),
+      (3L, "zebra quantum flux discombobulated xylophone"),
+      (4L, "one")).toDF("doc_id", "text") // single token -> no bigrams
+    val ce = TextRanking.bigramCrossEntropy(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(ce(1L) == ce(2L)) // identical docs identical score
+    assert(ce(1L) < ce(3L)) // corpus-typical text is cheaper to predict
+    assert(!ce.contains(4L)) // no bigrams -> absent
+    assert(ce.values.forall(_ > 0)) // cross-entropy is positive
+  }
+
   test("keywords: top-k per doc, rank dense from 1, tie-break by token") {
     val kw = TextRanking.keywords(docs, k = 2).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
