@@ -974,6 +974,21 @@ object Queries {
         |                            ELSE 1.0 END) * 10000, 0) AS BIGINT)
         |ORDER BY doc_id""".stripMargin)),
 
+    // PII-style scrub audit: category counts + md5 of the redacted text
+    // (the equality witness that both engines applied the SAME transform).
+    "t_redact" -> Q(
+      (s, dir) =>
+        TextAnalysis.redactionAudit(rd(s, dir, "documents")).orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        |  len(regexp_extract_all(text, 'https?://[^\s]+'))::BIGINT AS n_urls,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(text, '[0-9]{7,}'))::BIGINT AS n_longnums,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{7,}', '<NUM>', 'g')) AS redacted_md5
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     "t_fingerprint" -> Q(
       (s, dir) =>
         TextAnalysis.fingerprint(rd(s, dir, "documents")).orderBy("doc_id"),

@@ -42,11 +42,17 @@ object Catalog {
   def loadParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC catalog (columnar-format parity beyond the reference's
+    * feather/parquet pair — same downstream pipeline). */
+  def loadOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Dispatch by extension (catalog.py:204-214). */
   def load(spark: SparkSession, path: String): DataFrame = path match {
     case p if p.endsWith(".csv") || p.endsWith(".csv.gz") => loadCsv(spark, p)
     case p if p.endsWith(".ndjson") || p.endsWith(".json") ||
       p.endsWith(".ndjson.gz") || p.endsWith(".json.gz") => loadNdjson(spark, p)
+    case p if p.endsWith(".orc") => loadOrc(spark, p)
     case p => loadParquet(spark, p)
   }
 

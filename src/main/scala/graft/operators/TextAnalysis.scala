@@ -107,6 +107,41 @@ object TextAnalysis {
         lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]+"), lit(0))).cast("long")
         .as("alt_tokens"))
 
+  /** PII-style scrubbing patterns (engine-portable regex: plain classes +
+    * alternation, no backreferences): emails, URLs, and long digit runs
+    * (phone/account numbers). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^\\s]+"
+  val LongDigitPattern = "[0-9]{7,}"
+
+  /** Redact emails/URLs/long digit runs with typed placeholder tokens —
+    * the standard scrub pass before text ships into a training mix. URL
+    * first (emails can appear inside URLs; after <URL> replacement the
+    * email pattern cannot re-match the placeholder). Pure column
+    * expression, one row-local pass per pattern. */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlPattern, "<URL>"),
+        EmailPattern, "<EMAIL>"),
+      LongDigitPattern, "<NUM>")
+
+  /** Redaction audit: per-document counts of each scrubbed category plus
+    * the md5 of the redacted text (the compact equality witness for the
+    * full transform). */
+  def redactionAudit(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    docs.select(col(idCol),
+      size(regexp_extract_all(text, lit(UrlPattern), lit(0))).cast("long")
+        .as("n_urls"),
+      size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast("long")
+        .as("n_emails"),
+      size(regexp_extract_all(text, lit(LongDigitPattern), lit(0))).cast("long")
+        .as("n_longnums"),
+      md5(redact(text)).as("redacted_md5"))
+  }
+
   /** Content-defined fingerprint: md5 over the sorted distinct token set.
     * Robust to token order/duplication — catches shuffled/near-identical
     * docs that exact text hashing misses; engine-stable by construction. */

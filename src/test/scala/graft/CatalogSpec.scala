@@ -90,6 +90,17 @@ class CatalogSpec extends AnyFunSuite {
     assert(byId("3") == Seq("w"))
   }
 
+  test("ORC catalogs flow through the same build pipeline") {
+    val dir = java.nio.file.Files.createTempDirectory("orccat")
+      .resolve("cat.orc").toString
+    Seq(("a", 1999, "x"), ("b", 2004, "y"), ("c", 2011, "x"))
+      .toDF("@id", "year", "dept").write.orc(dir)
+    val cat = Catalog.build(spark, dir)
+    assert(cat.count() == 3)
+    assert(cat.schema("year").dataType == ShortType) // best-form ladder ran
+    assert(cat.columns.contains("nc:id"))
+  }
+
   test("stats metadata: quantiles on numerics, top values on strings, version tag") {
     val df = Seq(("1", 10, "x"), ("2", 20, "y"), ("3", 30, "x"))
       .toDF("@id", "n", "s")

@@ -94,4 +94,17 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(cos(a(1L), a(3L)) > cos(a(1L), a(4L)))
   }
+
+  test("redaction scrubs emails, urls, long numbers; counts audit them") {
+    val d = Seq((1L,
+      "mail me at a.user+x@site-two.org or see https://ex.com/p?q=1 id 12345678 ok 123"))
+      .toDF("doc_id", "text")
+    val redacted = d.select(TextAnalysis.redact(col("text"))).as[String].head()
+    assert(redacted ==
+      "mail me at <EMAIL> or see <URL> id <NUM> ok 123") // short number kept
+    val audit = TextAnalysis.redactionAudit(d).collect()(0)
+    assert(audit.getAs[Long]("n_emails") == 1L)
+    assert(audit.getAs[Long]("n_urls") == 1L)
+    assert(audit.getAs[Long]("n_longnums") == 1L)
+  }
 }
