@@ -42,19 +42,33 @@ object ScaleSmoke {
     time("srp_flat_60")(Srp.srpFlat(docs, 60).count())
     time("token_chunks")(TextOps.tokenChunks(docs, 128, 16).count())
     time("exact_dedup")(Dedup.exactDuplicates(docs).count())
-    // df-capped exact Jaccard: the cap bounds stop-shingle buckets, keeping
-    // the candidate self-join linear-ish at scale (uncapped k=1 would be
-    // quadratic here).
-    time("jaccard_k3_dfcap")(
-      Dedup.jaccardPairs(docs, k = 3, threshold = 0.8,
-        maxShingleDf = 1000L).count())
+    // Near-dup Jaccard runs AFTER exact dedup, as in a real pipeline: the
+    // N-fold replication makes every doc an N-way exact-dup group, so raw
+    // all-pairs output grows as N^2 per group (6.1M pairs at 50x — output-
+    // bound, and enough to OOM a single 8GB JVM; a cluster pays it in
+    // shuffle instead). Dedup first, then the df-capped candidate join
+    // measures the actual near-dup workload at any factor.
+    time("jaccard_k3_dfcap_post_dedup") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("h").orderBy("doc_id")
+      val survivors = docs.withColumn("h", md5(col("text")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("h", "rn")
+      Dedup.jaccardPairs(survivors, k = 3, threshold = 0.8,
+        maxShingleDf = 1000L).count()
+    }
     val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val bigEmb = emb.crossJoin(spark.range(factor).withColumnRenamed("id", "rep"))
       .withColumn("vec_id", col("vec_id") + col("rep") * 5000L)
       .drop("rep").repartition(64).persist()
     println(s"[scale] vectors=${bigEmb.count()}")
+    val nV = bigEmb.count()
+    // fixed vs sqrt(n) cell geometry: the fixed one degrades linearly
     time("knn_ivf_64cells")(
       Similarity.knnIvf(bigEmb, k = 5, nlist = 64, nprobe = 1).count())
+    time(s"knn_ivf_adaptive_${Similarity.adaptiveNlist(nV)}cells")(
+      Similarity.knnIvf(bigEmb, k = 5,
+        nlist = Similarity.adaptiveNlist(nV), nprobe = 1).count())
     // LSH with corpus-size-adaptive bucket geometry: occupancy (and so the
     // within-bucket quadratic term) stays flat as the corpus grows.
     val nVec = bigEmb.count()

@@ -214,6 +214,18 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF cell count for `n` vectors — the classic sqrt(n) rule: per-query
+    * scan cost (own cell) and the assignment cost (n x nlist broadcast
+    * argmax) balance at ~sqrt(n) each. A FIXED nlist degrades linearly as
+    * the corpus grows (measured in ScaleSmoke: 64 cells over 100k vectors
+    * costs ~15x the sqrt-sized geometry). */
+  def adaptiveNlist(n: Long, minList: Int = 8, maxList: Int = 65536): Int = {
+    // clamp in double space BEFORE narrowing: sqrt(Long.MaxValue) ~ 3e9
+    // overflows Int and would wrap negative
+    val s = math.round(math.sqrt(math.max(n, 1L).toDouble)).toDouble
+    math.min(maxList.toDouble, math.max(minList.toDouble, s)).toInt
+  }
+
   /** Drop rows whose bucket holds more than `maxBucket` members: the hard
     * backstop against a degenerate bucket (all-equal vectors, adversarial
     * data) going quadratic. One extra linear groupBy; deterministic — a

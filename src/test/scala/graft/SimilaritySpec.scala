@@ -101,6 +101,13 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.adaptiveNbits(0) == 4)
   }
 
+  test("adaptiveNlist follows the sqrt(n) rule within bounds") {
+    assert(Similarity.adaptiveNlist(10000) == 100)
+    assert(Similarity.adaptiveNlist(1000000) == 1000)
+    assert(Similarity.adaptiveNlist(10) == 8) // floor
+    assert(Similarity.adaptiveNlist(Long.MaxValue) == 65536) // cap
+  }
+
   test("plane matrix is deterministic and engine-stable in [-0.5, 0.5)") {
     val m1 = Similarity.planeMatrix(8, 64)
     val m2 = Similarity.planeMatrix(8, 64)
