@@ -528,8 +528,9 @@ object Queries {
     "t_encoded_bigrams" -> Q(
       (s, dir) =>
         TextOps.encodedNgramsOnePass(rd(s, dir, "documents"), n = 2)
+          // count breaks ties: distinct OOV bigrams share (null, null) keys
           .orderBy(asc_nulls_first("doc_id"), asc_nulls_first("wordid0"),
-            asc_nulls_first("wordid1")),
+            asc_nulls_first("wordid1"), asc_nulls_first("count")),
       Some(s"""WITH $ToksCte, $StreamCte, $VocabCte,
         |b AS (SELECT doc_id, token AS w0,
         |        lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
@@ -539,14 +540,15 @@ object Queries {
         |SELECT bg.doc_id, v0.wordid AS wordid0, v1.wordid AS wordid1, bg."count"
         |FROM bg LEFT JOIN vocab v0 ON bg.w0 = v0.token
         |        LEFT JOIN vocab v1 ON bg.w1 = v1.token
-        |ORDER BY bg.doc_id, wordid0 NULLS FIRST, wordid1 NULLS FIRST""".stripMargin)),
+        |ORDER BY bg.doc_id, wordid0 NULLS FIRST, wordid1 NULLS FIRST, bg."count"""".stripMargin)),
 
     // J1: encoded trigrams (EncodedTrigrams, transformations.py:292-294).
     "t_encoded_trigrams" -> Q(
       (s, dir) =>
         TextOps.encodedNgramsOnePass(rd(s, dir, "documents"), n = 3)
           .orderBy(asc_nulls_first("doc_id"), asc_nulls_first("wordid0"),
-            asc_nulls_first("wordid1"), asc_nulls_first("wordid2")),
+            asc_nulls_first("wordid1"), asc_nulls_first("wordid2"),
+            asc_nulls_first("count")),
       Some(s"""WITH $ToksCte, $StreamCte, $VocabCte,
         |b AS (SELECT doc_id, token AS w0,
         |        lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
@@ -561,7 +563,7 @@ object Queries {
         |        LEFT JOIN vocab v1 ON tg.w1 = v1.token
         |        LEFT JOIN vocab v2 ON tg.w2 = v2.token
         |ORDER BY tg.doc_id, wordid0 NULLS FIRST, wordid1 NULLS FIRST,
-        |         wordid2 NULLS FIRST""".stripMargin)),
+        |         wordid2 NULLS FIRST, tg."count"""".stripMargin)),
 
     // A1(n=2)/W1: bigram counts.
     "t_bigrams" -> Q(

@@ -61,17 +61,16 @@ object ScaleSmoke {
     val bigEmb = emb.crossJoin(spark.range(factor).withColumnRenamed("id", "rep"))
       .withColumn("vec_id", col("vec_id") + col("rep") * 5000L)
       .drop("rep").repartition(64).persist()
-    println(s"[scale] vectors=${bigEmb.count()}")
-    val nV = bigEmb.count()
+    val nVec = bigEmb.count()
+    println(s"[scale] vectors=$nVec")
     // fixed vs sqrt(n) cell geometry: the fixed one degrades linearly
     time("knn_ivf_64cells")(
       Similarity.knnIvf(bigEmb, k = 5, nlist = 64, nprobe = 1).count())
-    time(s"knn_ivf_adaptive_${Similarity.adaptiveNlist(nV)}cells")(
+    time(s"knn_ivf_adaptive_${Similarity.adaptiveNlist(nVec)}cells")(
       Similarity.knnIvf(bigEmb, k = 5,
-        nlist = Similarity.adaptiveNlist(nV), nprobe = 1).count())
+        nlist = Similarity.adaptiveNlist(nVec), nprobe = 1).count())
     // LSH with corpus-size-adaptive bucket geometry: occupancy (and so the
     // within-bucket quadratic term) stays flat as the corpus grows.
-    val nVec = bigEmb.count()
     time(s"knn_lsh_adaptive_b${Similarity.adaptiveNbits(nVec)}")(
       Similarity.knnLsh(bigEmb, k = 5,
         nbits = Similarity.adaptiveNbits(nVec), dim = 64).count())

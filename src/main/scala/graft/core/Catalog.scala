@@ -86,13 +86,16 @@ object Catalog {
 
   /** The reference's list-wrap recovery (catalog.py:544-557): for a column
     * that should be a list but was inferred scalar-or-JSON-string, produce a
-    * proper array column (scalars become 1-element lists). */
+    * proper array column (scalars become 1-element lists). A value that
+    * merely STARTS with '[' but is not valid JSON ("[sic] quoted") is a
+    * scalar — it falls back to the 1-element wrap instead of being nulled
+    * by the failed parse. */
   def normalizeJsonListColumns(df: DataFrame, listCols: Seq[String]): DataFrame =
     listCols.foldLeft(df) { (acc, c) =>
       val parsed = from_json(col(c), ArrayType(StringType))
       acc.withColumn(c,
         when(col(c).isNull, lit(null).cast(ArrayType(StringType)))
-          .when(col(c).startsWith("["), parsed)
+          .when(col(c).startsWith("["), coalesce(parsed, array(col(c))))
           .otherwise(array(col(c))))
     }
 

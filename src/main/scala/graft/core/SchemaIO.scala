@@ -93,7 +93,9 @@ object SchemaIO {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, scala.collection.mutable.Map[String, String])]
     text.linesIterator.foreach { line =>
       val noComment = line.replaceAll("\\s+#.*$", "")
-      if (noComment.trim.nonEmpty) {
+      // full-line comments must not become keys (the strip above only
+      // removes trailing comments preceded by whitespace)
+      if (noComment.trim.nonEmpty && !noComment.trim.startsWith("#")) {
         if (!noComment.startsWith(" ")) {
           val key = noComment.stripSuffix(":").trim
           out += key -> scala.collection.mutable.Map.empty[String, String]

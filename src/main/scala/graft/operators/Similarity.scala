@@ -114,7 +114,8 @@ object Similarity {
                   dim: Int = -1, idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame = {
     val d = if (dim > 0) dim
-      else corpus.select(size(col(vecCol))).head().getInt(0)
+      else corpus.select(size(col(vecCol))).head(1)
+        .headOption.map(_.getInt(0)).getOrElse(1) // empty corpus -> empty result, not a throw
     val planes = planeMatrix(nbits * tables, d)
     val tableBuckets = array((0 until tables).map { t =>
       val bucket = (0 until nbits).map { b =>
@@ -152,7 +153,8 @@ object Similarity {
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
     val d = if (dim > 0) dim
-      else corpus.select(size(col(vecCol))).head().getInt(0)
+      else corpus.select(size(col(vecCol))).head(1)
+        .headOption.map(_.getInt(0)).getOrElse(1) // empty corpus -> empty result, not a throw
     val bucketed = capBuckets(
       corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
           norm(col(vecCol)).as("vn"))
@@ -250,7 +252,8 @@ object Similarity {
              maxBucket: Int = Int.MaxValue,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val d = if (dim > 0) dim
-      else corpus.select(size(col(vecCol))).head().getInt(0)
+      else corpus.select(size(col(vecCol))).head(1)
+        .headOption.map(_.getInt(0)).getOrElse(1) // empty corpus -> empty result, not a throw
     val bucketed = capBuckets(
       corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
           norm(col(vecCol)).as("vn"))

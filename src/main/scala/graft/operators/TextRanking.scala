@@ -26,7 +26,9 @@ object TextRanking {
   def tfidf(docs: DataFrame, idCol: String = "doc_id",
             textCol: String = "text"): DataFrame = {
     val n = docs.count()
-    val uni = TextOps.unigrams(docs, idCol, textCol)
+    // consumed twice (df aggregation + the weight join): persist so the
+    // corpus is tokenized once
+    val uni = TextOps.unigrams(docs, idCol, textCol).persist()
     // unigrams are already distinct per (doc, token): df = row count
     val dfTable = uni.groupBy("token").agg(count(lit(1)).as("df"))
       .withColumn("idf_scaled",
@@ -45,10 +47,13 @@ object TextRanking {
     * noise pairs before the join. */
   def collocations(docs: DataFrame, minCount: Long = 5, k: Int = 50,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // the totals feed a driver scalar AND the main plan (uniTot twice, for
+    // both broadcasts): persist the vocab-sized tables so the corpus is
+    // tokenized once per table, not once per consumer
     val uniTot = TextOps.unigrams(docs, idCol, textCol)
-      .groupBy("token").agg(sum("count").as("c"))
+      .groupBy("token").agg(sum("count").as("c")).persist()
     val biTot = TextOps.ngrams(docs, 2, idCol, textCol)
-      .groupBy("w0", "w1").agg(sum("count").as("cbi"))
+      .groupBy("w0", "w1").agg(sum("count").as("cbi")).persist()
     // coalesce: an empty or one-token corpus has no bigrams — totals must
     // be 0, not null (the filter below then yields an empty result, no NPE)
     val t = uniTot.agg(coalesce(sum("c"), lit(0L))).head().getLong(0).toDouble
@@ -85,7 +90,7 @@ object TextRanking {
     val bi = TextOps.ngrams(docs, 2, idCol, textCol).persist()
     val biTot = bi.groupBy("w0", "w1").agg(sum("count").as("cbi"))
     val uniTot = TextOps.unigrams(docs, idCol, textCol)
-      .groupBy("token").agg(sum("count").as("c0"))
+      .groupBy("token").agg(sum("count").as("c0")).persist()
     val v = uniTot.count().toDouble
     bi.join(biTot, Seq("w0", "w1"))
       .join(broadcast(uniTot.withColumnRenamed("token", "w0")), Seq("w0"))

@@ -76,6 +76,11 @@ object DotProductRewrite extends Rule[LogicalPlan] {
               v: NamedLambdaVariable), _),
             LambdaFunction(fin, Seq(res: NamedLambdaVariable), _))
           if isVecType(left.dataType) && isVecType(right.dataType) &&
+            // DotProduct multiplies in DOUBLE; only rewrite when the
+            // original multiply already did (double elements, or float
+            // elements explicitly up-cast). A bare float x*y multiplies in
+            // FLOAT and widens after — different low bits, so it stays.
+            mul.dataType == DoubleType &&
             sameVar(mul.left, x) && sameVar(mul.right, y) &&
             sameVar(add.left, acc) && sameVar(add.right, v) &&
             sameVar(fin, res) =>

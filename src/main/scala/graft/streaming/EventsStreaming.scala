@@ -85,8 +85,11 @@ object EventsStreaming {
       : DataFrame =
     events
       .withWatermark("event_time", horizon)
-      .withColumn("content_hash", md5(concat_ws("",
-        hashCols.map(col): _*)))
+      // hash the JSON form of the column struct — field-delimited and
+      // null-distinct: a skipped-null concat would let ("a", null, "c")
+      // collide with ("a", "c", null)
+      .withColumn("content_hash",
+        md5(to_json(struct(hashCols.map(col): _*))))
       .dropDuplicatesWithinWatermark("content_hash")
 
   /** Drive a stream of the given dir to completion into a memory sink and

@@ -90,6 +90,21 @@ class CatalogSpec extends AnyFunSuite {
     assert(byId("3") == Seq("w"))
   }
 
+  test("bracket-prefixed prose inside a DETECTED list column wraps, not nulls") {
+    val path = java.nio.file.Files.createTempFile("mixed", ".ndjson")
+    java.nio.file.Files.writeString(path,
+      // labels IS detected (row 2 parses) but row 1 is a bracketed scalar:
+      // it must become a 1-element list, never null
+      """{"id": "1", "labels": "[sic] quoted"}
+        |{"id": "2", "labels": ["y", "z"]}
+        |""".stripMargin)
+    val cat = Catalog.build(spark, path.toString)
+    val byId = cat.collect().map(r =>
+      r.getString(r.fieldIndex("@id")) -> r.getSeq[String](r.fieldIndex("labels"))).toMap
+    assert(byId("1") == Seq("[sic] quoted"))
+    assert(byId("2") == Seq("y", "z"))
+  }
+
   test("ORC catalogs flow through the same build pipeline") {
     val dir = java.nio.file.Files.createTempDirectory("orccat")
       .resolve("cat.orc").toString

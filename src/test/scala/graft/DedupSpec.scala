@@ -34,10 +34,12 @@ class DedupSpec extends AnyFunSuite {
   test("jaccard df-cap: infinite cap is exact; finite cap drops stop shingles") {
     val exact = Dedup.jaccardPairs(docs, k = 1, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // a large FINITE cap exercises the df groupBy+join branch and must be
+    // result-identical to the exact path (no shingle exceeds df 1000 here)
     val capped = Dedup.jaccardPairs(docs, k = 1, threshold = 0.5,
-        maxShingleDf = Long.MaxValue)
+        maxShingleDf = 1000L)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    assert(exact == capped) // default path unchanged
+    assert(exact == capped)
     // cap df<=2: 'the' appears in docs 1,2,3 -> dropped from the universe;
     // identical docs still jaccard 1.0 over their informative shingles
     val df2 = Dedup.jaccardPairs(docs, k = 1, threshold = 0.5, maxShingleDf = 2)

@@ -28,12 +28,18 @@ class DotProductRewriteSpec extends AnyFunSuite {
     spark.read.parquet(dir)
   }
 
-  test("clean float arrays: plan rewritten, value exact") {
-    val df = writeRead(Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b"))
-      .select(hofDot($"a", $"b").as("d"))
-    val optimized = df.queryExecution.optimizedPlan.toString
+  test("float arrays: bare x*y NOT rewritten (float multiply differs), cast form is") {
+    val base = writeRead(Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b"))
+    // bare float multiply runs in FLOAT then widens — rewriting would
+    // change low bits, so the rule must leave it alone
+    val bare = base.select(hofDot($"a", $"b").as("d"))
+    assert(!bare.queryExecution.optimizedPlan.toString.contains("dotproduct("))
+    assert(bare.as[Double].head() == 11.0)
+    // the up-cast spelling already multiplies in double — rewritten
+    val cast = base.select(hofDotCast($"a", $"b").as("d"))
+    val optimized = cast.queryExecution.optimizedPlan.toString
     assert(optimized.contains("dotproduct("), s"rewrite did not fire:\n$optimized")
-    assert(df.as[Double].head() == 11.0)
+    assert(cast.as[Double].head() == 11.0)
   }
 
   test("cast-to-double spelling on real (nullable-element) embeddings") {

@@ -47,6 +47,8 @@ class SchemaIOSpec extends AnyFunSuite {
         |""".stripMargin)
     assert(parsed("title").dataType == StringType)
     assert(parsed("tags").dataType == ArrayType(StringType))
+    // the full-line comment must NOT appear as a phantom field
+    assert(parsed.fields.length == 2, parsed.fieldNames.mkString(","))
   }
 
   test("settings: nearest .nonconsumptive.yaml wins, values coerced") {

@@ -49,7 +49,7 @@ class StreamingSpec extends AnyFunSuite {
       "dedup_test", EventsStreaming.dedupStream(_))
     // the batch oracle: distinct content hashes in the same file
     val batch = spark.read.parquet(s"$dir/events.parquet")
-      .select(md5(concat_ws("", col("event_type"), col("value"), col("props")))
+      .select(md5(to_json(struct(col("event_type"), col("value"), col("props"))))
         .as("h"))
       .distinct().count()
     assert(streamed.count() == batch,
