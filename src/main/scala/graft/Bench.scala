@@ -14,6 +14,9 @@ object Bench {
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // size(null) = null, matching DuckDB len() (default -1 would desync
+      // any size() over a null text from the oracles)
+      .config("spark.sql.legacy.sizeOfNull", "false")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

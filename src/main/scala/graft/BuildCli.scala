@@ -24,6 +24,9 @@ object BuildCli {
     val targets = opts.getOrElse("targets", "unigrams").split(",").toSeq
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      // size(null) = null, matching DuckDB len() (default -1 would desync
+      // any size() over a null text from the oracles)
+      .config("spark.sql.legacy.sizeOfNull", "false")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS",
           Runtime.getRuntime.availableProcessors().toString))

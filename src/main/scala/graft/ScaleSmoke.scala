@@ -14,6 +14,9 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 20
     val spark = SparkSession.builder().master("local[32]")
+      // size(null) = null, matching DuckDB len() (default -1 would desync
+      // any size() over a null text from the oracles)
+      .config("spark.sql.legacy.sizeOfNull", "false")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -48,15 +51,9 @@ object ScaleSmoke {
     // bound, and enough to OOM a single 8GB JVM; a cluster pays it in
     // shuffle instead). Dedup first, then the df-capped candidate join
     // measures the actual near-dup workload at any factor.
-    time("jaccard_k3_dfcap_post_dedup") {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("h").orderBy("doc_id")
-      val survivors = docs.withColumn("h", md5(col("text")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).drop("h", "rn")
-      Dedup.jaccardPairs(survivors, k = 3, threshold = 0.8,
-        maxShingleDf = 1000L).count()
-    }
+    time("jaccard_k3_dfcap_post_dedup")(
+      Dedup.jaccardPairs(Dedup.dropExactDuplicates(docs), k = 3,
+        threshold = 0.8, maxShingleDf = 1000L).count())
     val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val bigEmb = emb.crossJoin(spark.range(factor).withColumnRenamed("id", "rep"))
       .withColumn("vec_id", col("vec_id") + col("rep") * 5000L)

@@ -7,6 +7,9 @@ import org.apache.spark.sql.SparkSession
 object Smoke {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
+      // size(null) = null, matching DuckDB len() (default -1 would desync
+      // any size() over a null text from the oracles)
+      .config("spark.sql.legacy.sizeOfNull", "false")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -9,6 +9,9 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // size(null) = null, matching DuckDB len() (default -1 would desync
+      // any size() over a null text from the oracles)
+      .config("spark.sql.legacy.sizeOfNull", "false")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -190,6 +190,11 @@ object Similarity {
         .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("vn"))
+    // empty corpus -> no seeds -> the literal-array plan below would not
+    // even analyze (NullType elements); return the empty result directly
+    if (seeds.isEmpty)
+      return c.select(col("id").as("query_id"), col("id").as("neighbor_id"),
+        lit(0.0).as("cos_sim"), lit(0L).as("rank")).limit(0)
     // (negCos, seedId) structs sort ascending == cosine desc, seed-id asc —
     // the same total order the round-1 window (and the oracle) used.
     val ranked = array_sort(array(seeds.map { case (sid, sv) =>

@@ -92,8 +92,11 @@ object TextRanking {
     val uniTot = TextOps.unigrams(docs, idCol, textCol)
       .groupBy("token").agg(sum("count").as("c0")).persist()
     val v = uniTot.count().toDouble
+    // NO broadcast hint on the unigram totals: unlike the capped vocab
+    // joins, uniTot is the UNCAPPED distinct-token table — unbounded on a
+    // web-scale corpus. The planner broadcasts it when it actually fits.
     bi.join(biTot, Seq("w0", "w1"))
-      .join(broadcast(uniTot.withColumnRenamed("token", "w0")), Seq("w0"))
+      .join(uniTot.withColumnRenamed("token", "w0"), Seq("w0"))
       .withColumn("lp_scaled",
         round(log((col("cbi").cast("double") + alpha) /
           (col("c0").cast("double") + lit(alpha) * v)) * 1e6, 0).cast("long"))

@@ -31,6 +31,18 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("dropExactDuplicates keeps the min-id survivor per content") {
+    val survivors = Dedup.dropExactDuplicates(docs).collect()
+      .map(_.getLong(0)).sorted
+    // docs 1 and 2 are identical -> 1 survives (matching keep_id); the
+    // near-dup 3 and distinct 4/5 all stay
+    assert(survivors.toSeq == Seq(1L, 3L, 4L, 5L))
+    // idempotent, and column set preserved
+    val again = Dedup.dropExactDuplicates(Dedup.dropExactDuplicates(docs))
+    assert(again.columns.toSeq == docs.columns.toSeq)
+    assert(again.count() == 4L)
+  }
+
   test("jaccard df-cap: infinite cap is exact; finite cap drops stop shingles") {
     val exact = Dedup.jaccardPairs(docs, k = 1, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

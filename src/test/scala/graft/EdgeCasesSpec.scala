@@ -86,6 +86,13 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(TextRanking.collocations(oneTok, minCount = 1).count() == 0L)
     assert(TextRanking.tfidf(oneTok).count() == 2L)
     assert(Sampling.assignSplits(empty, "doc_id", Seq("a" -> 1.0)).count() == 0L)
+    // every ANN path returns empty on an empty corpus, none throws
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    import graft.operators.Similarity
+    assert(Similarity.knnLsh(emptyVecs, k = 3).count() == 0L)
+    assert(Similarity.knnLshMulti(emptyVecs, k = 3).count() == 0L)
+    assert(Similarity.knnIvf(emptyVecs, k = 3).count() == 0L)
+    assert(Similarity.cosineDupPairs(emptyVecs, threshold = 0.5).count() == 0L)
   }
 
   test("flat-catalog list child table explodes with ids") {
