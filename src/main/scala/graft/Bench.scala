@@ -39,6 +39,7 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
+        finally graft.core.CacheScope.release() // operator-internal persists
         (System.nanoTime() - t0) / 1e9
       }
       name -> samples.min

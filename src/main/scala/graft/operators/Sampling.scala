@@ -22,7 +22,14 @@ object Sampling {
 
   /** Train/val/test (or any weighted) split assignment: a `split` column
     * from cumulative weight boundaries over a 10000-bucket hash space.
-    * Weights need not sum to 1 — they are normalized. */
+    * Weights need not sum to 1 — they are normalized.
+    *
+    * Null-id contract: a null id has no stable hash, so its `split` is NULL
+    * — explicitly, never silently the last split (every `bucket < bound`
+    * comparison on a null bucket is null, which used to fall through to the
+    * `otherwise` branch). Callers wanting to fail instead can assert
+    * `split IS NOT NULL`; silently mis-binning unkeyed rows is the one
+    * behavior a leakage-safe splitter must not have. */
   def assignSplits(df: DataFrame, idCol: String,
                    weights: Seq[(String, Double)],
                    salt: String = "split"): DataFrame = {
@@ -37,13 +44,20 @@ object Sampling {
       case (acc, ((name, _), bound)) =>
         when(bucket < bound, lit(name)).otherwise(acc)
     }
-    df.withColumn("split", expr)
+    df.withColumn("split",
+      when(col(idCol).isNull, lit(null).cast("string")).otherwise(expr))
   }
 
   /** Per-stratum deterministic sampling: keep a row iff its hash bucket
     * falls under the stratum's rate (rate 1.0 keeps everything; strata not
     * in `rates` use `defaultRate`). The standard training-mix knob —
-    * "downsample lang X to 10%" — as one row-local filter. */
+    * "downsample lang X to 10%" — as one row-local filter.
+    *
+    * Null-id contract: a null id has no stable hash bucket, so the row is
+    * DROPPED regardless of rate (a null bucket fails every comparison).
+    * This is deliberate and documented — membership of an unkeyed row could
+    * never be reproduced across runs, which defeats the point of
+    * deterministic sampling. Pre-filter or synthesize ids to keep them. */
   def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
                        rates: Map[String, Double], defaultRate: Double = 1.0,
                        salt: String = "sample"): DataFrame = {

@@ -55,6 +55,15 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Embedding width from the first row with a NON-NULL vector (a null
+    * embedding in row 1 must not NPE the driver — size(null) is null/-1
+    * depending on `spark.sql.legacy.sizeOfNull`, so filter on >= 0).
+    * Empty / all-null corpus -> 1, which downstream turns into an empty
+    * result rather than a throw. */
+  private def sniffDim(corpus: DataFrame, vecCol: String): Int =
+    corpus.select(size(col(vecCol)).as("d")).filter(col("d") >= 0)
+      .head(1).headOption.map(_.getInt(0)).getOrElse(1)
+
   /** Deterministic hyperplane component for (bit b, dimension d): an
     * engine-stable pseudo-random value in [-0.5, 0.5) derived from md5 —
     * exactly reproducible in SQL as
@@ -113,9 +122,7 @@ object Similarity {
   def knnLshMulti(corpus: DataFrame, k: Int, nbits: Int = 8, tables: Int = 4,
                   dim: Int = -1, idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame = {
-    val d = if (dim > 0) dim
-      else corpus.select(size(col(vecCol))).head(1)
-        .headOption.map(_.getInt(0)).getOrElse(1) // empty corpus -> empty result, not a throw
+    val d = if (dim > 0) dim else sniffDim(corpus, vecCol)
     val planes = planeMatrix(nbits * tables, d)
     val tableBuckets = array((0 until tables).map { t =>
       val bucket = (0 until nbits).map { b =>
@@ -152,9 +159,7 @@ object Similarity {
                      dim: Int = -1, maxBucket: Int = Int.MaxValue,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
-    val d = if (dim > 0) dim
-      else corpus.select(size(col(vecCol))).head(1)
-        .headOption.map(_.getInt(0)).getOrElse(1) // empty corpus -> empty result, not a throw
+    val d = if (dim > 0) dim else sniffDim(corpus, vecCol)
     val bucketed = capBuckets(
       corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
           norm(col(vecCol)).as("vn"))
@@ -183,11 +188,16 @@ object Similarity {
     * cost two extra hash shuffles of the full corpus. */
   def knnIvf(corpus: DataFrame, k: Int, nlist: Int = 8, nprobe: Int = 1,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val seeds: Array[(Long, Seq[Double])] =
-      corpus.orderBy(col(idCol)).limit(nlist)
-        .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+    // Seed ids are collected UNTYPED and shipped back as literals of the
+    // id column's native type — a string doc_id must not be cast to a null
+    // long (that was a driver NPE and a regression vs the id-type-agnostic
+    // round-1 broadcast join).
+    val seeds: Array[(Any, Seq[Double])] =
+      corpus.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+        .orderBy(col(idCol)).limit(nlist)
+        .select(col(idCol), col(vecCol).cast("array<double>"))
         .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        .map(r => (r.get(0), r.getSeq[Double](1).toSeq))
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("vn"))
     // empty corpus -> no seeds -> the literal-array plan below would not
@@ -256,9 +266,7 @@ object Similarity {
   def knnLsh(corpus: DataFrame, k: Int, nbits: Int = 8, dim: Int = -1,
              maxBucket: Int = Int.MaxValue,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val d = if (dim > 0) dim
-      else corpus.select(size(col(vecCol))).head(1)
-        .headOption.map(_.getInt(0)).getOrElse(1) // empty corpus -> empty result, not a throw
+    val d = if (dim > 0) dim else sniffDim(corpus, vecCol)
     val bucketed = capBuckets(
       corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
           norm(col(vecCol)).as("vn"))

@@ -73,8 +73,9 @@ object Srp {
     val nBlocks = maxDist + 1
     val blockBits = dims / nBlocks
     val mask = (1L << blockBits) - 1
-    val bits = srpBits(docs, dims, idCol, textCol)
-      .select(col(idCol).as("id"), col("bits")).persist()
+    val bits = graft.core.CacheScope.persist(
+      srpBits(docs, dims, idCol, textCol)
+        .select(col(idCol).as("id"), col("bits")))
     val blockStructs = array((0 until nBlocks).map { i =>
       struct(lit(i).as("blk"),
         expr(s"(shiftright(bits, ${i * blockBits}) & $mask)").as("bv"))

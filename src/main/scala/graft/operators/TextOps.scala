@@ -135,7 +135,7 @@ object TextOps {
   def encodedUnigramsOnePass(docs: DataFrame, cap: Int = VocabCap,
                              idCol: String = "doc_id",
                              textCol: String = "text"): DataFrame = {
-    val uni = unigrams(docs, idCol, textCol).persist()
+    val uni = graft.core.CacheScope.persist(unigrams(docs, idCol, textCol))
     uni.join(broadcast(vocabFromUnigrams(uni, cap)
         .select(col("token"), col("wordid"))), Seq("token"), "inner")
       .select(col(idCol), col("wordid"), col("count"))
@@ -152,7 +152,8 @@ object TextOps {
     * cached relation instead of re-running the corpus-wide count. */
   def encodeNgramTable(ngramTable: DataFrame, vocab: DataFrame, n: Int,
                        idCol: String = "doc_id"): DataFrame = {
-    val v = vocab.select(col("token"), col("wordid")).persist()
+    val v = graft.core.CacheScope.persist(
+      vocab.select(col("token"), col("wordid")))
     val joined = (0 until n).foldLeft(ngramTable) { (acc, i) =>
       acc.join(
         broadcast(v.select(col("token").as(s"__t$i"), col("wordid").as(s"wordid$i"))),

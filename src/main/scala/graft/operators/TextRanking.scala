@@ -19,21 +19,21 @@ object TextRanking {
   /** TF-IDF per (doc, token): tf = in-document count, idf = ln(N / df)
     * with df = number of documents containing the token.
     *
-    * Plan shape: one unigram aggregate (map-side combined), one groupBy on
-    * token for document frequencies, one hash equi-join keyed by token.
-    * The document count N is a driver-side scalar (parquet-metadata cheap),
-    * shipped as a literal — no cross join, no window. */
+    * Plan shape: one unigram aggregate (map-side combined), then df as a
+    * `count over (partition by token)` window — ONE hash shuffle on token,
+    * replacing the earlier groupBy + join + persist formulation (two
+    * shuffles and a leaked cached table). Each token's window partition is
+    * df-sized, never corpus-sized, so the window is scale-safe. The document
+    * count N is a driver-side scalar, shipped as a literal. */
   def tfidf(docs: DataFrame, idCol: String = "doc_id",
             textCol: String = "text"): DataFrame = {
     val n = docs.count()
-    // consumed twice (df aggregation + the weight join): persist so the
-    // corpus is tokenized once
-    val uni = TextOps.unigrams(docs, idCol, textCol).persist()
-    // unigrams are already distinct per (doc, token): df = row count
-    val dfTable = uni.groupBy("token").agg(count(lit(1)).as("df"))
+    val uni = TextOps.unigrams(docs, idCol, textCol)
+    // unigrams are already distinct per (doc, token): df = partition size
+    val w = Window.partitionBy("token")
+    uni.withColumn("df", count(lit(1)).over(w))
       .withColumn("idf_scaled",
         round(log(lit(n.toDouble) / col("df")) * 1e6, 0).cast("long"))
-    uni.join(dfTable, Seq("token"))
       .select(col(idCol), col("token"), col("count").as("tf"), col("df"),
         (col("count") * col("idf_scaled") / 1e6).as("tfidf"))
   }
@@ -49,11 +49,14 @@ object TextRanking {
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // the totals feed a driver scalar AND the main plan (uniTot twice, for
     // both broadcasts): persist the vocab-sized tables so the corpus is
-    // tokenized once per table, not once per consumer
-    val uniTot = TextOps.unigrams(docs, idCol, textCol)
-      .groupBy("token").agg(sum("count").as("c")).persist()
-    val biTot = TextOps.ngrams(docs, 2, idCol, textCol)
-      .groupBy("w0", "w1").agg(sum("count").as("cbi")).persist()
+    // tokenized once per table, not once per consumer. Tracked in CacheScope
+    // — the session owner releases them after materializing the result.
+    val uniTot = graft.core.CacheScope.persist(
+      TextOps.unigrams(docs, idCol, textCol)
+        .groupBy("token").agg(sum("count").as("c")))
+    val biTot = graft.core.CacheScope.persist(
+      TextOps.ngrams(docs, 2, idCol, textCol)
+        .groupBy("w0", "w1").agg(sum("count").as("cbi")))
     // coalesce: an empty or one-token corpus has no bigrams — totals must
     // be 0, not null (the filter below then yields an empty result, no NPE)
     val t = uniTot.agg(coalesce(sum("c"), lit(0L))).head().getLong(0).toDouble
@@ -87,10 +90,12 @@ object TextRanking {
   def bigramCrossEntropy(docs: DataFrame, alpha: Double = 1.0,
                          idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
-    val bi = TextOps.ngrams(docs, 2, idCol, textCol).persist()
+    val bi = graft.core.CacheScope.persist(
+      TextOps.ngrams(docs, 2, idCol, textCol))
     val biTot = bi.groupBy("w0", "w1").agg(sum("count").as("cbi"))
-    val uniTot = TextOps.unigrams(docs, idCol, textCol)
-      .groupBy("token").agg(sum("count").as("c0")).persist()
+    val uniTot = graft.core.CacheScope.persist(
+      TextOps.unigrams(docs, idCol, textCol)
+        .groupBy("token").agg(sum("count").as("c0")))
     val v = uniTot.count().toDouble
     // NO broadcast hint on the unigram totals: unlike the capped vocab
     // joins, uniTot is the UNCAPPED distinct-token table — unbounded on a

@@ -90,6 +90,25 @@ class CatalogSpec extends AnyFunSuite {
     assert(byId("3") == Seq("w"))
   }
 
+  test("a lone JSON-looking value cannot flip a free-text column to array") {
+    val path = java.nio.file.Files.createTempFile("prose", ".ndjson")
+    // 30 prose rows, ONE of which happens to be a parseable JSON array —
+    // 1/30 < the 5% evidence floor, so the schema must stay string.
+    val lines = (1 to 29).map(i =>
+      s"""{"id": "$i", "note": "prose line $i", "tags": "a"}""") :+
+      """{"id": "30", "note": "[\"oops\"]", "tags": ["a","b"]}"""
+    java.nio.file.Files.writeString(path, lines.mkString("", "\n", "\n"))
+    val raw = Catalog.withId(Catalog.load(spark, path.toString))
+    val detected = Catalog.detectListColumns(raw)
+    assert(!detected.contains("note"), s"note misdetected: $detected")
+    // while `tags` (1/30 array-form too) is equally below the floor here;
+    // at a told-you-so fraction it IS detected
+    assert(Catalog.detectListColumns(raw, minListFraction = 0.01)
+      .toSet == Set("note", "tags"))
+    val cat = Catalog.build(spark, path.toString)
+    assert(cat.schema("note").dataType == StringType)
+  }
+
   test("bracket-prefixed prose inside a DETECTED list column wraps, not nulls") {
     val path = java.nio.file.Files.createTempFile("mixed", ".ndjson")
     java.nio.file.Files.writeString(path,

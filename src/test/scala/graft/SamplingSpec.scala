@@ -53,4 +53,20 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.stratifiedSample(docs, "doc_id", "lang",
       Map.empty, defaultRate = 1.0).count() == docs.count())
   }
+
+  test("null ids: explicit null split, dropped from samples — never binned") {
+    val withNulls = Seq(
+      (Some("a"), "en"), (Some("b"), "en"), (None, "en"), (None, "de"))
+      .toDF("doc_id", "lang")
+    val splits = Sampling.assignSplits(withNulls, "doc_id",
+      Seq("train" -> 0.9, "test" -> 0.1))
+    // a null id must surface as split NULL, not silently land in "test"
+    assert(splits.filter($"doc_id".isNull).collect()
+      .forall(_.isNullAt(splits.columns.indexOf("split"))))
+    assert(splits.filter($"doc_id".isNotNull && $"split".isNull).count() == 0)
+    // stratifiedSample drops unkeyed rows even at rate 1.0 (documented)
+    val kept = Sampling.stratifiedSample(withNulls, "doc_id", "lang",
+      Map.empty, defaultRate = 1.0)
+    assert(kept.count() == 2 && kept.filter($"doc_id".isNull).count() == 0)
+  }
 }

@@ -146,6 +146,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(p2.headOption.contains(2L))
   }
 
+  test("IVF kNN is id-type-agnostic: string doc ids work") {
+    val sVecs = vecs.withColumn("vec_id",
+      concat(lit("doc-"), col("vec_id").cast("string")))
+    val res = Similarity.knnIvf(sVecs, k = 3, nlist = 2, nprobe = 2).collect()
+    assert(res.nonEmpty)
+    val q1 = res.filter(_.getAs[String]("query_id") == "doc-1")
+      .sortBy(_.getAs[Long]("rank")).map(_.getAs[String]("neighbor_id"))
+    assert(q1.headOption.contains("doc-2"))
+  }
+
+  test("dim sniffing survives a null embedding in the first row") {
+    val withNull = Seq((0L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding").unionByName(vecs)
+    // all three sniffing paths: none may NPE on the null-first corpus
+    val lsh = Similarity.knnLsh(withNull, k = 2, nbits = 4)
+      .filter($"query_id" === 1).collect()
+    assert(lsh.exists(r => r.getAs[Long]("neighbor_id") == 2L))
+    assert(Similarity.cosineDupPairs(withNull, threshold = 0.9, nbits = 2)
+      .collect().exists(r =>
+        r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L))
+    assert(Similarity.knnLshMulti(withNull, k = 2, nbits = 4, tables = 2)
+      .filter($"query_id" === 1).collect().nonEmpty)
+    // all-null corpus: empty result, not a throw
+    assert(Similarity.knnLsh(withNull.filter($"vec_id" === 0L), k = 2).count() == 0)
+  }
+
   test("LSH kNN recalls the strong neighbor found by brute force") {
     val lsh = Similarity.knnLsh(vecs, k = 2, nbits = 4)
       .filter($"query_id" === 1).collect()
