@@ -997,7 +997,59 @@ object Queries {
       Some(s"""WITH $ToksCte
         |SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fingerprint
-        |FROM toks ORDER BY doc_id""".stripMargin))
+        |FROM toks ORDER BY doc_id""".stripMargin)),
+
+    // Gopher-style repetition filters (dup-token / top-bigram / dup-trigram
+    // fractions) — degenerate-document detection for a training mix.
+    "t_repetition" -> Q(
+      (s, dir) =>
+        TextAnalysis.repetitionSignals(rd(s, dir, "documents")).orderBy("doc_id"),
+      Some(s"""WITH $ToksCte, $StreamCte,
+        |ts AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |    CASE WHEN len(t) > 0
+        |      THEN round(CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+        |      ELSE 0.0 END AS dup_token_frac
+        |  FROM toks),
+        |b2 AS (SELECT doc_id, token AS w0,
+        |    lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w1 FROM stream),
+        |bc AS (SELECT doc_id, w0, w1, count(*) AS c FROM b2
+        |  WHERE w1 IS NOT NULL GROUP BY doc_id, w0, w1),
+        |bi AS (SELECT doc_id,
+        |    round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT), 6) AS top_bigram_frac
+        |  FROM bc GROUP BY doc_id),
+        |t3 AS (SELECT doc_id, token AS w0,
+        |    lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+        |    lead(token, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM stream),
+        |tc AS (SELECT doc_id, w0, w1, w2, count(*) AS c FROM t3
+        |  WHERE w1 IS NOT NULL AND w2 IS NOT NULL GROUP BY doc_id, w0, w1, w2),
+        |tri AS (SELECT doc_id,
+        |    round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+        |      / CAST(sum(c) AS BIGINT), 6) AS dup_trigram_frac
+        |  FROM tc GROUP BY doc_id)
+        |SELECT ts.doc_id, ts.n_tokens, ts.dup_token_frac,
+        |  bi.top_bigram_frac, tri.dup_trigram_frac
+        |FROM ts LEFT JOIN bi ON ts.doc_id = bi.doc_id
+        |        LEFT JOIN tri ON ts.doc_id = tri.doc_id
+        |ORDER BY ts.doc_id""".stripMargin)),
+
+    // Deterministic sequence packing: every document located on a
+    // fixed-token-budget training-sequence grid (hash-bucketed streams,
+    // running offsets per stream) — all-integer, hash-replayable.
+    "t_packing" -> Q(
+      (s, dir) =>
+        TextOps.packSequences(rd(s, dir, "documents"),
+            budget = 512, nBuckets = 32).orderBy("doc_id"),
+      Some(s"""WITH $ToksCte,
+        |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |    ${sqlHash60("CAST(doc_id AS VARCHAR) || ':pack'")} % 32 AS bucket
+        |  FROM toks),
+        |cum AS (SELECT doc_id, bucket, n_tokens,
+        |    COALESCE(CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start_tok
+        |  FROM base)
+        |SELECT doc_id, bucket, n_tokens, start_tok // 512 AS seq_id,
+        |  start_tok % 512 AS seq_off
+        |FROM cum ORDER BY doc_id""".stripMargin))
   )
 
   // ------------------------------------------------------------- SRP
@@ -1222,6 +1274,98 @@ object Queries {
         |SELECT query_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin),
       headline = true),
+
+    // Multi-probe IVF: the recall knob — each query searches its 2 nearest
+    // cells instead of 1, same deterministic seed quantizer.
+    "e_knn_ivf_probe" -> Q(
+      (s, dir) =>
+        Similarity.knnIvf(rd(s, dir, "embeddings"), k = 5, nlist = 8, nprobe = 2)
+          .select("query_id", "rank", "neighbor_id", "cos_sim")
+          .orderBy("query_id", "rank"),
+      Some(s"""WITH c AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+        |seeds AS (SELECT vec_id AS seed_id, embedding AS sv FROM embeddings
+        |          ORDER BY vec_id LIMIT 8),
+        |cells AS (SELECT id, seed_id, round(${sqlCos("v", "sv")}, 6) AS seed_cos
+        |          FROM c, seeds),
+        |ranked AS (SELECT id, seed_id,
+        |             row_number() OVER (PARTITION BY id ORDER BY seed_cos DESC, seed_id) AS cell_rank
+        |           FROM cells),
+        |assigned AS (SELECT id, seed_id AS cell FROM ranked WHERE cell_rank = 1),
+        |probed AS (SELECT id AS query_id, seed_id AS cell FROM ranked WHERE cell_rank <= 2),
+        |pairs AS (SELECT p.query_id, a.id AS neighbor_id,
+        |            round(${sqlCos("qc.v", "nc.v")}, 6) AS cos_sim
+        |          FROM probed p JOIN assigned a ON p.cell = a.cell AND p.query_id != a.id
+        |          JOIN c qc ON qc.id = p.query_id JOIN c nc ON nc.id = a.id),
+        |r AS (SELECT query_id, neighbor_id, cos_sim,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |      FROM pairs)
+        |SELECT query_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin)),
+
+    // Multi-table LSH ANN: 2 independent plane tables at nbits=6 — the
+    // recall strategy that does NOT coarsen buckets. Oracle replays both
+    // tables' plane literals and unions the candidate sets.
+    "e_knn_lsh_multi" -> Q(
+      (s, dir) =>
+        Similarity.knnLshMulti(rd(s, dir, "embeddings"),
+            k = 5, nbits = 6, tables = 2, dim = 64)
+          .select("query_id", "rank", "neighbor_id", "cos_sim")
+          .orderBy("query_id", "rank"),
+      Some {
+        val planesSql = Similarity.planeMatrix(12, 64).zipWithIndex.map {
+          case (row, b) => s"($b, [${row.mkString(", ")}])"
+        }.mkString(",\n  ")
+        s"""WITH pl(b, pv) AS (VALUES
+        |  $planesSql),
+        |v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+        |proj AS (SELECT id, b,
+        |    list_reduce(list_transform(range(1, len(v)+1),
+        |      i -> CAST(v[i] AS DOUBLE) * pv[i]), (p, q) -> p + q) AS pr
+        |  FROM v, pl),
+        |bk AS (SELECT id, CAST(b AS INTEGER) // 6 AS t,
+        |    CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << (CAST(b AS INTEGER) % 6)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY id, t),
+        |pairs AS (SELECT DISTINCT a.id AS query_id, c.id AS neighbor_id
+        |  FROM bk a JOIN bk c ON a.t = c.t AND a.bucket = c.bucket AND a.id != c.id),
+        |s AS (SELECT query_id, neighbor_id,
+        |    round(${sqlCos("qv.v", "nv.v")}, 6) AS cos_sim
+        |  FROM pairs JOIN v qv ON qv.id = pairs.query_id
+        |             JOIN v nv ON nv.id = pairs.neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, cos_sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM s)
+        |SELECT query_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin
+      }),
+
+    // int8-quantized brute top-5: exact INTEGER dot products over
+    // max-abs-scaled vectors — the cheap first pass of a quantize+rerank
+    // pipeline, with zero float sensitivity in the ranking.
+    "e_quantized" -> Q(
+      (s, dir) => {
+        val emb = rd(s, dir, "embeddings")
+        Similarity.knnQuantized(emb, emb.filter(col("vec_id") < 10), k = 5)
+          .select("query_id", "rank", "neighbor_id", "dot_q")
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH v AS (SELECT vec_id AS id, embedding FROM embeddings),
+        |pre AS (SELECT id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+        |  FROM v),
+        |qz AS (SELECT id,
+        |    CASE WHEN m > 0 THEN list_transform(dv, x -> round(x * 127.0 / m, 0))
+        |         ELSE list_transform(dv, x -> 0.0) END AS q
+        |  FROM pre),
+        |s AS (SELECT a.id AS query_id, b.id AS neighbor_id,
+        |    CAST(list_reduce(list_transform(range(1, len(a.q)+1),
+        |      i -> a.q[i] * b.q[i]), (p, qq) -> p + qq) AS BIGINT) AS dot_q
+        |  FROM qz a JOIN qz b ON a.id != b.id WHERE a.id < 10),
+        |r AS (SELECT query_id, neighbor_id, dot_q,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, neighbor_id) AS rank
+        |  FROM s)
+        |SELECT query_id, rank, neighbor_id, dot_q FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin)),
 
     // Vector column statistics: norms + per-label rollup (array math).
     "e_embed_stats" -> Q(

@@ -173,6 +173,42 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Per-vector symmetric int8 quantization: every component is scaled by
+    * 127 / max|v| and rounded — the classic 4x memory/bandwidth reduction
+    * for embedding stores (the quantized corpus is what a 100TB ANN index
+    * actually holds in RAM). The quantized values are kept as INTEGER-VALUED
+    * doubles so the codegen'd [[graft.plans.DotProduct]] consumes them
+    * directly and every dot product is an exact integer (sums of |q| <= 127
+    * products are far below 2^53) — engine-stable with no rounding step.
+    * A zero vector (max|v| = 0) quantizes to all zeros, not NaN. */
+  def quantizeInt8(vec: Column): Column = {
+    val dv = transform(vec, x => x.cast("double"))
+    val maxAbs = array_max(transform(dv, x => abs(x)))
+    when(maxAbs > 0,
+      transform(dv, x => round(x * lit(127.0) / maxAbs, 0)))
+      .otherwise(transform(dv, _ => lit(0.0)))
+  }
+
+  /** Exact top-k by QUANTIZED dot product: [[knnBrute]]'s shape (broadcast
+    * query side, codegen dot, per-query window) over int8-quantized vectors.
+    * Scores are exact integers — the ranking has zero float sensitivity,
+    * which is why a quantized first pass is the standard cheap filter in
+    * front of a full-precision re-rank at scale. */
+  def knnQuantized(corpus: DataFrame, queries: DataFrame, k: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      quantizeInt8(col(vecCol)).as("qq")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      quantizeInt8(col(vecCol)).as("cq"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("qq"), col("cq")).cast("long").as("dot_q"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("dot_q"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF-style ANN with a deterministic coarse quantizer: `nlist` seed
     * vectors (lowest ids — deterministic, no k-means RNG) act as centroids;
     * every vector is assigned to its nearest seed; queries search only their

@@ -142,6 +142,50 @@ object TextAnalysis {
       md5(redact(text)).as("redacted_md5"))
   }
 
+  /** Gopher-style repetition signals — the standard "is this document
+    * degenerate boilerplate" filters for a training mix (Rae et al. 2021,
+    * §A1.1 repetition rules):
+    *
+    *  - `dup_token_frac`: fraction of token instances that are repeats of an
+    *    earlier token (1 - distinct/total). Row-local: size + array_distinct.
+    *  - `top_bigram_frac`: fraction of bigram instances taken by the single
+    *    most frequent bigram.
+    *  - `dup_trigram_frac`: fraction of trigram instances whose trigram
+    *    occurs more than once in the document.
+    *
+    * Plan: one row-local pass for the token signal; the n-gram signals
+    * reduce the (doc, ngram, count) tables per document — partial+final
+    * aggregates keyed by doc, no windows, no corpus-wide state, so each
+    * signal scales with corpus size exactly like the n-gram counts
+    * themselves. Documents too short to have bigrams/trigrams carry NULL
+    * for those fractions (undefined, not zero). */
+  def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("r_toks"))
+      .select(col(idCol),
+        size(col("r_toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("r_toks"))).cast("long").as("n_distinct"))
+      .select(col(idCol), col("n_tokens"),
+        when(col("n_tokens") > 0,
+          round((col("n_tokens") - col("n_distinct")).cast("double")
+            / col("n_tokens"), 6))
+          .otherwise(lit(0.0)).as("dup_token_frac"))
+    val bi = TextOps.ngrams(docs, 2, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(max("count").as("top_bi"), sum("count").as("tot_bi"))
+      .select(col(idCol),
+        round(col("top_bi").cast("double") / col("tot_bi"), 6)
+          .as("top_bigram_frac"))
+    val tri = TextOps.ngrams(docs, 3, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(sum(when(col("count") > 1, col("count")).otherwise(lit(0L)))
+        .as("dup_tri"), sum("count").as("tot_tri"))
+      .select(col(idCol),
+        round(col("dup_tri").cast("double") / col("tot_tri"), 6)
+          .as("dup_trigram_frac"))
+    base.join(bi, Seq(idCol), "left").join(tri, Seq(idCol), "left")
+  }
+
   /** Content-defined fingerprint: md5 over the sorted distinct token set.
     * Robust to token order/duplication — catches shuffled/near-identical
     * docs that exact text hashing misses; engine-stable by construction. */

@@ -216,6 +216,39 @@ object TextOps {
           .cast("long").as("n_tokens"))
   }
 
+  /** Sequence packing — assign every document a position in a fixed-token-
+    * budget training sequence (the GPT-style "concatenate then cut every
+    * `budget` tokens" packing). Deterministic and fully distributed:
+    *
+    *  1. each document hashes into one of `nBuckets` independent packing
+    *     streams (engine-stable hash60 bucket — no RNG, rerun-identical);
+    *  2. within a stream, documents are ordered by id and laid end to end:
+    *     `start_tok` = running token total of the documents before it;
+    *  3. `seq_id` / `seq_off` locate the document's first token in the
+    *     stream's sequence grid (`start_tok` div / mod `budget`).
+    *
+    * The only non-row-local step is a running sum windowed BY BUCKET — each
+    * partition holds ~1/nBuckets of the corpus, so at cluster scale you set
+    * nBuckets to a small multiple of the parallelism and no single task ever
+    * sees the whole corpus. A document may straddle a sequence boundary —
+    * standard concat-and-chunk semantics (the trainer's loader slices it).
+    * Output: (docId, bucket, n_tokens, seq_id, seq_off), all exact integers
+    * — hash-stable across engines. */
+  def packSequences(docs: DataFrame, budget: Int = 512, nBuckets: Int = 32,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(budget >= 1 && nBuckets >= 1, "need budget >= 1 and nBuckets >= 1")
+    val base = docs.select(col(idCol),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"),
+      (hash60(concat(col(idCol).cast("string"), lit(":pack"))) % nBuckets)
+        .as("bucket"))
+    val w = Window.partitionBy("bucket").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.withColumn("start_tok", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col(idCol), col("bucket"), col("n_tokens"),
+        floor(col("start_tok") / lit(budget)).cast("long").as("seq_id"),
+        (col("start_tok") % lit(budget)).as("seq_off"))
+  }
+
   /** chunked_wordcounts (A4, wordcounting.py:5-55): split each document's
     * token stream into ~equal chunks of ≈chunkSize tokens, count words per
     * (doc, chunk). Chunk id is computed arithmetically from the position so

@@ -109,6 +109,30 @@ class DedupSpec extends AnyFunSuite {
     assert(cos(a(1L), a(3L)) > cos(a(1L), a(4L)))
   }
 
+  test("repetition signals separate degenerate from healthy documents") {
+    val d = Seq(
+      (1L, "spam spam spam spam spam spam"),          // one token repeated
+      (2L, "one two three four five six"),            // all distinct
+      (3L, "go go go stop go go go stop go go"),      // heavy trigram repeats
+      (4L, "hi"),                                     // too short for bigrams
+      (5L, "")).toDF("doc_id", "text")
+    val sig = TextAnalysis.repetitionSignals(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // degenerate doc: 5/6 duplicate tokens, single bigram dominates
+    assert(sig(1L).getAs[Double]("dup_token_frac") > 0.8)
+    assert(sig(1L).getAs[Double]("top_bigram_frac") == 1.0)
+    assert(sig(1L).getAs[Double]("dup_trigram_frac") == 1.0)
+    // healthy doc: zero repetition everywhere
+    assert(sig(2L).getAs[Double]("dup_token_frac") == 0.0)
+    assert(sig(2L).getAs[Double]("dup_trigram_frac") == 0.0)
+    // trigram repeats detected without total token dominance
+    assert(sig(3L).getAs[Double]("dup_trigram_frac") > 0.5)
+    // short/empty docs: n-gram fractions are NULL (undefined), never 0
+    assert(sig(4L).isNullAt(sig(4L).fieldIndex("top_bigram_frac")))
+    assert(sig(5L).getAs[Double]("dup_token_frac") == 0.0)
+    assert(sig(5L).isNullAt(sig(5L).fieldIndex("dup_trigram_frac")))
+  }
+
   test("redaction scrubs emails, urls, long numbers; counts audit them") {
     val d = Seq((1L,
       "mail me at a.user+x@site-two.org or see https://ex.com/p?q=1 id 12345678 ok 123"))

@@ -178,6 +178,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.exists(r => r.getAs[Long]("neighbor_id") == 2L))
   }
 
+  test("int8 quantization: integer grid, zero-vector safe, preserves ranking") {
+    val q = vecs.select($"vec_id", Similarity.quantizeInt8($"embedding").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // all components land on the integer grid within [-127, 127]
+    q.values.flatten.foreach { v =>
+      assert(v == math.rint(v) || v == math.round(v).toDouble)
+      assert(math.abs(v) <= 127.0)
+    }
+    assert(q(1L) == Seq(127.0, 0.0, 0.0, 0.0)) // max component -> ±127
+    val zero = Seq((9L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(zero.select(Similarity.quantizeInt8($"embedding")).collect()(0)
+      .getSeq[Double](0) == Seq(0.0, 0.0))
+    // quantized brute ranking agrees with full-precision brute on the toy set
+    val kq = Similarity.knnQuantized(vecs, vecs.filter($"vec_id" === 1), k = 3)
+      .collect().sortBy(_.getAs[Long]("rank"))
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("dot_q")))
+    assert(kq.map(_._1).toSeq == Seq(2L, 3L, 4L))
+    assert(kq.head._2 > 0 && kq.last._2 < 0) // exact integer dots
+  }
+
   test("multimodal payload plumbing: meta, frames, decode-stub determinism") {
     val docs = Seq((1L, "abcdefgh"), (2L, "")).toDF("doc_id", "text")
     val withPayload = Multimodal.attachPayload(docs,

@@ -139,6 +139,35 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!ch.exists(_._1 == "c")) // empty doc -> no chunks
   }
 
+  test("sequence packing: contiguous per-bucket layout, exact grid arithmetic") {
+    val d = Seq(("a", "one two three"), ("b", "four five"), ("c", ""),
+      ("d", "six seven eight nine")).toDF("doc_id", "text")
+    val packed = TextOps.packSequences(d, budget = 4, nBuckets = 1)
+      .collect().map(r => (r.getString(0),
+        r.getLong(r.fieldIndex("n_tokens")), r.getLong(r.fieldIndex("seq_id")),
+        r.getLong(r.fieldIndex("seq_off")))).sortBy(_._1).toSeq
+    // one bucket, doc order a,b,c,d; token counts 3,2,0,4 -> starts 0,3,5,5
+    assert(packed == Seq(("a", 3L, 0L, 0L), ("b", 2L, 0L, 3L),
+      ("c", 0L, 1L, 1L), ("d", 4L, 1L, 1L)))
+    // multi-bucket: per-bucket offsets are each a contiguous layout and the
+    // assignment is rerun-identical (hash-deterministic)
+    val p32 = TextOps.packSequences(d, budget = 4, nBuckets = 32).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(TextOps.packSequences(d, budget = 4, nBuckets = 32).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap == p32)
+    // every bucket's docs start at 0 and stack without gaps
+    val byBucket = TextOps.packSequences(d, budget = 4, nBuckets = 32).collect()
+      .map(r => (r.getLong(1), r.getString(0), r.getLong(2),
+        r.getLong(r.fieldIndex("seq_id")) * 4 + r.getLong(r.fieldIndex("seq_off"))))
+      .groupBy(_._1)
+    byBucket.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      val starts = sorted.map(_._4)
+      val expected = sorted.map(_._3).scanLeft(0L)(_ + _).init
+      assert(starts.toSeq == expected.toSeq)
+    }
+  }
+
   test("tokenization is re-runnable (lazy plans, no shared state)") {
     val t1 = TextOps.tokenization(docs).count()
     val t2 = TextOps.tokenization(docs).count()
