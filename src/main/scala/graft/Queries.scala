@@ -792,7 +792,42 @@ object Queries {
         |SELECT doc_id,
         |  CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-      headline = true)
+      headline = true),
+
+    // Winnowing (MOSS) substring-overlap pairs: per-window minima of
+    // 5-token-gram hashes (w=4) — any shared run of >= 8 tokens guarantees
+    // a shared fingerprint. The passage-level dedup mode next to the
+    // whole-set measures.
+    "t_winnow" -> Q(
+      (s, dir) =>
+        Dedup.winnowPairs(rd(s, dir, "documents"), k = 5, w = 4, minShared = 2)
+          .orderBy("id_a", "id_b"),
+      Some(s"""WITH $ToksCte, $StreamCte,
+        |g AS (SELECT doc_id, pos, token AS w0,
+        |    lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+        |    lead(token, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+        |    lead(token, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS w3,
+        |    lead(token, 4) OVER (PARTITION BY doc_id ORDER BY pos) AS w4
+        |  FROM stream),
+        |kg AS (SELECT doc_id, pos,
+        |    ${sqlHash60("w0 || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4")} AS h
+        |  FROM g WHERE w4 IS NOT NULL),
+        |kgc AS (SELECT doc_id, count(*) AS nk FROM kg GROUP BY doc_id),
+        |win AS (SELECT kg.doc_id, pos, nk,
+        |    min(h) OVER (PARTITION BY kg.doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM kg JOIN kgc ON kg.doc_id = kgc.doc_id),
+        |sel AS (SELECT DISTINCT doc_id, fp FROM win
+        |          WHERE nk >= 4 AND pos <= nk - 3
+        |        UNION
+        |        SELECT kg.doc_id AS doc_id, min(h) AS fp
+        |        FROM kg JOIN kgc ON kg.doc_id = kgc.doc_id
+        |        WHERE nk < 4 GROUP BY kg.doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+        |FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING count(*) >= 2
+        |ORDER BY id_a, id_b""".stripMargin))
   )
 
   // ----------------------------------------------------- text analysis

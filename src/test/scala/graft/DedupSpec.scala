@@ -62,6 +62,30 @@ class DedupSpec extends AnyFunSuite {
       maxShingleDf = 1).count() == 0L)
   }
 
+  test("winnowing: shared passage guarantees a shared fingerprint") {
+    val passage = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val d = Seq(
+      (1L, s"unique opening words here $passage and unrelated tail one"),
+      (2L, s"totally different start text $passage with another ending two"),
+      (3L, "nothing in common with the others at all whatsoever today"),
+      (4L, "tiny"), (5L, "")).toDF("doc_id", "text")
+    // k=5, w=4: any shared run of >= k+w-1 = 8 tokens must collide
+    val pairs = Dedup.winnowPairs(d, k = 5, w = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // fingerprints are ~2/(w+1) of k-grams, never zero for docs >= k tokens
+    val fps = Dedup.winnowFingerprints(d, k = 5, w = 4)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nKgrams1 = 8 + passage.split(" ").length - 5 + 1 // doc1: 13 tokens...
+    assert(fps(1L) > 0 && fps(1L) < nKgrams1)
+    assert(!fps.contains(4L) && !fps.contains(5L)) // < k tokens -> none
+    // deterministic across runs (content equality; row order is unspecified)
+    assert(Dedup.winnowPairs(d, k = 5, w = 4).collect().toSet ==
+      Dedup.winnowPairs(d, k = 5, w = 4).collect().toSet)
+  }
+
   test("minhash signatures: identical docs have identical signatures") {
     val sigs = Dedup.minhashSignatures(docs, shingleK = 1, numPerms = 12)
       .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
