@@ -54,6 +54,15 @@ object ScaleSmoke {
     time("jaccard_k3_dfcap_post_dedup")(
       Dedup.jaccardPairs(Dedup.dropExactDuplicates(docs), k = 3,
         threshold = 0.8, maxShingleDf = 1000L).count())
+    // row-local signal passes: must scale linearly with corpus size
+    time("repetition")(TextAnalysis.repetitionSignals(docs).count())
+    time("pack_sequences")(
+      TextOps.packSequences(docs, budget = 2048, nBuckets = 256).count())
+    // winnowing after exact dedup (same N-fold output-bound caveat as
+    // jaccard), with the stop-fingerprint df cap engaged
+    time("winnow_dfcap_post_dedup")(
+      Dedup.winnowPairs(Dedup.dropExactDuplicates(docs), k = 5, w = 4,
+        minShared = 2, maxFpDf = 1000L).count())
     val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val bigEmb = emb.crossJoin(spark.range(factor).withColumnRenamed("id", "rep"))
       .withColumn("vec_id", col("vec_id") + col("rep") * 5000L)
@@ -75,6 +84,10 @@ object ScaleSmoke {
     time(s"knn_lsh_multi4_b${Similarity.adaptiveNbits(nVec)}")(
       Similarity.knnLshMulti(bigEmb, k = 5,
         nbits = Similarity.adaptiveNbits(nVec), tables = 4, dim = 64).count())
+    // quantized brute scan: same broadcast shape as knnBrute, int math
+    time("knn_quantized_10q")(
+      Similarity.knnQuantized(bigEmb,
+        bigEmb.filter(col("vec_id") < 10), k = 5).count())
     spark.stop()
   }
 }

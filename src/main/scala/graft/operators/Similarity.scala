@@ -124,27 +124,46 @@ object Similarity {
                   vecCol: String = "embedding"): DataFrame = {
     val d = if (dim > 0) dim else sniffDim(corpus, vecCol)
     val planes = planeMatrix(nbits * tables, d)
-    val tableBuckets = array((0 until tables).map { t =>
+    // Candidate generation stays NARROW: only (id, tableBucket) rows go
+    // through the self-join and the cross-table pair dedup — the vectors
+    // rejoin afterwards and each surviving pair is scored ONCE. (Scoring
+    // inside the bucket join re-computed the dot per table a pair collided
+    // in and shuffled array-wide rows through distinct: 4x the FLOPs and
+    // ~10x the dedup shuffle bytes at ScaleSmoke 10x.)
+    val v = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("vn"))
+    val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("vv"))
+      .select(col("id"), explode(tableBuckets0(col("vv"), planes, nbits, tables))
+        .as("tb"))
+    val pairs = bucketed.as("a").join(bucketed.as("b"),
+        col("a.tb") === col("b.tb") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"))
+      .distinct() // same pair via several tables: one candidate
+    val scored = pairs
+      .join(v.select(col("id").as("query_id"), col("v").as("qv"),
+        col("vn").as("qn")), Seq("query_id"))
+      .join(v.select(col("id").as("neighbor_id"), col("v").as("nv"),
+        col("vn").as("nn")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6)
+          .as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos_sim"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** (table, bucket) structs for every plane table — shared by
+    * [[knnLshMulti]]'s candidate stage. */
+  private def tableBuckets0(vec: Column, planes: Array[Array[Double]],
+                            nbits: Int, tables: Int): Column =
+    array((0 until tables).map { t =>
       val bucket = (0 until nbits).map { b =>
-        val proj = dot(col("v"), typedlit(planes(t * nbits + b).toSeq))
+        val proj = dot(vec, typedlit(planes(t * nbits + b).toSeq))
         when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _)
       struct(lit(t).as("t"), bucket.as("bk"))
     }: _*)
-    val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-        norm(col(vecCol)).as("vn"))
-      .withColumn("tb", explode(tableBuckets))
-    val pairs = bucketed.as("a").join(bucketed.as("b"),
-        col("a.tb") === col("b.tb") && col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"),
-        round(dot(col("a.v"), col("b.v")) / (col("a.vn") * col("b.vn")), 6)
-          .as("cos_sim"))
-      .distinct() // same pair via several tables scores identically
-    val w = Window.partitionBy("query_id")
-      .orderBy(desc("cos_sim"), asc("neighbor_id"))
-    pairs.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-  }
 
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= threshold):
     * the bucketed variant of all-pairs cosine dedup — the fifth dedup mode
