@@ -55,13 +55,15 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Embedding width from the first row with a NON-NULL vector (a null
+  /** Embedding width from the first row with a NON-EMPTY vector (a null
     * embedding in row 1 must not NPE the driver — size(null) is null/-1
-    * depending on `spark.sql.legacy.sizeOfNull`, so filter on >= 0).
-    * Empty / all-null corpus -> 1, which downstream turns into an empty
-    * result rather than a throw. */
+    * depending on `spark.sql.legacy.sizeOfNull` — and a zero-length vector
+    * is equally unusable: d=0 would make every plane projection 0.0, set
+    * every sign bit, and collapse ALL bucketing into one quadratic bucket).
+    * Empty / all-null / all-empty corpus -> 1, which downstream turns into
+    * an empty result rather than a throw. */
   private def sniffDim(corpus: DataFrame, vecCol: String): Int =
-    corpus.select(size(col(vecCol)).as("d")).filter(col("d") >= 0)
+    corpus.select(size(col(vecCol)).as("d")).filter(col("d") > 0)
       .head(1).headOption.map(_.getInt(0)).getOrElse(1)
 
   /** Deterministic hyperplane component for (bit b, dimension d): an

@@ -153,15 +153,20 @@ object TextAnalysis {
     *  - `dup_trigram_frac`: fraction of trigram instances whose trigram
     *    occurs more than once in the document.
     *
-    * Plan: one row-local pass for the token signal; the n-gram signals
-    * reduce the (doc, ngram, count) tables per document — partial+final
-    * aggregates keyed by doc, no windows, no corpus-wide state, so each
-    * signal scales with corpus size exactly like the n-gram counts
-    * themselves. Documents too short to have bigrams/trigrams carry NULL
-    * for those fractions (undefined, not zero). */
+    * Plan: the tokenizer regex runs ONCE — the token-array projection is
+    * persisted (CacheScope-tracked) and feeds the row-local token signal
+    * plus both n-gram branches (per-doc regex passes are the dominant
+    * silent cost in this operator family). The n-gram signals reduce the
+    * (doc, ngram, count) tables per document — partial+final aggregates
+    * keyed by doc, no windows, no corpus-wide state, so each signal scales
+    * with corpus size exactly like the n-gram counts themselves. Documents
+    * too short to have bigrams/trigrams carry NULL for those fractions
+    * (undefined, not zero). */
   def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
-    val base = docs.select(col(idCol), tokens(col(textCol)).as("r_toks"))
+    val tok = graft.core.CacheScope.persist(
+      docs.select(col(idCol), tokens(col(textCol)).as("r_toks")))
+    val base = tok
       .select(col(idCol),
         size(col("r_toks")).cast("long").as("n_tokens"),
         size(array_distinct(col("r_toks"))).cast("long").as("n_distinct"))
@@ -170,13 +175,13 @@ object TextAnalysis {
           round((col("n_tokens") - col("n_distinct")).cast("double")
             / col("n_tokens"), 6))
           .otherwise(lit(0.0)).as("dup_token_frac"))
-    val bi = TextOps.ngrams(docs, 2, idCol, textCol)
+    val bi = TextOps.ngramsFromTokens(tok, 2, idCol, "r_toks")
       .groupBy(col(idCol))
       .agg(max("count").as("top_bi"), sum("count").as("tot_bi"))
       .select(col(idCol),
         round(col("top_bi").cast("double") / col("tot_bi"), 6)
           .as("top_bigram_frac"))
-    val tri = TextOps.ngrams(docs, 3, idCol, textCol)
+    val tri = TextOps.ngramsFromTokens(tok, 3, idCol, "r_toks")
       .groupBy(col(idCol))
       .agg(sum(when(col("count") > 1, col("count")).otherwise(lit(0L)))
         .as("dup_tri"), sum("count").as("tot_tri"))

@@ -67,10 +67,19 @@ object TextOps {
     * aggregate; incomplete windows dropped by construction. Tokens are
     * projected ONCE before the window lambda (see ngramArrays). */
   def ngrams(docs: DataFrame, n: Int, idCol: String = "doc_id",
-             textCol: String = "text"): DataFrame = {
+             textCol: String = "text"): DataFrame =
+    ngramsFromTokens(docs.select(col(idCol), tokens(col(textCol)).as("toks")),
+      n, idCol, "toks")
+
+  /** [[ngrams]] over a PRE-TOKENIZED (idCol, toksCol) table — callers that
+    * need several n-gram orders (e.g. repetition signals) tokenize once and
+    * share (persist) the token arrays instead of re-running the tokenizer
+    * regex per order. */
+  def ngramsFromTokens(toksDf: DataFrame, n: Int, idCol: String = "doc_id",
+                       toksCol: String = "toks"): DataFrame = {
     require(n >= 1, s"ngram order must be >= 1, got $n")
     val wordCols = (0 until n).map(i => col("ng").getItem(i).as(s"w$i"))
-    docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+    toksDf.select(col(idCol), col(s"`$toksCol`").as("toks"))
       .select(col(idCol), explode(ngramArrays(col("toks"), n)).as("ng"))
       .select(col(idCol) +: wordCols: _*)
       .groupBy(col(idCol) +: (0 until n).map(i => col(s"w$i")): _*)
@@ -239,8 +248,7 @@ object TextOps {
     require(budget >= 1 && nBuckets >= 1, "need budget >= 1 and nBuckets >= 1")
     val base = docs.select(col(idCol),
       size(tokens(col(textCol))).cast("long").as("n_tokens"),
-      (hash60(concat(col(idCol).cast("string"), lit(":pack"))) % nBuckets)
-        .as("bucket"))
+      Sampling.hashBucket(col(idCol), "pack", nBuckets).as("bucket"))
     val w = Window.partitionBy("bucket").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     base.withColumn("start_tok", coalesce(sum("n_tokens").over(w), lit(0L)))

@@ -19,21 +19,24 @@ object TextRanking {
   /** TF-IDF per (doc, token): tf = in-document count, idf = ln(N / df)
     * with df = number of documents containing the token.
     *
-    * Plan shape: one unigram aggregate (map-side combined), then df as a
-    * `count over (partition by token)` window — ONE hash shuffle on token,
-    * replacing the earlier groupBy + join + persist formulation (two
-    * shuffles and a leaked cached table). Each token's window partition is
-    * df-sized, never corpus-sized, so the window is scale-safe. The document
-    * count N is a driver-side scalar, shipped as a literal. */
+    * Plan shape: one unigram aggregate (map-side combined, persisted via
+    * CacheScope so the corpus is tokenized once), one groupBy on token for
+    * document frequencies, one hash equi-join keyed by token. NOT a
+    * `count over (partition by token)` window: for a stop-word df ~ N, so
+    * its window partition would hold one row per document on a single task
+    * — a skew straggler AQE cannot split, whereas the groupBy is map-side
+    * combined and the join is AQE-skew-splittable. The document count N is
+    * a driver-side scalar, shipped as a literal. */
   def tfidf(docs: DataFrame, idCol: String = "doc_id",
             textCol: String = "text"): DataFrame = {
     val n = docs.count()
-    val uni = TextOps.unigrams(docs, idCol, textCol)
-    // unigrams are already distinct per (doc, token): df = partition size
-    val w = Window.partitionBy("token")
-    uni.withColumn("df", count(lit(1)).over(w))
+    val uni = graft.core.CacheScope.persist(
+      TextOps.unigrams(docs, idCol, textCol))
+    // unigrams are already distinct per (doc, token): df = row count
+    val dfTable = uni.groupBy("token").agg(count(lit(1)).as("df"))
       .withColumn("idf_scaled",
         round(log(lit(n.toDouble) / col("df")) * 1e6, 0).cast("long"))
+    uni.join(dfTable, Seq("token"))
       .select(col(idCol), col("token"), col("count").as("tf"), col("df"),
         (col("count") * col("idf_scaled") / 1e6).as("tfidf"))
   }

@@ -33,9 +33,13 @@ class CacheScopeSpec extends AnyFunSuite {
     assert(CacheScope.trackedCount == 0)
   }
 
-  test("tfidf needs no persist at all: one shuffle, no tracked tables") {
+  test("tfidf and repetition track their single-tokenize persists") {
     CacheScope.release()
     TextRanking.tfidf(docs).count()
+    assert(CacheScope.trackedCount == 1) // the shared unigram table
+    graft.operators.TextAnalysis.repetitionSignals(docs).count()
+    assert(CacheScope.trackedCount == 2) // + the shared token arrays
+    CacheScope.release()
     assert(CacheScope.trackedCount == 0)
   }
 }
