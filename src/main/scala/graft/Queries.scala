@@ -294,6 +294,28 @@ object Queries {
         |      UNION ALL SELECT s_nationkey, 'supplier' FROM supplier)
         |GROUP BY nationkey ORDER BY nationkey""".stripMargin)),
 
+    // Salted large-x-large join (explicit skew mitigation): output must be
+    // row-identical to the plain inner join the oracle runs — the salt is
+    // invisible in the result by construction.
+    "q_salted_join" -> Q(
+      (s, dir) => {
+        val li = rd(s, dir, "lineitem")
+          .select(col("l_orderkey").as("orderkey"),
+            col("l_linenumber"), col("l_quantity"))
+        val ords = rd(s, dir, "orders")
+          .select(col("o_orderkey").as("orderkey"), col("o_orderstatus"))
+        graft.core.Skew.saltedJoin(li, ords, Seq("orderkey"),
+            salts = 8, saltBy = col("l_linenumber"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_items"),
+            outd(sum(sdec(col("l_quantity"), 2))).as("sum_qty"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, count(*) AS n_items,
+        |  ${sqlSum("l_quantity", 2)} AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // Distinct aggregation (A7 cardinality per group).
     "q_segment_stats" -> Q(
       (s, dir) =>
@@ -1401,6 +1423,18 @@ object Queries {
         |  FROM s)
         |SELECT query_id, rank, neighbor_id, dot_q FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin)),
+
+    // Per-label centroids, integer-scaled means (k-means M-step shape).
+    "e_centroids" -> Q(
+      (s, dir) =>
+        Similarity.labelCentroids(rd(s, dir, "embeddings"))
+          .orderBy("label", "dim"),
+      Some("""WITH x AS (SELECT label,
+        |    unnest(range(0, len(embedding))) AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS sv
+        |  FROM embeddings)
+        |SELECT label, dim, round((CAST(sum(sv) AS BIGINT) / 1000000.0) / count(*), 6) AS centroid
+        |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin)),
 
     // Vector column statistics: norms + per-label rollup (array math).
     "e_embed_stats" -> Q(

@@ -300,6 +300,23 @@ object Similarity {
     math.min(maxList.toDouble, math.max(minList.toDouble, s)).toInt
   }
 
+  /** Per-label embedding centroids in flat form (label, dim, centroid) —
+    * the building block of k-means assignment refinement, class prototypes,
+    * and semantic-dedup cluster summaries. Components are integer-scaled
+    * (`round(v * 1e6)` as long) BEFORE the sum, so the mean is derived from
+    * exact integers and is summation-order-independent — engine-stable
+    * like every float aggregate in this library. One posexplode + one
+    * partial+final aggregate keyed by (label, dim): fully distributed,
+    * output is |labels| x dim however large the corpus. */
+  def labelCentroids(corpus: DataFrame, labelCol: String = "label",
+                     vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(labelCol), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col(labelCol), col("dim"))
+      .agg(sum(round(col("v").cast("double") * 1e6, 0).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col(labelCol), col("dim").cast("long").as("dim"),
+        round((col("s") / 1e6) / col("n"), 6).as("centroid"))
+
   /** Drop rows whose bucket holds more than `maxBucket` members: the hard
     * backstop against a degenerate bucket (all-equal vectors, adversarial
     * data) going quadratic. One extra linear groupBy; deterministic — a

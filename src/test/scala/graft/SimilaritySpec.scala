@@ -178,6 +178,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.exists(r => r.getAs[Long]("neighbor_id") == 2L))
   }
 
+  test("label centroids: exact integer-scaled means, order-independent") {
+    val d = Seq(("x", Array(1.0f, 2.0f)), ("x", Array(3.0f, 6.0f)),
+      ("y", Array(-1.0f, 0.5f))).toDF("label", "embedding")
+    val c = Similarity.labelCentroids(d).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(c(("x", 0L)) == 2.0 && c(("x", 1L)) == 4.0)
+    assert(c(("y", 0L)) == -1.0 && c(("y", 1L)) == 0.5)
+    // repartitioned input (different summation order) -> identical output
+    val c2 = Similarity.labelCentroids(d.repartition(7)).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(c2 == c)
+  }
+
   test("int8 quantization: integer grid, zero-vector safe, preserves ranking") {
     val q = vecs.select($"vec_id", Similarity.quantizeInt8($"embedding").as("q"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
