@@ -75,3 +75,48 @@ object NgramProps extends Properties("TextOps.ngrams") {
       Prop(graft.plans.HashUtil.hash60(s) == java.lang.Long.parseLong(hex, 16))
     }
 }
+
+/** Properties of the round-3 operators: the winnowing collision guarantee
+  * and sequence-packing conservation, checked against the Spark
+  * implementations on small generated corpora. */
+object Round3Props extends Properties("Winnow/Pack") {
+  import org.apache.spark.sql.functions._
+
+  private lazy val spark = TestSpark.spark
+
+  private val word: Gen[String] = Gen.oneOf("aa", "bb", "cc", "dd", "ee",
+    "ff", "gg", "hh", "ii", "jj")
+  private val run: Gen[List[String]] = Gen.listOfN(8, word) // k+w-1 = 8
+
+  property("winnowing: a shared run of length k+w-1 forces a shared fingerprint") = {
+    import spark.implicits._
+    forAll(run, Gen.listOfN(6, word), Gen.listOfN(6, word)) { (shared, p1, p2) =>
+      val docs = Seq(
+        (1L, (p1 ++ shared).mkString(" ")),
+        (2L, (shared ++ p2).mkString(" "))).toDF("doc_id", "text")
+      val pairs = graft.operators.Dedup.winnowPairs(docs, k = 5, w = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      Prop(pairs.contains((1L, 2L))) :| s"shared=$shared p1=$p1 p2=$p2"
+    }
+  }
+
+  property("packing: per-bucket offsets are the exact prefix sums, any budget") = {
+    import spark.implicits._
+    val docsGen = Gen.listOfN(5, Gen.listOf(word).map(_.mkString(" ")))
+    forAll(docsGen, Gen.choose(1, 16)) { (texts, budget) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.TextOps
+        .packSequences(docs, budget = budget, nBuckets = 3)
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(0), r.getLong(2),
+          r.getLong(3) * budget + r.getLong(4)))
+      val ok = got.groupBy(_._1).values.forall { rows =>
+        val sorted = rows.sortBy(_._2)
+        sorted.map(_._4).toSeq ==
+          sorted.map(_._3).scanLeft(0L)(_ + _).init.toSeq
+      }
+      Prop(ok) :| s"budget=$budget rows=${got.toSeq}"
+    }
+  }
+}
