@@ -92,6 +92,17 @@ object EventsStreaming {
         md5(to_json(struct(hashCols.map(col): _*))))
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream-static enrichment join — the streaming form of dimension
+    * enrichment. Each arriving micro-batch equi-joins the static dimension
+    * (re-planned per batch, broadcast when it fits); stateless — no
+    * watermark, state store, or shuffle of the stream side beyond the join
+    * itself. At scale the static side is the broadcast-able profile/dim
+    * table; unmatched events keep null dims (left join) rather than being
+    * dropped. */
+  def enrich(events: DataFrame, dim: DataFrame,
+             keys: Seq[String] = Seq("user_id")): DataFrame =
+    events.join(broadcast(dim), keys, "left")
+
   /** Drive a stream of the given dir to completion into a memory sink and
     * return the result table (used by tests: batch-equivalence oracle). */
   def runToMemory(spark: SparkSession, dir: String, name: String,

@@ -86,6 +86,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(!types.contains("late"))
   }
 
+  test("stream-static enrichment join == batch left join with the same dim") {
+    val batchEvents = spark.read.parquet(s"$dir/events.parquet")
+    // static dim derived from history: per-user event counts
+    val dim = batchEvents.groupBy("user_id")
+      .agg(count(lit(1)).as("hist_events"))
+      .filter(col("user_id") % 2 === 0) // leave odd users unmatched
+    val streamed = EventsStreaming.runToMemory(spark, streamDir,
+      "enrich_test", df => EventsStreaming.enrich(df, dim)
+        .select(col("event_id"), col("user_id"), col("hist_events")))
+    val s = streamed.collect()
+      .map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    val b = batchEvents.join(dim, Seq("user_id"), "left")
+      .select(col("event_id"), col("hist_events")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(s == b)
+    assert(s.values.exists(_.isEmpty) && s.values.exists(_.nonEmpty))
+  }
+
+  test("batch analysis operators compose unchanged over a document stream") {
+    // stateless column operators (quality, repetition-free signals,
+    // deterministic sampling) must run identically on readStream input —
+    // the property that lets one library serve both ingest modes.
+    val docDir = java.nio.file.Files.createTempDirectory("docs_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      docDir.resolve("documents.parquet"))
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val q = graft.operators.TextAnalysis.qualityScore(
+        graft.operators.Sampling.stratifiedSample(
+          spark.readStream.schema(schema).parquet(docDir.toString),
+          "doc_id", "lang", Map("en" -> 0.5)))
+      .writeStream.format("memory").queryName("docs_quality_stream").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("docs_quality_stream")
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batch = graft.operators.TextAnalysis.qualityScore(
+        graft.operators.Sampling.stratifiedSample(
+          spark.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "lang", Map("en" -> 0.5)))
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("stateful sessionization == batch q_events_sessions") {
     val streamed = EventsStreaming.runToMemory(spark, streamDir,
       "sessions_test", df => EventsStreaming.sessionize(df).toDF(),
