@@ -1033,6 +1033,28 @@ object Queries {
         |                            ELSE 1.0 END) * 10000, 0) AS BIGINT)
         |ORDER BY doc_id""".stripMargin)),
 
+    // Training-mix solver: rates computed FROM the data to hit a target
+    // 60/30/10 composition at max feasible size; the oracle re-derives the
+    // same rates with the same arithmetic and replays the hash membership.
+    "t_mix" -> Q(
+      (s, dir) =>
+        Sampling.mixSample(rd(s, dir, "documents"), "doc_id", "lang",
+            Map("en" -> 0.6, "de" -> 0.3, "fr" -> 0.1))
+          .select("doc_id", "lang").orderBy("doc_id"),
+      Some(s"""WITH cnt AS (SELECT lang, count(*) AS n FROM documents
+        |    WHERE lang IN ('de', 'en', 'fr') GROUP BY lang),
+        |tgt(lang, w) AS (VALUES ('de', 0.3), ('en', 0.6), ('fr', 0.1)),
+        |tt AS (SELECT min(n / w) AS t FROM cnt JOIN tgt USING (lang)),
+        |rates AS (SELECT lang, least(1.0, w * t / n) AS rate
+        |          FROM cnt JOIN tgt USING (lang) CROSS JOIN tt),
+        |b AS (SELECT doc_id, d.lang,
+        |    ${sqlHash60("CAST(doc_id AS VARCHAR) || ':sample'")} % 10000 AS bk,
+        |    r.rate
+        |  FROM documents d JOIN rates r ON d.lang = r.lang)
+        |SELECT doc_id, lang FROM b
+        |WHERE bk < CAST(round(rate * 10000, 0) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin)),
+
     // PII-style scrub audit: category counts + md5 of the redacted text
     // (the equality witness that both engines applied the SAME transform).
     "t_redact" -> Q(

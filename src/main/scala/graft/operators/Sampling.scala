@@ -48,6 +48,35 @@ object Sampling {
       when(col(idCol).isNull, lit(null).cast("string")).otherwise(expr))
   }
 
+  /** Training-mix solver: per-stratum keep-rates that hit a TARGET
+    * composition (e.g. 60% en / 30% de / 10% fr) at the largest total the
+    * data allows. The feasible total is `T = min_s(n_s / target_s)` over
+    * the targeted strata (the scarcest stratum binds); each stratum then
+    * keeps `target_s * T / n_s` of its rows. Counts are one bounded
+    * aggregate (|strata| rows to the driver); rates are exact driver
+    * doubles. Strata not in `targets` are dropped (rate 0). */
+  def mixRates(df: DataFrame, strataCol: String,
+               targets: Map[String, Double]): Map[String, Double] = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      "targets must be positive")
+    val counts = df.filter(col(strataCol).isInCollection(targets.keys.toSeq))
+      .groupBy(strataCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    targets.keys.foreach(s => require(counts.getOrElse(s, 0L) > 0L,
+      s"stratum '$s' has no rows — target mix infeasible"))
+    val t = targets.map { case (s, w) => counts(s) / w }.min
+    targets.map { case (s, w) => s -> math.min(1.0, w * t / counts(s)) }
+  }
+
+  /** [[mixRates]] + [[stratifiedSample]] in one call: deterministic sample
+    * whose stratum composition matches `targets` (to hash-bucket
+    * granularity) at the maximum feasible size. */
+  def mixSample(df: DataFrame, idCol: String, strataCol: String,
+                targets: Map[String, Double],
+                salt: String = "sample"): DataFrame =
+    stratifiedSample(df, idCol, strataCol,
+      mixRates(df, strataCol, targets), defaultRate = 0.0, salt = salt)
+
   /** Per-stratum deterministic sampling: keep a row iff its hash bucket
     * falls under the stratum's rate (rate 1.0 keeps everything; strata not
     * in `rates` use `defaultRate`). The standard training-mix knob —

@@ -54,6 +54,26 @@ class SamplingSpec extends AnyFunSuite {
       Map.empty, defaultRate = 1.0).count() == docs.count())
   }
 
+  test("mix solver: sample composition approaches the target mix") {
+    val targets = Map("en" -> 0.6, "de" -> 0.3, "fr" -> 0.1)
+    val rates = Sampling.mixRates(docs, "lang", targets)
+    assert(rates.values.forall(r => r > 0 && r <= 1.0))
+    assert(rates.values.exists(_ == 1.0)) // the binding stratum keeps all
+    val mixed = Sampling.mixSample(docs, "doc_id", "lang", targets).cache()
+    val got = mixed.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == targets.keySet) // untargeted strata dropped
+    val total = got.values.sum.toDouble
+    targets.foreach { case (lang, w) =>
+      val frac = got(lang) / total
+      assert(math.abs(frac - w) < 0.1, s"$lang frac=$frac target=$w")
+    }
+    // infeasible mix (stratum absent) fails fast, not silently
+    intercept[IllegalArgumentException] {
+      Sampling.mixRates(docs, "lang", Map("xx" -> 1.0))
+    }
+  }
+
   test("null ids: explicit null split, dropped from samples — never binned") {
     val withNulls = Seq(
       (Some("a"), "en"), (Some("b"), "en"), (None, "en"), (None, "de"))
