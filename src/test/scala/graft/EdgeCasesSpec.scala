@@ -95,6 +95,34 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(Similarity.cosineDupPairs(emptyVecs, threshold = 0.5).count() == 0L)
   }
 
+  test("round-3 operators survive empty corpora and null text") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    import graft.operators.{Dedup, Similarity, TextAnalysis}
+    assert(TextAnalysis.repetitionSignals(empty).count() == 0L)
+    assert(TextOps.packSequences(empty).count() == 0L)
+    assert(Dedup.winnowPairs(empty).count() == 0L)
+    assert(Sampling.mixRates(
+      Seq((1L, "en")).toDF("doc_id", "lang"), "lang", Map("en" -> 1.0))
+      == Map("en" -> 1.0))
+    // null text: tokens(null) is null — signals must not throw, and the
+    // row must survive (null metrics, not a dropped document)
+    val withNull = Seq((1L, null.asInstanceOf[String]), (2L, "a a b"))
+      .toDF("doc_id", "text")
+    val rep = TextAnalysis.repetitionSignals(withNull).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rep.size == 2 && rep(1L).isNullAt(1)) // n_tokens null, row kept
+    assert(rep(2L).getAs[Double]("dup_token_frac") > 0.0)
+    val packed = TextOps.packSequences(withNull, budget = 4, nBuckets = 1)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(packed.size == 2)
+    // quantized kNN with an all-zero corpus vector: no NaN, no throw
+    val z = Seq((1L, Array(0f, 0f)), (2L, Array(1f, 1f)), (3L, Array(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val kq = Similarity.knnQuantized(z, z.filter($"vec_id" === 2), k = 2)
+      .collect()
+    assert(kq.length == 2 && kq.forall(!_.isNullAt(2)))
+  }
+
   test("flat-catalog list child table explodes with ids") {
     val df = Seq(("1", Seq("a", "b")), ("2", Seq("c"))).toDF("@id", "keywords")
     val child = FlatCatalog.listChild(df, "@id", "keywords").collect()
