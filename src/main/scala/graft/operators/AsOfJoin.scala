@@ -37,13 +37,13 @@ object AsOfJoin {
     val taggedRight = right.select(
       col(key) +: col(ts).as("__ts") +: lit(0).as("__side") +:
         valueCols.map(c => col(c).as(s"asof_$c")) ++:
-        leftCols.filterNot(c => c == key).map(c => lit(null).cast(
+        leftCols.toSeq.filterNot(c => c == key).map(c => lit(null).cast(
           left.schema(c).dataType).as(c)): _*)
     val taggedLeft = left.select(
       col(key) +: col(ts).as("__ts") +: lit(1).as("__side") +:
         valueCols.map(c => lit(null).cast(right.schema(c).dataType)
           .as(s"asof_$c")) ++:
-        leftCols.filterNot(c => c == key).map(col): _*)
+        leftCols.toSeq.filterNot(c => c == key).map(col): _*)
     // deterministic choice among right rows sharing (key, ts): the largest
     // tie-break value wins (nulls — the left rows — sort first)
     val order = Seq(col("__ts"), col("__side")) ++

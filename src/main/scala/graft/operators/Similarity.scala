@@ -264,7 +264,7 @@ object Similarity {
         lit(0.0).as("cos_sim"), lit(0L).as("rank")).limit(0)
     // (negCos, seedId) structs sort ascending == cosine desc, seed-id asc —
     // the same total order the round-1 window (and the oracle) used.
-    val ranked = array_sort(array(seeds.map { case (sid, sv) =>
+    val ranked = array_sort(array(seeds.toSeq.map { case (sid, sv) =>
       val sn = math.sqrt(sv.map(x => x * x).sum)
       struct(
         (-round(dot(col("v"), typedlit(sv)) / (col("vn") * lit(sn)), 6))

@@ -39,5 +39,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "dot_product(a, b) takes two arguments")
         DotProduct(children(0), children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("sliding_min"),
+      new ExpressionInfo(classOf[SlidingMin].getName, "sliding_min"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "sliding_min(arr, w) takes an array and a literal window")
+        val w = children(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"sliding_min window must be an integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "sliding_min window must be a literal")
+        }
+        SlidingMin(children.head, w)
+      }))
   }
 }

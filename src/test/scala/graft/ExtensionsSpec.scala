@@ -24,6 +24,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(d == 1.0 * 4 + 2 * 5 + 3 * 6)
   }
 
+  test("sliding_min is callable from SQL and matches the HOF spelling") {
+    val viaSql = spark.sql(
+      "SELECT sliding_min(array(5L, 3L, 4L, 1L, 2L, 6L), 3)")
+      .as[Seq[Long]].head()
+    assert(viaSql == Seq(3L, 1L, 1L, 1L))
+    // short array: no full window -> empty
+    assert(spark.sql("SELECT sliding_min(array(7L), 3)")
+      .as[Seq[Long]].head().isEmpty)
+    // window must be a literal
+    intercept[Exception](
+      spark.sql("SELECT sliding_min(array(1L), array(1L))").collect())
+  }
+
   test("wrong arity fails analysis, not execution") {
     intercept[Exception](spark.sql("SELECT hash60('a', 'b')").collect())
     intercept[Exception](spark.sql("SELECT dot_product(array(1.0))").collect())

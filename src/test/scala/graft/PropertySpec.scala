@@ -100,6 +100,22 @@ object Round3Props extends Properties("Winnow/Pack") {
     }
   }
 
+  property("SlidingMin (codegen deque) == HOF array_min-over-slices on any array") = {
+    import spark.implicits._
+    forAll(Gen.listOf(Gen.choose(-100L, 100L)), Gen.choose(1, 6)) { (xs, w) =>
+      val df = Seq(Tuple1(xs)).toDF("a")
+      val deque = df.select(graft.plans.ArrayExpressions.slidingMin(col("a"), w))
+        .as[Seq[Long]].head()
+      val hof = df.select(
+        when(size(col("a")) >= w,
+          transform(sequence(lit(1), size(col("a")) - lit(w - 1)),
+            i => array_min(slice(col("a"), i, lit(w)))))
+          .otherwise(array().cast("array<long>")))
+        .as[Seq[Long]].head()
+      Prop(deque == hof) :| s"xs=$xs w=$w deque=$deque hof=$hof"
+    }
+  }
+
   property("packing: per-bucket offsets are the exact prefix sums, any budget") = {
     import spark.implicits._
     val docsGen = Gen.listOfN(5, Gen.listOf(word).map(_.mkString(" ")))
