@@ -126,32 +126,31 @@ object Similarity {
                   vecCol: String = "embedding"): DataFrame = {
     val d = if (dim > 0) dim else sniffDim(corpus, vecCol)
     val planes = planeMatrix(nbits * tables, d)
-    // Candidate generation stays NARROW: only (id, tableBucket) rows go
-    // through the self-join and the cross-table pair dedup — the vectors
-    // rejoin afterwards and each surviving pair is scored ONCE. (Scoring
-    // inside the bucket join re-computed the dot per table a pair collided
-    // in and shuffled array-wide rows through distinct: 4x the FLOPs and
-    // ~10x the dedup shuffle bytes at ScaleSmoke 10x.)
-    val v = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      norm(col(vecCol)).as("vn"))
-    val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("vv"))
-      .select(col("id"), explode(tableBuckets0(col("vv"), planes, nbits, tables))
-        .as("tb"))
-    val pairs = bucketed.as("a").join(bucketed.as("b"),
+    // Candidates are scored INLINE in the bucket join (cheap codegen dot)
+    // and cut to the per-query top k*tables BEFORE the cross-table dedup:
+    // Catalyst turns the rank filter into a two-phase WindowGroupLimit, so
+    // each mapper prunes locally and only ~k*tables rows per query ever
+    // shuffle — never the full candidate set. The cut is lossless: a
+    // duplicate candidate (same pair via several tables) scores
+    // identically, each distinct neighbor occupies <= `tables` of the
+    // k*tables kept rows, so all top-k distinct neighbors survive to the
+    // distinct + final ranking. (Round-3 history: scoring-after-distinct
+    // shuffled the FULL pair set — 19M narrow rows at ScaleSmoke 50x —
+    // through distinct and two id-joins; the windowed prune removes that.)
+    val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("vn"))
+      .withColumn("tb", explode(tableBuckets0(col("v"), planes, nbits, tables)))
+    val cand = bucketed.as("a").join(bucketed.as("b"),
         col("a.tb") === col("b.tb") && col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"))
-      .distinct() // same pair via several tables: one candidate
-    val scored = pairs
-      .join(v.select(col("id").as("query_id"), col("v").as("qv"),
-        col("vn").as("qn")), Seq("query_id"))
-      .join(v.select(col("id").as("neighbor_id"), col("v").as("nv"),
-        col("vn").as("nn")), Seq("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6)
+      .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.vn") * col("b.vn")), 6)
           .as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("cos_sim"), asc("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+    cand.withColumn("r0", row_number().over(w))
+      .filter(col("r0") <= k * tables).drop("r0")
+      .distinct() // same pair via several tables scores identically
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
 
