@@ -92,6 +92,50 @@ object EventsStreaming {
         md5(to_json(struct(hashCols.map(col): _*))))
       .dropDuplicatesWithinWatermark("content_hash")
 
+  final case class PackDoc(doc_id: Long, bucket: Long, n_tokens: Long)
+  final case class PackState(nextStart: Long)
+  final case class PackedDoc(doc_id: Long, bucket: Long, n_tokens: Long,
+                             seq_id: Long, seq_off: Long)
+
+  /** Streaming sequence packing — the stateful stream form of
+    * [[graft.operators.TextOps.packSequences]]: documents arriving
+    * continuously are laid end to end on the per-bucket token grid, with
+    * each bucket's next free offset kept in `flatMapGroupsWithState` state
+    * (one long per bucket — state is O(nBuckets) forever, the property
+    * that makes this runnable unbounded).
+    *
+    * Determinism contract: within a micro-batch, a bucket's documents are
+    * packed in doc-id order; ACROSS batches, arrival order is the layout
+    * order (a stream cannot sort the future). A replay with the same batch
+    * boundaries reproduces the identical grid; batch `packSequences` over
+    * the same corpus as ONE batch is the oracle (StreamingSpec). */
+  def packStream(docs: DataFrame, budget: Int, nBuckets: Int,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): Dataset[PackedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        graft.operators.Sampling.hashBucket(col(idCol), "pack", nBuckets)
+          .as("bucket"),
+        size(graft.functions.TextFunctions.tokens(col(textCol)))
+          .cast("long").as("n_tokens"))
+      .as[PackDoc]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[PackState, PackedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (bucket, rows, state: GroupState[PackState]) =>
+          var start = state.getOption.map(_.nextStart).getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+            val placed = PackedDoc(d.doc_id, bucket, d.n_tokens,
+              start / budget, start % budget)
+            start += d.n_tokens
+            placed
+          }
+          state.update(PackState(start))
+          out.iterator
+      }
+  }
+
   /** Stream-static enrichment join — the streaming form of dimension
     * enrichment. Each arriving micro-batch equi-joins the static dimension
     * (re-planned per batch, broadcast when it fits); stateless — no

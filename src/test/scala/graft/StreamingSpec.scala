@@ -131,6 +131,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming sequence packing == batch packSequences (single batch)") {
+    val docDir = java.nio.file.Files.createTempDirectory("pack_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      docDir.resolve("documents.parquet"))
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val q = EventsStreaming.packStream(
+        spark.readStream.schema(schema).parquet(docDir.toString),
+        budget = 512, nBuckets = 8)
+      .writeStream.format("memory").queryName("pack_stream_test")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("pack_stream_test").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3), r.getLong(4)))
+      .toMap
+    val batch = graft.operators.TextOps.packSequences(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        budget = 512, nBuckets = 8).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(r.fieldIndex("seq_id")),
+          r.getLong(r.fieldIndex("seq_off")))).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+    // state carries ACROSS batches: feed a second file and (with one file
+    // per trigger = two micro-batches) the new docs continue on the grid
+    // instead of restarting at offset 0
+    val tmpOut = java.nio.file.Files.createTempDirectory("pack_more")
+    spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id + 1000000 AS doc_id", "text", "lang", "source",
+        "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+    val part = java.nio.file.Files.list(tmpOut).toArray.map(_.toString)
+      .filter(p => p.endsWith(".parquet")).head
+    java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+      docDir.resolve("more.parquet"))
+    val q2 = EventsStreaming.packStream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(docDir.toString),
+        budget = 512, nBuckets = 8)
+      .writeStream.format("memory").queryName("pack_stream_test2")
+      .outputMode("append").start()
+    q2.processAllAvailable(); q2.stop()
+    val all = spark.table("pack_stream_test2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    // per bucket: total placed tokens = final offset; no overlaps
+    val perBucket = all.groupBy(_._2)
+    perBucket.values.foreach { rows =>
+      val starts = rows.map(r => r._3 * 512 + r._4).sorted
+      assert(starts.distinct.length == starts.length) // no duplicate slots
+    }
+    assert(all.length == 2 * streamed.size)
+  }
+
   test("stateful sessionization == batch q_events_sessions") {
     val streamed = EventsStreaming.runToMemory(spark, streamDir,
       "sessions_test", df => EventsStreaming.sessionize(df).toDF(),
