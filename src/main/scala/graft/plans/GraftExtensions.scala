@@ -22,9 +22,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    // optimizer: auto-vectorize HOF-spelled dot products into the codegen
-    // expression (see DotProductRewrite for the soundness guards)
+    // optimizer: auto-vectorize HOF-spelled dot products and guarded
+    // sliding minima into the codegen expressions (see each rule's
+    // soundness guards)
     ext.injectOptimizerRule(_ => DotProductRewrite)
+    ext.injectOptimizerRule(_ => SlidingMinRewrite)
     ext.injectFunction((
       new FunctionIdentifier("hash60"),
       new ExpressionInfo(classOf[Hash60].getName, "hash60"),
