@@ -243,12 +243,22 @@ object TextOps {
     * standard concat-and-chunk semantics (the trainer's loader slices it).
     * Output: (docId, bucket, n_tokens, seq_id, seq_off), all exact integers
     * — hash-stable across engines. */
+  /** Shared base projection of both packing forms (batch [[packSequences]]
+    * and streaming `EventsStreaming.packStream`): token count + the salted
+    * hash bucket. ONE definition so the two forms can never drift apart on
+    * tokenizer, cast, or salt — their grids must stay interchangeable. */
+  def packBase(docs: DataFrame, nBuckets: Int, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    require(nBuckets >= 1, "need nBuckets >= 1")
+    docs.select(col(idCol),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"),
+      Sampling.hashBucket(col(idCol), "pack", nBuckets).as("bucket"))
+  }
+
   def packSequences(docs: DataFrame, budget: Int = 512, nBuckets: Int = 32,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(budget >= 1 && nBuckets >= 1, "need budget >= 1 and nBuckets >= 1")
-    val base = docs.select(col(idCol),
-      size(tokens(col(textCol))).cast("long").as("n_tokens"),
-      Sampling.hashBucket(col(idCol), "pack", nBuckets).as("bucket"))
+    val base = packBase(docs, nBuckets, idCol, textCol)
     val w = Window.partitionBy("bucket").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     base.withColumn("start_tok", coalesce(sum("n_tokens").over(w), lit(0L)))

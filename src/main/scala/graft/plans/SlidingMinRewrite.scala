@@ -17,11 +17,12 @@ import org.apache.spark.sql.types._
   *
   * Soundness guards:
   *  - the rewrite fires ONLY inside a conditional branch whose predicate
-  *    proves `size(arr) >= w`: the raw HOF on a shorter array builds
+  *    proves `size(arr) >= w`: on a shorter array the raw HOF builds
   *    `sequence(1, stop)` with stop < 1, which runs DESCENDING (Spark's
-  *    default step is -1 when start > stop) and yields garbage windows —
-  *    an unguarded spelling is therefore left untouched, preserving that
-  *    behavior bit-for-bit;
+  *    default step is -1 when start > stop) down through 0, and
+  *    `slice(arr, 0, w)` then THROWS ("SQL array indices start at 1") —
+  *    an unguarded spelling errors at runtime, and the rule must not turn
+  *    that error into a value, so it is left untouched;
   *  - all three array references (guard, sequence bound, slice source)
   *    must be semantically equal, the slice start must be the lambda
   *    variable itself, and the sequence step (when present) must be 1;

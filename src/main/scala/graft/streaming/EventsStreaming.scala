@@ -108,17 +108,29 @@ object EventsStreaming {
     * packed in doc-id order; ACROSS batches, arrival order is the layout
     * order (a stream cannot sort the future). A replay with the same batch
     * boundaries reproduces the identical grid; batch `packSequences` over
-    * the same corpus as ONE batch is the oracle (StreamingSpec). */
+    * the same corpus as ONE batch is the oracle (StreamingSpec).
+    *
+    * Input tolerance (documented divergences from the batch form, which
+    * keeps null-metric rows): a null text packs as 0 tokens — the row
+    * survives at the current offset; a null or non-numeric id is DROPPED,
+    * the same contract as `Sampling.stratifiedSample` — an unkeyed row has
+    * no stable bucket, and a typed stream row cannot carry a null key.
+    *
+    * Memory bound: a bucket's rows within ONE micro-batch are materialized
+    * for the id-sort (flatMapGroupsWithState hands an iterator, a stream
+    * cannot window-sort). Size triggers accordingly — bound the batch with
+    * `maxFilesPerTrigger`/`maxBytesPerTrigger` so corpus/nBuckets rows per
+    * bucket fit in executor heap; steady-state stream batches are small. */
   def packStream(docs: DataFrame, budget: Int, nBuckets: Int,
                  idCol: String = "doc_id",
                  textCol: String = "text"): Dataset[PackedDoc] = {
+    require(budget >= 1 && nBuckets >= 1, "need budget >= 1 and nBuckets >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long").as("doc_id"),
-        graft.operators.Sampling.hashBucket(col(idCol), "pack", nBuckets)
-          .as("bucket"),
-        size(graft.functions.TextFunctions.tokens(col(textCol)))
-          .cast("long").as("n_tokens"))
+    graft.operators.TextOps.packBase(docs, nBuckets, idCol, textCol)
+      .select(col(idCol).cast("long").as("doc_id"), col("bucket"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      .filter(col("doc_id").isNotNull)
       .as[PackDoc]
       .groupByKey(_.bucket)
       .flatMapGroupsWithState[PackState, PackedDoc](

@@ -173,14 +173,36 @@ class StreamingSpec extends AnyFunSuite {
       .outputMode("append").start()
     q2.processAllAvailable(); q2.stop()
     val all = spark.table("pack_stream_test2").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
-    // per bucket: total placed tokens = final offset; no overlaps
-    val perBucket = all.groupBy(_._2)
-    perBucket.values.foreach { rows =>
-      val starts = rows.map(r => r._3 * 512 + r._4).sorted
-      assert(starts.distinct.length == starts.length) // no duplicate slots
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3) * 512 + r.getLong(4))) // (doc, bucket, nTok, start)
+    // per bucket: contiguous layout across BOTH batches — each start (in
+    // placement order) equals the running sum of all earlier n_tokens, so
+    // state advanced by exactly the placed tokens, with no gaps/overlaps
+    all.groupBy(_._2).values.foreach { rows =>
+      val placed = rows.sortBy(_._4)
+      val expected = placed.map(_._3).scanLeft(0L)(_ + _).init
+      assert(placed.map(_._4).toSeq == expected.toSeq)
     }
     assert(all.length == 2 * streamed.size)
+  }
+
+  test("packStream survives null text (0 tokens) and drops null ids") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("pack_nulls")
+    Seq((Option(1L), Option("a b c")), (Option(2L), None),
+      (Option.empty[Long], Option("x")))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(d.toString)
+    val schema = spark.read.parquet(d.toString).schema
+    val q = EventsStreaming.packStream(
+        spark.readStream.schema(schema).parquet(d.toString),
+        budget = 4, nBuckets = 1)
+      .writeStream.format("memory").queryName("pack_nulls_test")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("pack_nulls_test").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rows == Map(1L -> 3L, 2L -> 0L)) // null text packs, null id drops
   }
 
   test("stateful sessionization == batch q_events_sessions") {
