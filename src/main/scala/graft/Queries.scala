@@ -222,8 +222,14 @@ object Queries {
     // Running window sum per supplier (W3-style running offset).
     "q_running_total" -> Q(
       (s, dir) => {
+        // l_quantity completes the total order: sf0.1 has duplicate
+        // (suppkey, shipdate, orderkey, linenumber) rows with DIFFERENT
+        // quantities, and a running sum over tied rows is engine-order-
+        // dependent. With quantity in the order, remaining ties are
+        // between identical contributions — the output multiset is
+        // deterministic either way.
         val w = Window.partitionBy("l_suppkey")
-          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         rd(s, dir, "lineitem")
           .withColumn("running_qty", outd(sum(sdec(col("l_quantity"), 2)).over(w)))
@@ -233,7 +239,8 @@ object Queries {
       },
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
         |  round(CAST(sum(CAST(round(l_quantity,2) AS DECIMAL(18,2))) OVER (
-        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_qty
         |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
 
@@ -997,7 +1004,8 @@ object Queries {
         |  JOIN ut ON bd.w0 = ut.token
         |  CROSS JOIN vsz)
         |SELECT doc_id, CAST(sum("count") AS BIGINT) AS n_bigrams,
-        |  round(-(CAST(sum("count" * lp) AS BIGINT) / 1000000.0) / CAST(sum("count") AS BIGINT), 6) AS cross_entropy
+        |  -CAST(round(CAST(sum("count" * lp) AS BIGINT)
+        |     / CAST(sum("count") AS BIGINT), 0) AS BIGINT) / 1000000.0 AS cross_entropy
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // Deterministic train/val/test split: engine-stable hash buckets, no
@@ -1455,7 +1463,8 @@ object Queries {
         |    unnest(range(0, len(embedding))) AS dim,
         |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS sv
         |  FROM embeddings)
-        |SELECT label, dim, round((CAST(sum(sv) AS BIGINT) / 1000000.0) / count(*), 6) AS centroid
+        |SELECT label, dim,
+        |  CAST(round(CAST(sum(sv) AS BIGINT) / count(*), 0) AS BIGINT) / 1000000.0 AS centroid
         |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin)),
 
     // Vector column statistics: norms + per-label rollup (array math).

@@ -313,8 +313,15 @@ object Similarity {
       .groupBy(col(labelCol), col("dim"))
       .agg(sum(round(col("v").cast("double") * 1e6, 0).cast("long")).as("s"),
         count(lit(1)).as("n"))
+      // mean at micro precision: round the RATIO to an integer micro count
+      // first (a .5 boundary there is an exactly-representable double, so
+      // every engine rounds it the same way), then one division by 1e6 of
+      // identical integers -> identical doubles. Rounding the final
+      // 6-dp double instead diverges across engines on half-ulp boundary
+      // values (observed at sf0.1: 0.0032135). Exact while |s| < 2^53.
       .select(col(labelCol), col("dim").cast("long").as("dim"),
-        round((col("s") / 1e6) / col("n"), 6).as("centroid"))
+        (round(col("s").cast("double") / col("n"), 0).cast("long") / 1e6)
+          .as("centroid"))
 
   /** Drop rows whose bucket holds more than `maxBucket` members: the hard
     * backstop against a degenerate bucket (all-equal vectors, adversarial

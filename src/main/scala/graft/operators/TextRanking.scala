@@ -111,9 +111,13 @@ object TextRanking {
       .groupBy(col(idCol))
       .agg(sum(col("count") * col("lp_scaled")).as("s"),
         sum("count").as("n_bigrams"))
+      // micro-precision mean: round the ratio to integer micro-nats first
+      // (engine-agreed at representable .5 boundaries), then divide the
+      // identical integers — rounding the final 6-dp double diverges
+      // across engines on half-ulp boundaries (observed at sf0.1).
       .select(col(idCol), col("n_bigrams"),
-        round(-(col("s").cast("double") / 1e6) / col("n_bigrams"), 6)
-          .as("cross_entropy"))
+        (-round(col("s").cast("double") / col("n_bigrams"), 0).cast("long")
+          / 1e6).as("cross_entropy"))
   }
 
   /** Top-`k` keywords per document by TF-IDF (desc, token asc tie-break) —
