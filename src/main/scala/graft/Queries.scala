@@ -856,7 +856,31 @@ object Queries {
         |FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY a.doc_id, b.doc_id
         |HAVING count(*) >= 2
-        |ORDER BY id_a, id_b""".stripMargin))
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Eval-set decontamination: training docs (doc_id % 31 != 0) sharing
+    // any exact word-8-gram with the held-out eval slice (doc_id % 31 == 0).
+    // The eval n-gram set is broadcast; the oracle rebuilds both hashed
+    // shingle sets with DuckDB list slicing.
+    "t_decontam" -> Q(
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        Dedup.decontaminate(
+            docs.filter(col("doc_id") % 31 =!= 0),
+            docs.filter(col("doc_id") % 31 === 0), n = 8)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $ToksCte,
+        |sl AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+        |       FROM toks WHERE len(t) >= 8),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    ${sqlHash60("array_to_string(t[i:i+7], ' ')")} AS sh
+        |  FROM sl),
+        |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 31 = 0)
+        |SELECT s.doc_id, count(*) AS shared_ngrams
+        |FROM sh s JOIN ev USING (sh)
+        |WHERE s.doc_id % 31 <> 0
+        |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin))
   )
 
   // ----------------------------------------------------- text analysis
@@ -1136,7 +1160,72 @@ object Queries {
         |  FROM base)
         |SELECT doc_id, bucket, n_tokens, start_tok // 512 AS seq_id,
         |  start_tok % 512 AS seq_off
-        |FROM cum ORDER BY doc_id""".stripMargin))
+        |FROM cum ORDER BY doc_id""".stripMargin)),
+
+    // Count-min sketch heavy hitters: a fixed-size (3 x 16) sketch of the
+    // corpus token counts, probed for the exact top-20 tokens. Width 16 is
+    // deliberately small so collisions occur and the CMS over-count
+    // semantics (estimate >= exact, min over depth rows) are actually
+    // exercised; the oracle replays every cell from the same md5 hashes.
+    "t_cms_topk" -> Q(
+      (s, dir) => {
+        val counts = rd(s, dir, "documents")
+          .select(explode(tokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("exact_count"))
+        val cms = Sketches.cmsBuild(counts, "token", "exact_count",
+          depth = 3, width = 16)
+        val top = counts.orderBy(desc("exact_count"), asc("token")).limit(20)
+        Sketches.cmsEstimate(cms, top, "token", depth = 3, width = 16)
+          .orderBy("token")
+      },
+      Some(s"""WITH $ToksCte, $StreamCte,
+        |tc AS (SELECT token, count(*) AS exact_count FROM stream GROUP BY token),
+        |dd(d) AS (VALUES (0), (1), (2)),
+        |cms AS (SELECT dd.d AS d,
+        |    ${sqlHash60("CAST(dd.d AS VARCHAR) || chr(1) || token")} % 16 AS bucket,
+        |    CAST(sum(exact_count) AS BIGINT) AS total
+        |  FROM tc, dd GROUP BY 1, 2),
+        |top AS (SELECT token, exact_count FROM tc
+        |        ORDER BY exact_count DESC, token LIMIT 20),
+        |probes AS (SELECT t.token, t.exact_count, dd.d AS d,
+        |    ${sqlHash60("CAST(dd.d AS VARCHAR) || chr(1) || t.token")} % 16 AS bucket
+        |  FROM top t, dd)
+        |SELECT p.token, p.exact_count,
+        |  CAST(min(coalesce(c.total, 0)) AS BIGINT) AS est_count
+        |FROM probes p LEFT JOIN cms c ON c.d = p.d AND c.bucket = p.bucket
+        |GROUP BY p.token, p.exact_count
+        |ORDER BY p.token""".stripMargin)),
+
+    // End-to-end curation pipeline: exact-dedup survivors (first-wins) ->
+    // minimum token count -> deterministic split assignment -> per-split
+    // accounting. Every stage is an oracle-checked operator on its own;
+    // this row checks their COMPOSITION.
+    "t_filter_pipeline" -> Q(
+      (s, dir) => {
+        val kept = Dedup.dropExactDuplicates(rd(s, dir, "documents"))
+          .withColumn("ntok", size(tokens(col("text"))))
+          .filter(col("ntok") >= 50)
+        Sampling.assignSplits(kept, "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n"), sum(col("ntok").cast("long")).as("n_tokens"))
+          .orderBy("split", "lang")
+      },
+      Some(s"""WITH $ToksCte,
+        |surv AS (SELECT doc_id, lang FROM (
+        |    SELECT doc_id, lang,
+        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn = 1),
+        |kept AS (SELECT s.doc_id, s.lang, CAST(len(t.t) AS BIGINT) AS ntok
+        |  FROM surv s JOIN toks t ON s.doc_id = t.doc_id
+        |  WHERE len(t.t) >= 50),
+        |b AS (SELECT doc_id, lang, ntok,
+        |    ${sqlHash60("CAST(doc_id AS VARCHAR) || ':split'")} % 10000 AS bk
+        |  FROM kept)
+        |SELECT CASE WHEN bk < 8000 THEN 'train' WHEN bk < 9000 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  lang, count(*) AS n, CAST(sum(ntok) AS BIGINT) AS n_tokens
+        |FROM b GROUP BY 1, 2 ORDER BY split, lang""".stripMargin))
   )
 
   // ------------------------------------------------------------- SRP
@@ -1332,6 +1421,48 @@ object Queries {
         |  JOIN v qv ON qv.id = a.id JOIN v nv ON nv.id = c.id)
         |SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.3
         |ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    // Duplicate-cluster resolution: connected components over the cosine
+    // near-dup pair graph (iterative min-label propagation in Spark); the
+    // oracle computes the same components by recursive-CTE transitive
+    // closure. This is the stage that turns pairwise dup evidence into
+    // "keep one document per cluster".
+    "e_dup_clusters" -> Q(
+      (s, dir) =>
+        Dedup.duplicateClusters(
+            Similarity.cosineDupPairs(rd(s, dir, "embeddings"),
+              threshold = 0.3, nbits = 4, dim = 64))
+          .orderBy("id"),
+      Some {
+        val planesSql = Similarity.planeMatrix(4, 64).zipWithIndex.map {
+          case (row, b) => s"($b, [${row.mkString(", ")}])"
+        }.mkString(",\n  ")
+        s"""WITH RECURSIVE pl(b, pv) AS (VALUES
+        |  $planesSql),
+        |v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+        |proj AS (SELECT id, b,
+        |    list_reduce(list_transform(range(1, len(v)+1),
+        |      i -> CAST(v[i] AS DOUBLE) * pv[i]), (p, q) -> p + q) AS pr
+        |  FROM v, pl),
+        |bk AS (SELECT id,
+        |    CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY id),
+        |dup AS (SELECT a.id AS id_a, c.id AS id_b
+        |  FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.id < c.id
+        |  JOIN v qv ON qv.id = a.id JOIN v nv ON nv.id = c.id
+        |  WHERE round(${sqlCos("qv.v", "nv.v")}, 6) >= 0.3),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM dup
+        |      UNION SELECT id_b, id_a FROM dup),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT rc.id, e.dst FROM reach rc JOIN e ON e.src = rc.r),
+        |lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY cluster_id)
+        |SELECT l.id, l.cluster_id, s.cluster_size
+        |FROM lbl l JOIN sz s USING (cluster_id)
+        |ORDER BY id""".stripMargin
       }),
 
     // IVF-style ANN: deterministic coarse quantizer (8 lowest-id seeds),

@@ -48,6 +48,38 @@ object TextFunctions {
   def extractYear(c: Column): Column =
     nullif(regexp_extract(c, "([0-9]{4})", 1), lit("")).cast("int")
 
+  /** F2: alternative WORD-MODEL tokenizer (reference: optional blingfire C
+    * tokenizer, transformations.py:18-62). The C library is not available
+    * offline, so this uses the JVM's own Unicode word segmentation
+    * (`java.text.BreakIterator`, UAX #29 rules) — a real word-model
+    * tokenizer: unlike the regex it keeps `don't` / `l'été` as single
+    * words and handles scripts without letter runs. Like the reference's
+    * blingfire path it is an OPTIONAL alternative — the regex tokenizer
+    * stays canonical (deterministic + oracle-expressible), and the
+    * reference's own tests only require tokenizers to agree within a small
+    * tolerance (tests/test_transformations.py:50). Scala UDF (BreakIterator
+    * is stateful per call — no codegen form exists); only for opt-in use,
+    * never on the default hot path. */
+  private val wordModelUdf = udf { text: String =>
+    if (text == null) Array.empty[String]
+    else {
+      val bi = java.text.BreakIterator.getWordInstance(java.util.Locale.ROOT)
+      bi.setText(text)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var start = bi.first()
+      var end = bi.next()
+      while (end != java.text.BreakIterator.DONE) {
+        if ((start until end).exists(i => Character.isLetterOrDigit(text.charAt(i))))
+          out += text.substring(start, end)
+        start = end
+        end = bi.next()
+      }
+      out.toArray
+    }
+  }
+
+  def wordModelTokens(text: Column): Column = wordModelUdf(text)
+
   /** A BPE-ish token-count regex: word pieces, numbers, or single
     * non-space symbols — a cheap proxy for LLM tokenizer counts. */
   val BpePattern = "[\\p{L}]+|[0-9]+|[^\\p{L}0-9\\s]"

@@ -157,6 +157,42 @@ class DedupSpec extends AnyFunSuite {
     assert(sig(5L).isNullAt(sig(5L).fieldIndex("dup_trigram_frac")))
   }
 
+  test("duplicateClusters: min-label components, sizes, multi-hop chains") {
+    // components: {1,2,3} via a triangle-free path, {5,6}, and the
+    // 4-node CHAIN 7-8-9-10 (diameter 3 -> needs >1 propagation round)
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 8L), (8L, 9L), (9L, 10L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> (1L, 3L), 2L -> (1L, 3L), 3L -> (1L, 3L),
+      5L -> (5L, 2L), 6L -> (5L, 2L),
+      7L -> (7L, 4L), 8L -> (7L, 4L), 9L -> (7L, 4L), 10L -> (7L, 4L)))
+    graft.core.CacheScope.release()
+  }
+
+  test("duplicateClusters: empty pair table yields empty clusters") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.duplicateClusters(empty).count() == 0L)
+    graft.core.CacheScope.release()
+  }
+
+  test("decontaminate flags docs sharing eval n-grams, honors minOverlap") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "zeta eta theta iota kappa"),
+      (3L, "gamma delta epsilon whatever here also delta epsilon whatever")).toDF("doc_id", "text")
+    val eval = Seq((100L, "gamma delta epsilon whatever here")).toDF("doc_id", "text")
+    val hits = Dedup.decontaminate(train, eval, n = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares exactly "gamma delta epsilon"; doc 3 shares three
+    // distinct eval 3-grams; doc 2 shares none
+    assert(hits == Map(1L -> 1L, 3L -> 3L))
+    val strict = Dedup.decontaminate(train, eval, n = 3, minOverlap = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(strict == Seq(3L))
+  }
+
   test("redaction scrubs emails, urls, long numbers; counts audit them") {
     val d = Seq((1L,
       "mail me at a.user+x@site-two.org or see https://ex.com/p?q=1 id 12345678 ok 123"))

@@ -173,4 +173,27 @@ class TextOpsSpec extends AnyFunSuite {
     val t2 = TextOps.tokenization(docs).count()
     assert(t1 == 3L && t2 == 3L)
   }
+
+  test("word-model tokenizer (F2 alternative): UAX#29 words, regex tolerance") {
+    import graft.functions.TextFunctions.{tokens, wordModelTokens}
+    val d = Seq(
+      (1L, "Don't stop the count."),
+      (2L, "каждая русская буква здесь"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val wm = d.select(col("doc_id"), wordModelTokens(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // the word model keeps the contraction whole (what blingfire-style
+    // models do, and the regex cannot)
+    assert(wm(1L) == Seq("Don't", "stop", "the", "count"))
+    assert(wm(2L) == Seq("каждая", "русская", "буква", "здесь"))
+    assert(wm(3L).isEmpty && wm(4L).isEmpty)
+    // reference-style tolerance: tokenizers agree within a small margin on
+    // ordinary text (tests/test_transformations.py:50 allows 42 <= n <= 43)
+    val both = d.filter(col("text").isNotNull)
+      .select(size(tokens(col("text"))).as("a"),
+        size(wordModelTokens(col("text"))).as("b"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    both.foreach { case (a, b) => assert(math.abs(a - b) <= 1) }
+  }
 }
