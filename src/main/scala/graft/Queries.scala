@@ -1169,9 +1169,13 @@ object Queries {
     // exercised; the oracle replays every cell from the same md5 hashes.
     "t_cms_topk" -> Q(
       (s, dir) => {
-        val counts = rd(s, dir, "documents")
-          .select(explode(tokens(col("text"))).as("token"))
-          .groupBy("token").agg(count(lit(1)).as("exact_count"))
+        // persisted: the counts aggregate feeds BOTH the sketch and the
+        // top-k probe side — without the persist the corpus is tokenized
+        // and aggregated twice (no ReusedExchange across the branches)
+        val counts = graft.core.CacheScope.persist(
+          rd(s, dir, "documents")
+            .select(explode(tokens(col("text"))).as("token"))
+            .groupBy("token").agg(count(lit(1)).as("exact_count")))
         val cms = Sketches.cmsBuild(counts, "token", "exact_count",
           depth = 3, width = 16)
         val top = counts.orderBy(desc("exact_count"), asc("token")).limit(20)
@@ -1333,6 +1337,37 @@ object Queries {
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
   }
 
+  /** Shared CTE chain: plane-sign buckets -> cosine near-dup pairs (>= 0.3,
+    * nbits=4) -> symmetric edges -> recursive transitive closure -> `lbl`
+    * (id, cluster_id = min reachable id). Used by the cluster and survivor
+    * oracles; mirrors Similarity.cosineDupPairs + Dedup.duplicateClusters. */
+  private lazy val sqlCosineClusterCtes: String = {
+    val planesSql = Similarity.planeMatrix(4, 64).zipWithIndex.map {
+      case (row, b) => s"($b, [${row.mkString(", ")}])"
+    }.mkString(",\n  ")
+    s"""WITH RECURSIVE pl(b, pv) AS (VALUES
+    |  $planesSql),
+    |v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+    |proj AS (SELECT id, b,
+    |    list_reduce(list_transform(range(1, len(v)+1),
+    |      i -> CAST(v[i] AS DOUBLE) * pv[i]), (p, q) -> p + q) AS pr
+    |  FROM v, pl),
+    |bk AS (SELECT id,
+    |    CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+    |  FROM proj GROUP BY id),
+    |dup AS (SELECT a.id AS id_a, c.id AS id_b
+    |  FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.id < c.id
+    |  JOIN v qv ON qv.id = a.id JOIN v nv ON nv.id = c.id
+    |  WHERE round(${sqlCos("qv.v", "nv.v")}, 6) >= 0.3),
+    |e AS (SELECT id_a AS src, id_b AS dst FROM dup
+    |      UNION SELECT id_b, id_a FROM dup),
+    |reach(id, r) AS (
+    |  SELECT src, src FROM e
+    |  UNION
+    |  SELECT rc.id, e.dst FROM reach rc JOIN e ON e.src = rc.r),
+    |lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+  }
+
   private lazy val vectors: Seq[(String, Q)] = Seq(
 
     // Brute-force cosine top-5 for query vectors (vec_id < 10).
@@ -1434,36 +1469,30 @@ object Queries {
             Similarity.cosineDupPairs(rd(s, dir, "embeddings"),
               threshold = 0.3, nbits = 4, dim = 64))
           .orderBy("id"),
-      Some {
-        val planesSql = Similarity.planeMatrix(4, 64).zipWithIndex.map {
-          case (row, b) => s"($b, [${row.mkString(", ")}])"
-        }.mkString(",\n  ")
-        s"""WITH RECURSIVE pl(b, pv) AS (VALUES
-        |  $planesSql),
-        |v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
-        |proj AS (SELECT id, b,
-        |    list_reduce(list_transform(range(1, len(v)+1),
-        |      i -> CAST(v[i] AS DOUBLE) * pv[i]), (p, q) -> p + q) AS pr
-        |  FROM v, pl),
-        |bk AS (SELECT id,
-        |    CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM proj GROUP BY id),
-        |dup AS (SELECT a.id AS id_a, c.id AS id_b
-        |  FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.id < c.id
-        |  JOIN v qv ON qv.id = a.id JOIN v nv ON nv.id = c.id
-        |  WHERE round(${sqlCos("qv.v", "nv.v")}, 6) >= 0.3),
-        |e AS (SELECT id_a AS src, id_b AS dst FROM dup
-        |      UNION SELECT id_b, id_a FROM dup),
-        |reach(id, r) AS (
-        |  SELECT src, src FROM e
-        |  UNION
-        |  SELECT rc.id, e.dst FROM reach rc JOIN e ON e.src = rc.r),
-        |lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+      Some(s"""$sqlCosineClusterCtes,
         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY cluster_id)
         |SELECT l.id, l.cluster_id, s.cluster_size
         |FROM lbl l JOIN sz s USING (cluster_id)
-        |ORDER BY id""".stripMargin
-      }),
+        |ORDER BY id""".stripMargin)),
+
+    // Terminal dedup stage: drop every cosine-cluster member except the
+    // min-id representative (anti-join against the loser set); survivors
+    // accounted per label.
+    "e_dedup_survivors" -> Q(
+      (s, dir) => {
+        val emb = rd(s, dir, "embeddings")
+        Dedup.dropNearDuplicates(emb,
+            Similarity.cosineDupPairs(emb, threshold = 0.3, nbits = 4, dim = 64),
+            idCol = "vec_id")
+          .groupBy("label").agg(count(lit(1)).as("n_survivors"))
+          .orderBy("label")
+      },
+      Some(s"""$sqlCosineClusterCtes,
+        |losers AS (SELECT id FROM lbl WHERE id <> cluster_id)
+        |SELECT emb.label, count(*) AS n_survivors
+        |FROM embeddings emb LEFT JOIN losers lo ON emb.vec_id = lo.id
+        |WHERE lo.id IS NULL
+        |GROUP BY emb.label ORDER BY emb.label""".stripMargin)),
 
     // IVF-style ANN: deterministic coarse quantizer (8 lowest-id seeds),
     // search within the assigned cell — the inverted-file scale path.

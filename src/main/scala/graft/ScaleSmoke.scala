@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity, Srp, TextAnalysis, TextOps}
+import graft.operators.{Dedup, Similarity, Sketches, Srp, TextAnalysis, TextOps}
 
 /** Scale-up smoke (not part of the driver contract): replicates the sf0.1
   * documents/embeddings N-fold with distinct ids and times the heavy
@@ -63,6 +63,24 @@ object ScaleSmoke {
     time("winnow_dfcap_post_dedup")(
       Dedup.winnowPairs(Dedup.dropExactDuplicates(docs), k = 5, w = 4,
         minShared = 2, maxFpDf = 1000L).count())
+    // connected components over the winnow pair graph: rounds = graph
+    // diameter, each round one equi-join + one agg over (id,lbl) longs
+    time("dup_clusters_winnow")(
+      Dedup.duplicateClusters(Dedup.winnowPairs(Dedup.dropExactDuplicates(docs),
+        k = 5, w = 4, minShared = 2, maxFpDf = 1000L)).count())
+    graft.core.CacheScope.release()
+    // decontamination: eval shingles broadcast once, train side streams
+    // through with no shuffle of its n-grams
+    time("decontaminate_n8")(
+      Dedup.decontaminate(docs, base.filter(col("doc_id") % 31 === 0), n = 8)
+        .count())
+    // fixed-size sketch: one map-side-combined groupBy; output cell count
+    // is depth*width regardless of corpus size
+    time("cms_build_3x4096")({
+      val counts = TextOps.unigrams(docs).groupBy("token")
+        .agg(sum("count").cast("long").as("n"))
+      Sketches.cmsBuild(counts, "token", "n", depth = 3, width = 4096).count()
+    })
     val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val bigEmb = emb.crossJoin(spark.range(factor).withColumnRenamed("id", "rep"))
       .withColumn("vec_id", col("vec_id") + col("rep") * 5000L)

@@ -177,6 +177,18 @@ class DedupSpec extends AnyFunSuite {
     graft.core.CacheScope.release()
   }
 
+  test("dropNearDuplicates keeps min-id cluster reps and untouched docs") {
+    val all = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"),
+      (6L, "f")).toDF("doc_id", "text")
+    // clusters {1,2,3} and {4,5}: reps 1 and 4 survive; doc 6 is in no
+    // pair and passes through untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val kept = Dedup.dropNearDuplicates(all, pairs).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 4L, 6L))
+    graft.core.CacheScope.release()
+  }
+
   test("decontaminate flags docs sharing eval n-grams, honors minOverlap") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon"),

@@ -205,6 +205,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Map(1L -> 3L, 2L -> 0L)) // null text packs, null id drops
   }
 
+  test("count-min sketch maintains incrementally over a stream") {
+    // cmsBuild is one grouped aggregate, so it runs unchanged as a
+    // streaming query; after two micro-batches the complete-mode cells
+    // equal the batch sketch of the concatenated input — the streaming
+    // form of the sketch's mergeability.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Long)]
+    val q = graft.operators.Sketches.cmsBuild(
+        ms.toDF().toDF("token", "n"), "token", "n", depth = 3, width = 64)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    ms.addData(("the", 5L), ("cat", 2L))
+    q.processAllAvailable()
+    ms.addData(("the", 3L), ("mat", 1L))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("cms_stream").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = graft.operators.Sketches.cmsBuild(
+        Seq(("the", 8L), ("cat", 2L), ("mat", 1L)).toDF("token", "n"),
+        "token", "n", depth = 3, width = 64).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("stateful sessionization == batch q_events_sessions") {
     val streamed = EventsStreaming.runToMemory(spark, streamDir,
       "sessions_test", df => EventsStreaming.sessionize(df).toDF(),
