@@ -136,3 +136,95 @@ object Round3Props extends Properties("Winnow/Pack") {
     }
   }
 }
+
+/** duplicateClusters checked against a brute-force union-find on small
+  * random graphs (bounded cases: each case runs the iterative Spark job). */
+object ClusterProps extends Properties("Dedup.duplicateClusters") {
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters)
+      : org.scalacheck.Test.Parameters = p.withMinSuccessfulTests(12)
+
+  private lazy val spark = TestSpark.spark
+
+  private val edgesGen: Gen[List[(Long, Long)]] =
+    Gen.listOfN(8, for {
+      a <- Gen.choose(0L, 11L); b <- Gen.choose(0L, 11L) if a != b
+    } yield (math.min(a, b), math.max(a, b))).map(_.distinct)
+
+  private def bruteComponents(edges: List[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(n => n -> find(n)).toMap
+  }
+
+  property("labels = min component member; sizes = component cardinality") = {
+    import spark.implicits._
+    forAll(edgesGen) { edges =>
+      val expected = bruteComponents(edges)
+      val got =
+        if (edges.isEmpty) Map.empty[Long, (Long, Long)]
+        else graft.operators.Dedup
+          .duplicateClusters(edges.toDF("id_a", "id_b")).collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      graft.core.CacheScope.release()
+      val sizes = expected.groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
+      val want = expected.map { case (id, c) => id -> (c, sizes(c)) }
+      Prop(got == want) :| s"edges=$edges got=$got want=$want"
+    }
+  }
+}
+
+/** Count-min sketch cells and estimates checked against an independent
+  * plain-Scala reimplementation of the same md5 bucket arithmetic. */
+object CmsProps extends Properties("Sketches.cms") {
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters)
+      : org.scalacheck.Test.Parameters = p.withMinSuccessfulTests(12)
+
+  private lazy val spark = TestSpark.spark
+
+  private def hash60(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+  private def bucket(key: String, d: Int, width: Int): Long =
+    hash60(s"$d\u0001$key") % width
+
+  private val itemsGen: Gen[Map[String, Long]] =
+    Gen.mapOf(for {
+      k <- Gen.oneOf("a", "b", "c", "dd", "ee", "f")
+      n <- Gen.choose(1L, 50L)
+    } yield k -> n)
+
+  property("cells match the reference arithmetic; estimates are exact minima") = {
+    import spark.implicits._
+    val depth = 2; val width = 4
+    forAll(itemsGen) { items =>
+      val df = items.toSeq.toDF("k", "n")
+      val cms = graft.operators.Sketches.cmsBuild(df, "k", "n", depth, width)
+      val cells = cms.collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val wantCells = items.toSeq
+        .flatMap { case (k, n) => (0 until depth).map(d => (d, bucket(k, d, width)) -> n) }
+        .groupBy(_._1).map { case (c, m) => c -> m.map(_._2).sum }
+      val est = graft.operators.Sketches
+        .cmsEstimate(cms, df.select("k").distinct(), "k", depth, width)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val wantEst = items.keys.map { k =>
+        k -> (0 until depth)
+          .map(d => wantCells.getOrElse((d, bucket(k, d, width)), 0L)).min
+      }.toMap
+      Prop(cells == wantCells && est == wantEst) :|
+        s"items=$items cells=$cells want=$wantCells est=$est wantEst=$wantEst"
+    }
+  }
+}
