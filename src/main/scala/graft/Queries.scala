@@ -1355,10 +1355,11 @@ object Queries {
     |bk AS (SELECT id,
     |    CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
     |  FROM proj GROUP BY id),
-    |dup AS (SELECT a.id AS id_a, c.id AS id_b
+    |pairsAll AS (SELECT a.id AS id_a, c.id AS id_b,
+    |    round(${sqlCos("qv.v", "nv.v")}, 6) AS cos_sim
     |  FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.id < c.id
-    |  JOIN v qv ON qv.id = a.id JOIN v nv ON nv.id = c.id
-    |  WHERE round(${sqlCos("qv.v", "nv.v")}, 6) >= 0.3),
+    |  JOIN v qv ON qv.id = a.id JOIN v nv ON nv.id = c.id),
+    |dup AS (SELECT id_a, id_b, cos_sim FROM pairsAll WHERE cos_sim >= 0.3),
     |e AS (SELECT id_a AS src, id_b AS dst FROM dup
     |      UNION SELECT id_b, id_a FROM dup),
     |reach(id, r) AS (
@@ -1430,33 +1431,16 @@ object Queries {
 
     // Embedding-cosine near-dup pairs: bucketed all-pairs dedup at a cosine
     // threshold (the embedding-space analog of t_minhash_lsh). Oracle
-    // replays the identical plane-literal buckets.
+    // replays the identical plane-literal buckets via the shared CTE chain
+    // (one definition for this, e_dup_clusters, and e_dedup_survivors).
     "e_cosine_dups" -> Q(
       (s, dir) =>
         Similarity.cosineDupPairs(rd(s, dir, "embeddings"),
             threshold = 0.3, nbits = 4, dim = 64)
           .orderBy("id_a", "id_b"),
-      Some {
-        val planesSql = Similarity.planeMatrix(4, 64).zipWithIndex.map {
-          case (row, b) => s"($b, [${row.mkString(", ")}])"
-        }.mkString(",\n  ")
-        s"""WITH pl(b, pv) AS (VALUES
-        |  $planesSql),
-        |v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
-        |proj AS (SELECT id, b,
-        |    list_reduce(list_transform(range(1, len(v)+1),
-        |      i -> CAST(v[i] AS DOUBLE) * pv[i]), (p, q) -> p + q) AS pr
-        |  FROM v, pl),
-        |bk AS (SELECT id,
-        |    CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM proj GROUP BY id),
-        |pairs AS (SELECT a.id AS id_a, c.id AS id_b,
-        |    round(${sqlCos("qv.v", "nv.v")}, 6) AS cos_sim
-        |  FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.id < c.id
-        |  JOIN v qv ON qv.id = a.id JOIN v nv ON nv.id = c.id)
-        |SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.3
-        |ORDER BY id_a, id_b""".stripMargin
-      }),
+      Some(s"""$sqlCosineClusterCtes
+        |SELECT id_a, id_b, cos_sim FROM dup
+        |ORDER BY id_a, id_b""".stripMargin)),
 
     // Duplicate-cluster resolution: connected components over the cosine
     // near-dup pair graph (iterative min-label propagation in Spark); the

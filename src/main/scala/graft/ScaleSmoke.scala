@@ -60,14 +60,17 @@ object ScaleSmoke {
       TextOps.packSequences(docs, budget = 2048, nBuckets = 256).count())
     // winnowing after exact dedup (same N-fold output-bound caveat as
     // jaccard), with the stop-fingerprint df cap engaged
-    time("winnow_dfcap_post_dedup")(
-      Dedup.winnowPairs(Dedup.dropExactDuplicates(docs), k = 5, w = 4,
-        minShared = 2, maxFpDf = 1000L).count())
+    // pair table computed ONCE and persisted: winnow_dfcap times pair
+    // generation, dup_clusters times CLUSTERING alone (otherwise the pair
+    // pipeline re-runs inside the clustering number and masks regressions)
+    val winnowPairs = Dedup.winnowPairs(Dedup.dropExactDuplicates(docs),
+      k = 5, w = 4, minShared = 2, maxFpDf = 1000L).persist()
+    time("winnow_dfcap_post_dedup")(winnowPairs.count())
     // connected components over the winnow pair graph: rounds = graph
     // diameter, each round one equi-join + one agg over (id,lbl) longs
-    time("dup_clusters_winnow")(
-      Dedup.duplicateClusters(Dedup.winnowPairs(Dedup.dropExactDuplicates(docs),
-        k = 5, w = 4, minShared = 2, maxFpDf = 1000L)).count())
+    time("dup_clusters_only")(
+      Dedup.duplicateClusters(winnowPairs).count())
+    winnowPairs.unpersist(blocking = false)
     graft.core.CacheScope.release()
     // decontamination: eval shingles broadcast once, train side streams
     // through with no shuffle of its n-grams

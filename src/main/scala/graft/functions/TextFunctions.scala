@@ -69,8 +69,17 @@ object TextFunctions {
       var start = bi.first()
       var end = bi.next()
       while (end != java.text.BreakIterator.DONE) {
-        if ((start until end).exists(i => Character.isLetterOrDigit(text.charAt(i))))
-          out += text.substring(start, end)
+        // scan by CODE POINT: a charAt test would see surrogate halves and
+        // drop words written entirely in supplementary planes (Gothic,
+        // Deseret, CJK ext B, ...)
+        var i = start
+        var isWord = false
+        while (i < end && !isWord) {
+          val cp = text.codePointAt(i)
+          isWord = Character.isLetterOrDigit(cp)
+          i += Character.charCount(cp)
+        }
+        if (isWord) out += text.substring(start, end)
         start = end
         end = bi.next()
       }

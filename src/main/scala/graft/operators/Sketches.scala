@@ -39,14 +39,20 @@ object Sketches {
 
   /** Build a sketch from weighted items: (d, bucket, total) with one row per
     * NON-EMPTY cell (missing cell = 0). One groupBy over `depth` replicated
-    * rows; the output is at most `depth * width` rows. */
+    * rows; the output is at most `depth * width` rows.
+    *
+    * Null keys are EXCLUDED from the sketch (a null key hashes to a null
+    * bucket, which no probe can reach — its mass would be silently lost and
+    * the >=-true-count guarantee broken). [[cmsEstimate]] consistently
+    * estimates 0 for a null probe key. */
   def cmsBuild(items: DataFrame, keyCol: String, weightCol: String,
                depth: Int = 3, width: Int = 1024): DataFrame = {
     require(depth >= 1 && width >= 2, "need depth >= 1 and width >= 2")
     val cells = array((0 until depth).map { d =>
       struct(lit(d).as("d"), bucket(col(keyCol), d, width).as("bucket"))
     }: _*)
-    items.select(explode(cells).as("c"), col(weightCol).as("w"))
+    items.filter(col(keyCol).isNotNull)
+      .select(explode(cells).as("c"), col(weightCol).as("w"))
       .groupBy(col("c.d").as("d"), col("c.bucket").as("bucket"))
       .agg(sum(col("w").cast("long")).as("total"))
   }

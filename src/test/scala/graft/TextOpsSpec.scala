@@ -188,6 +188,13 @@ class TextOpsSpec extends AnyFunSuite {
     assert(wm(1L) == Seq("Don't", "stop", "the", "count"))
     assert(wm(2L) == Seq("каждая", "русская", "буква", "здесь"))
     assert(wm(3L).isEmpty && wm(4L).isEmpty)
+    // supplementary-plane letters (Gothic): surrogate pairs must be judged
+    // by code point, not by char, or the whole word is dropped
+    val gothic = d.sparkSession.createDataFrame(Seq((5L, "𐌰𐌱 ok")))
+      .toDF("doc_id", "text")
+      .select(wordModelTokens(col("text")).as("t"))
+      .collect()(0).getSeq[String](0)
+    assert(gothic == Seq("𐌰𐌱", "ok"))
     // reference-style tolerance: tokenizers agree within a small margin on
     // ordinary text (tests/test_transformations.py:50 allows 42 <= n <= 43)
     val both = d.filter(col("text").isNotNull)
