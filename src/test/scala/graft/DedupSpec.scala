@@ -203,6 +203,10 @@ class DedupSpec extends AnyFunSuite {
     val strict = Dedup.decontaminate(train, eval, n = 3, minOverlap = 2)
       .collect().map(_.getLong(0)).toSeq
     assert(strict == Seq(3L))
+    // shuffle-join fallback (giant eval lists) is result-identical
+    val shuffled = Dedup.decontaminate(train, eval, n = 3, broadcastEval = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shuffled == hits)
   }
 
   test("redaction scrubs emails, urls, long numbers; counts audit them") {
