@@ -28,7 +28,11 @@ object Bench {
     // measures the engine, not JVM start.
     spark.read.parquet(s"$sfDir/nation.parquet").count()
     spark.range(1000000).selectExpr("sum(id)").collect()
-    val names = Queries.headlines
+    // Dev profiling hook: SPARK_GRAFT_BENCH_QUERIES="a,b" restricts the run
+    // to the named queries (any registry query, not just headlines).
+    val names = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Queries.headlines)
     // min of two runs per query: the machine shares cores with the round
     // driver, so single samples carry multi-second scheduling noise.
     val results = names.map { name =>
