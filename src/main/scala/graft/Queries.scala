@@ -1229,7 +1229,110 @@ object Queries {
         |SELECT CASE WHEN bk < 8000 THEN 'train' WHEN bk < 9000 THEN 'val'
         |       ELSE 'test' END AS split,
         |  lang, count(*) AS n, CAST(sum(ntok) AS BIGINT) AS n_tokens
-        |FROM b GROUP BY 1, 2 ORDER BY split, lang""".stripMargin))
+        |FROM b GROUP BY 1, 2 ORDER BY split, lang""".stripMargin)),
+
+    // Bloom-filter incremental dedup: a 4096-bit / 5-hash seen-set built
+    // over the first shard's content hashes (doc_id < 250 = "yesterday's
+    // corpus"), probed by every document — the constant-size membership
+    // structure that replaces a full corpus-vs-corpus join at 100 TB.
+    // No false negatives by construction; the oracle replays every bit.
+    "t_bloom" -> Q(
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val seen = docs.filter(col("doc_id") < 250).select(md5(col("text")).as("h"))
+        val bloom = Sketches.bloomBuild(seen, "h", numBits = 4096, numHashes = 5)
+        val probes = docs.select(col("doc_id"), md5(col("text")).as("h"))
+        Sketches.bloomMightContain(bloom, probes, "h", numBits = 4096, numHashes = 5)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH hh(i) AS (VALUES (0), (1), (2), (3), (4)),
+        |seen AS (SELECT md5(text) AS h FROM documents WHERE doc_id < 250),
+        |pos AS (SELECT ${sqlHash60("'b' || hh.i || chr(1) || h")} % 4096 AS p
+        |  FROM seen, hh),
+        |bloom AS (SELECT p // 32 AS word,
+        |    bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+        |  FROM pos GROUP BY 1),
+        |probes AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |pp AS (SELECT doc_id, h,
+        |    ${sqlHash60("'b' || hh.i || chr(1) || h")} % 4096 AS p
+        |  FROM probes, hh)
+        |SELECT pp.doc_id, pp.h,
+        |  (CAST(sum(CASE WHEN b.bits IS NOT NULL
+        |      AND (b.bits & (1::BIGINT << CAST(pp.p % 32 AS INT))) <> 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) = 5) AS might_contain
+        |FROM pp LEFT JOIN bloom b ON b.word = pp.p // 32
+        |GROUP BY pp.doc_id, pp.h ORDER BY pp.doc_id""".stripMargin)),
+
+    // HyperLogLog distinct-count sketch (p=8, 256 registers) over the order
+    // keys, next to the exact count it approximates. Registers are engine-
+    // exact integers; the estimator denominator is integer-scaled (every
+    // 2^-r term a power of two) so the single final division is the only
+    // float op. Sketch state is 64 rows regardless of corpus size.
+    "t_hll" -> Q(
+      (s, dir) => {
+        val li = rd(s, dir, "lineitem")
+        val regs = Sketches.hllRegisters(
+          li.select(col("l_orderkey").cast("string").as("k")), "k", p = 8)
+        Sketches.hllEstimate(regs, p = 8)
+          .crossJoin(li.agg(countDistinct(col("l_orderkey")).as("exact_distinct")))
+      },
+      Some(s"""WITH h AS (SELECT ${sqlHash60("CAST(l_orderkey AS VARCHAR)")} AS h
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL),
+        |rr AS (SELECT h % 256 AS register,
+        |    CASE WHEN h // 256 = 0 THEN 53 ELSE 53 - length(bin(h // 256)) END AS rank
+        |  FROM h),
+        |regs AS (SELECT register, max(rank) AS r FROM rr GROUP BY register),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_registers_hit,
+        |    CAST(sum(1::BIGINT << CAST(54 - r AS INT))
+        |      + (256 - count(*)) * (1::BIGINT << 54) AS BIGINT) AS denom_scaled
+        |  FROM regs)
+        |SELECT n_registers_hit, denom_scaled,
+        |  round(${"%.17g".format(Sketches.hllNumerator(8))} / denom_scaled, 2)
+        |    AS est_distinct,
+        |  (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem)
+        |    AS exact_distinct
+        |FROM agg""".stripMargin)),
+
+    // Fixed-width mergeable price histogram ($5000 bins over exact cents):
+    // constant-size distribution state, merge = bin-wise sum.
+    "t_histogram" -> Q(
+      (s, dir) =>
+        Sketches.histogram(rd(s, dir, "lineitem"), "l_extendedprice",
+            binCents = 500000L).orderBy("bin"),
+      Some("""WITH c AS (SELECT
+        |    CAST(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL)
+        |SELECT cents // 500000 AS bin,
+        |  CAST((cents // 500000) * 500000 AS BIGINT) AS lo_cents,
+        |  count(*) AS n
+        |FROM c GROUP BY 1, 2 ORDER BY bin""".stripMargin)),
+
+    // Histogram-derived quantiles (p25/p50/p90/p99 as per-mille points):
+    // integer thresholds ceil(total*q/1000) against the cumulative BIN
+    // table — the window runs over ~20 bins, never the data.
+    "t_histogram_quantiles" -> Q(
+      (s, dir) =>
+        Sketches.histogramQuantiles(
+          Sketches.histogram(rd(s, dir, "lineitem"), "l_extendedprice",
+            binCents = 500000L),
+          Seq(250, 500, 900, 990)).orderBy("qpm"),
+      Some("""WITH c AS (SELECT
+        |    CAST(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |hist AS (SELECT cents // 500000 AS bin,
+        |    CAST((cents // 500000) * 500000 AS BIGINT) AS lo_cents,
+        |    count(*) AS n
+        |  FROM c GROUP BY 1, 2),
+        |cum AS (SELECT bin, lo_cents,
+        |    CAST(sum(n) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(n) OVER () AS BIGINT) AS total
+        |  FROM hist),
+        |qq(qpm) AS (VALUES (250), (500), (900), (990))
+        |SELECT qq.qpm, min(lo_cents) AS lo_cents
+        |FROM cum, qq
+        |WHERE cum >= (total * qq.qpm + 999) // 1000
+        |GROUP BY qq.qpm ORDER BY qq.qpm""".stripMargin))
   )
 
   // ------------------------------------------------------------- SRP

@@ -80,4 +80,157 @@ object Sketches {
       .groupBy(keys.columns.toIndexedSeq.map(col): _*)
       .agg(min(coalesce(col("total"), lit(0L))).as("est_count"))
   }
+
+  // ------------------------------------------------------------------ bloom
+
+  /** Bloom bit position for hash function `i`: hash60("b<i>" + SOH + key)
+    * % numBits. Bits are packed 32 per BIGINT word (positions 0..31 keep
+    * `1 << bit` positive in both engines — no sign-bit edge cases). */
+  private def bloomPos(key: org.apache.spark.sql.Column, i: Int, numBits: Int) =
+    hash60(concat(lit(s"b$i"), lit(Sep), key)) % lit(numBits.toLong)
+
+  /** Build a Bloom filter over `keyCol`: (word, bits) with one row per
+    * non-empty 32-bit word — at most numBits/32 rows REGARDLESS of input
+    * size, the membership analog of the CMS: the at-scale "have we seen this
+    * key before" structure (incremental dedup against yesterday's corpus,
+    * URL seen-sets, ...) that ships as a broadcastable table instead of a
+    * second full corpus scan-and-join.
+    *
+    * Same algebraic properties as the CMS build: ONE map-side-combined
+    * groupBy; mergeable across shards with the same geometry (bit_or is
+    * idempotent + commutative — union sketches cell-wise via [[bloomMerge]]);
+    * engine-stable md5 positions, so the whole filter is SQL-replayable.
+    * No false negatives ever; false-positive rate ~ (1 - e^{-kn/m})^k.
+    * Null keys contribute no bits (and probe as not-contained). */
+  def bloomBuild(items: DataFrame, keyCol: String, numBits: Int = 4096,
+                 numHashes: Int = 5): DataFrame = {
+    require(numBits % 32 == 0 && numBits >= 32, "numBits must be a multiple of 32")
+    require(numHashes >= 1, "need numHashes >= 1")
+    val ps = array((0 until numHashes).map(i => bloomPos(col(keyCol), i, numBits)): _*)
+    items.filter(col(keyCol).isNotNull)
+      .select(explode(ps).as("p"))
+      .select((col("p") / lit(32L)).cast("long").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").as("mask"))
+      .groupBy("word").agg(expr("bit_or(mask)").as("bits"))
+  }
+
+  /** Merge Bloom filters of the SAME (numBits, numHashes) geometry:
+    * word-wise bit_or — how per-shard / per-day seen-sets compose. */
+  def bloomMerge(blooms: Seq[DataFrame]): DataFrame = {
+    require(blooms.nonEmpty, "need at least one bloom filter")
+    blooms.reduce(_ unionByName _)
+      .groupBy("word").agg(expr("bit_or(bits)").as("bits"))
+  }
+
+  /** Probe: appends `might_contain` to `probes` — true iff ALL numHashes
+    * bits are set. The filter side is broadcast (<= numBits/32 rows); the
+    * probe side streams through with no shuffle of its own beyond the final
+    * per-key aggregate. Typical composition: `mightContain(...).filter(
+    * !col("might_contain"))` = "definitely new" rows. */
+  def bloomMightContain(bloom: DataFrame, probes: DataFrame, keyCol: String,
+                        numBits: Int = 4096, numHashes: Int = 5): DataFrame = {
+    val ps = array((0 until numHashes).map(i => bloomPos(col(keyCol), i, numBits)): _*)
+    val hit = when(col("bits").isNotNull &&
+      col("bits").bitwiseAND(col("mask")) =!= 0, 1L).otherwise(0L)
+    probes.select(col("*"), explode(ps).as("p"))
+      .select(col("*"), (col("p") / lit(32L)).cast("long").as("pword"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").as("mask"))
+      .join(broadcast(bloom), col("pword") === bloom("word"), "left")
+      .groupBy(probes.columns.toIndexedSeq.map(col): _*)
+      .agg((sum(hit) === numHashes).as("might_contain"))
+  }
+
+  // -------------------------------------------------------------------- hll
+
+  /** HyperLogLog register table over `keyCol`: (register, r) with
+    * register = hash60(key) % 2^p and r = max over keys of
+    * (leading zeros of the remaining 60-p hash bits) + 1. At most 2^p rows
+    * regardless of input size; mergeable by `groupBy(register).max(r)` —
+    * the distinct-count analog of the CMS/Bloom family (cardinality of a
+    * multi-billion-key universe as a broadcastable table).
+    *
+    * The rank is pure integer arithmetic — `55 - length(bin(v))` for p=6 —
+    * so registers are engine-exact and SQL-replayable, unlike native
+    * HLL libraries with private seeds (approx_count_distinct). */
+  def hllRegisters(items: DataFrame, keyCol: String, p: Int = 6): DataFrame = {
+    require(p >= 2 && p <= 16, "need 2 <= p <= 16")
+    val vBits = 60 - p
+    val h = hash60(col(keyCol))
+    val v = shiftright(h, p) // top 60-p bits decide the rank
+    val rank = when(v === 0, lit(vBits + 1))
+      .otherwise(lit(vBits + 1) - length(bin(v)))
+    items.filter(col(keyCol).isNotNull)
+      .select((h % lit(1L << p)).as("register"), rank.as("rank"))
+      .groupBy("register").agg(max("rank").as("r"))
+  }
+
+  /** Raw HLL estimate from a register table: one row
+    * (n_registers_hit, denom_scaled, est_distinct).
+    *
+    * The harmonic-mean denominator sum(2^-r) is kept EXACT by integer
+    * scaling: denom_scaled = sum(2^(S - r)) + (m - hit) * 2^S with
+    * S = 62 - p (so m * 2^S = 2^62 never overflows), every term a power of
+    * two. The only float op is the final single division — deterministic
+    * across engines on exact inputs. Raw estimator only (no small/large
+    * range corrections — those are presentation; the REGISTERS are the
+    * mergeable contract). */
+  /** The scaled-estimator numerator alpha_m * m^2 * 2^(62-p), computed ONCE
+    * here so the Spark plan and a SQL oracle can embed the IDENTICAL double
+    * literal (format with %.17g — round-trip exact). */
+  def hllNumerator(p: Int): Double = {
+    val m = 1L << p
+    (0.7213 / (1.0 + 1.079 / m)) * m * m * math.pow(2.0, 62 - p)
+  }
+
+  def hllEstimate(registers: DataFrame, p: Int = 6): DataFrame = {
+    val m = 1L << p
+    val s = 62 - p // rank >= 1, so the exponent S - r stays within a long
+    val denom = sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($s - r AS INT))"))
+      .plus((lit(m) - count(lit(1))) * lit(1L << s))
+    registers.agg(count(lit(1)).as("n_registers_hit"),
+        denom.cast("long").as("denom_scaled"))
+      .withColumn("est_distinct",
+        round(lit(hllNumerator(p)) / col("denom_scaled"), 2))
+  }
+
+  // -------------------------------------------------------------- histogram
+
+  /** Fixed-width mergeable histogram of a money-like double column:
+    * (bin, lo_cents, n) where bin = floor(cents / binCents). Values go
+    * through the repo's exact-cents pattern (round to 2dp, DECIMAL, * 100)
+    * BEFORE the integer bin division, so bin edges are engine-exact — no
+    * float-boundary flicker. Constant-size state (range/binCents bins),
+    * one map-side-combined groupBy, merge = `groupBy(bin).sum(n)`: the
+    * quantile/distribution analog of the sketch family. */
+  def histogram(df: DataFrame, valueCol: String, binCents: Long): DataFrame = {
+    require(binCents >= 1, "need binCents >= 1")
+    val cents = (round(col(valueCol), 2).cast("decimal(18,2)") * 100).cast("long")
+    df.filter(col(valueCol).isNotNull)
+      .select(cents.as("cents"))
+      .select((col("cents") - pmod(col("cents"), lit(binCents))).cast("long").as("lo_cents"))
+      .groupBy((col("lo_cents") / lit(binCents)).cast("long").as("bin"),
+        col("lo_cents"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Quantiles from a histogram: for each requested per-mille point qpm,
+    * the lower edge of the first bin whose cumulative count reaches
+    * ceil(total * qpm / 1000) — all integer arithmetic (no float quantile
+    * positions). The cumulative window runs over the BIN table (at most
+    * range/binCents rows), never the data. Output: (qpm, lo_cents). */
+  def histogramQuantiles(hist: DataFrame, perMille: Seq[Int]): DataFrame = {
+    require(perMille.nonEmpty && perMille.forall(q => q >= 1 && q <= 1000),
+      "per-mille points must be in [1, 1000]")
+    import org.apache.spark.sql.expressions.Window
+    val cum = hist
+      .withColumn("cum", sum("n").over(Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum("n").over(Window.partitionBy()))
+    val qs = perMille.map(q => struct(lit(q).as("qpm"),
+      expr(s"CAST((total * $q + 999) DIV 1000 AS BIGINT)").as("need")))
+    cum.select(col("lo_cents"), col("cum"), explode(array(qs: _*)).as("q"))
+      .filter(col("cum") >= col("q.need"))
+      .groupBy(col("q.qpm").as("qpm"))
+      .agg(min("lo_cents").as("lo_cents"))
+  }
 }

@@ -50,4 +50,87 @@ class SketchesSpec extends AnyFunSuite {
     val w = whole.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(m == w)
   }
+
+  // ------------------------------------------------------------------ bloom
+
+  private lazy val keys100 = (0 until 100).map(i => Tuple1(s"key$i")).toDF("k")
+
+  test("bloom has no false negatives and a sane false-positive rate") {
+    val bloom = Sketches.bloomBuild(keys100, "k", numBits = 4096, numHashes = 5)
+    val probes = (0 until 300).map(i => Tuple1(s"key$i")).toDF("k")
+    val res = Sketches.bloomMightContain(bloom, probes, "k", 4096, 5)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    (0 until 100).foreach(i => assert(res(s"key$i"), s"false negative key$i"))
+    // 100 keys * 5 hashes in 4096 bits -> fp rate ~ (1-e^-0.122)^5 ~ 2e-5;
+    // 200 absent probes should essentially all read false.
+    val fps = (100 until 300).count(i => res(s"key$i"))
+    assert(fps <= 2, s"implausible false-positive count $fps")
+  }
+
+  test("merged shard blooms are word-identical to the whole-set bloom") {
+    val a = keys100.filter($"k" < "key5")
+    val b = keys100.filter($"k" >= "key5")
+    val merged = Sketches.bloomMerge(Seq(
+      Sketches.bloomBuild(a, "k", 1024, 3), Sketches.bloomBuild(b, "k", 1024, 3)))
+    val whole = Sketches.bloomBuild(keys100, "k", 1024, 3)
+    val m = merged.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = whole.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == w)
+  }
+
+  test("bloom null keys contribute no bits and probe as not-contained") {
+    val withNull = Seq(Some("a"), None, Some("b")).map(Tuple1(_)).toDF("k")
+    val bloom = Sketches.bloomBuild(withNull, "k", 1024, 3)
+    val clean = Sketches.bloomBuild(Seq("a", "b").map(Tuple1(_)).toDF("k"), "k", 1024, 3)
+    assert(bloom.collect().toSet == clean.collect().toSet)
+    val probed = Sketches.bloomMightContain(bloom, withNull, "k", 1024, 3)
+      .collect().map(r => Option(r.getString(0)) -> r.getBoolean(1)).toMap
+    assert(probed(Some("a")) && probed(Some("b")) && !probed(None))
+  }
+
+  // -------------------------------------------------------------------- hll
+
+  test("hll registers merge across shards; estimate tracks exact distinct") {
+    val keys = (0 until 5000).map(i => Tuple1(s"u$i")).toDF("k")
+    val a = keys.filter($"k" < "u3")
+    val b = keys.filter($"k" >= "u3")
+    val merged = Sketches.hllRegisters(a, "k", p = 8)
+      .unionByName(Sketches.hllRegisters(b, "k", p = 8))
+      .groupBy("register").agg(org.apache.spark.sql.functions.max("r").as("r"))
+    val whole = Sketches.hllRegisters(keys, "k", p = 8)
+    assert(merged.collect().toSet == whole.collect().toSet)
+    val est = Sketches.hllEstimate(whole, p = 8)
+      .select("est_distinct").head().getDouble(0)
+    // p=8 raw estimator: sigma ~ 1.04/sqrt(256) = 6.5%; allow 4 sigma.
+    assert(math.abs(est - 5000) / 5000 < 0.26, s"estimate $est too far from 5000")
+  }
+
+  test("hll duplicate keys do not move the estimate") {
+    val once = (0 until 1000).map(i => Tuple1(s"u$i")).toDF("k")
+    val thrice = ((0 until 1000) ++ (0 until 1000) ++ (0 until 1000))
+      .map(i => Tuple1(s"u$i")).toDF("k")
+    val e1 = Sketches.hllEstimate(Sketches.hllRegisters(once, "k", 8), 8).collect()
+    val e3 = Sketches.hllEstimate(Sketches.hllRegisters(thrice, "k", 8), 8).collect()
+    assert(e1.toSeq == e3.toSeq)
+  }
+
+  // -------------------------------------------------------------- histogram
+
+  test("histogram merge equals whole-data histogram; quantiles are exact bin edges") {
+    val vals = (1 to 1000).map(i => Tuple1(i.toDouble)).toDF("v")
+    val a = vals.filter($"v" <= 500)
+    val b = vals.filter($"v" > 500)
+    val merged = Sketches.histogram(a, "v", 10000L)
+      .unionByName(Sketches.histogram(b, "v", 10000L))
+      .groupBy("bin", "lo_cents").agg(org.apache.spark.sql.functions.sum("n").as("n"))
+    val whole = Sketches.histogram(vals, "v", 10000L)
+    assert(merged.collect().toSet == whole.collect().toSet)
+    // values 1..1000 dollars in $100 bins: bin k holds [100k, 100(k+1)),
+    // so cum(bin 4) = 99 + 4*100 = 499 < 500 and p50 lands in bin 5;
+    // p100.0 needs cum >= 1000, first reached at bin 10 (the lone v=1000).
+    val qs = Sketches.histogramQuantiles(whole, Seq(500, 1000))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(qs(500) == 50000L)
+    assert(qs(1000) == 100000L)
+  }
 }
