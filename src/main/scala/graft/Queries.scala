@@ -1714,6 +1714,40 @@ object Queries {
         |  CAST(round(CAST(sum(sv) AS BIGINT) / count(*), 0) AS BIGINT) / 1000000.0 AS centroid
         |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin)),
 
+    // Full k-means, two Lloyd rounds (k=8, lowest-id seeds): engine-exact
+    // integer distances and integer micro centroids, so the oracle replays
+    // BOTH rounds (assign -> update -> assign) as a CTE chain and the final
+    // assignment + exact squared distance hash-match.
+    "e_kmeans" -> Q(
+      (s, dir) =>
+        Similarity.kmeansFit(rd(s, dir, "embeddings"), k = 8, iters = 2)
+          .orderBy("id"),
+      Some("""WITH vm AS (SELECT vec_id,
+        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000, 0)) AS vm
+        |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+        |ve AS (SELECT vec_id, unnest(range(0, len(vm))) AS dim,
+        |    CAST(unnest(vm) AS BIGINT) AS v FROM vm),
+        |seeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl
+        |  FROM vm ORDER BY vec_id LIMIT 8),
+        |c0 AS (SELECT s.cl, ve.dim, ve.v AS cm
+        |  FROM seeds s JOIN ve ON s.vec_id = ve.vec_id),
+        |d1 AS (SELECT ve.vec_id, c.cl,
+        |    CAST(sum((ve.v - c.cm) * (ve.v - c.cm)) AS BIGINT) AS dist
+        |  FROM ve JOIN c0 c ON ve.dim = c.dim GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cl, dist,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn FROM d1),
+        |g1 AS (SELECT vec_id, cl FROM a1 WHERE rn = 1),
+        |c1 AS (SELECT g.cl, ve.dim,
+        |    CAST(round(CAST(sum(ve.v) AS BIGINT) / count(*), 0) AS BIGINT) AS cm
+        |  FROM g1 g JOIN ve ON g.vec_id = ve.vec_id GROUP BY 1, 2),
+        |d2 AS (SELECT ve.vec_id, c.cl,
+        |    CAST(sum((ve.v - c.cm) * (ve.v - c.cm)) AS BIGINT) AS dist
+        |  FROM ve JOIN c1 c ON ve.dim = c.dim GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, cl, dist,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn FROM d2)
+        |SELECT vec_id AS id, cl AS cluster, dist AS dist_sq
+        |FROM a2 WHERE rn = 1 ORDER BY id""".stripMargin)),
+
     // Vector column statistics: norms + per-label rollup (array math).
     "e_embed_stats" -> Q(
       (s, dir) =>

@@ -323,6 +323,72 @@ object Similarity {
         (round(col("s").cast("double") / col("n"), 0).cast("long") / 1e6)
           .as("centroid"))
 
+  /** Full k-means (Lloyd's algorithm) over the embedding column, engine-
+    * exact end to end: components are micro-scaled to integers ONCE
+    * (`round(v * 1e6)`, the [[labelCentroids]] contract), distances are
+    * exact integer squared-L2 (computed as |v|^2 - 2 v.c + |c|^2 through the
+    * codegen'd dot product — every term an exact integer below 2^53), and
+    * updated centroids are integer micro means (`round(sum / n)`), so a
+    * fixed-iteration run is bit-reproducible and SQL-replayable — no RNG,
+    * no float drift (`e_kmeans` replays 2 full Lloyd rounds in DuckDB).
+    *
+    * Scale shape per iteration: assignment is a ROW-LOCAL projection
+    * against k literal centroids (argmin via one array_sort of (dist,
+    * cluster) structs — no shuffle, no window), and the update is ONE
+    * map-side-combined groupBy collected to the driver at k x dim rows —
+    * bounded by the centroid count, never the corpus. Seeds are the k
+    * lowest-id vectors (the [[knnIvf]] coarse-quantizer convention). A
+    * cluster emptied by reassignment (possible with duplicate seed
+    * vectors) is dropped, like the SQL replay drops it.
+    *
+    * Output: (id, cluster, dist_sq) for the FINAL assignment round —
+    * cluster is the seed index, dist_sq the exact micro^2-scaled squared
+    * distance. `iters` counts assignment rounds (updates run between). */
+  def kmeansFit(corpus: DataFrame, k: Int = 8, iters: Int = 2,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && iters >= 1, "need k >= 1 and iters >= 1")
+    val vm = transform(col(vecCol), x => round(x.cast("double") * lit(1e6), 0))
+    val base = graft.core.CacheScope.persist(
+      corpus.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+        .select(col(idCol).as("id"), vm.as("vm"))
+        .withColumn("vm2", dot(col("vm"), col("vm"))))
+    var centroids: Seq[(Int, Array[Double])] =
+      base.orderBy("id").limit(k).select("vm").collect()
+        .toIndexedSeq.zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
+    if (centroids.isEmpty)
+      return base.select(col("id"), lit(0).as("cluster"), lit(0L).as("dist_sq"))
+        .limit(0)
+    var assigned: DataFrame = null
+    for (i <- 1 to iters) {
+      val ranked = array_sort(array(centroids.map { case (ci, cm) =>
+        val c2 = cm.map(x => x * x).sum // exact: integer-valued doubles
+        struct(
+          (col("vm2") - lit(2.0) * dot(col("vm"), typedlit(cm.toSeq)) + lit(c2))
+            .cast("long").as("dist"),
+          lit(ci).as("cl"))
+      }: _*))
+      assigned = base.withColumn("best", element_at(ranked, 1))
+        .select(col("id"), col("vm"),
+          col("best.cl").as("cluster"), col("best.dist").as("dist_sq"))
+      if (i < iters) {
+        // k x dim rows — bounded by geometry, not data.
+        val upd = assigned
+          .select(col("cluster"), posexplode(col("vm")).as(Seq("dim", "v")))
+          .groupBy("cluster", "dim")
+          .agg(sum(col("v").cast("long")).as("s"), count(lit(1)).as("n"))
+          .select(col("cluster"), col("dim"),
+            round(col("s").cast("double") / col("n"), 0).as("cm"))
+          .collect()
+        centroids = upd.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map {
+          case (cl, rows) =>
+            (cl, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
+        }
+      }
+    }
+    assigned.select(col("id"), col("cluster"), col("dist_sq"))
+  }
+
   /** Drop rows whose bucket holds more than `maxBucket` members: the hard
     * backstop against a degenerate bucket (all-equal vectors, adversarial
     * data) going quadratic. One extra linear groupBy; deterministic — a

@@ -229,4 +229,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(f1 == f2)
     assert(f1(1L).length == 8 && f1(1L).forall(v => v >= -0.5 && v < 0.5))
   }
+
+  test("kmeans: clusters separate well-separated groups and improve monotonically") {
+    // two tight groups far apart + the seeds inside them
+    val pts = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(10.0f, 10.0f)),
+      (3L, Array(0.1f, -0.1f)), (4L, Array(0.2f, 0.1f)),
+      (5L, Array(10.2f, 9.9f)), (6L, Array(9.8f, 10.1f))).toDF("vec_id", "embedding")
+    val a1 = Similarity.kmeansFit(pts, k = 2, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // seeds are ids 1 (cluster 0) and 2 (cluster 1): the origin group joins
+    // cluster 0, the (10,10) group joins cluster 1 already at round 1
+    assert(a1(1L) == 0 && a1(3L) == 0 && a1(4L) == 0)
+    assert(a1(2L) == 1 && a1(5L) == 1 && a1(6L) == 1)
+    def cost(iters: Int): Long = Similarity.kmeansFit(pts, k = 2, iters = iters)
+      .agg(sum("dist_sq")).head().getLong(0)
+    // Lloyd is monotone: moving centroids to the mean can only shrink cost
+    assert(cost(2) <= cost(1))
+    // deterministic: same input -> identical assignment
+    val again = Similarity.kmeansFit(pts, k = 2, iters = 2).collect().toSet
+    val first = Similarity.kmeansFit(pts, k = 2, iters = 2).collect().toSet
+    assert(again == first)
+    graft.core.CacheScope.release()
+  }
 }
