@@ -323,6 +323,26 @@ object Queries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // Z-order (Morton) layout key over (l_partkey, l_suppkey): the bit
+    // interleave behind multi-dimensional row-group skipping, replayed
+    // bit-for-bit by the oracle. Top-100 by the interleaved key.
+    "q_zorder" -> Q(
+      (s, dir) =>
+        rd(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            Layout.zorderKey(Seq(col("l_partkey"), col("l_suppkey")), bitsPer = 16)
+              .as("zkey"))
+          .orderBy("zkey", "l_orderkey", "l_linenumber").limit(100),
+      Some {
+        val zterms = (0 until 16).flatMap(i => Seq(
+          s"(((l_partkey >> $i) & 1) << ${2 * i})",
+          s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})")).mkString("\n    + ")
+        s"""SELECT l_orderkey, l_linenumber,
+        |  CAST($zterms AS BIGINT) AS zkey
+        |FROM lineitem
+        |ORDER BY zkey, l_orderkey, l_linenumber LIMIT 100""".stripMargin
+      }),
+
     // Distinct aggregation (A7 cardinality per group).
     "q_segment_stats" -> Q(
       (s, dir) =>
@@ -1048,6 +1068,33 @@ object Queries {
         |       ELSE 'test' END AS split,
         |  count(*) AS n
         |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)),
+
+    // Weighted (PPS) systematic sampling: selection probability
+    // proportional to token count, all-integer and hash-replayable —
+    // per-bucket cumulative lines + hash-derived point offsets, so the
+    // oracle recomputes exact membership.
+    "t_pps" -> Q(
+      (s, dir) => {
+        val withW = rd(s, dir, "documents")
+          .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+        Sampling.ppsSample(withW, "doc_id", "n_tokens", step = 2000, nBuckets = 8)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $ToksCte,
+        |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |    ${sqlHash60("CAST(doc_id AS VARCHAR) || ':pps'")} % 8 AS bucket
+        |  FROM toks),
+        |cum AS (SELECT doc_id, n_tokens,
+        |    bucket,
+        |    COALESCE(CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum
+        |  FROM base),
+        |sel AS (SELECT doc_id, n_tokens,
+        |    cum + 2000 - (${sqlHash60("'pps:off:' || CAST(bucket AS VARCHAR)")} % 2000) AS a
+        |  FROM cum)
+        |SELECT doc_id, n_tokens FROM sel
+        |WHERE (a + n_tokens - 1) // 2000 > (a - 1) // 2000
+        |ORDER BY doc_id""".stripMargin)),
 
     // Stratified deterministic sampling (the training-mix knob): keep 50%
     // of en, 25% of de, all other strata full.

@@ -99,4 +99,45 @@ object Sampling {
     }
     df.filter(bucket < round(rateExpr * 10000, 0).cast("long"))
   }
+
+  /** Weighted (probability-proportional-to-size) sampling, deterministic
+    * and all-integer: classic SYSTEMATIC PPS — lay every row's integer
+    * weight end to end on a line, drop a sampling point every `step` units,
+    * keep the rows whose interval contains a point. Selection probability
+    * is w/step (rows with w >= step are always kept — the PPS contract for
+    * oversize units); expected sample mass is total_w/step.
+    *
+    * Scale shape: ONE global line would need a global running sum (a
+    * single-partition window — the non-scalable shape), so rows are first
+    * hash-bucketed by id into `nBuckets` independent lines, each with its
+    * own hash-derived point offset — statistically identical (each bucket
+    * is an unbiased PPS sample of its own mass) and the running sum becomes
+    * a hash-partitioned window, the [[graft.operators.TextOps.packSequences]]
+    * pattern. All arithmetic is positive-integer (hash offsets, truncating
+    * division identical to floor), so membership is engine-exact and
+    * SQL-replayable — no u^(1/w) float keys, whose libm `ln`/`pow` differ
+    * across engines.
+    *
+    * Null-id rows are dropped, like [[stratifiedSample]] (no stable hash =
+    * no reproducible membership); null/negative weights are treated as 0
+    * (never selected, occupy no line). */
+  def ppsSample(df: DataFrame, idCol: String, weightCol: String, step: Long,
+                nBuckets: Int = 32, salt: String = "pps"): DataFrame = {
+    require(step >= 1 && nBuckets >= 1, "need step >= 1 and nBuckets >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__bucket").orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wt = greatest(coalesce(col(weightCol).cast("long"), lit(0L)), lit(0L))
+    val off = hash60(concat(lit(salt + ":off:"), col("__bucket").cast("string"))) % step
+    // interval [cum, cum+w) contains a point  <=>  floor((B-1)/step) >
+    // floor((A-1)/step) with A = cum + step - off (>= 1, so truncating DIV
+    // == floor in every engine), B = A + w.
+    df.filter(col(idCol).isNotNull)
+      .withColumn("__bucket", hashBucket(col(idCol), salt, nBuckets))
+      .withColumn("__w", wt)
+      .withColumn("__cum", coalesce(sum(col("__w")).over(w), lit(0L)))
+      .withColumn("__a", col("__cum") + lit(step) - off)
+      .filter(expr(s"(__a + __w - 1) DIV ${step}L > (__a - 1) DIV ${step}L"))
+      .drop("__bucket", "__w", "__cum", "__a")
+  }
 }

@@ -89,4 +89,30 @@ class SamplingSpec extends AnyFunSuite {
       Map.empty, defaultRate = 1.0)
     assert(kept.count() == 2 && kept.filter($"doc_id".isNull).count() == 0)
   }
+
+  test("ppsSample: probability proportional to weight, heavy rows always kept") {
+    // 2000 unit-weight rows + 5 rows heavier than the step
+    val light = (0 until 2000).map(i => (i.toLong, 10L))
+    val heavy = (10000 until 10005).map(i => (i.toLong, 1000L))
+    val df = (light ++ heavy).toDF("doc_id", "w")
+    val sel = Sampling.ppsSample(df, "doc_id", "w", step = 500, nBuckets = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // w >= step rows are ALWAYS selected (their interval spans a point)
+    (10000 until 10005).foreach(i => assert(sel.contains(i.toLong), s"heavy $i"))
+    // expected light selections = 2000*10/500 = 40; allow generous slack
+    val nLight = sel.count(_._1 < 10000)
+    assert(nLight >= 15 && nLight <= 80, s"implausible light-row count $nLight")
+    // deterministic: identical membership on a rerun
+    val again = Sampling.ppsSample(df, "doc_id", "w", step = 500, nBuckets = 8)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(again == sel.keySet)
+  }
+
+  test("ppsSample: zero/null weights never selected, null ids dropped") {
+    val df = Seq((Some(1L), Some(0L)), (Some(2L), None), (None, Some(100L)),
+      (Some(3L), Some(1000L))).toDF("doc_id", "w")
+    val sel = Sampling.ppsSample(df, "doc_id", "w", step = 100, nBuckets = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(sel == Set(3L))
+  }
 }
