@@ -148,6 +148,42 @@ object EventsStreaming {
       }
   }
 
+  /** Watermarked STREAM-STREAM interval join: correlate each `causeType`
+    * event with the same user's `effectType` events arriving within
+    * `maxDelayMs` after it (view -> click attribution, signup -> purchase
+    * conversion, ...). Both sides carry watermarks and the join predicate
+    * bounds event-time distance, which is exactly what lets Spark expire
+    * join state: a buffered cause row is droppable once the effect-side
+    * watermark passes `c_time + maxDelay` — state stays proportional to
+    * the delay window, never the stream history. The equi-key (`user_id`)
+    * hash-partitions both sides, so the join scales out like any keyed
+    * shuffle.
+    *
+    * Both inputs may be branches of the SAME source stream (a stream
+    * self-join — supported since Spark 2.3). Output: one row per
+    * (cause, effect) pair inside the window, with epoch-milli times.
+    * Batch-equivalence oracle: the identical join over a static read
+    * (StreamingSpec). */
+  def correlateStream(events: DataFrame, causeType: String, effectType: String,
+                      maxDelayMs: Long = 3600000L,
+                      watermark: String = "2 hours"): DataFrame = {
+    val cause = events.filter(col("event_type") === causeType)
+      .select(col("user_id").as("c_user"), col("event_id").as("cause_id"),
+        col("event_time").as("c_time"))
+      .withWatermark("c_time", watermark)
+    val effect = events.filter(col("event_type") === effectType)
+      .select(col("user_id").as("e_user"), col("event_id").as("effect_id"),
+        col("event_time").as("e_time"))
+      .withWatermark("e_time", watermark)
+    cause.join(effect,
+        col("c_user") === col("e_user") &&
+          col("e_time") >= col("c_time") &&
+          col("e_time") <= col("c_time") + expr(s"INTERVAL $maxDelayMs MILLISECONDS"))
+      .select(col("c_user").as("user_id"), col("cause_id"), col("effect_id"),
+        unix_millis(col("c_time")).as("cause_ms"),
+        unix_millis(col("e_time")).as("effect_ms"))
+  }
+
   /** Stream-static enrichment join — the streaming form of dimension
     * enrichment. Each arriving micro-batch equi-joins the static dimension
     * (re-planned per batch, broadcast when it fits); stateless — no

@@ -244,4 +244,33 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(s == b)
   }
+
+  test("stream-stream interval join == batch interval join (view -> click)") {
+    val streamed = EventsStreaming.runToMemory(spark, streamDir, "corr_test",
+      ev => EventsStreaming.correlateStream(ev, "view", "click",
+        maxDelayMs = 3600000L))
+    // batch oracle: the identical interval join over a static read
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("event_time", timestamp_millis(expr("ts div 1000000")))
+    val cause = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("c_user"), col("event_id").as("cause_id"),
+        col("event_time").as("c_time"))
+    val effect = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("e_user"), col("event_id").as("effect_id"),
+        col("event_time").as("e_time"))
+    val batch = cause.join(effect,
+        col("c_user") === col("e_user") &&
+          col("e_time") >= col("c_time") &&
+          col("e_time") <= col("c_time") + expr("INTERVAL 3600000 MILLISECONDS"))
+      .select(col("c_user").as("user_id"), col("cause_id"), col("effect_id"),
+        unix_millis(col("c_time")).as("cause_ms"),
+        unix_millis(col("e_time")).as("effect_ms"))
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    // a single micro-batch holds ALL data, so no pair is watermark-dropped:
+    // the streaming join must equal the batch join exactly — and be non-
+    // trivial (the synthetic stream has plenty of view->click pairs).
+    assert(b.nonEmpty)
+    assert(s == b, s"stream ${s.size} pairs vs batch ${b.size}")
+  }
 }
