@@ -1086,7 +1086,8 @@ object Queries {
         |  FROM toks),
         |cum AS (SELECT doc_id, n_tokens,
         |    bucket,
-        |    COALESCE(CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |    COALESCE(CAST(sum(n_tokens) OVER (PARTITION BY bucket
+        |      ORDER BY doc_id, n_tokens
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum
         |  FROM base),
         |sel AS (SELECT doc_id, n_tokens,
@@ -1304,9 +1305,9 @@ object Queries {
         |    ${sqlHash60("'b' || hh.i || chr(1) || h")} % 4096 AS p
         |  FROM probes, hh)
         |SELECT pp.doc_id, pp.h,
-        |  (CAST(sum(CASE WHEN b.bits IS NOT NULL
+        |  (CAST(min(CASE WHEN b.bits IS NOT NULL
         |      AND (b.bits & (1::BIGINT << CAST(pp.p % 32 AS INT))) <> 0
-        |      THEN 1 ELSE 0 END) AS BIGINT) = 5) AS might_contain
+        |      THEN 1 ELSE 0 END) AS BIGINT) = 1) AS might_contain
         |FROM pp LEFT JOIN bloom b ON b.word = pp.p // 32
         |GROUP BY pp.doc_id, pp.h ORDER BY pp.doc_id""".stripMargin)),
 

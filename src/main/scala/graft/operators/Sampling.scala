@@ -120,12 +120,21 @@ object Sampling {
     *
     * Null-id rows are dropped, like [[stratifiedSample]] (no stable hash =
     * no reproducible membership); null/negative weights are treated as 0
-    * (never selected, occupy no line). */
+    * (never selected, occupy no line).
+    *
+    * Determinism contract: the per-bucket line orders rows by (id, weight).
+    * With ids unique the selection is fully deterministic; with duplicate
+    * ids the weight tiebreaker still makes the selected MULTISET of
+    * (id, weight) rows deterministic (rows tied on both columns are
+    * indistinguishable, so whichever of them takes a sampling point yields
+    * the same output rows). Extra payload columns on rows tied on
+    * (id, weight) are the one remaining ambiguity — give such rows
+    * distinct ids if that matters. */
   def ppsSample(df: DataFrame, idCol: String, weightCol: String, step: Long,
                 nBuckets: Int = 32, salt: String = "pps"): DataFrame = {
     require(step >= 1 && nBuckets >= 1, "need step >= 1 and nBuckets >= 1")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__bucket").orderBy(col(idCol))
+      .partitionBy("__bucket").orderBy(col(idCol), col("__w"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val wt = greatest(coalesce(col(weightCol).cast("long"), lit(0L)), lit(0L))
     val off = hash60(concat(lit(salt + ":off:"), col("__bucket").cast("string"))) % step

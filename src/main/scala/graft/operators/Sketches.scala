@@ -123,10 +123,15 @@ object Sketches {
   }
 
   /** Probe: appends `might_contain` to `probes` — true iff ALL numHashes
-    * bits are set. The filter side is broadcast (<= numBits/32 rows); the
-    * probe side streams through with no shuffle of its own beyond the final
-    * per-key aggregate. Typical composition: `mightContain(...).filter(
-    * !col("might_contain"))` = "definitely new" rows. */
+    * bits are set, i.e. min over the probe's bit tests is a hit. (min, not
+    * sum == numHashes: the group collapses duplicate probe rows, and a
+    * duplicated row would accumulate k*numHashes hits — a false NEGATIVE
+    * under the sum formulation. min is multiplicity-blind.) The filter side
+    * is broadcast (<= numBits/32 rows); the probe side streams through with
+    * no shuffle of its own beyond the final per-key aggregate. Duplicate
+    * probe rows are collapsed to one output row per distinct row. Typical
+    * composition: `mightContain(...).filter(!col("might_contain"))` =
+    * "definitely new" rows. */
   def bloomMightContain(bloom: DataFrame, probes: DataFrame, keyCol: String,
                         numBits: Int = 4096, numHashes: Int = 5): DataFrame = {
     val ps = array((0 until numHashes).map(i => bloomPos(col(keyCol), i, numBits)): _*)
@@ -137,7 +142,7 @@ object Sketches {
         expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").as("mask"))
       .join(broadcast(bloom), col("pword") === bloom("word"), "left")
       .groupBy(probes.columns.toIndexedSeq.map(col): _*)
-      .agg((sum(hit) === numHashes).as("might_contain"))
+      .agg((min(hit) === 1L).as("might_contain"))
   }
 
   // -------------------------------------------------------------------- hll
@@ -164,6 +169,14 @@ object Sketches {
       .groupBy("register").agg(max("rank").as("r"))
   }
 
+  /** The scaled-estimator numerator alpha_m * m^2 * 2^(62-p), computed ONCE
+    * here so the Spark plan and a SQL oracle can embed the IDENTICAL double
+    * literal (format with %.17g — round-trip exact). */
+  def hllNumerator(p: Int): Double = {
+    val m = 1L << p
+    (0.7213 / (1.0 + 1.079 / m)) * m * m * math.pow(2.0, 62 - p)
+  }
+
   /** Raw HLL estimate from a register table: one row
     * (n_registers_hit, denom_scaled, est_distinct).
     *
@@ -174,14 +187,6 @@ object Sketches {
     * across engines on exact inputs. Raw estimator only (no small/large
     * range corrections — those are presentation; the REGISTERS are the
     * mergeable contract). */
-  /** The scaled-estimator numerator alpha_m * m^2 * 2^(62-p), computed ONCE
-    * here so the Spark plan and a SQL oracle can embed the IDENTICAL double
-    * literal (format with %.17g — round-trip exact). */
-  def hllNumerator(p: Int): Double = {
-    val m = 1L << p
-    (0.7213 / (1.0 + 1.079 / m)) * m * m * math.pow(2.0, 62 - p)
-  }
-
   def hllEstimate(registers: DataFrame, p: Int = 6): DataFrame = {
     val m = 1L << p
     val s = 62 - p // rank >= 1, so the exponent S - r stays within a long
@@ -208,8 +213,9 @@ object Sketches {
     df.filter(col(valueCol).isNotNull)
       .select(cents.as("cents"))
       .select((col("cents") - pmod(col("cents"), lit(binCents))).cast("long").as("lo_cents"))
-      .groupBy((col("lo_cents") / lit(binCents)).cast("long").as("bin"),
-        col("lo_cents"))
+      // integer DIV, not double /: for |cents| near 2^63 a double quotient
+      // can round to a bin inconsistent with the exact integer lo_cents
+      .groupBy(expr(s"lo_cents DIV ${binCents}L").as("bin"), col("lo_cents"))
       .agg(count(lit(1)).as("n"))
   }
 

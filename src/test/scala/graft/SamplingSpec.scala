@@ -108,6 +108,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(again == sel.keySet)
   }
 
+  test("ppsSample: duplicate ids select a deterministic multiset across partitionings") {
+    // same id, different weights: the (id, weight) window tiebreaker makes
+    // the selected multiset independent of physical row order (ADVICE r5)
+    val rows = (0 until 500).flatMap(i => Seq((i.toLong, 7L), (i.toLong, 13L)))
+    val df = rows.toDF("doc_id", "w")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.ppsSample(d, "doc_id", "w", step = 97, nBuckets = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    val a = run(df.repartition(3))
+    val b = run(df.orderBy($"w".desc, $"doc_id".desc).repartition(11))
+    assert(a == b, "selection multiset changed with physical row order")
+    assert(a.nonEmpty)
+  }
+
   test("ppsSample: zero/null weights never selected, null ids dropped") {
     val df = Seq((Some(1L), Some(0L)), (Some(2L), None), (None, Some(100L)),
       (Some(3L), Some(1000L))).toDF("doc_id", "w")

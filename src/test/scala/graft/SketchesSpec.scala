@@ -67,6 +67,19 @@ class SketchesSpec extends AnyFunSuite {
     assert(fps <= 2, s"implausible false-positive count $fps")
   }
 
+  test("duplicate probe rows keep the no-false-negative contract") {
+    // a duplicated member row used to accumulate 2*numHashes hits and read
+    // FALSE under the old sum(hit) == numHashes formulation (ADVICE r5)
+    val bloom = Sketches.bloomBuild(keys100, "k", 1024, 3)
+    val dupProbes = Seq("key1", "key1", "key1", "absent", "absent").map(Tuple1(_)).toDF("k")
+    val res = Sketches.bloomMightContain(bloom, dupProbes, "k", 1024, 3)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1))
+    assert(res.length == 2) // duplicates collapse to one row per distinct probe
+    val m = res.toMap
+    assert(m("key1"), "false negative on duplicated member probe")
+    assert(!m("absent"))
+  }
+
   test("merged shard blooms are word-identical to the whole-set bloom") {
     val a = keys100.filter($"k" < "key5")
     val b = keys100.filter($"k" >= "key5")
