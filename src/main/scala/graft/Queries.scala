@@ -900,7 +900,36 @@ object Queries {
         |SELECT s.doc_id, count(*) AS shared_ngrams
         |FROM sh s JOIN ev USING (sh)
         |WHERE s.doc_id % 31 <> 0
-        |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin))
+        |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // C4-style span-level corpus dedup: cut each document into 8-token
+    // chunks, keep only the FIRST corpus-wide occurrence of every chunk
+    // (ordered by doc_id, chunk_id — total), reassemble survivors. The
+    // dedup shuffle is partitioned by span hash; reassembly is one
+    // per-document groupBy. Oracle replays chunking + a first-occurrence
+    // window + ordered string_agg.
+    "t_span_dedup" -> Q(
+      (s, dir) => {
+        val chunks = TextOps.tokenChunks(rd(s, dir, "documents"), chunkTokens = 8)
+          .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+        Dedup.reassembleSpans(Dedup.dedupSpans(chunks), sep = " ")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $ToksCte,
+        |chunks AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |    array_to_string(t[CAST(i*8+1 AS INT):CAST(i*8+8 AS INT)], ' ') AS chunk_text
+        |  FROM toks, unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS u(i)
+        |  WHERE len(t) > 0),
+        |marked AS (SELECT doc_id, chunk_id, chunk_text,
+        |    row_number() OVER (PARTITION BY chunk_text
+        |      ORDER BY doc_id, chunk_id) = 1 AS keep
+        |  FROM chunks)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN keep THEN chunk_text END, ' '
+        |    ORDER BY chunk_id), '') AS clean_text,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   // ----------------------------------------------------- text analysis
@@ -1380,7 +1409,89 @@ object Queries {
         |SELECT qq.qpm, min(lo_cents) AS lo_cents
         |FROM cum, qq
         |WHERE cum >= (total * qq.qpm + 999) // 1000
-        |GROUP BY qq.qpm ORDER BY qq.qpm""".stripMargin))
+        |GROUP BY qq.qpm ORDER BY qq.qpm""".stripMargin)),
+
+    // Bloom-pruned join: the 100 TB join-prune pattern. A Bloom filter of
+    // the urgent-order keys (one broadcastable map row) drops ~4/5 of
+    // lineitem BEFORE its join shuffle, row-locally; the exact join then
+    // removes the false positives, so the result is IDENTICAL to the
+    // plain join — which is exactly what the oracle replays (the sketch
+    // is an invisible physical optimization, not a semantics change).
+    "q_bloom_join" -> Q(
+      (s, dir) => {
+        val urgent = rd(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+        val bloom = Sketches.bloomBuild(
+          urgent.select(col("o_orderkey").cast("string").as("k")), "k",
+          numBits = 32768, numHashes = 5)
+        val pruned = Sketches.bloomPrune(bloom,
+          rd(s, dir, "lineitem").withColumn("k", col("l_orderkey").cast("string")),
+          "k", numBits = 32768, numHashes = 5)
+        pruned.join(urgent, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_items"),
+            outd(sum(sdec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)))
+              .as("revenue"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag, count(*) AS n_items,
+        |  ${sqlSum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Per-group HLL: one independent 256-register sketch per event type
+    // (distinct users per type), estimate next to the exact count. Every
+    // register is oracle-replayed per group — same integer-exact
+    // denominator as t_hll, one groupBy regardless of user cardinality.
+    "t_hll_grouped" -> Q(
+      (s, dir) => {
+        val ev = events(s, dir)
+          .select(col("event_type"), col("user_id").cast("string").as("k"))
+        val est = Sketches.hllEstimateBy(
+          Sketches.hllRegistersBy(ev, Seq("event_type"), "k", p = 8),
+          Seq("event_type"), p = 8)
+        val exact = events(s, dir).groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("exact_distinct"))
+        est.join(exact, "event_type").orderBy("event_type")
+      },
+      Some(s"""WITH h AS (SELECT event_type,
+        |    ${sqlHash60("CAST(user_id AS VARCHAR)")} AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |rr AS (SELECT event_type, h % 256 AS register,
+        |    CASE WHEN h // 256 = 0 THEN 53 ELSE 53 - length(bin(h // 256)) END AS rank
+        |  FROM h),
+        |regs AS (SELECT event_type, register, max(rank) AS r
+        |  FROM rr GROUP BY 1, 2),
+        |agg AS (SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS n_registers_hit,
+        |    CAST(sum(1::BIGINT << CAST(54 - r AS INT))
+        |      + (256 - count(*)) * (1::BIGINT << 54) AS BIGINT) AS denom_scaled
+        |  FROM regs GROUP BY event_type)
+        |SELECT a.event_type, n_registers_hit, denom_scaled,
+        |  round(${"%.17g".format(Sketches.hllNumerator(8))} / denom_scaled, 2)
+        |    AS est_distinct,
+        |  x.exact_distinct
+        |FROM agg a JOIN (SELECT event_type,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        |  FROM events GROUP BY event_type) x USING (event_type)
+        |ORDER BY a.event_type""".stripMargin)),
+
+    // Inverted-index posting lists: (token, doc, tf, ascending position
+    // CSV, df) — the corpus search-index build. Token-partitioned
+    // aggregate + token-partitioned df window; no global sort anywhere.
+    "t_postings" -> Q(
+      (s, dir) =>
+        TextRanking.postings(rd(s, dir, "documents"))
+          .orderBy("token", "doc_id"),
+      Some(s"""WITH $ToksCte, $StreamCte,
+        |pl AS (SELECT token, doc_id, count(*) AS tf,
+        |    string_agg(pos, ',' ORDER BY pos) AS positions
+        |  FROM stream GROUP BY token, doc_id)
+        |SELECT token, doc_id, tf, positions,
+        |  CAST(count(*) OVER (PARTITION BY token) AS BIGINT) AS df
+        |FROM pl ORDER BY token, doc_id""".stripMargin))
   )
 
   // ------------------------------------------------------------- SRP

@@ -145,6 +145,35 @@ object Sketches {
       .agg((min(hit) === 1L).as("might_contain"))
   }
 
+  /** Row-level Bloom PRE-FILTER for join pruning — the at-scale pattern the
+    * whole filter exists for: before shuffling a 100 TB fact table into a
+    * join, drop every row whose key cannot be on the build side. Unlike
+    * [[bloomMightContain]] (a per-distinct-key membership REPORT), this
+    * keeps the probe side's row multiplicity and schema: the filter
+    * collapses to ONE broadcast map row (word -> bits, <= numBits/32
+    * entries) and each probe row tests its k bit positions row-locally —
+    * no groupBy, no shuffle, no change to downstream plan shape.
+    *
+    * No false negatives, so composing with the exact join afterwards is
+    * result-identical to the un-pruned join (q_bloom_join proves it
+    * against the plain-join oracle); false positives only cost the exact
+    * join some extra rows. Null keys never pass (a null cannot equi-join
+    * anyway). */
+  def bloomPrune(bloom: DataFrame, probes: DataFrame, keyCol: String,
+                 numBits: Int = 4096, numHashes: Int = 5): DataFrame = {
+    val bm = bloom.agg(
+      map_from_entries(collect_list(struct(col("word"), col("bits")))).as("__bw"))
+    val hits = (0 until numHashes).map { i =>
+      val p = bloomPos(col(keyCol), i, numBits)
+      coalesce(element_at(col("__bw"), (p / lit(32L)).cast("long")), lit(0L))
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          (p % lit(32L)).cast("int"))) =!= lit(0L)
+    }
+    probes.crossJoin(broadcast(bm))
+      .filter(hits.reduce(_ && _))
+      .drop("__bw")
+  }
+
   // -------------------------------------------------------------------- hll
 
   /** HyperLogLog register table over `keyCol`: (register, r) with
@@ -157,7 +186,17 @@ object Sketches {
     * The rank is pure integer arithmetic — `55 - length(bin(v))` for p=6 —
     * so registers are engine-exact and SQL-replayable, unlike native
     * HLL libraries with private seeds (approx_count_distinct). */
-  def hllRegisters(items: DataFrame, keyCol: String, p: Int = 6): DataFrame = {
+  def hllRegisters(items: DataFrame, keyCol: String, p: Int = 6): DataFrame =
+    hllRegistersBy(items, Nil, keyCol, p)
+
+  /** Per-GROUP HLL register tables: one independent 2^p-register sketch per
+    * distinct `groupCols` value, built in a single map-side-combined
+    * groupBy — the "distinct users per hour / distinct tokens per
+    * language" shape. Each group's rows merge with any other sketch of the
+    * same geometry exactly like the global form (groupBy(group, register)
+    * max(r)), so per-shard per-group sketches compose too. */
+  def hllRegistersBy(items: DataFrame, groupCols: Seq[String], keyCol: String,
+                     p: Int = 6): DataFrame = {
     require(p >= 2 && p <= 16, "need 2 <= p <= 16")
     val vBits = 60 - p
     val h = hash60(col(keyCol))
@@ -165,8 +204,10 @@ object Sketches {
     val rank = when(v === 0, lit(vBits + 1))
       .otherwise(lit(vBits + 1) - length(bin(v)))
     items.filter(col(keyCol).isNotNull)
-      .select((h % lit(1L << p)).as("register"), rank.as("rank"))
-      .groupBy("register").agg(max("rank").as("r"))
+      .select(groupCols.map(col) ++ Seq((h % lit(1L << p)).as("register"),
+        rank.as("rank")): _*)
+      .groupBy((groupCols :+ "register").map(col): _*)
+      .agg(max("rank").as("r"))
   }
 
   /** The scaled-estimator numerator alpha_m * m^2 * 2^(62-p), computed ONCE
@@ -187,12 +228,21 @@ object Sketches {
     * across engines on exact inputs. Raw estimator only (no small/large
     * range corrections — those are presentation; the REGISTERS are the
     * mergeable contract). */
-  def hllEstimate(registers: DataFrame, p: Int = 6): DataFrame = {
+  def hllEstimate(registers: DataFrame, p: Int = 6): DataFrame =
+    hllEstimateBy(registers, Nil, p)
+
+  /** Per-group raw estimate over a [[hllRegistersBy]] table: one row per
+    * group value (the empty-group case degenerates to [[hllEstimate]]).
+    * Same exact integer-scaled denominator; the register aggregate is the
+    * only shuffle and its input is at most 2^p rows per group. */
+  def hllEstimateBy(registers: DataFrame, groupCols: Seq[String],
+                    p: Int = 6): DataFrame = {
     val m = 1L << p
     val s = 62 - p // rank >= 1, so the exponent S - r stays within a long
     val denom = sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($s - r AS INT))"))
       .plus((lit(m) - count(lit(1))) * lit(1L << s))
-    registers.agg(count(lit(1)).as("n_registers_hit"),
+    registers.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_registers_hit"),
         denom.cast("long").as("denom_scaled"))
       .withColumn("est_distinct",
         round(lit(hllNumerator(p)) / col("denom_scaled"), 2))

@@ -131,4 +131,24 @@ object TextRanking {
       .filter(col("rank") <= k)
       .select(col(idCol), col("rank"), col("token"), col("tfidf"))
   }
+
+  /** Inverted-index posting lists — the search-index build over a corpus:
+    * one row per (token, doc) with term frequency, the ascending position
+    * list (CSV string: flat, parquet-friendly, engine-comparable), and the
+    * token's document frequency. Everything is token-partitioned: one
+    * tokenize + one hash aggregate builds the lists, and the df window runs
+    * within each token's postings — no global sort, no driver state. At
+    * 100 TB the output IS the index: write it bucketed by token and term
+    * lookups become single-bucket scans. */
+  def postings(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val byToken = Window.partitionBy("token")
+    TextOps.tokenStream(docs, idCol, textCol)
+      .groupBy(col("token"), col(idCol))
+      .agg(count(lit(1)).as("tf"),
+        concat_ws(",",
+          transform(array_sort(collect_list(col("pos"))), _.cast("string")))
+          .as("positions"))
+      .withColumn("df", count(lit(1)).over(byToken))
+  }
 }

@@ -221,4 +221,42 @@ class DedupSpec extends AnyFunSuite {
     assert(audit.getAs[Long]("n_urls") == 1L)
     assert(audit.getAs[Long]("n_longnums") == 1L)
   }
+
+  test("dedupSpans keeps exactly the first corpus-wide occurrence of a span") {
+    val spans = Seq(
+      (1L, 0L, "alpha beta"), (1L, 1L, "gamma delta"),
+      (2L, 0L, "gamma delta"), (2L, 1L, "epsilon zeta"),
+      (3L, 0L, "alpha beta"), (3L, 1L, "alpha beta"), // dup within doc too
+      (3L, 2L, "unique tail")).toDF("doc_id", "chunk_id", "chunk_text")
+    val keep = Dedup.dedupSpans(spans).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(3)).toMap
+    assert(keep == Map(
+      (1L, 0L) -> true, (1L, 1L) -> true,
+      (2L, 0L) -> false, (2L, 1L) -> true,
+      (3L, 0L) -> false, (3L, 1L) -> false, (3L, 2L) -> true))
+  }
+
+  test("reassembleSpans rebuilds in span order; all-dropped doc -> empty text") {
+    val marked = Seq(
+      (1L, 2L, "c", true), (1L, 1L, "b", false), (1L, 0L, "a", true),
+      (2L, 0L, "x", false))
+      .toDF("doc_id", "chunk_id", "chunk_text", "keep")
+    val out = Dedup.reassembleSpans(marked).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ("a c", 2L, 1L))
+    assert(out(2L) == ("", 0L, 1L))
+  }
+
+  test("dedupLines drops repeated long lines, keeps short boilerplate") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over\n--\nunique first line"),
+      (2L, "the quick brown fox jumps over\n--\nits own second line"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupLines(d, minChars = 5).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1 keeps everything; doc 2 loses the repeated long line but keeps
+    // the sub-minChars "--" separator
+    assert(out(1L) == ("the quick brown fox jumps over\n--\nunique first line", 3L, 0L))
+    assert(out(2L) == ("--\nits own second line", 2L, 1L))
+  }
 }

@@ -101,6 +101,30 @@ class SketchesSpec extends AnyFunSuite {
     assert(probed(Some("a")) && probed(Some("b")) && !probed(None))
   }
 
+  test("bloomPrune keeps row multiplicity and schema; join result identical") {
+    val bloom = Sketches.bloomBuild(keys100, "k", 4096, 5)
+    // 3 copies of a member + absent keys, extra payload column
+    val probes = (Seq("key1", "key1", "key1") ++ (100 until 200).map(i => s"key$i"))
+      .zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "payload")
+    val pruned = Sketches.bloomPrune(bloom, probes, "k", 4096, 5)
+    assert(pruned.columns.toSeq == Seq("k", "payload"))
+    val kept = pruned.collect()
+    // all 3 duplicate member rows survive (no false negatives, no collapse)
+    assert(kept.count(_.getString(0) == "key1") == 3)
+    // composed with the exact join, pruning never changes the result
+    val members = keys100.withColumnRenamed("k", "m")
+    val plain = probes.join(members, $"k" === $"m").collect().toSeq
+    val viaBloom = pruned.join(members, $"k" === $"m").collect().toSeq
+    assert(plain.sortBy(_.toString) == viaBloom.sortBy(_.toString))
+  }
+
+  test("bloomPrune null keys never pass") {
+    val bloom = Sketches.bloomBuild(keys100, "k", 1024, 3)
+    val probes = Seq(Some("key1"), None, Some("key2")).map(Tuple1(_)).toDF("k")
+    val kept = Sketches.bloomPrune(bloom, probes, "k", 1024, 3).collect()
+    assert(kept.map(_.getString(0)).toSet == Set("key1", "key2"))
+  }
+
   // -------------------------------------------------------------------- hll
 
   test("hll registers merge across shards; estimate tracks exact distinct") {
@@ -125,6 +149,22 @@ class SketchesSpec extends AnyFunSuite {
     val e1 = Sketches.hllEstimate(Sketches.hllRegisters(once, "k", 8), 8).collect()
     val e3 = Sketches.hllEstimate(Sketches.hllRegisters(thrice, "k", 8), 8).collect()
     assert(e1.toSeq == e3.toSeq)
+  }
+
+  test("grouped hll: each group's registers equal an independent global sketch") {
+    val ab = ((0 until 800).map(i => ("a", s"u$i")) ++
+      (0 until 50).map(i => ("b", s"v$i"))).toDF("g", "k")
+    val grouped = Sketches.hllRegistersBy(ab, Seq("g"), "k", p = 6)
+    val aOnly = Sketches.hllRegisters(ab.filter($"g" === "a"), "k", p = 6)
+    val bOnly = Sketches.hllRegisters(ab.filter($"g" === "b"), "k", p = 6)
+    assert(grouped.filter($"g" === "a").drop("g").collect().toSet ==
+      aOnly.collect().toSet)
+    assert(grouped.filter($"g" === "b").drop("g").collect().toSet ==
+      bOnly.collect().toSet)
+    val est = Sketches.hllEstimateBy(grouped, Seq("g"), p = 6)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // raw estimator at p=6: sigma ~ 13%; just check the groups separate
+    assert(est("a") > 4 * est("b"))
   }
 
   // -------------------------------------------------------------- histogram

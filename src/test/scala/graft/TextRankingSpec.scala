@@ -70,4 +70,18 @@ class TextRankingSpec extends AnyFunSuite {
     assert(kw.groupBy(_._1).forall { case (_, rs) =>
       rs.map(_._2).sorted.toSeq == (1L to rs.length) })
   }
+
+  test("postings: tf, ascending positions, df across docs") {
+    val d = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry")).toDF("doc_id", "text")
+    val pl = TextRanking.postings(d).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getString(3), r.getLong(4))).toMap
+    assert(pl(("apple", 1L)) == (2L, "1,3", 1L))
+    assert(pl(("banana", 1L)) == (1L, "2", 2L))
+    assert(pl(("banana", 2L)) == (1L, "1", 2L))
+    assert(pl(("cherry", 2L)) == (1L, "2", 1L))
+    assert(pl.size == 4)
+  }
 }
