@@ -55,10 +55,21 @@ object Ids {
   /** Append a dense `nc:id: long` numbered 0.. in ascending `orderCol`
     * order. Deterministic across runs given equal input data. */
   def assignDense(df: DataFrame, orderCol: String = "@id",
-                  idName: String = "nc:id"): DataFrame = {
-    val sorted = df.repartitionByRange(df.sparkSession.sessionState.conf.numShufflePartitions,
-        df(orderCol))
-      .sortWithinPartitions(orderCol)
+                  idName: String = "nc:id"): DataFrame =
+    denseRankBy(df, Seq(df(orderCol)), idName)
+
+  /** The general two-phase global rank: append `idName: long` numbered 0..
+    * in `sortExprs` order (any mix of asc/desc columns; make the order
+    * TOTAL — include a unique tie-break column — for run-identical ids).
+    * Range-partition by the sort key, sort within partitions, then
+    * `zipWithIndex` (per-partition counts prefix-summed on the driver —
+    * one long per partition). Replaces `row_number() OVER (ORDER BY ...)`,
+    * whose single-partition window is the classic 100 TB scale-killer. */
+  def denseRankBy(df: DataFrame, sortExprs: Seq[org.apache.spark.sql.Column],
+                  idName: String): DataFrame = {
+    val sorted = df.repartitionByRange(
+        df.sparkSession.sessionState.conf.numShufflePartitions, sortExprs: _*)
+      .sortWithinPartitions(sortExprs: _*)
     val schema = StructType(sorted.schema.fields :+ StructField(idName, LongType, nullable = false))
     val rdd = sorted.rdd.zipWithIndex().map { case (row, idx) =>
       Row.fromSeq(row.toSeq :+ idx)

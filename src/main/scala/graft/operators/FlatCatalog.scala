@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Frequency-ordered dictionary encoding and 1NF "flat catalog" export —
@@ -16,13 +15,14 @@ import org.apache.spark.sql.functions._
 object FlatCatalog {
 
   /** Lookup table for one column: (value, count, id); id 0.. by freq desc,
-    * value asc tie-break. The rank window runs over the distinct-value table
-    * (cardinality-bounded), not the corpus. */
+    * value asc tie-break. The rank runs over the distinct-value table
+    * (cardinality-bounded), not the corpus, and uses the two-phase
+    * range-partitioned scheme (`Ids.denseRankBy`) — no single-partition
+    * window even for high-cardinality dictionaries. */
   def dictionary(df: DataFrame, colName: String): DataFrame =
-    df.groupBy(col(colName).as("value"))
-      .agg(count(lit(1)).as("count"))
-      .withColumn("id",
-        row_number().over(Window.orderBy(desc("count"), asc("value"))).cast("long") - 1)
+    graft.core.Ids.denseRankBy(
+      df.groupBy(col(colName).as("value")).agg(count(lit(1)).as("count")),
+      Seq(desc("count"), asc("value")), "id")
 
   /** fastcat: numeric-only projection — id column plus each dictionary
     * column replaced by its dense id via broadcast join (A10's

@@ -101,33 +101,32 @@ object TextOps {
 
   /** total_wordcounts: corpus-wide token -> (count, wordid), frequency-ranked
     * desc with token as deterministic tie-break, capped at `cap`
-    * (A5/W2/O3, corpus.py:186-245). The rank is a single-partition window
-    * over at most `cap` rows — the heavy lifting (groupBy.sum) is fully
-    * distributed, and the top-k is planned as TakeOrderedAndProject.
-    */
+    * (A5/W2/O3, corpus.py:186-245). The heavy lifting (groupBy.sum) is one
+    * distributed aggregate; the rank is the two-phase range-partitioned
+    * scheme (`Ids.denseRankBy`) — no single-partition window, no
+    * driver-side top-k merge, so a billion-type token universe ranks with
+    * ordinary parallelism. */
   def totalWordcounts(docs: DataFrame, cap: Int = VocabCap,
-                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val counts = docs
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    rankVocab(docs
       .select(explode(tokens(col(textCol))).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("count"))
-      .orderBy(desc("count"), asc("token"))
-      .limit(cap)
-    // wordid over the already-truncated top-k: bounded single-partition work.
-    counts.withColumn("wordid",
-      row_number().over(Window.orderBy(desc("count"), asc("token"))).cast("long") - 1)
-  }
+      .groupBy("token").agg(count(lit(1)).as("count")), cap)
 
   /** Vocabulary derived from an existing per-document unigram table (one
     * tokenize pass feeds both the counts and the vocabulary):
     * sum per-doc counts -> rank -> cap. Identical result to
     * [[totalWordcounts]]. */
-  def vocabFromUnigrams(uni: DataFrame, cap: Int = VocabCap): DataFrame = {
-    val counts = uni.groupBy("token").agg(sum("count").as("count"))
-      .orderBy(desc("count"), asc("token"))
-      .limit(cap)
-    counts.withColumn("wordid",
-      row_number().over(Window.orderBy(desc("count"), asc("token"))).cast("long") - 1)
-  }
+  def vocabFromUnigrams(uni: DataFrame, cap: Int = VocabCap): DataFrame =
+    rankVocab(uni.groupBy("token").agg(sum("count").as("count")), cap)
+
+  /** Shared rank-and-cap tail: wordid = dense global rank by (count desc,
+    * token asc) — total order, so run-identical — truncated to the top
+    * `cap`. Filtering AFTER the distributed rank is row-identical to
+    * ranking a pre-truncated top-k, without materializing a global top-k
+    * anywhere. */
+  private def rankVocab(counts: DataFrame, cap: Int): DataFrame =
+    graft.core.Ids.denseRankBy(counts, Seq(desc("count"), asc("token")), "wordid")
+      .filter(col("wordid") < cap)
 
   /** encoded unigram counts: token replaced by its frequency-rank wordid via
     * a broadcast hash join against the (<=1M row) vocabulary
