@@ -1907,6 +1907,61 @@ object Queries {
         |SELECT vec_id AS id, cl AS cluster, dist AS dist_sq
         |FROM a2 WHERE rn = 1 ORDER BY id""".stripMargin)),
 
+    // Product quantization + asymmetric-distance search, engine-exact end
+    // to end: 4 subspaces x 16 codes trained per-subspace (seed -> assign
+    // -> integer micro mean -> re-assign), corpus encoded to 4 small ints
+    // per vector, then ADC top-5 for 5 queries via a broadcast partial-
+    // distance table. The oracle replays ALL of it — training, encoding,
+    // distance tables, ranking — as one CTE chain of exact integers.
+    "e_pq_adc" -> Q(
+      (s, dir) => {
+        val emb = rd(s, dir, "embeddings")
+        val model = Similarity.pqFit(emb, m = 4, k = 16, dim = 64)
+        Similarity.pqAdcSearch(model, emb.filter(col("vec_id") < 5),
+            topk = 5, m = 4, dim = 64)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH vm AS (SELECT vec_id,
+        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000, 0)) AS vm
+        |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+        |ve AS (SELECT vec_id, unnest(range(0, len(vm))) AS dim,
+        |    CAST(unnest(vm) AS BIGINT) AS v FROM vm),
+        |seeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+        |  FROM vm ORDER BY vec_id LIMIT 16),
+        |c0 AS (SELECT s.code, ve.dim, ve.v AS cm
+        |  FROM seeds s JOIN ve ON s.vec_id = ve.vec_id),
+        |d1 AS (SELECT ve.vec_id, ve.dim // 16 AS sub, c.code,
+        |    CAST(sum((ve.v - c.cm) * (ve.v - c.cm)) AS BIGINT) AS dist
+        |  FROM ve JOIN c0 c ON ve.dim = c.dim GROUP BY 1, 2, 3),
+        |g1 AS (SELECT vec_id, sub, code FROM (
+        |    SELECT vec_id, sub, code,
+        |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |c1 AS (SELECT g.sub, g.code, ve.dim,
+        |    CAST(round(CAST(sum(ve.v) AS BIGINT) / count(*), 0) AS BIGINT) AS cm
+        |  FROM g1 g JOIN ve ON g.vec_id = ve.vec_id AND ve.dim // 16 = g.sub
+        |  GROUP BY 1, 2, 3),
+        |d2 AS (SELECT ve.vec_id, c.sub, c.code,
+        |    CAST(sum((ve.v - c.cm) * (ve.v - c.cm)) AS BIGINT) AS dist
+        |  FROM ve JOIN c1 c ON ve.dim = c.dim GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, sub, code FROM (
+        |    SELECT vec_id, sub, code,
+        |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+        |    FROM d2) WHERE rn = 1),
+        |qe AS (SELECT vec_id AS query_id, dim, v FROM ve WHERE vec_id < 5),
+        |dtab AS (SELECT qe.query_id, c.sub, c.code,
+        |    CAST(sum((qe.v - c.cm) * (qe.v - c.cm)) AS BIGINT) AS pdist
+        |  FROM qe JOIN c1 c ON qe.dim = c.dim GROUP BY 1, 2, 3),
+        |adc AS (SELECT t.query_id, k.vec_id AS neighbor_id,
+        |    CAST(sum(t.pdist) AS BIGINT) AS adist
+        |  FROM codes k JOIN dtab t ON k.sub = t.sub AND k.code = t.code
+        |  WHERE t.query_id <> k.vec_id GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, adist, rank FROM (
+        |  SELECT query_id, neighbor_id, adist,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+        |  FROM adc) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin)),
+
     // Vector column statistics: norms + per-label rollup (array math).
     "e_embed_stats" -> Q(
       (s, dir) =>

@@ -389,6 +389,149 @@ object Similarity {
     assigned.select(col("id"), col("cluster"), col("dist_sq"))
   }
 
+  // ------------------------------------------------------------------- PQ
+
+  /** Product quantization — the memory side of a 100 TB ANN index: each
+    * vector is cut into `m` subspaces and every subspace is vector-
+    * quantized against its own `k`-codeword codebook, so a d-dim float
+    * vector stores as m small ints (m=4, k=16: ONE byte per 64-dim vector
+    * vs 256 — the inverted list payload that actually fits in RAM).
+    *
+    * Training is per-subspace Lloyd with the library's engine-exact
+    * arithmetic (components micro-scaled to integers once, exact integer
+    * squared-L2, integer micro means — the [[kmeansFit]] contract), seeded
+    * by the k lowest-id vectors' subvectors: no RNG, bit-reproducible,
+    * fully SQL-replayable (`e_pq_adc` replays train + encode + search).
+    *
+    * Scale shape: both assignment rounds are ROW-LOCAL projections against
+    * literal codebooks (no shuffle); the one Lloyd update is a map-side-
+    * combined groupBy collected at m*k*(d/m) = k*d rows — bounded by
+    * geometry, never the corpus. */
+  object Pq {
+    /** Trained state: codes = (id, sub, code, dist_sq) — the encoded
+      * corpus; codebooks = (sub, code, micro-int codeword) after one Lloyd
+      * update (codes emptied by reassignment are dropped, like kmeans). */
+    final case class Model(codes: DataFrame,
+                           codebooks: Seq[(Int, Int, Array[Double])])
+  }
+
+  /** Train (seed -> assign -> mean update) and encode (final assignment
+    * against the updated codebooks). `dim` must be divisible by `m`. */
+  def pqFit(corpus: DataFrame, m: Int = 4, k: Int = 16, dim: Int = -1,
+            idCol: String = "vec_id", vecCol: String = "embedding"): Pq.Model = {
+    val d = if (dim > 0) dim else sniffDim(corpus, vecCol)
+    require(d % m == 0, s"dim $d not divisible by m subspaces $m")
+    val dsub = d / m
+    val vm = transform(col(vecCol), x => round(x.cast("double") * lit(1e6), 0))
+    val base = graft.core.CacheScope.persist(
+      corpus.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+        .select(col(idCol).as("id"), vm.as("vm")))
+    // one row per (vector, subspace): the unit PQ quantizes
+    val subbed = base.select(col("id"),
+      explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"),
+          slice(col("vm"), s * dsub + 1, dsub).as("sv"))): _*)).as("e"))
+      .select(col("id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+    val seedRows = base.orderBy("id").limit(k).select("vm").collect()
+      .map(_.getSeq[Double](0).toArray)
+    if (seedRows.isEmpty)
+      return Pq.Model(
+        subbed.select(col("id"), col("sub"), lit(0).as("code"),
+          lit(0L).as("dist_sq")).limit(0), Nil)
+    val c0: IndexedSeq[IndexedSeq[(Int, Array[Double])]] =
+      (0 until m).map(s => seedRows.toIndexedSeq.zipWithIndex.map {
+        case (v, ci) => (ci, v.slice(s * dsub, (s + 1) * dsub)) })
+    val a1 = assignSubCodes(subbed, c0, m)
+    // one Lloyd update: integer micro means per (sub, code, dim) —
+    // k * d rows total, bounded by geometry
+    val upd = a1
+      .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("dim", "v")))
+      .groupBy("sub", "code", "dim")
+      .agg(sum(col("v").cast("long")).as("s"), count(lit(1)).as("n"))
+      .select(col("sub"), col("code"), col("dim"),
+        round(col("s").cast("double") / col("n"), 0).as("cm"))
+      .collect()
+    val c1: IndexedSeq[IndexedSeq[(Int, Array[Double])]] =
+      (0 until m).map { s =>
+        upd.filter(_.getInt(0) == s).groupBy(_.getInt(1)).toIndexedSeq
+          .sortBy(_._1).map { case (code, rows) =>
+            (code, rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray) }
+      }
+    val codes = assignSubCodes(subbed, c1, m)
+      .select(col("id"), col("sub"), col("code"), col("dist_sq"))
+    Pq.Model(codes,
+      for (s <- 0 until m; (code, cm) <- c1(s)) yield (s, code, cm))
+  }
+
+  /** Row-local nearest-codeword assignment per (vector, subspace) row:
+    * exact integer squared-L2 against each literal codeword, argmin via
+    * one array_sort of (dist, code) structs — ties to the lowest code,
+    * the same total order the SQL replay uses. */
+  private def assignSubCodes(subbed: DataFrame,
+                             cb: IndexedSeq[IndexedSeq[(Int, Array[Double])]],
+                             m: Int): DataFrame = {
+    val sv2 = dot(col("sv"), col("sv"))
+    def rankedFor(s: Int): Column =
+      array_sort(array(cb(s).map { case (ci, cm) =>
+        val c2 = cm.map(x => x * x).sum // exact: integer-valued doubles
+        struct(
+          (sv2 - lit(2.0) * dot(col("sv"), typedlit(cm.toSeq)) + lit(c2))
+            .cast("long").as("dist"),
+          lit(ci).as("code"))
+      }: _*))
+    val ranked = (1 until m).foldLeft(when(col("sub") === 0, rankedFor(0))) {
+      (acc, s) => acc.when(col("sub") === s, rankedFor(s))
+    }
+    subbed.withColumn("best", element_at(ranked, 1))
+      .select(col("id"), col("sub"), col("sv"),
+        col("best.code").as("code"), col("best.dist").as("dist_sq"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k search over a PQ model: the query
+    * keeps full precision, the corpus is its codes. Per query the m*k
+    * partial distances (query subvector vs codeword) are precomputed as a
+    * BROADCAST distance table; the scan is then codes JOIN dtab on
+    * (sub, code) + one sum per (query, vector) — integer-exact end to
+    * end, no vector math per corpus row. Output: (query_id, neighbor_id,
+    * adist, rank), self-matches excluded. */
+  def pqAdcSearch(model: Pq.Model, queries: DataFrame, topk: Int, m: Int = 4,
+                  dim: Int = -1, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val d = if (dim > 0) dim else sniffDim(queries, vecCol)
+    require(d % m == 0, s"dim $d not divisible by m subspaces $m")
+    val dsub = d / m
+    if (model.codebooks.isEmpty)
+      return queries.select(col(idCol).as("query_id"),
+        col(idCol).as("neighbor_id"), lit(0L).as("adist"),
+        lit(0L).as("rank")).limit(0)
+    import spark.implicits._
+    val cb = model.codebooks
+      .map { case (s, c, cm) => (s, c, cm.toSeq) }.toDF("sub", "code", "cm")
+      .withColumn("cm2", dot(col("cm"), col("cm")))
+    val vmq = transform(col(vecCol), x => round(x.cast("double") * lit(1e6), 0))
+    val qsub = queries.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), vmq.as("qm"))
+      .select(col("query_id"),
+        explode(array((0 until m).map(s =>
+          struct(lit(s).as("sub"),
+            slice(col("qm"), s * dsub + 1, dsub).as("qv"))): _*)).as("e"))
+      .select(col("query_id"), col("e.sub").as("sub"), col("e.qv").as("qv"))
+    val dtab = qsub.join(cb, "sub")
+      .select(col("query_id"), col("sub"), col("code"),
+        (dot(col("qv"), col("qv")) - lit(2.0) * dot(col("qv"), col("cm"))
+          + col("cm2")).cast("long").as("pdist"))
+    val scored = model.codes.join(broadcast(dtab), Seq("sub", "code"))
+      .filter(col("query_id") =!= col("id"))
+      .groupBy("query_id", "id")
+      .agg(sum("pdist").as("adist"))
+    val w = Window.partitionBy("query_id").orderBy(asc("adist"), asc("id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topk)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        col("adist"), col("rank"))
+  }
+
   /** Drop rows whose bucket holds more than `maxBucket` members: the hard
     * backstop against a degenerate bucket (all-equal vectors, adversarial
     * data) going quadratic. One extra linear groupBy; deterministic — a

@@ -252,4 +252,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again == first)
     graft.core.CacheScope.release()
   }
+
+  test("pq: codes bounded by geometry, ADC finds the planted neighbor") {
+    // 4-dim vectors, m=2 subspaces: two groups far apart per subspace
+    val pts = Seq(
+      (1L, Array(0.0f, 0.1f, 5.0f, 5.1f)),
+      (2L, Array(9.0f, 9.1f, -5.0f, -5.1f)),
+      (3L, Array(0.2f, 0.0f, 5.2f, 4.9f)), // near 1 in both subspaces
+      (4L, Array(9.2f, 8.9f, -4.8f, -5.0f)), // near 2
+      (5L, Array(0.1f, 0.2f, -5.1f, -4.9f))) // near 1 in sub0, near 2 in sub1
+      .toDF("vec_id", "embedding")
+    val model = Similarity.pqFit(pts, m = 2, k = 2, dim = 4)
+    val codes = model.codes.collect()
+    assert(codes.length == 5 * 2) // one code per (vector, subspace)
+    assert(codes.forall(r => r.getInt(2) >= 0 && r.getInt(2) < 2))
+    assert(model.codebooks.forall(_._3.length == 2)) // dsub codeword width
+    val byKey = codes.map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    // same-group vectors share codes in every subspace; the mixed vector 5
+    // shares sub0 with group 1 and sub1 with group 2
+    assert(byKey((1L, 0)) == byKey((3L, 0)) && byKey((1L, 1)) == byKey((3L, 1)))
+    assert(byKey((2L, 0)) == byKey((4L, 0)) && byKey((2L, 1)) == byKey((4L, 1)))
+    assert(byKey((5L, 0)) == byKey((1L, 0)) && byKey((5L, 1)) == byKey((2L, 1)))
+    // ADC: vector 3's nearest neighbor is vector 1 (identical codes)
+    val top = Similarity.pqAdcSearch(model, pts.filter($"vec_id" === 3L),
+        topk = 1, m = 2, dim = 4).collect()
+    assert(top.length == 1 && top(0).getLong(1) == 1L)
+    // deterministic end to end
+    val m2 = Similarity.pqFit(pts, m = 2, k = 2, dim = 4)
+    assert(m2.codes.collect().toSet == model.codes.collect().toSet)
+    assert(m2.codebooks.map(t => (t._1, t._2, t._3.toSeq)) ==
+      model.codebooks.map(t => (t._1, t._2, t._3.toSeq)))
+    graft.core.CacheScope.release()
+  }
+
+  test("pq: empty corpus yields empty model and empty search") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val model = Similarity.pqFit(empty, m = 2, k = 2, dim = 4)
+    assert(model.codes.count() == 0 && model.codebooks.isEmpty)
+    val q = Seq((1L, Array(1.0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    assert(Similarity.pqAdcSearch(model, q, topk = 3, m = 2, dim = 4).count() == 0)
+    graft.core.CacheScope.release()
+  }
 }

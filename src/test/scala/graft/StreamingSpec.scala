@@ -231,6 +231,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("bloom seen-set maintains incrementally over a stream") {
+    // bloomBuild is one grouped bit_or aggregate, so it too runs unchanged
+    // as a streaming query — the incremental "have we seen this key"
+    // structure for streaming dedup against an unbounded history. After
+    // two micro-batches the complete-mode words equal the batch filter of
+    // the concatenated input (bit_or mergeability), and a probe through
+    // the streamed filter finds exactly the seen keys.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[String]
+    val q = graft.operators.Sketches.bloomBuild(
+        ms.toDF().toDF("k"), "k", numBits = 1024, numHashes = 3)
+      .writeStream.format("memory").queryName("bloom_stream")
+      .outputMode("complete").start()
+    ms.addData("a", "b")
+    q.processAllAvailable()
+    ms.addData("c")
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("bloom_stream")
+    val batch = graft.operators.Sketches.bloomBuild(
+      Seq("a", "b", "c").map(Tuple1(_)).toDF("k"), "k", 1024, 3)
+    assert(streamed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      batch.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val probes = Seq("a", "b", "c", "zebra", "quux").map(Tuple1(_)).toDF("k")
+    val kept = graft.operators.Sketches.bloomPrune(streamed, probes, "k", 1024, 3)
+      .collect().map(_.getString(0)).toSet
+    assert(Set("a", "b", "c").subsetOf(kept) && !kept.contains("zebra"))
+  }
+
   test("stateful sessionization == batch q_events_sessions") {
     val streamed = EventsStreaming.runToMemory(spark, streamDir,
       "sessions_test", df => EventsStreaming.sessionize(df).toDF(),
