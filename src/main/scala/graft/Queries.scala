@@ -1491,7 +1491,37 @@ object Queries {
         |  FROM stream GROUP BY token, doc_id)
         |SELECT token, doc_id, tf, positions,
         |  CAST(count(*) OVER (PARTITION BY token) AS BIGINT) AS df
-        |FROM pl ORDER BY token, doc_id""".stripMargin))
+        |FROM pl ORDER BY token, doc_id""".stripMargin)),
+
+    // Exact phrase search for the corpus's most frequent trigram (self-
+    // deriving, so the query is meaningful at every scale factor): per-doc
+    // occurrence counts via position-aligned posting intersections. The
+    // phrase pick is a 1-row collect (bounded); the search is n-1 hash
+    // joins of single-token posting lists.
+    "t_phrase" -> Q(
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val top = TextOps.trigrams(docs)
+          .groupBy("w0", "w1", "w2").agg(sum("count").as("n"))
+          .orderBy(desc("n"), asc("w0"), asc("w1"), asc("w2"))
+          .limit(1).collect()(0)
+        val phrase = Seq(top.getString(0), top.getString(1), top.getString(2))
+        TextRanking.phraseOccurrences(docs, phrase)
+          .withColumn("w0", lit(phrase(0))).withColumn("w1", lit(phrase(1)))
+          .withColumn("w2", lit(phrase(2)))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $ToksCte, $StreamCte,
+        |g AS (SELECT doc_id, pos, token AS w0,
+        |    lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+        |    lead(token, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM stream),
+        |top AS (SELECT w0, w1, w2 FROM g WHERE w2 IS NOT NULL
+        |  GROUP BY 1, 2, 3 ORDER BY count(*) DESC, w0, w1, w2 LIMIT 1)
+        |SELECT g.doc_id, count(*) AS n_hits, g.w0, g.w1, g.w2
+        |FROM g JOIN top USING (w0, w1, w2)
+        |GROUP BY g.doc_id, g.w0, g.w1, g.w2
+        |ORDER BY g.doc_id""".stripMargin))
   )
 
   // ------------------------------------------------------------- SRP

@@ -109,6 +109,27 @@ object ScaleSmoke {
     time("knn_quantized_10q")(
       Similarity.knnQuantized(bigEmb,
         bigEmb.filter(col("vec_id") < 10), k = 5).count())
+    // span dedup: one span-hash-partitioned shuffle + one per-doc groupBy;
+    // under N-fold replication every chunk is an N-way duplicate, so the
+    // kept fraction collapses — rows out stays ~constant while rows in
+    // grows, exactly the shape a linear dedup should show
+    time("span_dedup_c8")({
+      val chunks = TextOps.tokenChunks(docs, 8)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+      Dedup.reassembleSpans(Dedup.dedupSpans(chunks)).count()
+    })
+    // posting lists: token-partitioned aggregate + df window within token
+    time("postings")(graft.operators.TextRanking.postings(docs).count())
+    // PQ train+encode (two row-local assignment passes, k*d-bounded
+    // update), then ADC search (codes join a broadcast distance table)
+    var pqModel: Similarity.Pq.Model = null
+    time("pq_fit_m4_k16")({
+      pqModel = Similarity.pqFit(bigEmb, m = 4, k = 16, dim = 64)
+      pqModel.codes.persist().count()
+    })
+    time("pq_adc_10q")(
+      Similarity.pqAdcSearch(pqModel,
+        bigEmb.filter(col("vec_id") < 10), topk = 5, m = 4, dim = 64).count())
     spark.stop()
   }
 }

@@ -151,4 +151,25 @@ object TextRanking {
           .as("positions"))
       .withColumn("df", count(lit(1)).over(byToken))
   }
+
+  /** Exact phrase search — the postings-intersection query a positional
+    * index answers: occurrences of `phrase` are positions where word i
+    * appears at start+i for every i. One per-word filtered projection of
+    * the token stream (each a pushed-down scan at index time), aligned to
+    * the phrase start and intersected by (doc, pos) equi-joins — n-1 hash
+    * joins whose inputs are single-token posting lists, never the corpus.
+    * Output: (idCol, n_hits), docs with >= 1 occurrence. */
+  def phraseOccurrences(docs: DataFrame, phrase: Seq[String],
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(phrase.nonEmpty, "need a non-empty phrase")
+    val stream = TextOps.tokenStream(docs, idCol, textCol)
+    val first = stream.filter(col("token") === phrase.head)
+      .select(col(idCol), col("pos"))
+    phrase.zipWithIndex.drop(1).foldLeft(first) { case (acc, (w, i)) =>
+      acc.join(stream.filter(col("token") === w)
+          .select(col(idCol), (col("pos") - i).as("pos")), // align to start
+        Seq(idCol, "pos"))
+    }.groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+  }
 }

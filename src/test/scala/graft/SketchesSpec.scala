@@ -118,6 +118,13 @@ class SketchesSpec extends AnyFunSuite {
     assert(plain.sortBy(_.toString) == viaBloom.sortBy(_.toString))
   }
 
+  test("bloomPrune with an empty filter passes nothing") {
+    val none = Sketches.bloomBuild(
+      Seq.empty[Tuple1[String]].toDF("k"), "k", 1024, 3)
+    val probes = Seq("a", "b").map(Tuple1(_)).toDF("k")
+    assert(Sketches.bloomPrune(none, probes, "k", 1024, 3).count() == 0)
+  }
+
   test("bloomPrune null keys never pass") {
     val bloom = Sketches.bloomBuild(keys100, "k", 1024, 3)
     val probes = Seq(Some("key1"), None, Some("key2")).map(Tuple1(_)).toDF("k")

@@ -84,4 +84,18 @@ class TextRankingSpec extends AnyFunSuite {
     assert(pl(("cherry", 2L)) == (1L, "2", 1L))
     assert(pl.size == 4)
   }
+
+  test("phraseOccurrences counts position-aligned matches only") {
+    val d = Seq(
+      (1L, "a b c a b c a b"), // "a b c" occurs twice; trailing "a b" no
+      (2L, "c b a"), // words present, order wrong -> no hit
+      (3L, "a b")).toDF("doc_id", "text") // shorter than the phrase
+    val hits = TextRanking.phraseOccurrences(d, Seq("a", "b", "c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 2L))
+    // single-word phrase degenerates to term frequency
+    val one = TextRanking.phraseOccurrences(d, Seq("a")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+  }
 }
