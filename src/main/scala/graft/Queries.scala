@@ -1478,6 +1478,43 @@ object Queries {
         |  FROM events GROUP BY event_type) x USING (event_type)
         |ORDER BY a.event_type""".stripMargin)),
 
+    // HLL set algebra: overlap between two distinct-user sets estimated
+    // from their sketches alone (inclusion-exclusion; the union sketch is
+    // the EXACT register-wise max) — the "shared users between two
+    // segments" question with only 2^p rows per side ever moving.
+    "t_hll_intersect" -> Q(
+      (s, dir) => {
+        def regs(t: String) = Sketches.hllRegisters(
+          events(s, dir).filter(col("event_type") === t)
+            .select(col("user_id").cast("string").as("k")), "k", p = 8)
+        Sketches.hllIntersect(regs("view"), regs("purchase"), p = 8)
+      },
+      Some(s"""WITH h AS (SELECT event_type,
+        |    ${sqlHash60("CAST(user_id AS VARCHAR)")} AS h
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_type IN ('view', 'purchase')),
+        |rr AS (SELECT event_type, h % 256 AS register,
+        |    CASE WHEN h // 256 = 0 THEN 53 ELSE 53 - length(bin(h // 256)) END AS rank
+        |  FROM h),
+        |regs AS (SELECT event_type, register, max(rank) AS r
+        |  FROM rr GROUP BY 1, 2),
+        |u AS (SELECT register, max(r) AS r FROM regs GROUP BY 1),
+        |ea AS (SELECT round(${"%.17g".format(Sketches.hllNumerator(8))} /
+        |    CAST(sum(1::BIGINT << CAST(54 - r AS INT))
+        |      + (256 - count(*)) * (1::BIGINT << 54) AS BIGINT), 2) AS est_a
+        |  FROM regs WHERE event_type = 'view'),
+        |eb AS (SELECT round(${"%.17g".format(Sketches.hllNumerator(8))} /
+        |    CAST(sum(1::BIGINT << CAST(54 - r AS INT))
+        |      + (256 - count(*)) * (1::BIGINT << 54) AS BIGINT), 2) AS est_b
+        |  FROM regs WHERE event_type = 'purchase'),
+        |eu AS (SELECT round(${"%.17g".format(Sketches.hllNumerator(8))} /
+        |    CAST(sum(1::BIGINT << CAST(54 - r AS INT))
+        |      + (256 - count(*)) * (1::BIGINT << 54) AS BIGINT), 2) AS est_union
+        |  FROM u)
+        |SELECT est_a, est_b, est_union,
+        |  round(est_a + est_b - est_union, 2) AS est_intersection
+        |FROM ea, eb, eu""".stripMargin)),
+
     // Inverted-index posting lists: (token, doc, tf, ascending position
     // CSV, df) — the corpus search-index build. Token-partitioned
     // aggregate + token-partitioned df window; no global sort anywhere.

@@ -210,6 +210,36 @@ object Sketches {
       .agg(max("rank").as("r"))
   }
 
+  /** Merge HLL register tables of the SAME p: register-wise max — EXACT
+    * sketch algebra (the merged table is identical to the sketch of the
+    * concatenated inputs), which is what makes per-shard / per-day
+    * cardinality state composable. */
+  def hllMerge(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    sketches.reduce(_ unionByName _)
+      .groupBy("register").agg(max("r").as("r"))
+  }
+
+  /** Distinct-set OVERLAP from sketches alone — inclusion-exclusion over
+    * two register tables of the same p:
+    * `|A intersect B| ~ est(A) + est(B) - est(A union B)`, with the union
+    * estimated from the EXACT merged sketch ([[hllMerge]]). The classic
+    * "shared users between two days / contamination overlap between two
+    * corpora" question answered without ever co-shuffling the raw keys —
+    * each side's 2^p-row sketch is all that travels. Error is the raw
+    * estimator's on each term (can go negative for tiny true overlaps —
+    * reported as computed, not clamped, to stay SQL-replayable). One row:
+    * (est_a, est_b, est_union, est_intersection). */
+  def hllIntersect(a: DataFrame, b: DataFrame, p: Int = 6): DataFrame = {
+    val ea = hllEstimate(a, p).select(col("est_distinct").as("est_a"))
+    val eb = hllEstimate(b, p).select(col("est_distinct").as("est_b"))
+    val eu = hllEstimate(hllMerge(Seq(a, b)), p)
+      .select(col("est_distinct").as("est_union"))
+    ea.crossJoin(eb).crossJoin(eu)
+      .withColumn("est_intersection",
+        round(col("est_a") + col("est_b") - col("est_union"), 2))
+  }
+
   /** The scaled-estimator numerator alpha_m * m^2 * 2^(62-p), computed ONCE
     * here so the Spark plan and a SQL oracle can embed the IDENTICAL double
     * literal (format with %.17g — round-trip exact). */

@@ -158,6 +158,21 @@ class SketchesSpec extends AnyFunSuite {
     assert(e1.toSeq == e3.toSeq)
   }
 
+  test("hll intersection estimates overlap from sketches alone") {
+    val a = (0 until 2000).map(i => Tuple1(s"u$i")).toDF("k")
+    val b = (1000 until 3000).map(i => Tuple1(s"u$i")).toDF("k") // 1000 shared
+    val ra = Sketches.hllRegisters(a, "k", p = 8)
+    val rb = Sketches.hllRegisters(b, "k", p = 8)
+    // union merge is EXACT sketch algebra: == sketch of concatenated input
+    val merged = Sketches.hllMerge(Seq(ra, rb))
+    val whole = Sketches.hllRegisters(a.unionByName(b), "k", p = 8)
+    assert(merged.collect().toSet == whole.collect().toSet)
+    val row = Sketches.hllIntersect(ra, rb, p = 8).head()
+    val inter = row.getDouble(3)
+    // true overlap 1000; three raw estimates each carry ~6.5% sigma
+    assert(inter > 400 && inter < 1600, s"implausible overlap estimate $inter")
+  }
+
   test("grouped hll: each group's registers equal an independent global sketch") {
     val ab = ((0 until 800).map(i => ("a", s"u$i")) ++
       (0 until 50).map(i => ("b", s"v$i"))).toDF("g", "k")
