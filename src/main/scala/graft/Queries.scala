@@ -1541,12 +1541,19 @@ object Queries {
         val top = TextOps.trigrams(docs)
           .groupBy("w0", "w1", "w2").agg(sum("count").as("n"))
           .orderBy(desc("n"), asc("w0"), asc("w1"), asc("w2"))
-          .limit(1).collect()(0)
-        val phrase = Seq(top.getString(0), top.getString(1), top.getString(2))
-        TextRanking.phraseOccurrences(docs, phrase)
-          .withColumn("w0", lit(phrase(0))).withColumn("w1", lit(phrase(1)))
-          .withColumn("w2", lit(phrase(2)))
-          .orderBy("doc_id")
+          .limit(1).collect().headOption
+        top match {
+          case None => // no 3-token doc anywhere: empty result, like the
+            // oracle's empty `top` CTE — never a driver throw
+            docs.select(col("doc_id"), lit(0L).as("n_hits"),
+              lit("").as("w0"), lit("").as("w1"), lit("").as("w2")).limit(0)
+          case Some(t) =>
+            val phrase = Seq(t.getString(0), t.getString(1), t.getString(2))
+            TextRanking.phraseOccurrences(docs, phrase)
+              .withColumn("w0", lit(phrase(0))).withColumn("w1", lit(phrase(1)))
+              .withColumn("w2", lit(phrase(2)))
+              .orderBy("doc_id")
+        }
       },
       Some(s"""WITH $ToksCte, $StreamCte,
         |g AS (SELECT doc_id, pos, token AS w0,

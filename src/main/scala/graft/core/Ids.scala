@@ -64,14 +64,26 @@ object Ids {
     * Range-partition by the sort key, sort within partitions, then
     * `zipWithIndex` (per-partition counts prefix-summed on the driver —
     * one long per partition). Replaces `row_number() OVER (ORDER BY ...)`,
-    * whose single-partition window is the classic 100 TB scale-killer. */
+    * whose single-partition window is the classic 100 TB scale-killer.
+    *
+    * NOTE: `zipWithIndex` computes its partition offsets EAGERLY (one
+    * job at construction time), so calling this runs the upstream plan.
+    * The sorted RDD is `localCheckpoint`ed so the offset pass and the
+    * downstream action(s) share ONE execution of the aggregate + range
+    * shuffle + sort. Deliberately NOT `persist`/CacheScope: a persisted
+    * DataFrame registers its plan in the session CacheManager, where any
+    * IDENTICAL later plan (same source path) silently reuses the cached
+    * rows — serving stale data after the underlying file changes and
+    * breaking the corpus cache's staleness contract (CorpusSpec caught
+    * exactly that). RDD-level checkpoint blocks bypass plan matching and
+    * are freed by the ContextCleaner once the RDD is unreachable. */
   def denseRankBy(df: DataFrame, sortExprs: Seq[org.apache.spark.sql.Column],
                   idName: String): DataFrame = {
     val sorted = df.repartitionByRange(
         df.sparkSession.sessionState.conf.numShufflePartitions, sortExprs: _*)
       .sortWithinPartitions(sortExprs: _*)
     val schema = StructType(sorted.schema.fields :+ StructField(idName, LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+    val rdd = sorted.rdd.localCheckpoint().zipWithIndex().map { case (row, idx) =>
       Row.fromSeq(row.toSeq :+ idx)
     }
     df.sparkSession.createDataFrame(rdd, schema)

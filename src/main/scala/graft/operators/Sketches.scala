@@ -231,9 +231,14 @@ object Sketches {
     * reported as computed, not clamped, to stay SQL-replayable). One row:
     * (est_a, est_b, est_union, est_intersection). */
   def hllIntersect(a: DataFrame, b: DataFrame, p: Int = 6): DataFrame = {
-    val ea = hllEstimate(a, p).select(col("est_distinct").as("est_a"))
-    val eb = hllEstimate(b, p).select(col("est_distinct").as("est_b"))
-    val eu = hllEstimate(hllMerge(Seq(a, b)), p)
+    // each side feeds its own estimate AND the union merge: persist the
+    // (<= 2^p row) register tables so lazy upstream lineages — e.g. a
+    // filtered scan behind hllRegisters — execute once, not twice
+    val ap = graft.core.CacheScope.persist(a)
+    val bp = graft.core.CacheScope.persist(b)
+    val ea = hllEstimate(ap, p).select(col("est_distinct").as("est_a"))
+    val eb = hllEstimate(bp, p).select(col("est_distinct").as("est_b"))
+    val eu = hllEstimate(hllMerge(Seq(ap, bp)), p)
       .select(col("est_distinct").as("est_union"))
     ea.crossJoin(eb).crossJoin(eu)
       .withColumn("est_intersection",

@@ -163,7 +163,13 @@ object TextRanking {
                         idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
     require(phrase.nonEmpty, "need a non-empty phrase")
-    val stream = TextOps.tokenStream(docs, idCol, textCol)
+    // ONE corpus tokenize: the stream is pre-filtered to the phrase's
+    // distinct words and persisted, so the n per-word projections read a
+    // narrow cached posting table instead of re-scanning the corpus per
+    // word (the ngramsFromTokens single-tokenize convention).
+    val stream = graft.core.CacheScope.persist(
+      TextOps.tokenStream(docs, idCol, textCol)
+        .filter(col("token").isin(phrase.distinct: _*)))
     val first = stream.filter(col("token") === phrase.head)
       .select(col(idCol), col("pos"))
     phrase.zipWithIndex.drop(1).foldLeft(first) { case (acc, (w, i)) =>

@@ -97,5 +97,8 @@ class TextRankingSpec extends AnyFunSuite {
     val one = TextRanking.phraseOccurrences(d, Seq("a")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(one == Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+    // absent phrase word -> empty result, not an error
+    assert(TextRanking.phraseOccurrences(d, Seq("a", "zzz")).count() == 0)
+    graft.core.CacheScope.release()
   }
 }
