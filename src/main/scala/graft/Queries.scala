@@ -82,6 +82,38 @@ object Queries {
   private def sqlHash60(x: String): String =
     s"CAST('0x' || substring(md5($x), 1, 15) AS BIGINT)"
 
+  /** BM25 CTE chain over $UniCte: per-doc lengths, corpus stats (N,
+    * milli-avgdl), df + Robertson idf at integer micro, and `sc` — the
+    * per-(doc, token) score at integer micro. The arithmetic constants are
+    * embedded from the SAME doubles `TextRanking.bm25` computes
+    * (Double.toString round-trips), so both engines execute an identical
+    * IEEE expression tree. */
+  private lazy val sqlBm25Ctes: String = {
+    val k1 = 1200L / 1000.0
+    val b = 750L / 1000.0
+    val kPlus1 = (1000L + 1200L) / 1000.0
+    val c1 = k1 * (1 - b)
+    val c2 = k1 * b
+    s"""dlb AS (SELECT doc_id, CAST(sum("count") AS BIGINT) AS dl
+    |  FROM uni GROUP BY doc_id),
+    |stb AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+    |    (SELECT coalesce(sum(dl), 0) FROM dlb) AS tot),
+    |stb2 AS (SELECT n, greatest(1, CAST(round(
+    |    CAST(tot AS DOUBLE) * 1000.0 / greatest(n, 1), 0) AS BIGINT)) AS avgdl_m
+    |  FROM stb),
+    |dfx AS (SELECT token, CAST(count(*) AS BIGINT) AS df,
+    |    CAST(round(ln((CAST((SELECT n FROM stb2) AS DOUBLE) - count(*) + 0.5)
+    |      / (count(*) + 0.5) + 1.0) * 1000000, 0) AS BIGINT) AS idf_micro
+    |  FROM uni GROUP BY token),
+    |sc AS (SELECT u.doc_id, u.token, u."count" AS tf, d.df, l.dl,
+    |    CAST(round((d.idf_micro * u."count") * $kPlus1 /
+    |      (CAST(u."count" AS DOUBLE) + $c1 + $c2 *
+    |        (CAST(l.dl AS DOUBLE) * 1000.0
+    |          / CAST((SELECT avgdl_m FROM stb2) AS DOUBLE))),
+    |      0) AS BIGINT) AS score_micro
+    |  FROM uni u JOIN dfx d USING (token) JOIN dlb l USING (doc_id))""".stripMargin
+  }
+
   // =============================================================== queries
 
   val all: Seq[(String, Q)] = relational ++ textCore ++ dedup ++ analysis ++
@@ -929,7 +961,50 @@ object Queries {
         |    ORDER BY chunk_id), '') AS clean_text,
         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
-        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Snapshot diff — the incremental-ingest primitive: v2 is a
+    // deterministic mutation of the documents table (hash-bucketed: ~10%
+    // removed, ~10% text-revised, ~10% re-added under new ids), diffed
+    // against v1 by content fingerprint in ONE full-outer hash join.
+    "q_snapshot_diff" -> Q(
+      (s, dir) => {
+        import graft.functions.TextFunctions.hash60
+        val v1 = rd(s, dir, "documents")
+        val m = v1.withColumn("m",
+          hash60(concat(col("doc_id").cast("string"), lit(":snap"))) % 10)
+        val kept = m.filter(col("m") =!= 0)
+          .withColumn("text", when(col("m") === 1,
+            concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+        val added = m.filter(col("m") === 2)
+          .withColumn("doc_id", col("doc_id") + lit(10000000L))
+        val v2 = kept.unionByName(added).drop("m")
+        Snapshot.diff(v1, v2, "doc_id", Seq("text", "lang", "source"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH m AS (SELECT *,
+        |    ${sqlHash60("CAST(doc_id AS VARCHAR) || ':snap'")} % 10 AS m
+        |  FROM documents),
+        |v2 AS (SELECT doc_id,
+        |    CASE WHEN m = 1 THEN text || ' [rev2]' ELSE text END AS text,
+        |    lang, source FROM m WHERE m <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text, lang, source FROM m WHERE m = 2),
+        |fa AS (SELECT doc_id, md5(concat_ws(chr(1),
+        |    coalesce(CAST(text AS VARCHAR), chr(0)),
+        |    coalesce(CAST(lang AS VARCHAR), chr(0)),
+        |    coalesce(CAST(source AS VARCHAR), chr(0)))) AS fp FROM documents),
+        |fb AS (SELECT doc_id, md5(concat_ws(chr(1),
+        |    coalesce(CAST(text AS VARCHAR), chr(0)),
+        |    coalesce(CAST(lang AS VARCHAR), chr(0)),
+        |    coalesce(CAST(source AS VARCHAR), chr(0)))) AS fp FROM v2)
+        |SELECT coalesce(fa.doc_id, fb.doc_id) AS doc_id,
+        |  CASE WHEN fa.fp IS NULL THEN 'added'
+        |       WHEN fb.fp IS NULL THEN 'removed'
+        |       WHEN fa.fp = fb.fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM fa FULL OUTER JOIN fb ON fa.doc_id = fb.doc_id
+        |ORDER BY doc_id""".stripMargin))
   )
 
   // ----------------------------------------------------- text analysis
@@ -1565,7 +1640,108 @@ object Queries {
         |SELECT g.doc_id, count(*) AS n_hits, g.w0, g.w1, g.w2
         |FROM g JOIN top USING (w0, w1, w2)
         |GROUP BY g.doc_id, g.w0, g.w1, g.w2
-        |ORDER BY g.doc_id""".stripMargin))
+        |ORDER BY g.doc_id""".stripMargin)),
+
+    // Okapi BM25 per (doc, token): saturating tf + length normalization
+    // over the same unigram/df tables as t_tfidf. Every factor is row-local
+    // scalar arithmetic over exact integers (tf, df, dl, N, milli-avgdl) —
+    // the fixed expression tree is IEEE-identical across engines, then
+    // rounded ONCE to integer micro units.
+    "t_bm25" -> Q(
+      (s, dir) =>
+        TextRanking.bm25(rd(s, dir, "documents"))
+          .select(col("doc_id"), col("token"), col("tf"), col("df"),
+            col("dl"), col("score"))
+          .orderBy("doc_id", "token"),
+      Some(s"""WITH $ToksCte, $StreamCte, $UniCte,
+        |$sqlBm25Ctes
+        |SELECT doc_id, token, tf, df, dl, score_micro / 1000000.0 AS score
+        |FROM sc ORDER BY doc_id, token""".stripMargin)),
+
+    // Ranked retrieval: top-10 documents by summed BM25 for the corpus's
+    // three highest-df tokens (self-derived, meaningful at every sf). The
+    // per-term micros sum exactly; the cut is orderBy+limit (TakeOrdered),
+    // ranked by the two-phase range rank — no single-partition window.
+    "t_bm25_topk" -> Q(
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val terms = TextOps.unigrams(docs)
+          .groupBy("token").agg(count(lit(1)).as("df"))
+          .orderBy(desc("df"), asc("token")).limit(3)
+          .collect().map(_.getString(0)).toSeq
+        if (terms.isEmpty)
+          docs.select(col("doc_id"), lit(0L).as("rank"), lit(0.0).as("score"))
+            .limit(0)
+        else
+          TextRanking.bm25Rank(docs, terms, k = 10).orderBy("rank")
+      },
+      Some(s"""WITH $ToksCte, $StreamCte, $UniCte,
+        |$sqlBm25Ctes,
+        |terms AS (SELECT token FROM dfx ORDER BY df DESC, token LIMIT 3),
+        |tot AS (SELECT doc_id, CAST(sum(score_micro) AS BIGINT) AS total_micro
+        |  FROM sc JOIN terms USING (token) GROUP BY doc_id),
+        |ranked AS (SELECT doc_id, total_micro,
+        |    row_number() OVER (ORDER BY total_micro DESC, doc_id) AS rank
+        |  FROM tot)
+        |SELECT doc_id, rank, total_micro / 1000000.0 AS score
+        |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin)),
+
+    // Word-boundary blocklist gate over the corpus's three most frequent
+    // tokens (self-derived: stopword-like, so hits exist at every sf).
+    // Matching is on TOKENS (no substring false positives), row-local
+    // against a literal list; the blocked share is an exact integer micro.
+    "t_blocklist" -> Q(
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val top = TextOps.unigrams(docs)
+          .groupBy("token").agg(sum("count").as("n"))
+          .orderBy(desc("n"), asc("token")).limit(3)
+          .collect().map(_.getString(0)).toSeq
+        if (top.isEmpty)
+          docs.select(col("doc_id"), lit(0L).as("n_tokens"),
+            lit(0L).as("n_blocked"), lit(0L).as("blocked_micro"),
+            lit(true).as("keep")).limit(0)
+        else
+          TextAnalysis.blocklistHits(docs, top, maxRatioMicro = 50000)
+            .orderBy("doc_id")
+      },
+      Some(s"""WITH $ToksCte, $StreamCte,
+        |topb AS (SELECT token FROM (
+        |    SELECT token, count(*) AS n FROM stream GROUP BY token)
+        |  ORDER BY n DESC, token LIMIT 3),
+        |ltc AS (SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}]+') AS lt
+        |  FROM documents),
+        |base AS (SELECT doc_id, CAST(len(lt) AS BIGINT) AS n_tokens FROM ltc),
+        |s2 AS (SELECT doc_id, unnest(lt) AS token FROM ltc),
+        |topl AS (SELECT DISTINCT lower(token) AS token FROM topb),
+        |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocked
+        |  FROM s2 JOIN topl USING (token) GROUP BY doc_id),
+        |j AS (SELECT b.doc_id, b.n_tokens, coalesce(h.n_blocked, 0) AS n_blocked
+        |  FROM base b LEFT JOIN hits h ON b.doc_id = h.doc_id)
+        |SELECT doc_id, n_tokens, n_blocked,
+        |  CASE WHEN n_tokens > 0
+        |    THEN CAST(round(n_blocked * 1000000.0 / n_tokens, 0) AS BIGINT)
+        |    ELSE 0 END AS blocked_micro,
+        |  (CASE WHEN n_tokens > 0
+        |    THEN CAST(round(n_blocked * 1000000.0 / n_tokens, 0) AS BIGINT)
+        |    ELSE 0 END) <= 50000 AS keep
+        |FROM j ORDER BY doc_id""".stripMargin)),
+
+    // Grouped top-k WITHOUT a window: the bounded typed aggregate carries
+    // at most k pairs per group per partition (map-side combined), vs
+    // row_number() shuffling and sorting every row of every group. The
+    // oracle IS the window formulation — proving the aggregate exact.
+    "t_top_docs" -> Q(
+      (s, dir) =>
+        TopK.topKByGroup(rd(s, dir, "documents"), Seq("lang"), "doc_id",
+            "n_chars", k = 5)
+          .orderBy("lang", "rank"),
+      Some("""WITH r AS (SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL)
+        |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, n_chars
+        |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin))
   )
 
   // ------------------------------------------------------------- SRP
@@ -1704,6 +1880,48 @@ object Queries {
     |  SELECT rc.id, e.dst FROM reach rc JOIN e ON e.src = rc.r),
     |lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
   }
+
+  /** Shared CTE chain: 2 Lloyd rounds of k=8 k-means over `embeddings` in
+    * exact integer micro space — `a2` holds the final (vec_id, cl, dist,
+    * rn) assignment ranking; `WHERE rn = 1` selects it. Used by e_kmeans
+    * and both e_semdedup rows (one definition, three replays). */
+  private lazy val sqlKmeans8Ctes: String =
+    """WITH vm AS (SELECT vec_id,
+    |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000, 0)) AS vm
+    |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+    |ve AS (SELECT vec_id, unnest(range(0, len(vm))) AS dim,
+    |    CAST(unnest(vm) AS BIGINT) AS v FROM vm),
+    |seeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl
+    |  FROM vm ORDER BY vec_id LIMIT 8),
+    |c0 AS (SELECT s.cl, ve.dim, ve.v AS cm
+    |  FROM seeds s JOIN ve ON s.vec_id = ve.vec_id),
+    |d1 AS (SELECT ve.vec_id, c.cl,
+    |    CAST(sum((ve.v - c.cm) * (ve.v - c.cm)) AS BIGINT) AS dist
+    |  FROM ve JOIN c0 c ON ve.dim = c.dim GROUP BY 1, 2),
+    |a1 AS (SELECT vec_id, cl, dist,
+    |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn FROM d1),
+    |g1 AS (SELECT vec_id, cl FROM a1 WHERE rn = 1),
+    |c1 AS (SELECT g.cl, ve.dim,
+    |    CAST(round(CAST(sum(ve.v) AS BIGINT) / count(*), 0) AS BIGINT) AS cm
+    |  FROM g1 g JOIN ve ON g.vec_id = ve.vec_id GROUP BY 1, 2),
+    |d2 AS (SELECT ve.vec_id, c.cl,
+    |    CAST(sum((ve.v - c.cm) * (ve.v - c.cm)) AS BIGINT) AS dist
+    |  FROM ve JOIN c1 c ON ve.dim = c.dim GROUP BY 1, 2),
+    |a2 AS (SELECT vec_id, cl, dist,
+    |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn FROM d2)""".stripMargin
+
+  /** Appended to [[sqlKmeans8Ctes]]: within-cell cosine pairs >= 0.3 —
+    * `dupsem` is the SemDeDup pair set (id_a < id_b, cluster, cos_sim). */
+  private lazy val sqlSemdedupCtes: String =
+    s"""g2 AS (SELECT vec_id AS id, cl FROM a2 WHERE rn = 1),
+    |vv AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+    |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+    |prsem AS (SELECT x.id AS id_a, y.id AS id_b, x.cl AS cluster,
+    |    round(${sqlCos("xv.v", "yv.v")}, 6) AS cos_sim
+    |  FROM g2 x JOIN g2 y ON x.cl = y.cl AND x.id < y.id
+    |  JOIN vv xv ON xv.id = x.id JOIN vv yv ON yv.id = y.id),
+    |dupsem AS (SELECT id_a, id_b, cluster, cos_sim FROM prsem
+    |  WHERE cos_sim >= 0.3)""".stripMargin
 
   private lazy val vectors: Seq[(String, Q)] = Seq(
 
@@ -1955,31 +2173,42 @@ object Queries {
       (s, dir) =>
         Similarity.kmeansFit(rd(s, dir, "embeddings"), k = 8, iters = 2)
           .orderBy("id"),
-      Some("""WITH vm AS (SELECT vec_id,
-        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000, 0)) AS vm
-        |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
-        |ve AS (SELECT vec_id, unnest(range(0, len(vm))) AS dim,
-        |    CAST(unnest(vm) AS BIGINT) AS v FROM vm),
-        |seeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl
-        |  FROM vm ORDER BY vec_id LIMIT 8),
-        |c0 AS (SELECT s.cl, ve.dim, ve.v AS cm
-        |  FROM seeds s JOIN ve ON s.vec_id = ve.vec_id),
-        |d1 AS (SELECT ve.vec_id, c.cl,
-        |    CAST(sum((ve.v - c.cm) * (ve.v - c.cm)) AS BIGINT) AS dist
-        |  FROM ve JOIN c0 c ON ve.dim = c.dim GROUP BY 1, 2),
-        |a1 AS (SELECT vec_id, cl, dist,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn FROM d1),
-        |g1 AS (SELECT vec_id, cl FROM a1 WHERE rn = 1),
-        |c1 AS (SELECT g.cl, ve.dim,
-        |    CAST(round(CAST(sum(ve.v) AS BIGINT) / count(*), 0) AS BIGINT) AS cm
-        |  FROM g1 g JOIN ve ON g.vec_id = ve.vec_id GROUP BY 1, 2),
-        |d2 AS (SELECT ve.vec_id, c.cl,
-        |    CAST(sum((ve.v - c.cm) * (ve.v - c.cm)) AS BIGINT) AS dist
-        |  FROM ve JOIN c1 c ON ve.dim = c.dim GROUP BY 1, 2),
-        |a2 AS (SELECT vec_id, cl, dist,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn FROM d2)
+      Some(s"""$sqlKmeans8Ctes
         |SELECT vec_id AS id, cl AS cluster, dist AS dist_sq
         |FROM a2 WHERE rn = 1 ORDER BY id""".stripMargin)),
+
+    // SemDeDup-style semantic dedup, pairs: k-means cells (the e_kmeans
+    // chain, replayed) confine the quadratic cosine work; pairs above the
+    // threshold are the semantic near-duplicates lexical dedup misses.
+    "e_semdedup_pairs" -> Q(
+      (s, dir) =>
+        Similarity.semanticDupPairs(rd(s, dir, "embeddings"),
+            threshold = 0.3, k = 8, iters = 2)
+          .orderBy("id_a", "id_b"),
+      Some(s"""$sqlKmeans8Ctes,
+        |$sqlSemdedupCtes
+        |SELECT id_a, id_b, cluster, cos_sim FROM dupsem
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // SemDeDup survivors under the greedy lowest-id-wins rule: drop any
+    // vector that is a semantic near-duplicate of a lower id in its cell.
+    "e_semdedup_keep" -> Q(
+      (s, dir) => {
+        val emb = rd(s, dir, "embeddings")
+        val pairs = Similarity.semanticDupPairs(emb,
+          threshold = 0.3, k = 8, iters = 2)
+        Similarity.semanticSurvivors(emb, pairs)
+          .filter(col("vec_id").isNotNull)
+          .select(col("vec_id"), col("label"))
+          .orderBy("vec_id")
+      },
+      Some(s"""$sqlKmeans8Ctes,
+        |$sqlSemdedupCtes,
+        |drop AS (SELECT DISTINCT id_b FROM dupsem)
+        |SELECT e.vec_id, e.label
+        |FROM embeddings e LEFT JOIN drop d ON e.vec_id = d.id_b
+        |WHERE d.id_b IS NULL AND e.vec_id IS NOT NULL
+        |ORDER BY e.vec_id""".stripMargin)),
 
     // Product quantization + asymmetric-distance search, engine-exact end
     // to end: 4 subspaces x 16 codes trained per-subspace (seed -> assign
@@ -2029,6 +2258,77 @@ object Queries {
         |adc AS (SELECT t.query_id, k.vec_id AS neighbor_id,
         |    CAST(sum(t.pdist) AS BIGINT) AS adist
         |  FROM codes k JOIN dtab t ON k.sub = t.sub AND k.code = t.code
+        |  WHERE t.query_id <> k.vec_id GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, adist, rank FROM (
+        |  SELECT query_id, neighbor_id, adist,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+        |  FROM adc) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin)),
+
+    // IVF-PQ, the composed production ANN index: 4 coarse cells bound the
+    // scan set, PQ over the RESIDUALS (16 codes x 4 subspaces) bounds the
+    // bytes; ADC top-5 for 5 queries reads only same-cell codes. The
+    // oracle replays the whole thing — coarse assign, residuals, PQ train
+    // on residuals, distance tables, inverted-file read — in exact
+    // integers.
+    "e_ivf_pq" -> Q(
+      (s, dir) => {
+        val emb = rd(s, dir, "embeddings")
+        val model = Similarity.ivfPqFit(emb, nlist = 4, m = 4, k = 16, dim = 64)
+        Similarity.ivfPqSearch(model, emb.filter(col("vec_id") < 5),
+            topk = 5, m = 4, dim = 64)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH vm AS (SELECT vec_id,
+        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000, 0)) AS vm
+        |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+        |ve AS (SELECT vec_id, unnest(range(0, len(vm))) AS dim,
+        |    CAST(unnest(vm) AS BIGINT) AS v FROM vm),
+        |cs AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+        |  FROM vm ORDER BY vec_id LIMIT 4),
+        |cc AS (SELECT s.cell, ve.dim, ve.v AS cm
+        |  FROM cs s JOIN ve ON s.vec_id = ve.vec_id),
+        |cd AS (SELECT ve.vec_id, c.cell,
+        |    CAST(sum((ve.v - c.cm) * (ve.v - c.cm)) AS BIGINT) AS dist
+        |  FROM ve JOIN cc c ON ve.dim = c.dim GROUP BY 1, 2),
+        |ca AS (SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        |    FROM cd) WHERE rn = 1),
+        |res AS (SELECT ve.vec_id, ve.dim, ve.v - c.cm AS r
+        |  FROM ve JOIN ca a ON ve.vec_id = a.vec_id
+        |  JOIN cc c ON c.cell = a.cell AND c.dim = ve.dim),
+        |ps AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+        |  FROM vm ORDER BY vec_id LIMIT 16),
+        |p0 AS (SELECT s.code, r.dim, r.r AS cm
+        |  FROM ps s JOIN res r ON s.vec_id = r.vec_id),
+        |pd1 AS (SELECT res.vec_id, res.dim // 16 AS sub, c.code,
+        |    CAST(sum((res.r - c.cm) * (res.r - c.cm)) AS BIGINT) AS dist
+        |  FROM res JOIN p0 c ON res.dim = c.dim GROUP BY 1, 2, 3),
+        |pg1 AS (SELECT vec_id, sub, code FROM (
+        |    SELECT vec_id, sub, code,
+        |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+        |    FROM pd1) WHERE rn = 1),
+        |p1 AS (SELECT g.sub, g.code, res.dim,
+        |    CAST(round(CAST(sum(res.r) AS BIGINT) / count(*), 0) AS BIGINT) AS cm
+        |  FROM pg1 g JOIN res ON g.vec_id = res.vec_id AND res.dim // 16 = g.sub
+        |  GROUP BY 1, 2, 3),
+        |pd2 AS (SELECT res.vec_id, c.sub, c.code,
+        |    CAST(sum((res.r - c.cm) * (res.r - c.cm)) AS BIGINT) AS dist
+        |  FROM res JOIN p1 c ON res.dim = c.dim GROUP BY 1, 2, 3),
+        |pcodes AS (SELECT vec_id, sub, code FROM (
+        |    SELECT vec_id, sub, code,
+        |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+        |    FROM pd2) WHERE rn = 1),
+        |qr AS (SELECT vec_id AS query_id, dim, r FROM res WHERE vec_id < 5),
+        |dtab AS (SELECT q.query_id, c.sub, c.code,
+        |    CAST(sum((q.r - c.cm) * (q.r - c.cm)) AS BIGINT) AS pdist
+        |  FROM qr q JOIN p1 c ON q.dim = c.dim GROUP BY 1, 2, 3),
+        |adc AS (SELECT t.query_id, k.vec_id AS neighbor_id,
+        |    CAST(sum(t.pdist) AS BIGINT) AS adist
+        |  FROM pcodes k JOIN dtab t ON k.sub = t.sub AND k.code = t.code
+        |  JOIN ca nc ON nc.vec_id = k.vec_id
+        |  JOIN ca qc ON qc.vec_id = t.query_id AND qc.cell = nc.cell
         |  WHERE t.query_id <> k.vec_id GROUP BY 1, 2)
         |SELECT query_id, neighbor_id, adist, rank FROM (
         |  SELECT query_id, neighbor_id, adist,
@@ -2108,6 +2408,51 @@ object Queries {
         |    (${sqlHash60("digest || ':' || d.dim")} % 1000000) / 1000000.0 - 0.5 AS feature
         |  FROM p, (SELECT unnest(range(0, 8)) AS dim) d)
         |SELECT doc_id, dim, round(feature, 6) AS feature
-        |FROM f ORDER BY doc_id, dim""".stripMargin))
+        |FROM f ORDER BY doc_id, dim""".stripMargin)),
+
+    // MIME sniffing by magic bytes over REAL binary payloads built in-plan:
+    // each doc's md5 digest bytes get one of the six container signatures
+    // (or none) prepended by hash choice, then `sniffMime` classifies from
+    // the first bytes alone. The oracle replays both the payload
+    // construction AND the sniff over the hex form — so a digest that
+    // happens to start with a magic sequence classifies identically on
+    // both engines.
+    "m_magic_sniff" -> Q(
+      (s, dir) => {
+        import graft.functions.TextFunctions.hash60
+        val magics = Multimodal.MagicNumbers
+        val choice = hash60(concat(col("doc_id").cast("string"), lit(":magic"))) % (magics.size + 1)
+        val prefixHex = magics.zipWithIndex
+          .foldRight(lit(""): Column) { case (((_, magic), i), acc) =>
+            when(choice === i, lit(magic)).otherwise(acc)
+          }
+        val payload = unhex(concat(prefixHex, md5(col("text"))))
+        rd(s, dir, "documents").select(
+            col("doc_id"),
+            Multimodal.sniffMime(payload).as("mime"),
+            octet_length(payload).cast("long").as("n_bytes"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val magics = Multimodal.MagicNumbers
+        val prefixCase = magics.zipWithIndex
+          .map { case ((_, magic), i) => s"WHEN $i THEN '$magic'" }
+          .mkString(" ")
+        val sniffCase = magics
+          .map { case (mime, magic) =>
+            s"WHEN substring(hx, 1, ${magic.length}) = '$magic' THEN '$mime'"
+          }
+          .mkString("\n        |    ")
+        s"""WITH p AS (SELECT doc_id,
+        |    ${sqlHash60("CAST(doc_id AS VARCHAR) || ':magic'")} % ${magics.size + 1} AS c,
+        |    md5(text) AS h FROM documents),
+        |hp AS (SELECT doc_id,
+        |    upper((CASE c $prefixCase ELSE '' END) || h) AS hx FROM p)
+        |SELECT doc_id,
+        |  CASE $sniffCase
+        |    ELSE 'application/octet-stream' END AS mime,
+        |  CAST(length(hx) / 2 AS BIGINT) AS n_bytes
+        |FROM hp ORDER BY doc_id""".stripMargin
+      })
   )
 }

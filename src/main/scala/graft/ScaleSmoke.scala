@@ -130,6 +130,43 @@ object ScaleSmoke {
     time("pq_adc_10q")(
       Similarity.pqAdcSearch(pqModel,
         bigEmb.filter(col("vec_id") < 10), topk = 5, m = 4, dim = 64).count())
+    pqModel.codes.unpersist(blocking = false)
+    graft.core.CacheScope.release()
+    // IVF-PQ: the composed index. Coarse cells use the sqrt(n) rule, so
+    // the per-query candidate list (own cell) stays ~sqrt(n); fit cost is
+    // two row-local assignment passes + the k*d-bounded Lloyd update
+    val ivfCells = Similarity.adaptiveNlist(nVec)
+    var ivfpq: Similarity.IvfPq.Model = null
+    time(s"ivfpq_fit_${ivfCells}cells")({
+      ivfpq = Similarity.ivfPqFit(bigEmb, nlist = ivfCells, m = 4, k = 16,
+        dim = 64)
+      ivfpq.cells.count() + ivfpq.pq.codes.persist().count()
+    })
+    time("ivfpq_adc_10q")(
+      Similarity.ivfPqSearch(ivfpq,
+        bigEmb.filter(col("vec_id") < 10), topk = 5, m = 4, dim = 64).count())
+    ivfpq.pq.codes.unpersist(blocking = false)
+    graft.core.CacheScope.release()
+    // BM25: two vocabulary-sized aggregates + two equi-joins — must track
+    // the unigram table linearly; ranked retrieval adds one TakeOrdered
+    time("bm25")(graft.operators.TextRanking.bm25(docs).count())
+    time("bm25_rank_top10")(
+      graft.operators.TextRanking.bm25Rank(docs,
+        Seq("the", "a", "of"), k = 10).count())
+    graft.core.CacheScope.release()
+    // SemDeDup: quadratic cosine confined to sqrt(n)-sized k-means cells
+    time(s"semdedup_k${ivfCells}")(
+      Similarity.semanticDupPairs(bigEmb, threshold = 0.95,
+        k = ivfCells).count())
+    graft.core.CacheScope.release()
+    // snapshot diff: one full-outer hash join of two fingerprint tables
+    time("snapshot_diff")(
+      graft.operators.Snapshot.diff(docs,
+        docs.filter(col("doc_id") % 17 =!= 0), "doc_id",
+        Seq("text", "lang", "source")).count())
+    // blocklist gate: one row-local filter pass
+    time("blocklist")(
+      TextAnalysis.blocklistHits(docs, Seq("the", "a", "of")).count())
     spark.stop()
   }
 }

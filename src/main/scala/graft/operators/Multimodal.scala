@@ -101,4 +101,31 @@ object Multimodal {
       }
       .toDF(idCol, "features")
   }
+
+  /** Container-format magic numbers: (mime, uppercase hex prefix). Order is
+    * match priority — longer/more specific prefixes first (PNG's 8-byte
+    * signature before the 2-byte gzip one). Public so callers (and the SQL
+    * oracle) can build payloads against the same table. */
+  val MagicNumbers: Seq[(String, String)] = Seq(
+    "image/png" -> "89504E470D0A1A0A",
+    "image/gif" -> "47494638",
+    "image/jpeg" -> "FFD8FF",
+    "application/pdf" -> "25504446",
+    "application/zip" -> "504B0304",
+    "application/gzip" -> "1F8B")
+
+  /** MIME sniffing by magic bytes — the triage step a mixed-media crawl
+    * needs BEFORE any decode is dispatched (the declared content-type of
+    * crawled data lies; the first bytes don't). Pure column expression over
+    * the binary payload: one `hex` of the first 8 bytes per row, compared
+    * against the magic table — whole-stage-codegen'd, no UDF, no shuffle.
+    * Unmatched payloads fall through to `application/octet-stream`. */
+  def sniffMime(bytes: Column): Column = {
+    val prefix = hex(substring(bytes, 1, 8)) // uppercase, like DuckDB's
+    MagicNumbers.foldRight(lit("application/octet-stream"): Column) {
+      case ((mime, magic), acc) =>
+        when(substring(prefix, 1, magic.length) === magic, lit(mime))
+          .otherwise(acc)
+    }
+  }
 }

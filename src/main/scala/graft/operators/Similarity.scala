@@ -415,6 +415,49 @@ object Similarity {
                            codebooks: Seq[(Int, Int, Array[Double])])
   }
 
+  /** SemDeDup-style semantic deduplication, step 1: candidate pairs. The
+    * corpus is k-means clustered ([[kmeansFit]] — engine-exact, no RNG)
+    * and cosine similarity is computed ONLY within each cluster, so the
+    * quadratic work is confined to cluster-sized buckets exactly like the
+    * LSH/band buckets of the other dedup modes — but keyed by global
+    * vector geometry instead of a random projection, which is what lets
+    * semantic dedup catch paraphrases lexical dedup misses. At 100 TB:
+    * cost per cluster is (n/k)^2; k grows with the corpus
+    * ([[adaptiveNlist]]'s sqrt rule applies unchanged).
+    *
+    * Output: (id_a, id_b, cluster, cos_sim) with id_a < id_b and
+    * cos_sim >= threshold, 6-dp rounded (the [[cosineDupPairs]] contract).
+    */
+  def semanticDupPairs(corpus: DataFrame, threshold: Double, k: Int = 8,
+                       iters: Int = 2, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val clusters = kmeansFit(corpus, k, iters, idCol, vecCol)
+      .select(col("id"), col("cluster"))
+    val v = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("vn"))
+      .join(clusters, Seq("id"))
+    val cells = graft.core.CacheScope.persist(v)
+    cells.as("a").join(cells.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.cluster").as("cluster"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.vn") * col("b.vn")), 6)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** SemDeDup step 2: survivors under the greedy lowest-id-wins rule —
+    * a vector is dropped iff it is near-duplicate of some LOWER id in its
+    * cluster (one left-anti join against the pair table's id_b side; the
+    * deterministic, order-free equivalent of SemDeDup's "keep one per
+    * group" scan). For full transitive-closure resolution feed the pairs
+    * to [[Dedup.duplicateClusters]] + [[Dedup.dropNearDuplicates]] instead.
+    */
+  def semanticSurvivors(corpus: DataFrame, pairs: DataFrame,
+                        idCol: String = "vec_id"): DataFrame =
+    corpus.join(pairs.select(col("id_b")),
+      corpus(idCol) === col("id_b"), "left_anti")
+
   /** Train (seed -> assign -> mean update) and encode (final assignment
     * against the updated codebooks). `dim` must be divisible by `m`. */
   def pqFit(corpus: DataFrame, m: Int = 4, k: Int = 16, dim: Int = -1,
@@ -523,6 +566,142 @@ object Similarity {
           + col("cm2")).cast("long").as("pdist"))
     val scored = model.codes.join(broadcast(dtab), Seq("sub", "code"))
       .filter(col("query_id") =!= col("id"))
+      .groupBy("query_id", "id")
+      .agg(sum("pdist").as("adist"))
+    val w = Window.partitionBy("query_id").orderBy(asc("adist"), asc("id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topk)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        col("adist"), col("rank"))
+  }
+
+  // --------------------------------------------------------------- IVF-PQ
+
+  /** IVF-PQ — the composed index production ANN actually runs at 100 TB
+    * (FAISS's IndexIVFPQ): an inverted-file coarse quantizer bounds WHICH
+    * vectors a query scans (cost / nlist), and product quantization over
+    * the RESIDUALS (vector minus its cell centroid) bounds the BYTES each
+    * scan touches (m small codes per vector). Residual encoding is what
+    * makes the shared codebooks accurate: residuals from every cell live
+    * near the origin, so one m x k codebook serves all cells.
+    *
+    * Everything follows the library's engine-exact contract: micro-integer
+    * components, exact integer squared-L2, deterministic lowest-id coarse
+    * seeds ([[knnIvf]]), per-subspace Lloyd with one update ([[pqFit]] —
+    * the residuals round-trip through its micro scaling exactly, because
+    * they ARE integers in micro space). Fully SQL-replayable (`e_ivf_pq`).
+    */
+  object IvfPq {
+    /** cells = (id, cell) coarse assignment; centroids = micro-int coarse
+      * centroids by cell index; pq = residual codes + codebooks. */
+    final case class Model(cells: DataFrame,
+                           centroids: Seq[(Int, Array[Double])],
+                           pq: Pq.Model)
+  }
+
+  /** Row-local argmin over literal micro-int centroids by exact integer
+    * squared-L2 — the [[kmeansFit]] assignment shape (no shuffle, ties to
+    * the lowest index). Input must carry `vm` (micro ints) and `vm2`. */
+  private def nearestCell(df: DataFrame,
+                          cents: Seq[(Int, Array[Double])]): DataFrame = {
+    val ranked = array_sort(array(cents.map { case (ci, cm) =>
+      val c2 = cm.map(x => x * x).sum
+      struct(
+        (col("vm2") - lit(2.0) * dot(col("vm"), typedlit(cm.toSeq)) + lit(c2))
+          .cast("long").as("dist"),
+        lit(ci).as("cell"))
+    }: _*))
+    df.withColumn("cell", element_at(ranked, 1).getField("cell"))
+  }
+
+  /** Train: coarse-assign every vector to its nearest of the `nlist`
+    * lowest-id seed centroids, subtract the centroid (exact integer
+    * residual), and PQ-train/encode the residuals (`m` subspaces x `k`
+    * codes, one Lloyd update). Scale shape: both assignments are row-local
+    * projections against literal geometry; the only aggregates are
+    * pqFit's k x dim codebook update — nothing driver-side grows with the
+    * corpus. */
+  def ivfPqFit(corpus: DataFrame, nlist: Int = 8, m: Int = 4, k: Int = 16,
+               dim: Int = -1, idCol: String = "vec_id",
+               vecCol: String = "embedding"): IvfPq.Model = {
+    val d = if (dim > 0) dim else sniffDim(corpus, vecCol)
+    val vm = transform(col(vecCol), x => round(x.cast("double") * lit(1e6), 0))
+    val base = graft.core.CacheScope.persist(
+      corpus.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+        .select(col(idCol).as("id"), vm.as("vm"))
+        .withColumn("vm2", dot(col("vm"), col("vm"))))
+    val cents: Seq[(Int, Array[Double])] =
+      base.orderBy("id").limit(nlist).select("vm").collect()
+        .toIndexedSeq.zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
+    if (cents.isEmpty)
+      return IvfPq.Model(
+        base.select(col("id"), lit(0).as("cell")).limit(0), Nil,
+        Pq.Model(base.select(col("id"), lit(0).as("sub"), lit(0).as("code"),
+          lit(0L).as("dist_sq")).limit(0), Nil))
+    val centLit = array(cents.map(c => typedlit(c._2.toSeq)): _*)
+    val assigned = graft.core.CacheScope.persist(
+      nearestCell(base, cents)
+        .withColumn("res",
+          zip_with(col("vm"), element_at(centLit, col("cell") + 1),
+            (a, b) => a - b))
+        .select(col("id"), col("cell"), col("res")))
+    // residuals are micro INTEGERS; pqFit's own micro scaling round-trips
+    // them exactly (round((r/1e6)*1e6) == r), so the codebooks train on
+    // the exact integer residuals the SQL replay derives
+    val pq = pqFit(
+      assigned.select(col("id").as(idCol),
+        transform(col("res"), r => r / lit(1e6)).as(vecCol)),
+      m, k, d, idCol, vecCol)
+    IvfPq.Model(assigned.select(col("id"), col("cell")), cents, pq)
+  }
+
+  /** Search: each query coarse-assigns to its nearest cell, residualizes
+    * against THAT centroid, builds its m x k partial-distance table (one
+    * broadcast — k*m rows per query), and ADC-scores ONLY the vectors
+    * whose coarse cell matches (the inverted-file read). Exact integers
+    * end to end; ties to the lowest neighbor id. */
+  def ivfPqSearch(model: IvfPq.Model, queries: DataFrame, topk: Int,
+                  m: Int = 4, dim: Int = -1, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val d = if (dim > 0) dim else sniffDim(queries, vecCol)
+    require(d % m == 0, s"dim $d not divisible by m subspaces $m")
+    val dsub = d / m
+    if (model.centroids.isEmpty || model.pq.codebooks.isEmpty)
+      return queries.select(col(idCol).as("query_id"),
+        col(idCol).as("neighbor_id"), lit(0L).as("adist"),
+        lit(0L).as("rank")).limit(0)
+    import spark.implicits._
+    val cb = model.pq.codebooks
+      .map { case (s, c, cm) => (s, c, cm.toSeq) }.toDF("sub", "code", "cm")
+      .withColumn("cm2", dot(col("cm"), col("cm")))
+    val centLit = array(model.centroids.map(c => typedlit(c._2.toSeq)): _*)
+    val vmq = transform(col(vecCol), x => round(x.cast("double") * lit(1e6), 0))
+    val qres = nearestCell(
+      queries.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+        .select(col(idCol).as("query_id"), vmq.as("vm"))
+        .withColumn("vm2", dot(col("vm"), col("vm")))
+        .withColumnRenamed("query_id", "id"), model.centroids)
+      .withColumn("qr",
+        zip_with(col("vm"), element_at(centLit, col("cell") + 1),
+          (a, b) => a - b))
+      .select(col("id").as("query_id"), col("cell").as("qcell"), col("qr"))
+    val qsub = qres.select(col("query_id"), col("qcell"),
+      explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"),
+          slice(col("qr"), s * dsub + 1, dsub).as("qv"))): _*)).as("e"))
+      .select(col("query_id"), col("qcell"),
+        col("e.sub").as("sub"), col("e.qv").as("qv"))
+    val dtab = qsub.join(cb, "sub")
+      .select(col("query_id"), col("qcell"), col("sub"), col("code"),
+        (dot(col("qv"), col("qv")) - lit(2.0) * dot(col("qv"), col("cm"))
+          + col("cm2")).cast("long").as("pdist"))
+    // inverted-file read: codes of SAME-cell vectors only, then one
+    // map-side-combined sum over the m subspace partials
+    val scored = model.pq.codes.join(model.cells, Seq("id"))
+      .join(broadcast(dtab), Seq("sub", "code"))
+      .filter(col("cell") === col("qcell") && col("query_id") =!= col("id"))
       .groupBy("query_id", "id")
       .agg(sum("pdist").as("adist"))
     val w = Window.partitionBy("query_id").orderBy(asc("adist"), asc("id"))

@@ -199,4 +199,34 @@ object TextAnalysis {
     docs.select(col(idCol),
       md5(concat_ws(" ", array_sort(array_distinct(tokens(col(textCol))))))
         .as("fingerprint"))
+
+  /** Blocklist filtering — the word-boundary-correct "badwords" gate every
+    * corpus-curation pipeline runs (substring LIKE matching flags
+    * "class(ic)" for "ass"; matching on TOKENS does not). Per document:
+    * total token count, blocked-token hits, the blocked share at exact
+    * integer micro precision, and the keep verdict at `maxRatioMicro`.
+    *
+    * The blocklist ships inside the row expression (a literal array —
+    * real lists are 1e2..1e4 words, trivially broadcastable), so the scan
+    * is one row-local filter pass per document: no join, no shuffle before
+    * whatever aggregate the caller adds. Matching is case-insensitive
+    * (lowercased tokens vs a lowercased list, the [[languageId]]
+    * convention). A zero-token document has ratio 0 and is kept. */
+  def blocklistHits(docs: DataFrame, words: Seq[String],
+                    maxRatioMicro: Long = 100000,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(words.nonEmpty, "need a non-empty blocklist")
+    val wl = words.map(_.toLowerCase).distinct
+    docs.select(col(idCol), tokens(lower(col(textCol))).as("lt"))
+      .select(col(idCol), size(col("lt")).cast("long").as("n_tokens"),
+        size(filter(col("lt"), t => t.isInCollection(wl)))
+          .cast("long").as("n_blocked"))
+      .withColumn("blocked_micro",
+        when(col("n_tokens") > 0,
+          round(col("n_blocked") * lit(1000000.0) / col("n_tokens"), 0)
+            .cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("keep", col("blocked_micro") <= lit(maxRatioMicro))
+  }
 }

@@ -178,4 +178,79 @@ object TextRanking {
         Seq(idCol, "pos"))
     }.groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
   }
+
+  /** Okapi BM25 per (doc, token) — the ranking function real retrieval
+    * runs on top of the posting lists (TF-IDF's production successor:
+    * saturating tf and document-length normalization).
+    *
+    *   idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))   (Robertson)
+    *   score(d, t) = idf * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    *
+    * Engine-stable contract: unlike the cross-row float SUMS this library
+    * integer-scales, every BM25 term is ROW-LOCAL scalar arithmetic over
+    * exact integers (tf, df, dl, N, milli-scaled avgdl), so fixing the
+    * expression tree makes the IEEE result bit-identical in any engine;
+    * the score is then rounded once to integer micro units (`score_micro`,
+    * summable exactly downstream) and exposed as `score = score_micro/1e6`.
+    *
+    * Plan shape = [[tfidf]]'s: one persisted unigram aggregate feeds the
+    * df table (map-side-combined groupBy, NOT a per-token window — a
+    * stop-word's window partition would be one straggler task) and the
+    * per-doc length table; two hash equi-joins, both AQE-skew-splittable.
+    * N and avgdl are driver scalars shipped as literals. */
+  def bm25(docs: DataFrame, k1Milli: Long = 1200, bMilli: Long = 750,
+           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val n = docs.count()
+    val uni = graft.core.CacheScope.persist(
+      TextOps.unigrams(docs, idCol, textCol))
+    val dl = uni.groupBy(idCol).agg(sum("count").as("dl"))
+    val totalTokens = dl.agg(coalesce(sum("dl"), lit(0L))).head().getLong(0)
+    // avgdl at milli precision: an exact integer both engines derive from
+    // the same two exact integers (guard: >= 1 so the ratio never divides
+    // by zero on an empty corpus)
+    val avgdlMilli = math.max(1L,
+      math.round(totalTokens * 1000.0 / math.max(n, 1L)))
+    val dfT = uni.groupBy("token").agg(count(lit(1)).as("df"))
+      .withColumn("idf_micro",
+        round(log((lit(n.toDouble) - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)) * 1e6, 0).cast("long"))
+    // constants evaluated once here; the SQL oracle embeds the SAME doubles
+    // (Double.toString round-trips), so both engines run identical IEEE ops
+    val k1 = k1Milli / 1000.0
+    val b = bMilli / 1000.0
+    val kPlus1 = (1000L + k1Milli) / 1000.0
+    val c1 = k1 * (1 - b) // the tf-independent denominator constant
+    val c2 = k1 * b       // the length-normalization weight
+    uni.join(dl, Seq(idCol)).join(dfT, Seq("token"))
+      .withColumn("dl_ratio",
+        col("dl").cast("double") * lit(1000.0) / lit(avgdlMilli.toDouble))
+      .withColumn("score_micro",
+        round((col("idf_micro") * col("count")) * lit(kPlus1) /
+          (col("count").cast("double") + lit(c1) + lit(c2) * col("dl_ratio")),
+          0).cast("long"))
+      .select(col(idCol), col("token"), col("count").as("tf"), col("df"),
+        col("dl"), col("score_micro"),
+        (col("score_micro") / 1e6).as("score"))
+  }
+
+  /** Ranked retrieval: top-`k` documents for a bag-of-words query by summed
+    * BM25. The per-term scores are exact integer micros, so the document
+    * total is an exact long — no float order sensitivity across terms. The
+    * global cut is orderBy+limit (TakeOrdered: per-partition top-k then a
+    * k-row driver merge — never a single-partition window), with the rank
+    * attached afterwards on the <= k surviving rows. */
+  def bm25Rank(docs: DataFrame, terms: Seq[String], k: Int = 10,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val totals = bm25(docs, idCol = idCol, textCol = textCol)
+      .filter(col("token").isin(terms.distinct: _*))
+      .groupBy(idCol)
+      .agg(sum("score_micro").as("total_micro"))
+    val top = totals.orderBy(desc("total_micro"), asc(idCol)).limit(k)
+    // rank via the two-phase range rank, not `row_number() OVER ()` — even
+    // on <= k rows a partitionless window warns and sets a bad pattern
+    graft.core.Ids.denseRankBy(top, Seq(desc("total_micro"), asc(idCol)), "rank0")
+      .select(col(idCol), (col("rank0") + 1).as("rank"),
+        (col("total_micro") / 1e6).as("score"))
+  }
 }

@@ -293,4 +293,67 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.pqAdcSearch(model, q, topk = 3, m = 2, dim = 4).count() == 0)
     graft.core.CacheScope.release()
   }
+
+  test("ivf-pq: coarse cells bound the read set, residual ADC ranks kin first") {
+    // two far-apart groups; seeds ids 1,2 become the two coarse cells
+    val pts = Seq(
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(50.0f, 50.0f, 50.0f, 50.0f)),
+      (3L, Array(0.3f, 0.1f, 0.0f, 0.2f)),
+      (4L, Array(50.2f, 49.9f, 50.1f, 50.0f)),
+      (5L, Array(0.2f, 0.1f, 0.1f, 0.2f))).toDF("vec_id", "embedding")
+    val model = Similarity.ivfPqFit(pts, nlist = 2, m = 2, k = 4, dim = 4)
+    val cells = model.cells.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells(1L) == cells(3L) && cells(3L) == cells(5L))
+    assert(cells(2L) == cells(4L) && cells(1L) != cells(2L))
+    // inverted-file read: query 3 scores ONLY its cell-mates {1, 5}
+    val got = Similarity.ivfPqSearch(model, pts.filter($"vec_id" === 3L),
+        topk = 3, m = 2, dim = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id")))
+    assert(got.map(_._2).toSet == Set(1L, 5L))
+    // 5 shares 3's residual codewords -> smaller ADC distance than 1
+    assert(got.head == (1L, 5L))
+    // deterministic end to end
+    val m2 = Similarity.ivfPqFit(pts, nlist = 2, m = 2, k = 4, dim = 4)
+    assert(m2.cells.collect().toSet == model.cells.collect().toSet)
+    assert(m2.pq.codes.collect().toSet == model.pq.codes.collect().toSet)
+    graft.core.CacheScope.release()
+  }
+
+  test("semdedup: pairs stay within k-means cells, survivors keep lowest id") {
+    // cell A: 1 ~ 3 near-identical, 5 same direction; cell B: 2 ~ 4
+    val pts = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(-1.0f, 0.1f)),
+      (3L, Array(0.99f, 0.01f)), (4L, Array(-0.98f, 0.09f)),
+      (5L, Array(0.9f, 0.05f))).toDF("vec_id", "embedding")
+    val pairs = Similarity.semanticDupPairs(pts, threshold = 0.95, k = 2)
+    val got = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // every pair is intra-cell with id_a < id_b
+    assert(got.forall { case (a, b, _) => a < b })
+    assert(got.map(_._3).size <= 2)
+    // 1-3, 1-5, 3-5 in one cell; 2-4 in the other; never 1-2
+    assert(got.map(p => (p._1, p._2)) ==
+      Set((1L, 3L), (1L, 5L), (3L, 5L), (2L, 4L)))
+    val kept = Similarity.semanticSurvivors(pts, pairs)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // greedy lowest-id-wins: 3, 4, 5 each duplicate a lower id
+    assert(kept == Set(1L, 2L))
+    graft.core.CacheScope.release()
+  }
+
+  test("magic sniffing classifies container signatures from binary prefixes") {
+    val cases = Multimodal.MagicNumbers.map { case (mime, magic) =>
+      (mime, magic + "00112233445566778899AABBCCDDEEFF")
+    } :+ ("application/octet-stream", "00112233445566778899AABBCCDDEEFF")
+    val df = cases.toDF("expected", "hx")
+      .withColumn("mime", Multimodal.sniffMime(unhex($"hx")))
+    assert(df.filter($"mime" =!= $"expected").count() == 0)
+    // a short payload (< 8 bytes) sniffs without erroring
+    val short = Seq("FFD8FF", "1F8B").toDF("hx")
+      .withColumn("mime", Multimodal.sniffMime(unhex($"hx")))
+      .collect().map(_.getString(1))
+    assert(short.sameElements(Array("image/jpeg", "application/gzip")))
+  }
 }

@@ -47,6 +47,44 @@ class TextRankingSpec extends AnyFunSuite {
     assert(top.toSeq == again)
   }
 
+  test("bm25: rare terms outrank stopwords, tf saturates, length normalizes") {
+    val d = Seq(
+      (1L, "the the the the durian"),
+      (2L, "the cherry"),
+      (3L, "the apple apple apple apple apple apple apple apple")
+    ).toDF("doc_id", "text")
+    val t = TextRanking.bm25(d).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getAs[Double]("score")).toMap
+    // df=3 'the' scores low everywhere (idf ln(1.14)); df=1 terms score high
+    assert(t((1L, "durian")) > t((1L, "the")) * 3)
+    // saturation: 8x tf must NOT give 8x score (plain tf-idf would)
+    val hand = {
+      // replay doc 3 'apple' by hand: N=3, df=1, tf=8, dl=9, avgdl=16/3
+      val idf = math.log((3.0 - 1 + 0.5) / (1 + 0.5) + 1.0)
+      val avgdlM = math.round(16 * 1000.0 / 3).toDouble
+      val den = 8.0 + 1.2 * 0.25 + (1.2 * 0.75) * (9 * 1000.0 / avgdlM)
+      math.round(math.round(idf * 1e6) * 8 * 2.2 / den) / 1e6
+    }
+    assert(math.abs(t((3L, "apple")) - hand) < 1e-9)
+    // determinism across reruns
+    val again = TextRanking.bm25(d).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getAs[Double]("score")).toMap
+    assert(t == again)
+  }
+
+  test("bm25Rank: summed query scores rank docs with total tie-break") {
+    val d = Seq(
+      (1L, "apple banana"),
+      (2L, "apple apple banana banana"),
+      (3L, "cherry")).toDF("doc_id", "text")
+    val top = TextRanking.bm25Rank(d, Seq("apple", "banana"), k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("rank"), r.getLong(0)))
+    assert(top.length == 2)
+    // doc 2 has higher tf on both terms -> rank 1
+    assert(top(0) == (1L, 2L) && top(1) == (2L, 1L))
+  }
+
   test("cross-entropy: repetitive in-distribution docs score lower than odd ones") {
     val d = Seq(
       (1L, "the cat sat the cat sat the cat sat the cat sat"),
