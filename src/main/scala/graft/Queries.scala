@@ -1741,7 +1741,73 @@ object Queries {
         |      ORDER BY n_chars DESC, doc_id) AS rank
         |  FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL)
         |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, n_chars
-        |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin))
+        |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin)),
+
+    // Hybrid retrieval — the RAG shape: lexical BM25 recall (top-20 for
+    // the corpus's three highest-df terms) re-ranked by embedding cosine
+    // against the best lexical hit's vector (self-derived; docs and
+    // vectors join on id). Two bounded driver collects (3 terms, 1 query
+    // vector); the re-rank is a broadcast literal against <= 20 rows.
+    "t_hybrid_search" -> Q(
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val emb = rd(s, dir, "embeddings")
+        val terms = TextOps.unigrams(docs)
+          .groupBy("token").agg(count(lit(1)).as("df"))
+          .orderBy(desc("df"), asc("token")).limit(3)
+          .collect().map(_.getString(0)).toSeq
+        val empty = docs.select(col("doc_id"), lit(0L).as("bm25_rank"),
+          lit(0.0).as("cos_sim"), lit(0L).as("rank")).limit(0)
+        if (terms.isEmpty) empty
+        else {
+          val top = TextRanking.bm25Rank(docs, terms, k = 20)
+            .select(col("doc_id"), col("rank").as("bm25_rank"))
+          val withVec = top.join(
+            emb.filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+              .select(col("vec_id").as("doc_id"), col("embedding")),
+            Seq("doc_id"))
+          val qrow = withVec.orderBy(asc("bm25_rank"), asc("doc_id")).limit(1)
+            .select(col("doc_id"), col("embedding").cast("array<double>"))
+            .collect()
+          if (qrow.isEmpty) empty
+          else {
+            val qv = qrow.head.getSeq[Double](1).toSeq
+            val qn = math.sqrt(qv.map(x => x * x).sum)
+            val reranked = withVec
+              .withColumn("cos_sim",
+                round(Similarity.dot(col("embedding"), typedlit(qv)) /
+                  (Similarity.norm(col("embedding")) * lit(qn)), 6))
+              .orderBy(desc("cos_sim"), asc("doc_id")).limit(10)
+            graft.core.Ids.denseRankBy(reranked,
+                Seq(desc("cos_sim"), asc("doc_id")), "rank0")
+              .select(col("doc_id"), col("bm25_rank"), col("cos_sim"),
+                (col("rank0") + 1).as("rank"))
+              .orderBy("rank")
+          }
+        }
+      },
+      Some(s"""WITH $ToksCte, $StreamCte, $UniCte,
+        |$sqlBm25Ctes,
+        |terms AS (SELECT token FROM dfx ORDER BY df DESC, token LIMIT 3),
+        |btot AS (SELECT doc_id, CAST(sum(score_micro) AS BIGINT) AS total_micro
+        |  FROM sc JOIN terms USING (token) GROUP BY doc_id),
+        |branked AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY total_micro DESC, doc_id) AS bm25_rank
+        |  FROM btot),
+        |withv AS (SELECT t.doc_id, t.bm25_rank, e.embedding AS v
+        |  FROM branked t JOIN embeddings e ON e.vec_id = t.doc_id
+        |  WHERE t.bm25_rank <= 20
+        |    AND e.vec_id IS NOT NULL AND e.embedding IS NOT NULL),
+        |qsel AS (SELECT doc_id, v FROM withv
+        |  ORDER BY bm25_rank, doc_id LIMIT 1),
+        |hscored AS (SELECT w.doc_id, w.bm25_rank,
+        |    round(${sqlCos("w.v", "q.v")}, 6) AS cos_sim
+        |  FROM withv w, qsel q)
+        |SELECT doc_id, bm25_rank, cos_sim, rank FROM (
+        |  SELECT doc_id, bm25_rank, cos_sim,
+        |    row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rank
+        |  FROM hscored) WHERE rank <= 10
+        |ORDER BY rank""".stripMargin))
   )
 
   // ------------------------------------------------------------- SRP

@@ -123,6 +123,30 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(kq.length == 2 && kq.forall(!_.isNullAt(2)))
   }
 
+  test("round-6 operators survive empty and degenerate corpora") {
+    import graft.operators.{Similarity, Snapshot, TextAnalysis, TopK}
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextRanking.bm25(empty).count() == 0L)
+    assert(TextAnalysis.blocklistHits(empty, Seq("x")).count() == 0L)
+    assert(Snapshot.diff(empty, empty, "doc_id", Seq("text")).count() == 0L)
+    assert(TopK.topKByGroup(empty, Seq("text"), "doc_id", "doc_id", 3)
+      .count() == 0L)
+    val ev = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.semanticDupPairs(ev, threshold = 0.5).count() == 0L)
+    val m = Similarity.ivfPqFit(ev, nlist = 2, m = 2, k = 2, dim = 4)
+    assert(Similarity.ivfPqSearch(m, ev, topk = 5, m = 2, dim = 4)
+      .count() == 0L)
+    // single-doc corpus: BM25 is defined (df = N = 1), retrieval returns it
+    val one = Seq((1L, "hello world")).toDF("doc_id", "text")
+    assert(TextRanking.bm25(one).count() == 2L)
+    assert(TextRanking.bm25Rank(one, Seq("hello")).count() == 1L)
+    // a vector-less corpus diffed against itself is all-unchanged
+    val same = Seq((1L, "a", "en")).toDF("doc_id", "text", "lang")
+    assert(Snapshot.diff(same, same, "doc_id", Seq("text", "lang"))
+      .collect().head.getString(1) == "unchanged")
+    graft.core.CacheScope.release()
+  }
+
   test("flat-catalog list child table explodes with ids") {
     val df = Seq(("1", Seq("a", "b")), ("2", Seq("c"))).toDF("@id", "keywords")
     val child = FlatCatalog.listChild(df, "@id", "keywords").collect()

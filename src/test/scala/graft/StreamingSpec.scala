@@ -261,6 +261,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(Set("a", "b", "c").subsetOf(kept) && !kept.contains("zebra"))
   }
 
+  test("grouped top-k aggregate maintains incrementally over a stream") {
+    // the bounded TopK aggregate is one grouped aggregate, so it runs
+    // unchanged as a streaming query: after two micro-batches the
+    // complete-mode leaderboard equals the batch top-k of the concatenated
+    // input — a later arrival displaces an earlier leader exactly as the
+    // merge order guarantees (streaming leaderboards for free).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Long)]
+    val q = graft.operators.TopK.topKByGroup(
+        ms.toDF().toDF("g", "id", "v"), Seq("g"), "id", "v", k = 2)
+      .writeStream.format("memory").queryName("topk_stream")
+      .outputMode("complete").start()
+    ms.addData(("a", 1L, 10L), ("a", 2L, 20L))
+    q.processAllAvailable()
+    ms.addData(("a", 3L, 30L), ("b", 4L, 5L))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("topk_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val batch = graft.operators.TopK.topKByGroup(
+        Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L), ("b", 4L, 5L))
+          .toDF("g", "id", "v"), Seq("g"), "id", "v", k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed == batch)
+    // id 1 (the first leader) was displaced by the second micro-batch
+    assert(streamed == Set(("a", 1L, 3L, 30L), ("a", 2L, 2L, 20L),
+      ("b", 1L, 4L, 5L)))
+  }
+
   test("stateful sessionization == batch q_events_sessions") {
     val streamed = EventsStreaming.runToMemory(spark, streamDir,
       "sessions_test", df => EventsStreaming.sessionize(df).toDF(),
