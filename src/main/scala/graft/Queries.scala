@@ -1727,6 +1727,41 @@ object Queries {
         |    ELSE 0 END) <= 50000 AS keep
         |FROM j ORDER BY doc_id""".stripMargin)),
 
+    // Crawl-text cleaning over deterministically dirtied documents (a
+    // hash-chosen third get markup wrappers, another third control chars
+    // + boilerplate tails): strip tags, drop control chars, collapse
+    // whitespace, trim — with the byte-reduction audit a curation
+    // pipeline watches. The oracle replays dirtying AND cleaning.
+    "t_clean" -> Q(
+      (s, dir) => {
+        import graft.functions.TextFunctions.hash60
+        val m = hash60(concat(col("doc_id").cast("string"), lit(":clean"))) % 3
+        val dirty = when(m === 0,
+            concat(lit("<p>"), col("text"), lit("</p>\t\t")))
+          .when(m === 1,
+            concat(lit("  \u0007"), col("text"), lit(" <br> tail  ")))
+          .otherwise(col("text"))
+        TextAnalysis.cleanAudit(
+            rd(s, dir, "documents").withColumn("text", dirty))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id,
+        |    CASE ${sqlHash60("CAST(doc_id AS VARCHAR) || ':clean'")} % 3
+        |      WHEN 0 THEN '<p>' || text || '</p>' || chr(9) || chr(9)
+        |      WHEN 1 THEN '  ' || chr(7) || text || ' <br> tail  '
+        |      ELSE text END AS text
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(text,
+        |      '<[^>]*>', ' ', 'g'),
+        |      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+        |      '\\s+', ' ', 'g')) AS clean_text,
+        |    length(text) AS n_chars_raw
+        |  FROM d)
+        |SELECT doc_id, clean_text, CAST(n_chars_raw AS BIGINT) AS n_chars_raw,
+        |  CAST(length(clean_text) AS BIGINT) AS n_chars_clean
+        |FROM c ORDER BY doc_id""".stripMargin)),
+
     // Grouped top-k WITHOUT a window: the bounded typed aggregate carries
     // at most k pairs per group per partition (map-side combined), vs
     // row_number() shuffling and sorting every row of every group. The

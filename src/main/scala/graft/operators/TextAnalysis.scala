@@ -200,6 +200,33 @@ object TextAnalysis {
       md5(concat_ws(" ", array_sort(array_distinct(tokens(col(textCol))))))
         .as("fingerprint"))
 
+  /** Crawl-text cleaning — the normalization pass run before any other
+    * text operator sees the data: strip markup tags, drop control
+    * characters, collapse whitespace runs, trim. Pure `regexp_replace`
+    * chain (codegen'd, row-local, zero shuffle) and deliberately
+    * conservative: no entity decoding, no case folding — those are
+    * tokenizer decisions, not cleaning. The pass order matters and is
+    * part of the contract (tags first, so `<br>` becomes collapsible
+    * whitespace). */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(text, "<[^>]*>", " "), // markup tags -> space
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""), // control chars
+      "\\s+", " ")) // collapse whitespace runs
+
+  /** Per-document cleaning audit: cleaned text plus the byte/char
+    * reduction — the observability a curation pipeline needs to spot
+    * boilerplate-heavy sources (cleaning that removes half a source's
+    * bytes is a signal, not just a transform). */
+  def cleanAudit(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), col(textCol))
+      .withColumn("clean_text", cleanText(col(textCol)))
+      .select(col(idCol), col("clean_text"),
+        length(col(textCol)).cast("long").as("n_chars_raw"),
+        length(col("clean_text")).cast("long").as("n_chars_clean"))
+
   /** Blocklist filtering — the word-boundary-correct "badwords" gate every
     * corpus-curation pipeline runs (substring LIKE matching flags
     * "class(ic)" for "ass"; matching on TOKENS does not). Per document:

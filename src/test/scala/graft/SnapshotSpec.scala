@@ -39,6 +39,18 @@ class SnapshotSpec extends AnyFunSuite {
     assert(st == "changed")
   }
 
+  test("cleanText strips tags and control chars, collapses whitespace") {
+    val d = Seq(
+      (1L, "<div class=x>Hello</div>\u0007  world\t\t!"),
+      (2L, "plain")).toDF("doc_id", "text")
+    val g = TextAnalysis.cleanAudit(d).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(g(1L)._1 == "Hello world !")
+    assert(g(1L)._2 > g(1L)._3) // the audit shows the reduction
+    assert(g(2L) == (("plain", 5L, 5L))) // clean input is a fixpoint
+  }
+
   test("blocklist gate: token-boundary matches, micro ratio, zero-token keep") {
     val docs = Seq(
       (1L, "spam spam ham"),          // 2/3 blocked
