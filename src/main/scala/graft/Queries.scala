@@ -1778,6 +1778,64 @@ object Queries {
         |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, n_chars
         |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin)),
 
+    // OOV rate against the top-100 vocabulary — the tokenizer-coverage
+    // signal: documents full of out-of-vocabulary tokens are exactly the
+    // ones a fixed vocab serves worst. One broadcast join against the
+    // capped vocab (vocab-sized, like every encode join), counts exact.
+    "t_oov" -> Q(
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val vocab = TextOps.totalWordcounts(docs, cap = 100)
+          .select(col("token"), lit(1).as("in_vocab"))
+        TextOps.unigrams(docs)
+          .join(broadcast(vocab), Seq("token"), "left")
+          .groupBy("doc_id")
+          .agg(sum("count").as("n_tokens"),
+            sum(when(col("in_vocab").isNull, col("count")).otherwise(lit(0L)))
+              .as("n_oov"))
+          .withColumn("oov_micro",
+            when(col("n_tokens") > 0,
+              round(col("n_oov") * lit(1000000.0) / col("n_tokens"), 0)
+                .cast("long")).otherwise(lit(0L)))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $ToksCte, $StreamCte, $UniCte,
+        |v100 AS (SELECT token FROM (
+        |    SELECT token, count(*) AS "count" FROM stream GROUP BY token
+        |    ORDER BY count(*) DESC, token LIMIT 100)),
+        |agg AS (SELECT doc_id, CAST(sum("count") AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN v.token IS NULL THEN "count" ELSE 0 END) AS BIGINT) AS n_oov
+        |  FROM uni u LEFT JOIN v100 v USING (token) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_oov,
+        |  CASE WHEN n_tokens > 0
+        |    THEN CAST(round(n_oov * 1000000.0 / n_tokens, 0) AS BIGINT)
+        |    ELSE 0 END AS oov_micro
+        |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic k-per-group sampling = the TopK aggregate over a hash
+    // order (value = -hash60, so "top" = lowest hash): the reservoir-
+    // sample shape with zero RNG state, replayable anywhere. Same bounded
+    // buffer economics as t_top_docs — k rows per group per partition.
+    "q_group_sample" -> Q(
+      (s, dir) => {
+        import graft.functions.TextFunctions.hash60
+        val docs = rd(s, dir, "documents")
+          .withColumn("hv",
+            -hash60(concat(col("doc_id").cast("string"), lit(":gs"))))
+        TopK.topKByGroup(docs, Seq("lang"), "doc_id", "hv", k = 3)
+          .select(col("lang"), col("rank"), col("doc_id"),
+            (-col("hv")).as("h"))
+          .orderBy("lang", "rank")
+      },
+      Some(s"""WITH h AS (SELECT lang, doc_id,
+        |    ${sqlHash60("CAST(doc_id AS VARCHAR) || ':gs'")} AS h
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |r AS (SELECT lang, doc_id, h,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rank
+        |  FROM h)
+        |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, h
+        |FROM r WHERE rank <= 3 ORDER BY lang, rank""".stripMargin)),
+
     // Hybrid retrieval — the RAG shape: lexical BM25 recall (top-20 for
     // the corpus's three highest-df terms) re-ranked by embedding cosine
     // against the best lexical hit's vector (self-derived; docs and
