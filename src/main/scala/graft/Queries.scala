@@ -89,11 +89,9 @@ object Queries {
     * (Double.toString round-trips), so both engines execute an identical
     * IEEE expression tree. */
   private lazy val sqlBm25Ctes: String = {
-    val k1 = 1200L / 1000.0
-    val b = 750L / 1000.0
-    val kPlus1 = (1000L + 1200L) / 1000.0
-    val c1 = k1 * (1 - b)
-    val c2 = k1 * b
+    // the SAME doubles the Spark plan computes — one derivation, no copy
+    // to desync if k1/b defaults ever change
+    val (kPlus1, c1, c2) = TextRanking.bm25Constants()
     s"""dlb AS (SELECT doc_id, CAST(sum("count") AS BIGINT) AS dl
     |  FROM uni GROUP BY doc_id),
     |stb AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
@@ -976,8 +974,11 @@ object Queries {
         val kept = m.filter(col("m") =!= 0)
           .withColumn("text", when(col("m") === 1,
             concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+        // re-added ids live in the NEGATIVE id space (-id - 1): disjoint
+        // from any non-negative real id at every corpus size, unlike a
+        // fixed positive offset which collides once ids reach it
         val added = m.filter(col("m") === 2)
-          .withColumn("doc_id", col("doc_id") + lit(10000000L))
+          .withColumn("doc_id", -col("doc_id") - 1)
         val v2 = kept.unionByName(added).drop("m")
         Snapshot.diff(v1, v2, "doc_id", Seq("text", "lang", "source"))
           .orderBy("doc_id")
@@ -989,7 +990,7 @@ object Queries {
         |    CASE WHEN m = 1 THEN text || ' [rev2]' ELSE text END AS text,
         |    lang, source FROM m WHERE m <> 0
         |  UNION ALL
-        |  SELECT doc_id + 10000000, text, lang, source FROM m WHERE m = 2),
+        |  SELECT -doc_id - 1, text, lang, source FROM m WHERE m = 2),
         |fa AS (SELECT doc_id, md5(concat_ws(chr(1),
         |    coalesce(CAST(text AS VARCHAR), chr(0)),
         |    coalesce(CAST(lang AS VARCHAR), chr(0)),
@@ -1665,7 +1666,10 @@ object Queries {
     "t_bm25_topk" -> Q(
       (s, dir) => {
         val docs = rd(s, dir, "documents")
-        val terms = TextOps.unigrams(docs)
+        // ONE tokenize: the persisted unigram table derives the query
+        // terms AND feeds bm25Rank (no second corpus scan)
+        val uni = graft.core.CacheScope.persist(TextOps.unigrams(docs))
+        val terms = uni
           .groupBy("token").agg(count(lit(1)).as("df"))
           .orderBy(desc("df"), asc("token")).limit(3)
           .collect().map(_.getString(0)).toSeq
@@ -1673,7 +1677,8 @@ object Queries {
           docs.select(col("doc_id"), lit(0L).as("rank"), lit(0.0).as("score"))
             .limit(0)
         else
-          TextRanking.bm25Rank(docs, terms, k = 10).orderBy("rank")
+          TextRanking.bm25Rank(docs, terms, k = 10, unigrams = uni)
+            .orderBy("rank")
       },
       Some(s"""WITH $ToksCte, $StreamCte, $UniCte,
         |$sqlBm25Ctes,
@@ -1711,7 +1716,8 @@ object Queries {
         |  ORDER BY n DESC, token LIMIT 3),
         |ltc AS (SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}]+') AS lt
         |  FROM documents),
-        |base AS (SELECT doc_id, CAST(len(lt) AS BIGINT) AS n_tokens FROM ltc),
+        |base AS (SELECT doc_id,
+        |    CAST(coalesce(len(lt), 0) AS BIGINT) AS n_tokens FROM ltc),
         |s2 AS (SELECT doc_id, unnest(lt) AS token FROM ltc),
         |topl AS (SELECT DISTINCT lower(token) AS token FROM topb),
         |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocked
@@ -1785,9 +1791,12 @@ object Queries {
     "t_oov" -> Q(
       (s, dir) => {
         val docs = rd(s, dir, "documents")
-        val vocab = TextOps.totalWordcounts(docs, cap = 100)
+        // ONE tokenize: the persisted unigram table feeds both the capped
+        // vocab and the per-doc counts (the single-tokenize convention)
+        val uni = graft.core.CacheScope.persist(TextOps.unigrams(docs))
+        val vocab = TextOps.vocabFromUnigrams(uni, cap = 100)
           .select(col("token"), lit(1).as("in_vocab"))
-        TextOps.unigrams(docs)
+        uni
           .join(broadcast(vocab), Seq("token"), "left")
           .groupBy("doc_id")
           .agg(sum("count").as("n_tokens"),
@@ -1845,7 +1854,9 @@ object Queries {
       (s, dir) => {
         val docs = rd(s, dir, "documents")
         val emb = rd(s, dir, "embeddings")
-        val terms = TextOps.unigrams(docs)
+        // ONE tokenize shared by term derivation and BM25 (see t_bm25_topk)
+        val uni = graft.core.CacheScope.persist(TextOps.unigrams(docs))
+        val terms = uni
           .groupBy("token").agg(count(lit(1)).as("df"))
           .orderBy(desc("df"), asc("token")).limit(3)
           .collect().map(_.getString(0)).toSeq
@@ -1853,7 +1864,7 @@ object Queries {
           lit(0.0).as("cos_sim"), lit(0L).as("rank")).limit(0)
         if (terms.isEmpty) empty
         else {
-          val top = TextRanking.bm25Rank(docs, terms, k = 20)
+          val top = TextRanking.bm25Rank(docs, terms, k = 20, unigrams = uni)
             .select(col("doc_id"), col("rank").as("bm25_rank"))
           val withVec = top.join(
             emb.filter(col("vec_id").isNotNull && col("embedding").isNotNull)

@@ -245,7 +245,12 @@ object TextAnalysis {
                     textCol: String = "text"): DataFrame = {
     require(words.nonEmpty, "need a non-empty blocklist")
     val wl = words.map(_.toLowerCase).distinct
-    docs.select(col(idCol), tokens(lower(col(textCol))).as("lt"))
+    // NULL text coalesces to zero tokens, so the "zero-token document has
+    // ratio 0 and is kept" contract holds under EITHER
+    // spark.sql.legacy.sizeOfNull setting — no -1/null counts downstream
+    docs.select(col(idCol),
+        coalesce(tokens(lower(col(textCol))),
+          array().cast("array<string>")).as("lt"))
       .select(col(idCol), size(col("lt")).cast("long").as("n_tokens"),
         size(filter(col("lt"), t => t.isInCollection(wl)))
           .cast("long").as("n_blocked"))

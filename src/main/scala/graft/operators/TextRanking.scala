@@ -198,11 +198,27 @@ object TextRanking {
     * stop-word's window partition would be one straggler task) and the
     * per-doc length table; two hash equi-joins, both AQE-skew-splittable.
     * N and avgdl are driver scalars shipped as literals. */
+  /** The BM25 arithmetic constants, derived ONCE here for both the Spark
+    * plan and the SQL oracle (which interpolates these exact doubles —
+    * Double.toString round-trips — so both engines run identical IEEE
+    * ops). Returns (k1+1, k1*(1-b), k1*b). */
+  def bm25Constants(k1Milli: Long = 1200,
+                    bMilli: Long = 750): (Double, Double, Double) = {
+    val k1 = k1Milli / 1000.0
+    val b = bMilli / 1000.0
+    ((1000L + k1Milli) / 1000.0, // tf numerator factor
+      k1 * (1 - b),              // tf-independent denominator constant
+      k1 * b)                    // length-normalization weight
+  }
+
   def bm25(docs: DataFrame, k1Milli: Long = 1200, bMilli: Long = 750,
-           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+           idCol: String = "doc_id", textCol: String = "text",
+           unigrams: DataFrame = null): DataFrame = {
     val n = docs.count()
-    val uni = graft.core.CacheScope.persist(
-      TextOps.unigrams(docs, idCol, textCol))
+    // callers holding a persisted unigram table pass it in — BM25 is one
+    // more consumer of the single-tokenize convention, not a second scan
+    val uni = Option(unigrams).getOrElse(graft.core.CacheScope.persist(
+      TextOps.unigrams(docs, idCol, textCol)))
     val dl = uni.groupBy(idCol).agg(sum("count").as("dl"))
     val totalTokens = dl.agg(coalesce(sum("dl"), lit(0L))).head().getLong(0)
     // avgdl at milli precision: an exact integer both engines derive from
@@ -214,13 +230,7 @@ object TextRanking {
       .withColumn("idf_micro",
         round(log((lit(n.toDouble) - col("df") + lit(0.5)) /
           (col("df") + lit(0.5)) + lit(1.0)) * 1e6, 0).cast("long"))
-    // constants evaluated once here; the SQL oracle embeds the SAME doubles
-    // (Double.toString round-trips), so both engines run identical IEEE ops
-    val k1 = k1Milli / 1000.0
-    val b = bMilli / 1000.0
-    val kPlus1 = (1000L + k1Milli) / 1000.0
-    val c1 = k1 * (1 - b) // the tf-independent denominator constant
-    val c2 = k1 * b       // the length-normalization weight
+    val (kPlus1, c1, c2) = bm25Constants(k1Milli, bMilli)
     uni.join(dl, Seq(idCol)).join(dfT, Seq("token"))
       .withColumn("dl_ratio",
         col("dl").cast("double") * lit(1000.0) / lit(avgdlMilli.toDouble))
@@ -240,9 +250,11 @@ object TextRanking {
     * k-row driver merge — never a single-partition window), with the rank
     * attached afterwards on the <= k surviving rows. */
   def bm25Rank(docs: DataFrame, terms: Seq[String], k: Int = 10,
-               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+               idCol: String = "doc_id", textCol: String = "text",
+               unigrams: DataFrame = null): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
-    val totals = bm25(docs, idCol = idCol, textCol = textCol)
+    val totals = bm25(docs, idCol = idCol, textCol = textCol,
+        unigrams = unigrams)
       .filter(col("token").isin(terms.distinct: _*))
       .groupBy(idCol)
       .agg(sum("score_micro").as("total_micro"))

@@ -56,7 +56,8 @@ class SnapshotSpec extends AnyFunSuite {
       (1L, "spam spam ham"),          // 2/3 blocked
       (2L, "classic assessment"),     // substring 'spam'/'ass' must NOT hit
       (3L, ""),                       // zero tokens -> ratio 0, kept
-      (4L, "SPAM!")                   // case-insensitive hit
+      (4L, "SPAM!"),                  // case-insensitive hit
+      (5L, null.asInstanceOf[String]) // NULL text == zero tokens, kept
     ).toDF("doc_id", "text")
     val g = TextAnalysis.blocklistHits(docs, Seq("spam", "ass"),
         maxRatioMicro = 500000).collect()
@@ -66,5 +67,6 @@ class SnapshotSpec extends AnyFunSuite {
     assert(g(2L) == ((2L, 0L, 0L, true)))
     assert(g(3L) == ((0L, 0L, 0L, true)))
     assert(g(4L) == ((1L, 1L, 1000000L, false)))
+    assert(g(5L) == ((0L, 0L, 0L, true)))
   }
 }
