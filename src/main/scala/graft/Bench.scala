@@ -33,11 +33,13 @@ object Bench {
     val names = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Queries.headlines)
-    // min of two runs per query: the machine shares cores with the round
-    // driver, so single samples carry multi-second scheduling noise.
+    // min of three runs per query: the machine shares cores with the round
+    // driver, and single samples carry multi-second scheduling noise —
+    // round-6 measured the SAME code at 1.7s and 29s minutes apart under
+    // host contention, so a third sample materially tightens the min.
     val results = names.map { name =>
       val fn = Queries.queries(name)
-      val samples = (1 to 2).map { _ =>
+      val samples = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case e: Throwable =>
