@@ -1784,6 +1784,52 @@ object Queries {
         |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, n_chars
         |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin)),
 
+    // BPE tokenizer training — 6 merge rounds over the corpus word table
+    // (classic Sennrich: count adjacent symbol pairs frequency-weighted,
+    // merge the winner everywhere, leftmost-non-overlapping). The oracle
+    // replays every round via the boundary-safe symbol encoding (each
+    // symbol wrapped in its own spaces, merges are literal replaces — see
+    // operators.Bpe). Per round: one vocabulary-sized aggregate + a 1-row
+    // collect; the corpus is tokenized once.
+    "t_bpe" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Bpe.train(rd(s, dir, "documents"), nMerges = 6)
+          .map(m => (m.step.toLong, m.lhs, m.rhs, m.n))
+          .toDF("step", "lhs", "rhs", "n").orderBy("step")
+      },
+      Some {
+        // every chained CTE is MATERIALIZED and the winning pair arrives
+        // via a 1-row LEFT JOIN, not scalar subqueries — 4 scalar subs per
+        // round re-evaluate the whole chain 4^6 times (measured: a hang;
+        // the join form runs in 0.1s)
+        val rounds = (1 to 6).map { i =>
+          val prev = s"s${i - 1}"
+          s"""l$i AS MATERIALIZED (SELECT cnt, string_split(trim(sym), '  ') AS l FROM $prev),
+          |p$i AS (SELECT cnt, l[x] AS a, l[x+1] AS b
+          |  FROM l$i, unnest(range(1, len(l))) AS u(x) WHERE len(l) >= 2),
+          |t$i AS MATERIALIZED (SELECT a, b, CAST(sum(cnt) AS BIGINT) AS n FROM p$i
+          |  GROUP BY a, b ORDER BY sum(cnt) DESC, a, b LIMIT 1),
+          |s$i AS MATERIALIZED (SELECT s.cnt, CASE WHEN t.a IS NULL THEN s.sym
+          |    ELSE replace(s.sym, ' ' || t.a || '  ' || t.b || ' ',
+          |      ' ' || t.a || t.b || ' ') END AS sym
+          |  FROM $prev s LEFT JOIN t$i t ON TRUE)""".stripMargin
+        }.mkString(",\n")
+        val unions = (1 to 6)
+          .map(i => s"SELECT CAST($i AS BIGINT) AS step, a AS lhs, b AS rhs, n FROM t$i")
+          .mkString("\nUNION ALL ")
+        s"""WITH $ToksCte, $StreamCte,
+        |wbpe AS (SELECT lower(token) AS word, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM stream WHERE regexp_matches(lower(token), '^[a-z]+$$')
+        |  GROUP BY 1),
+        |s0 AS MATERIALIZED (SELECT cnt,
+        |    ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS sym
+        |  FROM wbpe),
+        |$rounds
+        |$unions
+        |ORDER BY step""".stripMargin
+      }),
+
     // OOV rate against the top-100 vocabulary — the tokenizer-coverage
     // signal: documents full of out-of-vocabulary tokens are exactly the
     // ones a fixed vocab serves worst. One broadcast join against the

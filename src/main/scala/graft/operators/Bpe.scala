@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding training — the tokenizer-building step of a training
+  * pipeline (the reference stops at word counting; a 100 TB corpus is what
+  * you TRAIN the tokenizer on). Classic Sennrich BPE over the corpus's
+  * word-frequency table: each round counts adjacent symbol pairs
+  * (frequency-weighted, overlap-counted) and merges the most frequent pair
+  * everywhere, leftmost-non-overlapping per word.
+  *
+  * Scale shape per round: ONE map-side-combined pair aggregate over the
+  * vocabulary-sized word table (never the corpus — the word table is the
+  * sufficient statistic), a 1-row driver collect for the winning pair, and
+  * a row-local `replace`. The corpus is tokenized exactly once, up front.
+  *
+  * Engine-exact and SQL-replayable (`t_bpe` replays every round): symbols
+  * are kept in a boundary-safe string form — every symbol wrapped in one
+  * leading and one trailing space, so adjacent symbols read `"a  b"` and
+  * the merge is a LITERAL replace of `" a  b "` with `" ab "`. Because
+  * each occurrence owns its boundary spaces, consecutive occurrences all
+  * merge in one left-to-right pass (Java and DuckDB `replace` agree), and
+  * a pair can never match inside a longer symbol. Ties break by
+  * (count desc, left asc, right asc) — total, deterministic.
+  *
+  * Input is restricted to lowercased `[a-z]+` words: '.'-per-character
+  * segmentation of supplementary Unicode diverges between UTF-16 (Java)
+  * and code-point (RE2) engines, and tokenizer unicode policy is a
+  * tokenizer concern — the trainer's job is the merge table.
+  */
+object Bpe {
+
+  /** One learned merge: step (1-based), the two symbols joined, and the
+    * frequency-weighted pair count that won the round. */
+  final case class Merge(step: Int, lhs: String, rhs: String, n: Long)
+
+  private def wrapped(word: Column): Column =
+    concat(lit(" "), concat_ws("  ", split(word, "")), lit(" "))
+
+  private def adjacentPairs(sym: Column): Column = {
+    val arr = split(trim(sym), "  ")
+    when(size(arr) >= 2,
+      transform(sequence(lit(1), size(arr) - 1), i =>
+        struct(element_at(arr, i).as("a"), element_at(arr, i + 1).as("b"))))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+  }
+
+  /** The corpus word-frequency table BPE trains on: lowercased `[a-z]+`
+    * tokens with total occurrence counts — vocabulary-sized. */
+  def wordTable(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame =
+    TextOps.unigrams(docs, idCol, textCol)
+      .select(lower(col("token")).as("word"), col("count"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(sum("count").as("cnt"))
+
+  /** Train `nMerges` rounds; stops early when no pair is left. Returns the
+    * merge table in learned order. */
+  def train(docs: DataFrame, nMerges: Int, idCol: String = "doc_id",
+            textCol: String = "text"): Seq[Merge] = {
+    require(nMerges >= 1, "need nMerges >= 1")
+    var state = graft.core.CacheScope.persist(
+      wordTable(docs, idCol, textCol)
+        .withColumn("sym", wrapped(col("word"))))
+    val merges = scala.collection.mutable.ListBuffer[Merge]()
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val top = state
+        .select(col("cnt"), explode(adjacentPairs(col("sym"))).as("p"))
+        .groupBy(col("p.a"), col("p.b")).agg(sum("cnt").as("n"))
+        .orderBy(desc("n"), asc("a"), asc("b")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += Merge(step, a, b, n)
+        // symbols are [a-z]+ by construction: safe to inline in SQL text
+        state = graft.core.CacheScope.persist(state.withColumn("sym",
+          expr(s"replace(sym, ' $a  $b ', ' $a$b ')")))
+        step += 1
+      }
+    }
+    merges.toList
+  }
+
+  /** Apply a learned merge table to a word column (row-local replace
+    * chain in merge order — how the trained tokenizer segments new text).
+    * Returns the symbol array per word. */
+  def encode(word: Column, merges: Seq[Merge]): Column = {
+    val sym = merges.foldLeft(wrapped(lower(word))) { (s, m) =>
+      call_function("replace", s, lit(s" ${m.lhs}  ${m.rhs} "),
+        lit(s" ${m.lhs}${m.rhs} "))
+    }
+    split(trim(sym), "  ")
+  }
+}
