@@ -1353,6 +1353,24 @@ object Queries {
         |GROUP BY p.token, p.exact_count
         |ORDER BY p.token""".stripMargin)),
 
+    // Misra-Gries guaranteed heavy hitters: tokens holding >= 1/200 of all
+    // token mass. Pass 1 is a bounded-memory MG summary (<= 200 counters
+    // per task, <= 200 shuffle rows per partition — the shape that survives
+    // a multi-billion-key universe); pass 2 exact-counts only the candidate
+    // superset, so the output equals the brute-force GROUP BY/HAVING the
+    // oracle runs, despite the sketch-sized state.
+    "t_heavy_hitters" -> Q(
+      (s, dir) =>
+        HeavyHitters.heavyHitters(
+            TextOps.unigrams(rd(s, dir, "documents")), "token", "count",
+            num = 1, den = 200)
+          .orderBy(desc("cnt"), asc("key")),
+      Some(s"""WITH $ToksCte, $StreamCte
+        |SELECT token AS key, CAST(count(*) AS BIGINT) AS cnt
+        |FROM stream GROUP BY token
+        |HAVING count(*) * 200 >= (SELECT count(*) FROM stream) * 1
+        |ORDER BY cnt DESC, key""".stripMargin)),
+
     // End-to-end curation pipeline: exact-dedup survivors (first-wins) ->
     // minimum token count -> deterministic split assignment -> per-split
     // accounting. Every stage is an oracle-checked operator on its own;
