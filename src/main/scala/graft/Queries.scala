@@ -373,6 +373,42 @@ object Queries {
         |ORDER BY zkey, l_orderkey, l_linenumber LIMIT 100""".stripMargin
       }),
 
+    // Hilbert layout key over the same dimensions — the gap-free curve next
+    // to q_zorder's Morton interleave (tighter row-group bounds when both
+    // dimensions are filtered). The Spark side is a native codegen'd
+    // expression (the rotation walk is stateful — an expression tree grows
+    // ~3^bits); the oracle replays the walk level by level through
+    // materialized CTEs carrying (x, y, d).
+    "q_hilbert" -> Q(
+      (s, dir) =>
+        rd(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            Layout.hilbertKey(col("l_partkey"), col("l_suppkey"), bits = 8)
+              .as("hkey"))
+          .orderBy("hkey", "l_orderkey", "l_linenumber").limit(100),
+      Some {
+        val bits = 8
+        val levels = (0 until bits).map { i =>
+          val s = 1L << (bits - 1 - i) // level i processes bit s
+          val (px, py, pd) = (s"x$i", s"y$i", s"d$i")
+          s"""h${i + 1} AS MATERIALIZED (SELECT l_orderkey, l_linenumber,
+          |  CASE WHEN ($py & $s) > 0 THEN $px
+          |       WHEN ($px & $s) > 0 THEN $s - 1 - $py ELSE $py END AS x${i + 1},
+          |  CASE WHEN ($py & $s) > 0 THEN $py
+          |       WHEN ($px & $s) > 0 THEN $s - 1 - $px ELSE $px END AS y${i + 1},
+          |  $pd + ${s * s} * xor(3 * (CASE WHEN ($px & $s) > 0 THEN 1 ELSE 0 END),
+          |                       CASE WHEN ($py & $s) > 0 THEN 1 ELSE 0 END) AS d${i + 1}
+          |  FROM h$i)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH h0 AS MATERIALIZED (SELECT l_orderkey, l_linenumber,
+        |    l_partkey & 255 AS x0, l_suppkey & 255 AS y0, 0 AS d0
+        |  FROM lineitem),
+        |$levels
+        |SELECT l_orderkey, l_linenumber, CAST(d$bits AS BIGINT) AS hkey
+        |FROM h$bits
+        |ORDER BY hkey, l_orderkey, l_linenumber LIMIT 100""".stripMargin
+      }),
+
     // Distinct aggregation (A7 cardinality per group).
     "q_segment_stats" -> Q(
       (s, dir) =>

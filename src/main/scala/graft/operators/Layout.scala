@@ -36,15 +36,32 @@ object Layout {
     terms.reduce(_ + _) // disjoint bit positions: + == bitwise or
   }
 
+  /** Hilbert key over two columns: the gap-free space-filling curve (see
+    * [[graft.plans.HilbertIndex2D]] — a native codegen'd expression because
+    * the walk is stateful). Same masking contract as [[zorderKey]]; output
+    * in `[0, 4^bits)`. Prefer over z-order when BOTH dimensions are
+    * range-filtered often: Morton's quadrant jumps widen row-group min/max
+    * bounds, Hilbert's adjacency keeps them tight. */
+  def hilbertKey(x: Column, y: Column, bits: Int = 16): Column =
+    graft.plans.LayoutExpressions.hilbertXy2d(
+      x.cast("long"), y.cast("long"), bits)
+
   /** Cluster a frame for multi-dimensional skipping: range-partition by the
     * z-order key and sort within partitions, so a subsequent parquet write
     * yields row groups tight in EVERY interleaved dimension. `partitions`
     * sizes the output files; the sort is the only shuffle. */
   def clusterByZorder(df: DataFrame, keys: Seq[String], partitions: Int,
-                      bitsPer: Int = 16): DataFrame = {
-    val withKey = df.withColumn("__zkey", zorderKey(keys.map(col), bitsPer))
-    withKey.repartitionByRange(partitions, col("__zkey"))
-      .sortWithinPartitions("__zkey")
-      .drop("__zkey")
-  }
+                      bitsPer: Int = 16): DataFrame =
+    clusterBy(df, zorderKey(keys.map(col), bitsPer), partitions)
+
+  /** [[clusterByZorder]]'s Hilbert twin for 2-D keys. */
+  def clusterByHilbert(df: DataFrame, xKey: String, yKey: String,
+                       partitions: Int, bits: Int = 16): DataFrame =
+    clusterBy(df, hilbertKey(col(xKey), col(yKey), bits), partitions)
+
+  private def clusterBy(df: DataFrame, key: Column, partitions: Int): DataFrame =
+    df.withColumn("__ckey", key)
+      .repartitionByRange(partitions, col("__ckey"))
+      .sortWithinPartitions("__ckey")
+      .drop("__ckey")
 }

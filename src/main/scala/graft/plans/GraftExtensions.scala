@@ -42,6 +42,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DotProduct(children(0), children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("hilbert_xy2d"),
+      new ExpressionInfo(classOf[HilbertIndex2D].getName, "hilbert_xy2d"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "hilbert_xy2d(x, y, bits) takes two columns and a literal bit width")
+        val bits = children(2) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"hilbert_xy2d bits must be an integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "hilbert_xy2d bits must be a literal")
+        }
+        HilbertIndex2D(children(0), children(1), bits)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("sliding_min"),
       new ExpressionInfo(classOf[SlidingMin].getName, "sliding_min"),
       (children: Seq[Expression]) => {
