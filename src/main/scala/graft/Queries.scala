@@ -2606,6 +2606,95 @@ object Queries {
         |  FROM adc) WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin)),
 
+    // IVF-PQ at production settings: the coarse geometry is Lloyd-TRAINED
+    // (one integer-micro-mean update over the seed assignment — cells track
+    // density, not arbitrary seed ids) and each query probes its 2 nearest
+    // cells, residualizing against EACH probed cell's own centroid (IVF-PQ
+    // distances are relative to the probed centroid). Recall knob without
+    // touching the inverted-file read pattern: the scan set is still only
+    // the probed cells' codes. The oracle replays coarse train, reassign,
+    // residual PQ, per-cell distance tables, and the 2-cell read.
+    "e_ivf_pq_probe" -> Q(
+      (s, dir) => {
+        val emb = rd(s, dir, "embeddings")
+        val model = Similarity.ivfPqFit(emb, nlist = 4, m = 4, k = 16,
+          dim = 64, coarseIters = 2)
+        Similarity.ivfPqSearch(model, emb.filter(col("vec_id") < 5),
+            topk = 5, m = 4, dim = 64, nprobe = 2)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH vm AS (SELECT vec_id,
+        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000, 0)) AS vm
+        |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+        |ve AS (SELECT vec_id, unnest(range(0, len(vm))) AS dim,
+        |    CAST(unnest(vm) AS BIGINT) AS v FROM vm),
+        |cs AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+        |  FROM vm ORDER BY vec_id LIMIT 4),
+        |cc AS (SELECT s.cell, ve.dim, ve.v AS cm
+        |  FROM cs s JOIN ve ON s.vec_id = ve.vec_id),
+        |cd AS (SELECT ve.vec_id, c.cell,
+        |    CAST(sum((ve.v - c.cm) * (ve.v - c.cm)) AS BIGINT) AS dist
+        |  FROM ve JOIN cc c ON ve.dim = c.dim GROUP BY 1, 2),
+        |ca AS (SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        |    FROM cd) WHERE rn = 1),
+        |cu AS (SELECT a.cell, ve.dim,
+        |    CAST(round(CAST(sum(ve.v) AS BIGINT) / count(*), 0) AS BIGINT) AS cm
+        |  FROM ve JOIN ca a ON ve.vec_id = a.vec_id GROUP BY a.cell, ve.dim),
+        |cd2 AS (SELECT ve.vec_id, c.cell,
+        |    CAST(sum((ve.v - c.cm) * (ve.v - c.cm)) AS BIGINT) AS dist
+        |  FROM ve JOIN cu c ON ve.dim = c.dim GROUP BY 1, 2),
+        |ca2 AS (SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        |    FROM cd2) WHERE rn = 1),
+        |res AS (SELECT ve.vec_id, ve.dim, ve.v - c.cm AS r
+        |  FROM ve JOIN ca2 a ON ve.vec_id = a.vec_id
+        |  JOIN cu c ON c.cell = a.cell AND c.dim = ve.dim),
+        |ps AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+        |  FROM vm ORDER BY vec_id LIMIT 16),
+        |p0 AS (SELECT s.code, r.dim, r.r AS cm
+        |  FROM ps s JOIN res r ON s.vec_id = r.vec_id),
+        |pd1 AS (SELECT res.vec_id, res.dim // 16 AS sub, c.code,
+        |    CAST(sum((res.r - c.cm) * (res.r - c.cm)) AS BIGINT) AS dist
+        |  FROM res JOIN p0 c ON res.dim = c.dim GROUP BY 1, 2, 3),
+        |pg1 AS (SELECT vec_id, sub, code FROM (
+        |    SELECT vec_id, sub, code,
+        |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+        |    FROM pd1) WHERE rn = 1),
+        |p1 AS (SELECT g.sub, g.code, res.dim,
+        |    CAST(round(CAST(sum(res.r) AS BIGINT) / count(*), 0) AS BIGINT) AS cm
+        |  FROM pg1 g JOIN res ON g.vec_id = res.vec_id AND res.dim // 16 = g.sub
+        |  GROUP BY 1, 2, 3),
+        |pd2 AS (SELECT res.vec_id, c.sub, c.code,
+        |    CAST(sum((res.r - c.cm) * (res.r - c.cm)) AS BIGINT) AS dist
+        |  FROM res JOIN p1 c ON res.dim = c.dim GROUP BY 1, 2, 3),
+        |pcodes AS (SELECT vec_id, sub, code FROM (
+        |    SELECT vec_id, sub, code,
+        |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+        |    FROM pd2) WHERE rn = 1),
+        |qp AS (SELECT vec_id AS query_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        |    FROM cd2 WHERE vec_id < 5) WHERE rn <= 2),
+        |qr AS (SELECT q.query_id, q.cell, ve.dim, ve.v - c.cm AS r
+        |  FROM qp q JOIN ve ON ve.vec_id = q.query_id
+        |  JOIN cu c ON c.cell = q.cell AND c.dim = ve.dim),
+        |dtab AS (SELECT q.query_id, q.cell, c.sub, c.code,
+        |    CAST(sum((q.r - c.cm) * (q.r - c.cm)) AS BIGINT) AS pdist
+        |  FROM qr q JOIN p1 c ON q.dim = c.dim GROUP BY 1, 2, 3, 4),
+        |adc AS (SELECT t.query_id, k.vec_id AS neighbor_id,
+        |    CAST(sum(t.pdist) AS BIGINT) AS adist
+        |  FROM pcodes k JOIN ca2 nc ON nc.vec_id = k.vec_id
+        |  JOIN dtab t ON k.sub = t.sub AND k.code = t.code AND t.cell = nc.cell
+        |  WHERE t.query_id <> k.vec_id GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, adist, rank FROM (
+        |  SELECT query_id, neighbor_id, adist,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+        |  FROM adc) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin)),
+
     // Vector column statistics: norms + per-label rollup (array math).
     "e_embed_stats" -> Q(
       (s, dir) =>

@@ -623,17 +623,38 @@ object Similarity {
     * corpus. */
   def ivfPqFit(corpus: DataFrame, nlist: Int = 8, m: Int = 4, k: Int = 16,
                dim: Int = -1, idCol: String = "vec_id",
-               vecCol: String = "embedding"): IvfPq.Model = {
+               vecCol: String = "embedding",
+               coarseIters: Int = 1): IvfPq.Model = {
+    require(coarseIters >= 1, "need coarseIters >= 1")
     val d = if (dim > 0) dim else sniffDim(corpus, vecCol)
     val vm = transform(col(vecCol), x => round(x.cast("double") * lit(1e6), 0))
     val base = graft.core.CacheScope.persist(
       corpus.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
         .select(col(idCol).as("id"), vm.as("vm"))
         .withColumn("vm2", dot(col("vm"), col("vm"))))
-    val cents: Seq[(Int, Array[Double])] =
+    var cents: Seq[(Int, Array[Double])] =
       base.orderBy("id").limit(nlist).select("vm").collect()
         .toIndexedSeq.zipWithIndex
         .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
+    // coarseIters > 1: Lloyd-refine the coarse geometry (the kmeansFit
+    // update — integer micro means over a k x dim aggregate, bounded by
+    // geometry not data) so cells track density instead of the arbitrary
+    // lowest-id seeds. Surviving cells are re-indexed densely: labels are
+    // positional into the literal centroid array, and partitioning (which
+    // vectors share a cell), not labels, is what search semantics read.
+    for (_ <- 2 to coarseIters if cents.nonEmpty) {
+      val upd = nearestCell(base, cents)
+        .select(col("cell"), posexplode(col("vm")).as(Seq("dim", "v")))
+        .groupBy("cell", "dim")
+        .agg(sum(col("v").cast("long")).as("s"), count(lit(1)).as("n"))
+        .select(col("cell"), col("dim"),
+          round(col("s").cast("double") / col("n"), 0).as("cm"))
+        .collect()
+      cents = upd.groupBy(_.getInt(0)).toSeq.sortBy(_._1).zipWithIndex.map {
+        case ((_, rows), i) =>
+          (i, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
+      }
+    }
     if (cents.isEmpty)
       return IvfPq.Model(
         base.select(col("id"), lit(0).as("cell")).limit(0), Nil,
@@ -663,7 +684,8 @@ object Similarity {
     * end to end; ties to the lowest neighbor id. */
   def ivfPqSearch(model: IvfPq.Model, queries: DataFrame, topk: Int,
                   m: Int = 4, dim: Int = -1, idCol: String = "vec_id",
-                  vecCol: String = "embedding"): DataFrame = {
+                  vecCol: String = "embedding", nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, "need nprobe >= 1")
     val spark = queries.sparkSession
     val d = if (dim > 0) dim else sniffDim(queries, vecCol)
     require(d % m == 0, s"dim $d not divisible by m subspaces $m")
@@ -678,15 +700,26 @@ object Similarity {
       .withColumn("cm2", dot(col("cm"), col("cm")))
     val centLit = array(model.centroids.map(c => typedlit(c._2.toSeq)): _*)
     val vmq = transform(col(vecCol), x => round(x.cast("double") * lit(1e6), 0))
-    val qres = nearestCell(
-      queries.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
-        .select(col(idCol).as("query_id"), vmq.as("vm"))
-        .withColumn("vm2", dot(col("vm"), col("vm")))
-        .withColumnRenamed("query_id", "id"), model.centroids)
+    // rank ALL cells per query (same exact integer distance and tie order
+    // as nearestCell) and probe the top `nprobe`. Each probed cell gets its
+    // OWN query residual — IVF-PQ distances are relative to the probed
+    // cell's centroid, not the query's home cell.
+    val rankedCells = array_sort(array(model.centroids.map { case (ci, cm) =>
+      val c2 = cm.map(x => x * x).sum
+      struct(
+        (col("vm2") - lit(2.0) * dot(col("vm"), typedlit(cm.toSeq)) + lit(c2))
+          .cast("long").as("dist"),
+        lit(ci).as("cell"))
+    }: _*))
+    val qres = queries.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), vmq.as("vm"))
+      .withColumn("vm2", dot(col("vm"), col("vm")))
+      .withColumn("pc", explode(slice(rankedCells, 1, nprobe)))
+      .withColumn("qcell", col("pc.cell"))
       .withColumn("qr",
-        zip_with(col("vm"), element_at(centLit, col("cell") + 1),
+        zip_with(col("vm"), element_at(centLit, col("qcell") + 1),
           (a, b) => a - b))
-      .select(col("id").as("query_id"), col("cell").as("qcell"), col("qr"))
+      .select(col("query_id"), col("qcell"), col("qr"))
     val qsub = qres.select(col("query_id"), col("qcell"),
       explode(array((0 until m).map(s =>
         struct(lit(s).as("sub"),

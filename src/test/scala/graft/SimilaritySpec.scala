@@ -321,6 +321,35 @@ class SimilaritySpec extends AnyFunSuite {
     graft.core.CacheScope.release()
   }
 
+  test("ivf-pq: nprobe widens the read set across cells; trained coarse " +
+       "centroids keep the grouping") {
+    // group A near origin, group B far; seed ids 1 (A) and 2 (B). Query 6
+    // sits between but nearer A: nprobe=1 reads only A, nprobe=2 adds B.
+    val pts = Seq(
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(50.0f, 50.0f, 50.0f, 50.0f)),
+      (3L, Array(0.3f, 0.1f, 0.0f, 0.2f)),
+      (4L, Array(50.2f, 49.9f, 50.1f, 50.0f)),
+      (5L, Array(0.2f, 0.1f, 0.1f, 0.2f)),
+      (6L, Array(20.0f, 20.0f, 20.0f, 20.0f))).toDF("vec_id", "embedding")
+    val model = Similarity.ivfPqFit(pts, nlist = 2, m = 2, k = 4, dim = 4,
+      coarseIters = 2)
+    // Lloyd update must not break the obvious grouping
+    val cells = model.cells.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells(1L) == cells(3L) && cells(3L) == cells(5L))
+    assert(cells(2L) == cells(4L) && cells(1L) != cells(2L))
+    val q = pts.filter($"vec_id" === 6L)
+    def neighbors(np: Int): Set[Long] =
+      Similarity.ivfPqSearch(model, q, topk = 10, m = 2, dim = 4, nprobe = np)
+        .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    val n1 = neighbors(1)
+    val n2 = neighbors(2)
+    assert(n1.subsetOf(n2), "nprobe=2 must be a superset of nprobe=1")
+    assert(n2 == Set(1L, 2L, 3L, 4L, 5L), "nprobe=2 reads both cells")
+    assert(n1 != n2, "the second probed cell adds neighbors")
+    graft.core.CacheScope.release()
+  }
+
   test("semdedup: pairs stay within k-means cells, survivors keep lowest id") {
     // cell A: 1 ~ 3 near-identical, 5 same direction; cell B: 2 ~ 4
     val pts = Seq(
