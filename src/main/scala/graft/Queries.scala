@@ -1101,6 +1101,16 @@ object Queries {
       },
       headline = true),
 
+    // Compression-ratio quality signal — DEFLATE bytes / raw bytes at
+    // integer micro. No DuckDB oracle (DEFLATE output is implementation-
+    // defined); in-engine determinism + signal semantics are spec-tested,
+    // the driver records its rows-only check.
+    "t_compression" -> Q(
+      (s, dir) =>
+        TextAnalysis.compressionSignals(rd(s, dir, "documents"))
+          .orderBy("doc_id"),
+      None),
+
     "t_token_counts" -> Q(
       (s, dir) =>
         TextAnalysis.tokenCounts(rd(s, dir, "documents")).orderBy("doc_id"),

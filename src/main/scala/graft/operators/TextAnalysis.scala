@@ -227,6 +227,27 @@ object TextAnalysis {
         length(col(textCol)).cast("long").as("n_chars_raw"),
         length(col("clean_text")).cast("long").as("n_chars_clean"))
 
+  /** Compression-ratio quality signal (the CCNet/Gopher-family filter the
+    * [[repetitionSignals]] heuristics approximate): DEFLATE the raw text
+    * and report compressed/raw bytes at integer micro precision. Template
+    * spam and boilerplate land near 0; clean prose ~0.3-0.6; random or
+    * already-compressed payloads approach or exceed 1. Callers gate on
+    * `[minMicro, maxMicro]` downstream. Row-local codegen'd expression
+    * ([[graft.plans.DeflatedSize]]); zero-byte and null documents yield a
+    * null ratio (no bytes, no signal) and are a caller policy decision.
+    * In-engine deterministic; no SQL oracle (DEFLATE output is
+    * implementation-defined), so the driver applies its rows-only check. */
+  def compressionSignals(docs: DataFrame, level: Int = 6,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), octet_length(col(textCol)).cast("long").as("n_bytes"),
+        graft.plans.CompressExpressions.deflatedSize(col(textCol), level)
+          .as("z_bytes"))
+      .withColumn("ratio_micro",
+        when(col("n_bytes") > 0,
+          round(col("z_bytes") * lit(1000000.0) / col("n_bytes"), 0)
+            .cast("long")))
+
   /** Blocklist filtering — the word-boundary-correct "badwords" gate every
     * corpus-curation pipeline runs (substring LIKE matching flags
     * "class(ic)" for "ass"; matching on TOKENS does not). Per document:

@@ -42,6 +42,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DotProduct(children(0), children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("deflated_size"),
+      new ExpressionInfo(classOf[DeflatedSize].getName, "deflated_size"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "deflated_size(value, level) takes a column and a literal level")
+        val level = children(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"deflated_size level must be an integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "deflated_size level must be a literal")
+        }
+        DeflatedSize(children.head, level)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("hilbert_xy2d"),
       new ExpressionInfo(classOf[HilbertIndex2D].getName, "hilbert_xy2d"),
       (children: Seq[Expression]) => {

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+import graft.plans.Zlib
+
+class CompressionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("expression matches the direct Deflater call; null/empty handled") {
+    val docs = Seq(
+      (1L, "to be or not to be " * 50),            // highly repetitive
+      (2L, "The quick brown fox jumps over the lazy dog."),
+      (3L, ""),                                    // zero bytes
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextAnalysis.compressionSignals(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.get(1), r.get(2), r.get(3))).toMap
+    val expected1 =
+      Zlib.deflatedSize(("to be or not to be " * 50).getBytes("UTF-8"), 6)
+    assert(got(1L)._2 == expected1)
+    // empty: 0 input bytes, 2 output bytes (DEFLATE's end-of-stream block),
+    // ratio null — no bytes, no signal
+    assert(got(3L) == ((0L, 2L, null)))
+    assert(got(4L) == ((null, null, null)))
+  }
+
+  test("signal semantics: repetition compresses far below prose; junk above") {
+    val rep = "spam spam spam " * 200
+    val prose = (1 to 40).map(i =>
+      s"Sentence number $i carries modestly varied content and wording.")
+      .mkString(" ")
+    val rng = new scala.util.Random(42) // fixed-seed LCG: deterministic
+    val junk = Seq.fill(3000)(rng.nextPrintableChar()).mkString
+    def ratio(s: String): Double =
+      Zlib.deflatedSize(s.getBytes("UTF-8"), 6).toDouble / s.length
+    assert(ratio(rep) < 0.05)
+    assert(ratio(prose) > ratio(rep) && ratio(prose) < 0.8)
+    assert(ratio(junk) > 0.8)
+  }
+
+  test("deterministic within the engine and exposed in SQL via extensions") {
+    val docs = Seq((1L, "abcabcabc " * 100)).toDF("doc_id", "text")
+    val a = TextAnalysis.compressionSignals(docs).collect().toSeq
+    val b = TextAnalysis.compressionSignals(docs).collect().toSeq
+    assert(a == b)
+    docs.createOrReplaceTempView("cmp_docs")
+    val viaSql = spark.sql(
+      "SELECT deflated_size(text, 6) FROM cmp_docs").head().getLong(0)
+    assert(viaSql == a.head.getLong(2))
+  }
+}
