@@ -82,6 +82,37 @@ object Queries {
   private def sqlHash60(x: String): String =
     s"CAST('0x' || substring(md5($x), 1, 15) AS BIGINT)"
 
+  /** BPE replay chain (6 rounds) over $ToksCte/$StreamCte: wbpe is the
+    * lowercased [a-z]+ word-frequency table, s0..s6 the boundary-safe
+    * symbol states (word carried through), t1..t6 each round's winning
+    * pair. Every chained CTE is MATERIALIZED and the winning pair arrives
+    * via a 1-row LEFT JOIN, not scalar subqueries — 4 scalar subs per
+    * round re-evaluate the whole chain 4^6 times (measured: a hang; the
+    * join form runs in 0.1s). Shared by t_bpe (reads t_i) and
+    * t_bpe_encode (reads s6). */
+  private lazy val sqlBpeCtes: String = {
+    val rounds = (1 to 6).map { i =>
+      val prev = s"s${i - 1}"
+      s"""l$i AS MATERIALIZED (SELECT cnt, string_split(trim(sym), '  ') AS l FROM $prev),
+      |p$i AS (SELECT cnt, l[x] AS a, l[x+1] AS b
+      |  FROM l$i, unnest(range(1, len(l))) AS u(x) WHERE len(l) >= 2),
+      |t$i AS MATERIALIZED (SELECT a, b, CAST(sum(cnt) AS BIGINT) AS n FROM p$i
+      |  GROUP BY a, b ORDER BY sum(cnt) DESC, a, b LIMIT 1),
+      |s$i AS MATERIALIZED (SELECT s.word, s.cnt, CASE WHEN t.a IS NULL THEN s.sym
+      |    ELSE replace(s.sym, ' ' || t.a || '  ' || t.b || ' ',
+      |      ' ' || t.a || t.b || ' ') END AS sym
+      |  FROM $prev s LEFT JOIN t$i t ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""$ToksCte, $StreamCte,
+    |wbpe AS (SELECT lower(token) AS word, CAST(count(*) AS BIGINT) AS cnt
+    |  FROM stream WHERE regexp_matches(lower(token), '^[a-z]+$$')
+    |  GROUP BY 1),
+    |s0 AS MATERIALIZED (SELECT word, cnt,
+    |    ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS sym
+    |  FROM wbpe),
+    |$rounds""".stripMargin
+  }
+
   /** BM25 CTE chain over $UniCte: per-doc lengths, corpus stats (N,
     * milli-avgdl), df + Robertson idf at integer micro, and `sc` — the
     * per-(doc, token) score at integer micro. The arithmetic constants are
@@ -1863,36 +1894,32 @@ object Queries {
           .toDF("step", "lhs", "rhs", "n").orderBy("step")
       },
       Some {
-        // every chained CTE is MATERIALIZED and the winning pair arrives
-        // via a 1-row LEFT JOIN, not scalar subqueries — 4 scalar subs per
-        // round re-evaluate the whole chain 4^6 times (measured: a hang;
-        // the join form runs in 0.1s)
-        val rounds = (1 to 6).map { i =>
-          val prev = s"s${i - 1}"
-          s"""l$i AS MATERIALIZED (SELECT cnt, string_split(trim(sym), '  ') AS l FROM $prev),
-          |p$i AS (SELECT cnt, l[x] AS a, l[x+1] AS b
-          |  FROM l$i, unnest(range(1, len(l))) AS u(x) WHERE len(l) >= 2),
-          |t$i AS MATERIALIZED (SELECT a, b, CAST(sum(cnt) AS BIGINT) AS n FROM p$i
-          |  GROUP BY a, b ORDER BY sum(cnt) DESC, a, b LIMIT 1),
-          |s$i AS MATERIALIZED (SELECT s.cnt, CASE WHEN t.a IS NULL THEN s.sym
-          |    ELSE replace(s.sym, ' ' || t.a || '  ' || t.b || ' ',
-          |      ' ' || t.a || t.b || ' ') END AS sym
-          |  FROM $prev s LEFT JOIN t$i t ON TRUE)""".stripMargin
-        }.mkString(",\n")
         val unions = (1 to 6)
           .map(i => s"SELECT CAST($i AS BIGINT) AS step, a AS lhs, b AS rhs, n FROM t$i")
           .mkString("\nUNION ALL ")
-        s"""WITH $ToksCte, $StreamCte,
-        |wbpe AS (SELECT lower(token) AS word, CAST(count(*) AS BIGINT) AS cnt
-        |  FROM stream WHERE regexp_matches(lower(token), '^[a-z]+$$')
-        |  GROUP BY 1),
-        |s0 AS MATERIALIZED (SELECT cnt,
-        |    ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS sym
-        |  FROM wbpe),
-        |$rounds
+        s"""WITH $sqlBpeCtes
         |$unions
         |ORDER BY step""".stripMargin
       }),
+
+    // Applying the learned BPE merge table: the per-word segmentation of
+    // the corpus vocabulary under the 6 trained merges — the trained
+    // tokenizer's view of its own training vocabulary. Same replay chain
+    // as t_bpe; the state AFTER the final round IS the encoded vocab, so
+    // the oracle just reads it back out (words carried through).
+    "t_bpe_encode" -> Q(
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val merges = Bpe.train(docs, nMerges = 6)
+        Bpe.wordTable(docs)
+          .select(col("word"), col("cnt"),
+            array_join(Bpe.encode(col("word"), merges), " ").as("segm"))
+          .orderBy("word")
+      },
+      Some(s"""WITH $sqlBpeCtes
+        |SELECT word, cnt,
+        |  array_to_string(string_split(trim(sym), '  '), ' ') AS segm
+        |FROM s6 ORDER BY word""".stripMargin)),
 
     // OOV rate against the top-100 vocabulary — the tokenizer-coverage
     // signal: documents full of out-of-vocabulary tokens are exactly the

@@ -167,6 +167,29 @@ object ScaleSmoke {
     // blocklist gate: one row-local filter pass
     time("blocklist")(
       TextAnalysis.blocklistHits(docs, Seq("the", "a", "of")).count())
+    // MG heavy hitters: two scans of the persisted unigram pair table,
+    // <= den counters of state anywhere — time must track unigrams, not
+    // the key universe
+    time("heavy_hitters_1_200")({
+      val uni = TextOps.unigrams(docs)
+      graft.operators.HeavyHitters
+        .heavyHitters(uni, "token", "count", 1, 200).count()
+    })
+    graft.core.CacheScope.release()
+    // BPE: per round ONE aggregate over the vocabulary-sized word table +
+    // a 1-row collect — round cost is vocab-bound, corpus-tokenize once
+    time("bpe_train_6")({
+      graft.operators.Bpe.train(docs, nMerges = 6).size.toLong
+    })
+    graft.core.CacheScope.release()
+    // layout keys: pure row-local bit math — must run at scan speed
+    time("hilbert_key")(docs
+      .select(graft.operators.Layout.hilbertKey(
+        col("doc_id") % 65536, length(col("text")), 16).as("h"))
+      .filter(col("h") >= 0).count())
+    // compression signal: row-local DEFLATE — linear in bytes, no shuffle
+    time("compression_signal")(
+      TextAnalysis.compressionSignals(docs).count())
     spark.stop()
   }
 }

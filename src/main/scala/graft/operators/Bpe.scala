@@ -87,12 +87,16 @@ object Bpe {
 
   /** Apply a learned merge table to a word column (row-local replace
     * chain in merge order — how the trained tokenizer segments new text).
-    * Returns the symbol array per word. */
+    * Returns the symbol array per word. Input contract matches the
+    * trainer's: single alphabetic words (lowercased here). Anything else
+    * — embedded whitespace would collide with the boundary-space symbol
+    * encoding and shred silently — yields NULL, not garbage. */
   def encode(word: Column, merges: Seq[Merge]): Column = {
-    val sym = merges.foldLeft(wrapped(lower(word))) { (s, m) =>
+    val w = lower(word)
+    val sym = merges.foldLeft(wrapped(w)) { (s, m) =>
       call_function("replace", s, lit(s" ${m.lhs}  ${m.rhs} "),
         lit(s" ${m.lhs}${m.rhs} "))
     }
-    split(trim(sym), "  ")
+    when(w.rlike("^[a-z]+$"), split(trim(sym), "  "))
   }
 }

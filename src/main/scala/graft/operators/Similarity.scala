@@ -599,20 +599,26 @@ object Similarity {
                            pq: Pq.Model)
   }
 
-  /** Row-local argmin over literal micro-int centroids by exact integer
-    * squared-L2 — the [[kmeansFit]] assignment shape (no shuffle, ties to
-    * the lowest index). Input must carry `vm` (micro ints) and `vm2`. */
-  private def nearestCell(df: DataFrame,
-                          cents: Seq[(Int, Array[Double])]): DataFrame = {
-    val ranked = array_sort(array(cents.map { case (ci, cm) =>
+  /** Cells ranked by exact integer squared-L2 to literal micro-int
+    * centroids, nearest first (ties to the lowest index) — the ONE
+    * definition of coarse-cell order, shared by fit-side assignment
+    * ([[nearestCell]]) and search-side probing (nprobe slice): a change
+    * here cannot desync the two. Input must carry `vm` (micro ints) and
+    * `vm2`. */
+  private def rankedCellArray(cents: Seq[(Int, Array[Double])]): Column =
+    array_sort(array(cents.map { case (ci, cm) =>
       val c2 = cm.map(x => x * x).sum
       struct(
         (col("vm2") - lit(2.0) * dot(col("vm"), typedlit(cm.toSeq)) + lit(c2))
           .cast("long").as("dist"),
         lit(ci).as("cell"))
     }: _*))
-    df.withColumn("cell", element_at(ranked, 1).getField("cell"))
-  }
+
+  /** Row-local argmin over literal micro-int centroids — the [[kmeansFit]]
+    * assignment shape (no shuffle). */
+  private def nearestCell(df: DataFrame,
+                          cents: Seq[(Int, Array[Double])]): DataFrame =
+    df.withColumn("cell", element_at(rankedCellArray(cents), 1).getField("cell"))
 
   /** Train: coarse-assign every vector to its nearest of the `nlist`
     * lowest-id seed centroids, subtract the centroid (exact integer
@@ -700,17 +706,11 @@ object Similarity {
       .withColumn("cm2", dot(col("cm"), col("cm")))
     val centLit = array(model.centroids.map(c => typedlit(c._2.toSeq)): _*)
     val vmq = transform(col(vecCol), x => round(x.cast("double") * lit(1e6), 0))
-    // rank ALL cells per query (same exact integer distance and tie order
-    // as nearestCell) and probe the top `nprobe`. Each probed cell gets its
-    // OWN query residual — IVF-PQ distances are relative to the probed
-    // cell's centroid, not the query's home cell.
-    val rankedCells = array_sort(array(model.centroids.map { case (ci, cm) =>
-      val c2 = cm.map(x => x * x).sum
-      struct(
-        (col("vm2") - lit(2.0) * dot(col("vm"), typedlit(cm.toSeq)) + lit(c2))
-          .cast("long").as("dist"),
-        lit(ci).as("cell"))
-    }: _*))
+    // rank ALL cells per query (the shared rankedCellArray order) and
+    // probe the top `nprobe`. Each probed cell gets its OWN query
+    // residual — IVF-PQ distances are relative to the probed cell's
+    // centroid, not the query's home cell.
+    val rankedCells = rankedCellArray(model.centroids)
     val qres = queries.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"), vmq.as("vm"))
       .withColumn("vm2", dot(col("vm"), col("vm")))

@@ -9,19 +9,32 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Row-local DEFLATE helpers for the compression-ratio quality signal. */
 object Zlib {
+  // per-row native Deflater allocation + 8KB buffer churn would dominate
+  // the hot path at corpus scale; one (Deflater, scratch) pair per executor
+  // thread, reset between rows. Keyed by level (level is a constructor
+  // param of the expression, so one per distinct level in the plan).
+  private val pool =
+    new ThreadLocal[java.util.HashMap[Int, (java.util.zip.Deflater, Array[Byte])]] {
+      override def initialValue() = new java.util.HashMap
+    }
+
   /** Size in bytes of `bytes` after raw DEFLATE at `level`. Allocation-light:
-    * counts output through a fixed scratch buffer, never materializes the
-    * compressed stream. */
+    * thread-local reused Deflater + scratch buffer, counts output without
+    * materializing the compressed stream. */
   def deflatedSize(bytes: Array[Byte], level: Int): Long = {
-    val d = new java.util.zip.Deflater(level, true)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0L
-      while (!d.finished()) total += d.deflate(buf)
-      total
-    } finally d.end()
+    val m = pool.get()
+    var entry = m.get(level)
+    if (entry == null) {
+      entry = (new java.util.zip.Deflater(level, true), new Array[Byte](8192))
+      m.put(level, entry)
+    }
+    val (d, buf) = entry
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total
   }
 }
 

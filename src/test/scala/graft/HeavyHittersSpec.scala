@@ -14,7 +14,7 @@ class HeavyHittersSpec extends AnyFunSuite {
     val rows = for {
       i <- 1 to 40
       r <- 1 to (if (i <= 3) 120 else if (i <= 8) 25 else 2)
-    } yield (s"k$i%02d".format(i), 1L + ((i * 31 + r * 7 + seed) % 3))
+    } yield (f"k$i%02d", 1L + ((i * 31 + r * 7 + seed) % 3))
     rows
   }
 

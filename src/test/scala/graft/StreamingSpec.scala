@@ -261,6 +261,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(Set("a", "b", "c").subsetOf(kept) && !kept.contains("zebra"))
   }
 
+  test("Misra-Gries summary maintains incrementally over a stream") {
+    // MgAgg is a typed aggregate with a mergeable buffer, so it runs
+    // unchanged as a complete-mode streaming query — the streaming heavy-
+    // hitter candidate set. Counter VALUES are processing-order-dependent
+    // (documented), so the assertion is the summary's CONTRACT vs the
+    // concatenated batch: exact total, no overcount, every heavy key
+    // present — which is all the exact second pass needs.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val k = 3
+    val ms = MemoryStream[(String, Long)]
+    val q = ms.toDF().toDF("key", "w")
+      .select(udaf(new graft.operators.HeavyHitters.MgAgg(k))
+        .apply($"key", $"w").as("s"))
+      .select($"s._1".as("total"), $"s._2".as("counters"))
+      .writeStream.format("memory").queryName("mg_stream")
+      .outputMode("complete").start()
+    ms.addData(("a", 6L), ("b", 1L), ("c", 1L), ("a", 4L))
+    q.processAllAvailable()
+    ms.addData(("d", 1L), ("a", 2L), ("e", 1L), ("b", 4L))
+    q.processAllAvailable(); q.stop()
+    val row = spark.table("mg_stream").head()
+    val total = row.getLong(0)
+    val counters = row.getMap[String, Long](1)
+    val truth = Map("a" -> 12L, "b" -> 5L, "c" -> 1L, "d" -> 1L, "e" -> 1L)
+    assert(total == truth.values.sum)
+    assert(counters.size <= k)
+    counters.foreach { case (key, est) => assert(est <= truth(key)) }
+    // keys heavier than total/(k+1) = 5 must have survived
+    assert(counters.contains("a"))
+  }
+
   test("grouped top-k aggregate maintains incrementally over a stream") {
     // the bounded TopK aggregate is one grouped aggregate, so it runs
     // unchanged as a streaming query: after two micro-batches the
