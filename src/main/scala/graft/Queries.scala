@@ -529,6 +529,54 @@ object Queries {
         |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin),
       headline = true),
 
+    // Interval containment join via granule bucketing (RangeJoin): count
+    // every other user's events inside each of users 0-19's gap-derived
+    // sessions. Spark would plan the raw BETWEEN theta-join as a nested-
+    // loop; the operator turns it into ONE hash equi-join on the hour
+    // granule (a point carries exactly one granule — no dedup, no point-
+    // side fanout). Zero-hit sessions are kept (left join at the end).
+    "q_events_range_join" -> Q(
+      (s, dir) => {
+        val ev = events(s, dir).withColumn("ms", expr("ts div 1000000"))
+        val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+        val sess = ev.filter(col("user_id") < 20)
+          .withColumn("gap", col("ms") - lag("ms", 1).over(w))
+          .withColumn("new_s",
+            when(col("gap").isNull || col("gap") > 1800000L, 1L).otherwise(0L))
+          .withColumn("sid", sum("new_s").over(w))
+          .groupBy(col("user_id").as("s_user"), col("sid"))
+          .agg(min("ms").as("lo"), max("ms").as("hi"))
+        val pts = ev.select(col("user_id").as("p_user"), col("ms").as("t"))
+        val hits = RangeJoin.pointInInterval(pts, "t", sess, "lo", "hi",
+            granule = 3600000L)
+          .filter(col("p_user") =!= col("s_user"))
+          .groupBy("s_user", "sid").agg(count(lit(1)).as("n"))
+        sess.join(hits, Seq("s_user", "sid"), "left")
+          .select(col("s_user").as("user_id"), col("sid").as("session_id"),
+            col("lo").as("lo_ms"), col("hi").as("hi_ms"),
+            coalesce(col("n"), lit(0L)).as("n_other_events"))
+          .orderBy("user_id", "session_id")
+      },
+      Some(s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |gg AS (SELECT user_id, ms, event_id,
+        |    CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id)
+        |           IS NULL
+        |         OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id)
+        |           > 1800000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WHERE user_id < 20),
+        |sg AS (SELECT user_id, ms,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS sid
+        |  FROM gg),
+        |sess AS (SELECT user_id AS s_user, sid, min(ms) AS lo, max(ms) AS hi
+        |  FROM sg GROUP BY 1, 2)
+        |SELECT s.s_user AS user_id, CAST(s.sid AS BIGINT) AS session_id,
+        |  s.lo AS lo_ms, s.hi AS hi_ms,
+        |  CAST(count(e2.ms) AS BIGINT) AS n_other_events
+        |FROM sess s LEFT JOIN e e2
+        |  ON e2.user_id <> s.s_user AND e2.ms BETWEEN s.lo AND s.hi
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY user_id, session_id""".stripMargin)),
+
     // Tumbling-window aggregation (batch form of the streaming hourly rollup).
     "q_events_hourly" -> Q(
       (s, dir) =>
