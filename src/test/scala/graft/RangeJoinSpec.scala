@@ -38,6 +38,28 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(rows.length == rows.toSet.size)
   }
 
+  test("randomized: equals the naive theta-join across seeds and granules") {
+    for (seed <- 1 to 4) {
+      val rng = new scala.util.Random(seed)
+      val pts = Seq.tabulate(300)(i => (i.toLong, rng.nextLong(10000L)))
+        .toDF("pid", "t")
+      val ivs = Seq.tabulate(40) { i =>
+        val lo = rng.nextLong(10000L)
+        (i.toLong, lo, lo + rng.nextLong(500L))
+      }.toDF("iid", "lo", "hi")
+      val naive = pts.crossJoin(ivs).filter($"t" >= $"lo" && $"t" <= $"hi")
+        .select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      for (g <- Seq(1L, 37L, 512L, 10000L)) {
+        val fast = RangeJoin.pointInInterval(pts, "t", ivs, "lo", "hi", g)
+          .select("pid", "iid").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        assert(fast.toSet == naive && fast.length == naive.size,
+          s"seed=$seed granule=$g")
+      }
+    }
+  }
+
   test("out-of-contract intervals fail loudly, never silently") {
     val bad = Seq((1L, 300L, 100L)).toDF("iid", "lo", "hi")
     val e1 = intercept[Exception] {
