@@ -1,7 +1,9 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Dense, deterministic id assignment — the reference's `nc:id`
   * (catalog.py:278-297): a 0-based row number in a stable order.
@@ -9,9 +11,9 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * At scale, `row_number().over(Window.orderBy(...))` collapses to a single
   * partition — unusable at 100TB (SURVEY §7.5 #1). This implements the
   * two-phase scheme instead: range-partition by the sort key, count rows per
-  * partition, prefix-sum the counts on the driver (one long per partition),
-  * then add partition-local offsets. `zipWithIndex` does exactly this under
-  * the hood (one extra job for the counts), so we sort + zip.
+  * partition, prefix-sum the counts into per-partition offsets, then
+  * `row_number` WITHIN each partition plus its offset. Stays entirely in the
+  * SQL engine (codegen'd, lazy) — no RDD hop, no Tungsten deserialization.
   *
   * NEVER `monotonically_increasing_id` — not dense, not stable (SURVEY §1.5).
   */
@@ -61,31 +63,53 @@ object Ids {
   /** The general two-phase global rank: append `idName: long` numbered 0..
     * in `sortExprs` order (any mix of asc/desc columns; make the order
     * TOTAL — include a unique tie-break column — for run-identical ids).
-    * Range-partition by the sort key, sort within partitions, then
-    * `zipWithIndex` (per-partition counts prefix-summed on the driver —
-    * one long per partition). Replaces `row_number() OVER (ORDER BY ...)`,
-    * whose single-partition window is the classic 100 TB scale-killer.
+    * Replaces `row_number() OVER (ORDER BY ...)`, whose single-partition
+    * window is the classic 100 TB scale-killer.
     *
-    * NOTE: `zipWithIndex` computes its partition offsets EAGERLY (one
-    * job at construction time), so calling this runs the upstream plan.
-    * The sorted RDD is `localCheckpoint`ed so the offset pass and the
-    * downstream action(s) share ONE execution of the aggregate + range
-    * shuffle + sort. Deliberately NOT `persist`/CacheScope: a persisted
-    * DataFrame registers its plan in the session CacheManager, where any
-    * IDENTICAL later plan (same source path) silently reuses the cached
-    * rows — serving stale data after the underlying file changes and
-    * breaking the corpus cache's staleness contract (CorpusSpec caught
-    * exactly that). RDD-level checkpoint blocks bypass plan matching and
-    * are freed by the ContextCleaner once the RDD is unreachable. */
+    * Pure-DataFrame plan, fully lazy and whole-stage-codegen'd:
+    *  1. range-partition by the sort key (explicit partition count, so AQE
+    *     cannot coalesce the two consumers of the exchange differently);
+    *  2. tag rows with `spark_partition_id()` — every row in partition p
+    *     sorts at-or-after every row in partitions < p;
+    *  3. per-partition counts -> exclusive prefix sum = partition offsets.
+    *     (The prefix-sum window is over AT MOST `numShufflePartitions`
+    *     rows — bounded by cluster geometry, never data size — so its
+    *     single-partition WindowExec is harmless at any scale.)
+    *  4. broadcast the offsets back (one long per partition) and add
+    *     `row_number` WITHIN each range partition.
+    * The range exchange is shared by the count branch and the data branch
+    * via ReuseExchange — the input is shuffled once. Deliberately NOT
+    * `persist`/CacheScope: a persisted DataFrame registers its plan in the
+    * session CacheManager, where any IDENTICAL later plan (same source
+    * path) silently reuses the cached rows — serving stale data after the
+    * underlying file changes and breaking the corpus cache's staleness
+    * contract (CorpusSpec caught exactly that). */
   def denseRankBy(df: DataFrame, sortExprs: Seq[org.apache.spark.sql.Column],
                   idName: String): DataFrame = {
-    val sorted = df.repartitionByRange(
+    val pid = "__graft_rank_pid"
+    val off = "__graft_rank_off"
+    val cnt = "__graft_rank_cnt"
+    val mid = "__graft_rank_mid"
+    // monotonically_increasing_id() = (physical partition id << 33) | a
+    // partition-LOCAL consecutive 0-based counter, evaluated in row order
+    // above the within-partition sort — so it decomposes into exactly the
+    // (partition, local row number) pair the two-phase rank needs, with NO
+    // second full-data exchange and NO window sort. (As a direct ID it is
+    // neither dense nor stable — SURVEY §1.5 — but split into its two
+    // fields over range-partitioned sorted data it is deterministic: the
+    // global rank offsets[pid] + local below is.)
+    val ranged = df.repartitionByRange(
         df.sparkSession.sessionState.conf.numShufflePartitions, sortExprs: _*)
       .sortWithinPartitions(sortExprs: _*)
-    val schema = StructType(sorted.schema.fields :+ StructField(idName, LongType, nullable = false))
-    val rdd = sorted.rdd.localCheckpoint().zipWithIndex().map { case (row, idx) =>
-      Row.fromSeq(row.toSeq :+ idx)
-    }
-    df.sparkSession.createDataFrame(rdd, schema)
+      .withColumn(mid, monotonically_increasing_id())
+      .withColumn(pid, shiftright(col(mid), 33))
+    val offsets = ranged.groupBy(col(pid))
+      .agg(count(lit(1)).as(cnt))
+      .select(col(pid),
+        (sum(cnt).over(Window.orderBy(col(pid))) - col(cnt)).as(off))
+    ranged.join(broadcast(offsets), pid)
+      .withColumn(idName,
+        (col(off) + (col(mid).bitwiseAND(lit((1L << 33) - 1)))).cast(LongType))
+      .drop(pid, off, mid)
   }
 }
