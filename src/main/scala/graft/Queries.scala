@@ -2897,6 +2897,32 @@ object Queries {
         |    ELSE 'application/octet-stream' END AS mime,
         |  CAST(length(hx) / 2 AS BIGINT) AS n_bytes
         |FROM hp ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // REAL image decode (javax.imageio, JDK-native PNG codec): deterministic
+    // solid-color PNG payloads are ENCODED in-plan from doc_id arithmetic,
+    // then DECODED back by the real codec; the oracle predicts the decoded
+    // geometry and exact integer channel sums from the same arithmetic —
+    // so a codec round-trip failure, a channel-order bug, or a dropped
+    // corrupt-payload null all hash-mismatch. Every 10th payload is a
+    // truncated (broken) PNG and must surface as an all-null stats row.
+    "m_image_decode" -> Q(
+      (s, dir) =>
+        Multimodal.decodeImage(
+            Multimodal.syntheticImagePayloads(rd(s, dir, "documents")))
+          .orderBy("doc_id"),
+      Some("""WITH g AS (SELECT doc_id,
+        |    1 + doc_id % 8 AS w, 1 + (doc_id // 8) % 5 AS h,
+        |    (doc_id * 37) % 256 AS r, (doc_id * 59) % 256 AS g2,
+        |    (doc_id * 83) % 256 AS b, (doc_id % 10 = 0) AS corrupt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN corrupt THEN NULL ELSE w END AS BIGINT) AS width,
+        |  CAST(CASE WHEN corrupt THEN NULL ELSE h END AS BIGINT) AS height,
+        |  CAST(CASE WHEN corrupt THEN NULL ELSE w * h END AS BIGINT) AS n_px,
+        |  CAST(CASE WHEN corrupt THEN NULL ELSE w * h * r END AS BIGINT) AS sum_r,
+        |  CAST(CASE WHEN corrupt THEN NULL ELSE w * h * g2 END AS BIGINT) AS sum_g,
+        |  CAST(CASE WHEN corrupt THEN NULL ELSE w * h * b END AS BIGINT) AS sum_b
+        |FROM g ORDER BY doc_id""".stripMargin))
   )
 }

@@ -102,6 +102,92 @@ object Multimodal {
       .toDF(idCol, "features")
   }
 
+  /** REAL image decode — `javax.imageio` ships with the JDK (PNG, JPEG,
+    * GIF, BMP readers), so this needs no external dependency: the decode
+    * step of the multimodal pipeline is a genuine codec, not a stub. Same
+    * batched `mapPartitions` shape as [[decodeStubBatched]] — rows stream
+    * through in partition order, each payload is decoded in-JVM, and the
+    * output schema is fixed regardless of decode success.
+    *
+    * Emits exact-integer pixel statistics (no float summation anywhere):
+    * `(idCol, width, height, n_px, sum_r, sum_g, sum_b)` — channel sums
+    * over all pixels in row-major order. Undecodable payloads (truncated,
+    * wrong format, null) yield a row with all-null stats: the pipeline
+    * keeps the document visible for triage instead of dropping it. */
+  def decodeImage(df: DataFrame, idCol: String = "doc_id",
+                  payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img =
+            if (bytes == null) null
+            else
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case _: java.io.IOException => null }
+          if (img == null)
+            (id, None: Option[Long], None: Option[Long], None: Option[Long],
+              None: Option[Long], None: Option[Long], None: Option[Long])
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xFF
+                sg += (p >> 8) & 0xFF
+                sb += p & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            (id, Some(w.toLong), Some(h.toLong), Some(w.toLong * h),
+              Some(sr), Some(sg), Some(sb))
+          }
+        }
+      }
+      .toDF(idCol, "width", "height", "n_px", "sum_r", "sum_g", "sum_b")
+  }
+
+  /** Deterministic PNG fixture payloads, one per document: a real
+    * `ImageIO`-encoded solid-color PNG whose geometry and color derive
+    * arithmetically from the id — `w = 1 + id % 8`, `h = 1 + (id/8) % 5`,
+    * `rgb = (37 id, 59 id, 83 id) % 256` — so an oracle can predict the
+    * DECODED statistics without running a codec. Every 10th payload is
+    * truncated to its first 12 bytes (a broken PNG header), exercising the
+    * corrupt-payload null path end-to-end. */
+  def syntheticImagePayloads(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 1 + (id % 8).toInt
+          val h = 1 + ((id / 8) % 5).toInt
+          val rgb = (((id * 37) % 256).toInt << 16) |
+            (((id * 59) % 256).toInt << 8) | ((id * 83) % 256).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          val png = baos.toByteArray
+          (id, if (id % 10 == 0) png.take(12) else png)
+        }
+      }
+      .toDF(idCol, "payload")
+  }
+
   /** Container-format magic numbers: (mime, uppercase hex prefix). Order is
     * match priority — longer/more specific prefixes first (PNG's 8-byte
     * signature before the 2-byte gzip one). Public so callers (and the SQL

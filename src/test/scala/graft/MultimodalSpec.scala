@@ -1,0 +1,86 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Encode a w x h image whose pixel (x, y) has per-channel values from
+    * `px`, in the named ImageIO format; returns the container bytes. */
+  private def encode(w: Int, h: Int, fmt: String)
+                    (px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(x, y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val baos = new ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, baos), s"no $fmt writer")
+    baos.toByteArray
+  }
+
+  test("decodeImage: PNG gradient round-trips to exact pixel sums") {
+    // non-solid image so a real decode (not metadata sniffing) is required
+    val (w, h) = (7, 5)
+    def px(x: Int, y: Int) = ((x * 17 + y * 29) % 256, (x * 3) % 256, (y * 11) % 256)
+    var (er, eg, eb) = (0L, 0L, 0L)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(x, y)
+      er += r; eg += g; eb += b
+    }
+    val df = Seq((1L, encode(w, h, "png")(px))).toDF("doc_id", "payload")
+    val row = Multimodal.decodeImage(df).collect().head
+    assert(row.getLong(1) == w && row.getLong(2) == h)
+    assert(row.getLong(3) == w.toLong * h)
+    assert((row.getLong(4), row.getLong(5), row.getLong(6)) == ((er, eg, eb)))
+  }
+
+  test("decodeImage: BMP and GIF decode through the same path") {
+    def solid(x: Int, y: Int) = (200, 100, 50)
+    val df = Seq(
+      (1L, encode(4, 3, "bmp")(solid)),
+      (2L, encode(2, 6, "gif")(solid))).toDF("doc_id", "payload")
+    val rows = Multimodal.decodeImage(df).orderBy("doc_id").collect()
+    assert(rows(0).getLong(1) == 4 && rows(0).getLong(2) == 3)
+    assert(rows(0).getLong(4) == 200L * 12)
+    assert(rows(1).getLong(1) == 2 && rows(1).getLong(2) == 6)
+    assert(rows(1).getLong(6) == 50L * 12)
+  }
+
+  test("decodeImage: corrupt, non-image, and null payloads yield null stats") {
+    val png = encode(3, 3, "png")((_, _) => (1, 2, 3))
+    val df = Seq(
+      (1L, png.take(12)),                     // truncated header
+      (2L, "not an image".getBytes("UTF-8")), // wrong format entirely
+      (3L, null: Array[Byte]),                // missing payload
+      (4L, png)                               // control: still decodes
+    ).toDF("doc_id", "payload")
+    val rows = Multimodal.decodeImage(df).orderBy("doc_id").collect()
+    for (i <- 0 until 3; c <- 1 to 6) assert(rows(i).isNullAt(c), s"row $i col $c")
+    assert(rows(3).getLong(3) == 9 && rows(3).getLong(4) == 9)
+  }
+
+  test("syntheticImagePayloads: geometry/color arithmetic matches the decode") {
+    val ids = Seq(1L, 7L, 13L, 20L, 39L) // 20 -> corrupt (id % 10 == 0)
+    val decoded = Multimodal.decodeImage(
+        Multimodal.syntheticImagePayloads(ids.toDF("doc_id")))
+      .orderBy("doc_id").collect()
+    ids.sorted.zip(decoded).foreach { case (id, row) =>
+      if (id % 10 == 0) assert(row.isNullAt(1) && row.isNullAt(4))
+      else {
+        val (w, h) = (1 + id % 8, 1 + (id / 8) % 5)
+        assert(row.getLong(1) == w && row.getLong(2) == h)
+        assert(row.getLong(4) == w * h * ((id * 37) % 256))
+        assert(row.getLong(5) == w * h * ((id * 59) % 256))
+        assert(row.getLong(6) == w * h * ((id * 83) % 256))
+      }
+    }
+  }
+}
