@@ -42,6 +42,42 @@ class CompressionSpec extends AnyFunSuite {
     assert(ratio(junk) > 0.8)
   }
 
+  test("sf0.001 corpus: independent JDK path agrees row-for-row; goldens pinned") {
+    // t_compression is the registry's only oracle-less row (DEFLATE output
+    // is implementation-defined, so no DuckDB cross-check exists). This
+    // test closes that gap two ways (VERDICT r6 #4):
+    //  1. recompute every z_bytes through a DIFFERENT JDK code path
+    //     (DeflaterOutputStream streaming, fresh Deflater per value —
+    //     nothing shared with Zlib's pooled counting loop);
+    //  2. pin golden literals measured on this JDK/zlib: a golden failure
+    //     with (1) passing means the ENVIRONMENT's zlib changed, not the
+    //     code.
+    val path = "/root/testdata/sf0.001/documents.parquet"
+    assume(new java.io.File(path).exists(), "driver testdata not present")
+    def independentDeflate(s: String): Long = {
+      val sink = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.DeflaterOutputStream(
+        sink, new java.util.zip.Deflater(6, true))
+      z.write(s.getBytes("UTF-8")); z.close()
+      sink.size().toLong
+    }
+    val rows = TextAnalysis.compressionSignals(spark.read.parquet(path))
+      .join(spark.read.parquet(path).select($"doc_id", $"text"), "doc_id")
+      .collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val expected = Option(r.getString(4)).map(independentDeflate)
+      assert(Option(r.get(2)) == expected, s"doc $id z_bytes")
+    }
+    // goldens (JDK 17 zlib, level 6, raw deflate, measured 2026-08-13):
+    assert(rows.map(r => if (r.isNullAt(2)) 0L else r.getLong(2)).sum == 72598L)
+    val byId = rows.map(r => r.getLong(0) -> (r.get(1), r.get(2), r.get(3))).toMap
+    assert(byId(0L) == ((128L, 84L, 656250L)))
+    assert(byId(123L) == ((339L, 162L, 477876L)))
+    assert(byId(499L) == ((258L, 131L, 507752L)))
+  }
+
   test("deterministic within the engine and exposed in SQL via extensions") {
     val docs = Seq((1L, "abcabcabc " * 100)).toDF("doc_id", "text")
     val a = TextAnalysis.compressionSignals(docs).collect().toSeq
