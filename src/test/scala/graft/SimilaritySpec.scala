@@ -79,6 +79,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(multi >= 0.10, s"multi-table recall collapsed: $multi")
   }
 
+  test("IVF-PQ recall@5 vs brute force at nprobe 1 and 2") {
+    // The composed index (coarse quantizer + product-quantized residuals)
+    // had oracle-verified ARITHMETIC but unmeasured retrieval quality
+    // (VERDICT r6 #6). Same protocol as the LSH recall tests: sf0.001
+    // embeddings, 50 queries, exact brute-force baseline.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Similarity.knnBrute(emb, emb.filter($"vec_id" < 50), k = 5)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val m = 16 // 4-dim subspaces: the synthetic embeddings are near-random,
+               // the hardest PQ case — coarse subspaces drown the signal
+    val model = Similarity.ivfPqFit(emb, nlist = 4, m = m, k = 32, dim = 64,
+      coarseIters = 2)
+    def recall(nprobe: Int): Double = {
+      val got = Similarity.ivfPqSearch(model, emb.filter($"vec_id" < 50),
+          topk = 5, m = m, dim = 64, nprobe = nprobe)
+        .select($"query_id", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute & got).size.toDouble / brute.size
+    }
+    val r1 = recall(1)
+    val r2 = recall(2)
+    info(f"ivf-pq recall@5: nprobe=1 -> $r1%.3f, nprobe=2 -> $r2%.3f")
+    // probing a second cell only widens each query's candidate set
+    assert(r2 >= r1, s"nprobe=2 recall $r2 below nprobe=1 $r1")
+    assert(r1 >= 0.20, s"ivf-pq recall@5 at nprobe=1 collapsed: $r1")
+    assert(r2 >= 0.30, s"ivf-pq recall@5 at nprobe=2 collapsed: $r2")
+  }
+
   test("bucket cap drops only overfull buckets, default cap is a no-op") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val uncapped = Similarity.knnLsh(emb, k = 5, nbits = 2, dim = 64)
