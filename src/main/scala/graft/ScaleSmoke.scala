@@ -182,6 +182,24 @@ object ScaleSmoke {
       graft.operators.Bpe.train(docs, nMerges = 6).size.toLong
     })
     graft.core.CacheScope.release()
+    // interval containment under deliberate time-skew: a third of all
+    // points pile into one 10-second "9am" window while 2000 staggered
+    // 15-minute intervals cover the day. Granule bucketing keeps the join
+    // an equi-join on granule id: the hot window occupies its own granules
+    // (joined only against intervals that overlap them), so skew costs one
+    // hot bucket, never a cross product.
+    time("point_in_interval_skew")({
+      val pts = docs.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          lit(32400000L) + col("doc_id") % 10000L)
+          .otherwise(pmod(col("doc_id") * 2654435761L, lit(86400000L)))
+          .as("t"))
+      val iv = spark.range(2000).select(col("id").as("iv_id"),
+          pmod(col("id") * 43200L, lit(86400000L)).as("lo"))
+        .withColumn("hi", col("lo") + 900000L)
+      graft.operators.RangeJoin.pointInInterval(
+        pts, "t", iv, "lo", "hi", granule = 1000000L).count()
+    })
     // layout keys: pure row-local bit math — must run at scan speed
     time("hilbert_key")(docs
       .select(graft.operators.Layout.hilbertKey(
