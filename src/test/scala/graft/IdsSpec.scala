@@ -25,6 +25,30 @@ class IdsSpec extends AnyFunSuite {
     assert(Ids.prefixChunks(ids) == Seq(ids))
   }
 
+  test("denseRankBy: dense deterministic ids from a shuffled input") {
+    val rows = (0 until 500).map(i => (f"id$i%03d", i % 7))
+    val df = scala.util.Random.shuffle(rows).toDF("k", "grp").repartition(5)
+    val ranked = Ids.denseRankBy(df, Seq(df("grp").desc, df("k").asc), "rid")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    // dense 0..n-1, and rid order == (grp desc, k asc) order
+    assert(ranked.map(_._3).sorted.toSeq == (0L until 500L))
+    val expected = rows.sortBy { case (k, g) => (-g, k) }.map(_._1)
+    assert(ranked.sortBy(_._3).map(_._1).toSeq == expected)
+  }
+
+  test("denseRankBy: plan stays in the SQL engine at full parallelism") {
+    val df = (0 until 100).map(i => (s"k$i", i)).toDF("k", "v")
+    val plan = Ids.denseRankBy(df, Seq(df("v").asc, df("k").asc), "rid")
+      .queryExecution.executedPlan.toString
+    // the r6 implementation round-tripped through an RDD (Tungsten
+    // deserialization + an eager job); the plan must never regress to it
+    assert(!plan.contains("Scan ExistingRDD"), "rank left the SQL engine")
+    // the only window is the offsets prefix-sum over per-partition counts
+    // (bounded by shuffle-partition count); no data-sized global window
+    assert(!plan.contains("row_number"), "data-sized rank window reappeared")
+    assert(plan.contains("rangepartitioning"), "global order lost")
+  }
+
   test("messy parquet: mergeSchema + cast map resolves drift") {
     val dir = java.nio.file.Files.createTempDirectory("messy").toString
     Seq(("a", 1)).toDF("@id", "v").write.parquet(s"$dir/p1")
