@@ -2923,6 +2923,37 @@ object Queries {
         |  CAST(CASE WHEN corrupt THEN NULL ELSE w * h * r END AS BIGINT) AS sum_r,
         |  CAST(CASE WHEN corrupt THEN NULL ELSE w * h * g2 END AS BIGINT) AS sum_g,
         |  CAST(CASE WHEN corrupt THEN NULL ELSE w * h * b END AS BIGINT) AS sum_b
-        |FROM g ORDER BY doc_id""".stripMargin))
+        |FROM g ORDER BY doc_id""".stripMargin)),
+
+    // REAL audio decode (javax.sound.sampled, JDK-native WAV/PCM): 16-bit
+    // PCM WAV payloads are ENCODED in-plan from doc_id arithmetic, DECODED
+    // back by the real codec, and reduced to exact-integer stats; the
+    // oracle regenerates every sample arithmetically and predicts the
+    // decoded format fields + the sum of absolute sample values. Every
+    // 10th payload is a truncated RIFF header and must surface all-null.
+    "m_audio_decode" -> Q(
+      (s, dir) =>
+        Multimodal.decodeAudio(
+            Multimodal.syntheticWavPayloads(rd(s, dir, "documents")))
+          .orderBy("doc_id"),
+      Some("""WITH g AS (SELECT doc_id, 1 + doc_id % 2 AS ch,
+        |    50 + doc_id % 100 AS nf, (doc_id % 10 = 0) AS corrupt
+        |  FROM documents),
+        |t AS (SELECT doc_id, ch, nf, corrupt,
+        |    unnest(range(0, nf)) AS t FROM g),
+        |s AS (SELECT doc_id, ch, nf, corrupt, t,
+        |    unnest(range(0, ch)) AS c FROM t),
+        |a AS (SELECT doc_id, any_value(ch) AS ch, any_value(nf) AS nf,
+        |    any_value(corrupt) AS corrupt,
+        |    CAST(sum(abs(((doc_id * 31 + t * 7 + c * 13) % 65536) - 32768))
+        |      AS BIGINT) AS sum_abs
+        |  FROM s GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN corrupt THEN NULL ELSE 8000 END AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN corrupt THEN NULL ELSE ch END AS BIGINT) AS channels,
+        |  CAST(CASE WHEN corrupt THEN NULL ELSE 16 END AS BIGINT) AS bits,
+        |  CAST(CASE WHEN corrupt THEN NULL ELSE nf END AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN corrupt THEN NULL ELSE sum_abs END AS BIGINT) AS sum_abs
+        |FROM a ORDER BY doc_id""".stripMargin))
   )
 }

@@ -154,6 +154,106 @@ object Multimodal {
       .toDF(idCol, "width", "height", "n_px", "sum_r", "sum_g", "sum_b")
   }
 
+  /** REAL audio decode — `javax.sound.sampled` ships with the JDK (WAV /
+    * AIFF / AU container parsing + PCM frames), so like [[decodeImage]]
+    * this is a genuine codec with no external dependency. Batched
+    * mapPartitions shape; exact-integer output only:
+    * `(idCol, sample_rate, channels, bits, n_frames, sum_abs)` where
+    * `sum_abs` is the sum of |sample| over every frame and channel
+    * (16-bit signed PCM). Undecodable payloads (truncated header, wrong
+    * format, null, or non-16-bit encodings) yield an all-null stats row. */
+  def decodeAudio(df: DataFrame, idCol: String = "doc_id",
+                  payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val decoded =
+            if (bytes == null) None
+            else
+              try {
+                val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                  new java.io.ByteArrayInputStream(bytes))
+                val fmt = in.getFormat
+                if (fmt.getSampleSizeInBits != 16) None
+                else {
+                  val frameBytes = fmt.getFrameSize
+                  val data = in.readAllBytes()
+                  val nFrames = data.length / frameBytes
+                  var sumAbs = 0L
+                  var i = 0
+                  val bigEndian = fmt.isBigEndian
+                  while (i + 1 < data.length) {
+                    val s =
+                      if (bigEndian) ((data(i) << 8) | (data(i + 1) & 0xFF)).toShort
+                      else ((data(i + 1) << 8) | (data(i) & 0xFF)).toShort
+                    sumAbs += math.abs(s.toLong)
+                    i += 2
+                  }
+                  Some((fmt.getSampleRate.toLong, fmt.getChannels.toLong,
+                    fmt.getSampleSizeInBits.toLong, nFrames.toLong, sumAbs))
+                }
+              } catch {
+                case _: javax.sound.sampled.UnsupportedAudioFileException => None
+                case _: java.io.IOException => None
+              }
+          decoded match {
+            case Some((sr, ch, bits, nf, sa)) =>
+              (id, Some(sr), Some(ch), Some(bits), Some(nf), Some(sa))
+            case None =>
+              (id, None: Option[Long], None: Option[Long], None: Option[Long],
+                None: Option[Long], None: Option[Long])
+          }
+        }
+      }
+      .toDF(idCol, "sample_rate", "channels", "bits", "n_frames", "sum_abs")
+  }
+
+  /** Deterministic WAV fixture payloads, one per document: real
+    * `AudioSystem`-encoded 16-bit PCM whose geometry and samples derive
+    * arithmetically from the id — `channels = 1 + id % 2`,
+    * `n_frames = 50 + id % 100`, sample(t, c) =
+    * `((id*31 + t*7 + c*13) % 65536) - 32768` — so an oracle predicts the
+    * DECODED statistics without a codec. Every 10th payload is truncated
+    * to its first 16 bytes (a broken RIFF header), exercising the
+    * corrupt-payload null path. */
+  def syntheticWavPayloads(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val channels = 1 + (id % 2).toInt
+          val nFrames = 50 + (id % 100).toInt
+          val pcm = new Array[Byte](nFrames * channels * 2)
+          var t = 0
+          while (t < nFrames) {
+            var c = 0
+            while (c < channels) {
+              val v = (((id * 31 + t * 7 + c * 13) % 65536) - 32768).toInt
+              val off = (t * channels + c) * 2
+              pcm(off) = (v & 0xFF).toByte          // little-endian PCM16
+              pcm(off + 1) = ((v >> 8) & 0xFF).toByte
+              c += 1
+            }
+            t += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, channels,
+            true, false)
+          val stream = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(stream,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+          val wav = baos.toByteArray
+          (id, if (id % 10 == 0) wav.take(16) else wav)
+        }
+      }
+      .toDF(idCol, "payload")
+  }
+
   /** Deterministic PNG fixture payloads, one per document: a real
     * `ImageIO`-encoded solid-color PNG whose geometry and color derive
     * arithmetically from the id — `w = 1 + id % 8`, `h = 1 + (id/8) % 5`,

@@ -67,6 +67,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(3).getLong(3) == 9 && rows(3).getLong(4) == 9)
   }
 
+  test("decodeAudio: WAV PCM16 round-trips to exact sample statistics") {
+    // hand-built stereo WAV with known samples, decoded through the real
+    // javax.sound codec; sum_abs recomputed independently here
+    val (channels, nFrames) = (2, 40)
+    def sample(t: Int, c: Int): Int = (t * 131 + c * 17) % 32768 - 16384
+    val pcm = new Array[Byte](nFrames * channels * 2)
+    var expected = 0L
+    for (t <- 0 until nFrames; c <- 0 until channels) {
+      val v = sample(t, c)
+      expected += math.abs(v.toLong)
+      val off = (t * channels + c) * 2
+      pcm(off) = (v & 0xFF).toByte
+      pcm(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, channels, true, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val row = Multimodal.decodeAudio(
+      Seq((7L, baos.toByteArray)).toDF("doc_id", "payload")).collect().head
+    assert(row.getLong(1) == 16000L && row.getLong(2) == 2L)
+    assert(row.getLong(3) == 16L && row.getLong(4) == nFrames.toLong)
+    assert(row.getLong(5) == expected)
+  }
+
+  test("decodeAudio: corrupt, non-audio, and null payloads yield null stats") {
+    val good = Multimodal.syntheticWavPayloads(Seq(3L).toDF("doc_id"))
+      .collect().head.getAs[Array[Byte]]("payload")
+    val df = Seq(
+      (1L, good.take(16)),
+      (2L, "not audio at all".getBytes("UTF-8")),
+      (3L, null: Array[Byte]),
+      (4L, good)).toDF("doc_id", "payload")
+    val rows = Multimodal.decodeAudio(df).orderBy("doc_id").collect()
+    for (i <- 0 until 3; c <- 1 to 5) assert(rows(i).isNullAt(c), s"row $i col $c")
+    assert(rows(3).getLong(2) == 2L && rows(3).getLong(4) == 53L) // id 3: 2ch, 53 frames
+  }
+
   test("syntheticImagePayloads: geometry/color arithmetic matches the decode") {
     val ids = Seq(1L, 7L, 13L, 20L, 39L) // 20 -> corrupt (id % 10 == 0)
     val decoded = Multimodal.decodeImage(
