@@ -2954,6 +2954,40 @@ object Queries {
         |  CAST(CASE WHEN corrupt THEN NULL ELSE 16 END AS BIGINT) AS bits,
         |  CAST(CASE WHEN corrupt THEN NULL ELSE nf END AS BIGINT) AS n_frames,
         |  CAST(CASE WHEN corrupt THEN NULL ELSE sum_abs END AS BIGINT) AS sum_abs
-        |FROM a ORDER BY doc_id""".stripMargin))
+        |FROM a ORDER BY doc_id""".stripMargin)),
+
+    // REAL multi-frame (video-style) decode: animated-GIF payloads are
+    // ENCODED in-plan (the JDK's only multi-frame codec; solid-color
+    // frames survive the 256-color palette exactly), then every frame is
+    // extracted back through the real reader — one row per frame with
+    // exact pixel sums the oracle predicts arithmetically. Corrupt
+    // payloads (every 10th, truncated GIF header) surface as ONE all-null
+    // frame row. A null frame_idx only ever occurs on such single-row
+    // documents, so the (doc_id, frame_idx) order is engine-unambiguous.
+    "m_video_frames" -> Q(
+      (s, dir) =>
+        Multimodal.decodeFrames(
+            Multimodal.syntheticGifPayloads(rd(s, dir, "documents")))
+          .orderBy("doc_id", "frame_idx"),
+      Some("""WITH g AS (SELECT doc_id, 2 + doc_id % 4 AS nf,
+        |    4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h,
+        |    (doc_id % 10 = 0) AS corrupt
+        |  FROM documents),
+        |fr AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS f
+        |  FROM g WHERE NOT corrupt),
+        |ok AS (SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |    CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |    CAST(w * h AS BIGINT) AS n_px,
+        |    CAST(w * h * ((doc_id * 37 + f * 11) % 256) AS BIGINT) AS sum_r,
+        |    CAST(w * h * ((doc_id * 59 + f * 23) % 256) AS BIGINT) AS sum_g,
+        |    CAST(w * h * ((doc_id * 83 + f * 41) % 256) AS BIGINT) AS sum_b
+        |  FROM fr),
+        |bad AS (SELECT doc_id, CAST(NULL AS BIGINT) AS frame_idx,
+        |    CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+        |    CAST(NULL AS BIGINT) AS n_px, CAST(NULL AS BIGINT) AS sum_r,
+        |    CAST(NULL AS BIGINT) AS sum_g, CAST(NULL AS BIGINT) AS sum_b
+        |  FROM g WHERE corrupt)
+        |SELECT * FROM ok UNION ALL SELECT * FROM bad
+        |ORDER BY doc_id, frame_idx""".stripMargin))
   )
 }

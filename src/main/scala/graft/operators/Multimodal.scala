@@ -254,6 +254,115 @@ object Multimodal {
       .toDF(idCol, "payload")
   }
 
+  /** REAL multi-frame decode — frame extraction from an animated-GIF
+    * container via `javax.imageio`'s GIF reader (the JDK's only
+    * multi-frame codec; inter-frame video codecs like H.264 don't ship
+    * with the JVM and stay out of scope). One output row PER FRAME with
+    * exact-integer pixel statistics:
+    * `(idCol, frame_idx, width, height, n_px, sum_r, sum_g, sum_b)`.
+    * Undecodable payloads yield ONE all-null frame row (frame_idx null),
+    * keeping the document visible for triage. Batched mapPartitions shape
+    * like [[decodeImage]]/[[decodeAudio]]. */
+  def decodeFrames(df: DataFrame, idCol: String = "doc_id",
+                   payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val nullRow = (id, None: Option[Long], None: Option[Long],
+          None: Option[Long], None: Option[Long], None: Option[Long],
+          None: Option[Long], None: Option[Long])
+        if (bytes == null) Seq(nullRow)
+        else {
+          val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+          if (!readers.hasNext) Seq(nullRow)
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+                new java.io.ByteArrayInputStream(bytes)), false, true)
+              val n = reader.getNumImages(true)
+              if (n <= 0) Seq(nullRow)
+              else (0 until n).map { f =>
+                val img = reader.read(f)
+                val w = img.getWidth
+                val h = img.getHeight
+                var sr = 0L; var sg = 0L; var sb = 0L
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val p = img.getRGB(x, y)
+                    sr += (p >> 16) & 0xFF
+                    sg += (p >> 8) & 0xFF
+                    sb += p & 0xFF
+                    x += 1
+                  }
+                  y += 1
+                }
+                (id, Some(f.toLong), Some(w.toLong), Some(h.toLong),
+                  Some(w.toLong * h), Some(sr), Some(sg), Some(sb))
+              }
+            } catch {
+              case _: java.io.IOException => Seq(nullRow)
+              case _: IndexOutOfBoundsException => Seq(nullRow)
+            } finally reader.dispose()
+          }
+        }
+      }
+      .toDF(idCol, "frame_idx", "width", "height", "n_px",
+        "sum_r", "sum_g", "sum_b")
+  }
+
+  /** Deterministic animated-GIF fixture payloads, one per document: a real
+    * `ImageIO`-encoded GIF sequence whose frame count, geometry, and
+    * per-frame solid colors derive arithmetically from the id —
+    * `n_frames = 2 + id % 4`, `w = 4 + id % 5`, `h = 3 + id % 3`, frame f
+    * color `rgb = (37 id + 11 f, 59 id + 23 f, 83 id + 41 f) % 256`.
+    * Solid-color frames survive GIF's 256-color palette exactly, so an
+    * oracle predicts the DECODED per-frame statistics without a codec.
+    * Every 10th payload is truncated to 8 bytes (a broken GIF header). */
+  def syntheticGifPayloads(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val nFrames = 2 + (id % 4).toInt
+          val w = 4 + (id % 5).toInt
+          val h = 3 + (id % 3).toInt
+          val baos = new java.io.ByteArrayOutputStream()
+          val out = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("gif").next()
+          writer.setOutput(out)
+          writer.prepareWriteSequence(null)
+          for (f <- 0 until nFrames) {
+            val rgb = (((id * 37 + f * 11) % 256).toInt << 16) |
+              (((id * 59 + f * 23) % 256).toInt << 8) |
+              ((id * 83 + f * 41) % 256).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+              y += 1
+            }
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+          }
+          writer.endWriteSequence()
+          writer.dispose()
+          out.close()
+          val gif = baos.toByteArray
+          (id, if (id % 10 == 0) gif.take(8) else gif)
+        }
+      }
+      .toDF(idCol, "payload")
+  }
+
   /** Deterministic PNG fixture payloads, one per document: a real
     * `ImageIO`-encoded solid-color PNG whose geometry and color derive
     * arithmetically from the id — `w = 1 + id % 8`, `h = 1 + (id/8) % 5`,

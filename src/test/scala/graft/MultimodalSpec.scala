@@ -107,6 +107,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(3).getLong(2) == 2L && rows(3).getLong(4) == 53L) // id 3: 2ch, 53 frames
   }
 
+  test("decodeFrames: animated GIF yields one exact row per frame") {
+    val ids = Seq(1L, 6L, 10L, 23L) // 10 -> corrupt
+    val rows = Multimodal.decodeFrames(
+        Multimodal.syntheticGifPayloads(ids.toDF("doc_id")))
+      .orderBy("doc_id", "frame_idx").collect()
+    val byId = rows.groupBy(_.getLong(0))
+    for (id <- ids) {
+      if (id % 10 == 0) {
+        assert(byId(id).length == 1 && byId(id).head.isNullAt(1))
+      } else {
+        val (nf, w, h) = (2 + id % 4, 4 + id % 5, 3 + id % 3)
+        assert(byId(id).length == nf, s"id $id frame count")
+        byId(id).zipWithIndex.foreach { case (r, f) =>
+          assert(r.getLong(1) == f && r.getLong(2) == w && r.getLong(3) == h)
+          assert(r.getLong(5) == w * h * ((id * 37 + f * 11) % 256), s"id $id f $f red")
+          assert(r.getLong(6) == w * h * ((id * 59 + f * 23) % 256), s"id $id f $f green")
+          assert(r.getLong(7) == w * h * ((id * 83 + f * 41) % 256), s"id $id f $f blue")
+        }
+      }
+    }
+  }
+
   test("syntheticImagePayloads: geometry/color arithmetic matches the decode") {
     val ids = Seq(1L, 7L, 13L, 20L, 39L) // 20 -> corrupt (id % 10 == 0)
     val decoded = Multimodal.decodeImage(
