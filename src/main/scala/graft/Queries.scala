@@ -2988,6 +2988,70 @@ object Queries {
         |    CAST(NULL AS BIGINT) AS sum_g, CAST(NULL AS BIGINT) AS sum_b
         |  FROM g WHERE corrupt)
         |SELECT * FROM ok UNION ALL SELECT * FROM bad
-        |ORDER BY doc_id, frame_idx""".stripMargin))
+        |ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // The triage -> dispatch composition a mixed-media crawl runs: build a
+    // corpus whose payloads are REAL PNGs (even ids) and REAL WAVs (odd
+    // ids), sniff each payload's container by magic bytes — the declared
+    // type is never trusted — and route every row to the matching REAL
+    // decoder; emit one unified (kind, units, checksum) row per document.
+    // Corrupt payloads (every 10th, truncated) still sniff correctly (the
+    // magic prefix survives truncation) and surface as null units from
+    // their decoder — triage keeps them visible, decode nulls them.
+    "m_dispatch" -> Q(
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        // persist: three dispatch branches read the payload table; the
+        // codec-encode pass must run once, not once per branch
+        val payloads = graft.core.CacheScope.persist(Multimodal
+          .syntheticImagePayloads(docs.filter(col("doc_id") % 2 === 0))
+          .union(Multimodal
+            .syntheticWavPayloads(docs.filter(col("doc_id") % 2 === 1)))
+          .withColumn("mime", Multimodal.sniffMime(col("payload"))))
+        val images = Multimodal
+          .decodeImage(payloads.filter(col("mime") === "image/png"))
+          .select(col("doc_id"), lit("image").as("kind"),
+            col("n_px").as("units"),
+            (col("sum_r") + col("sum_g") + col("sum_b")).as("checksum"))
+        val audio = Multimodal
+          .decodeAudio(payloads.filter(col("mime") === "application/x-riff"))
+          .select(col("doc_id"), lit("audio").as("kind"),
+            col("n_frames").as("units"), col("sum_abs").as("checksum"))
+        val opaque = payloads
+          .filter(col("mime") =!= "image/png" &&
+            col("mime") =!= "application/x-riff")
+          .select(col("doc_id"), lit("opaque").as("kind"),
+            lit(null).cast("long").as("units"),
+            lit(null).cast("long").as("checksum"))
+        images.union(audio).union(opaque).orderBy("doc_id")
+      },
+      Some("""WITH img AS (SELECT doc_id, 1 + doc_id % 8 AS w,
+        |    1 + (doc_id // 8) % 5 AS h,
+        |    ((doc_id * 37) % 256) + ((doc_id * 59) % 256)
+        |      + ((doc_id * 83) % 256) AS csum,
+        |    (doc_id % 10 = 0) AS corrupt
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |aud AS (SELECT doc_id, 1 + doc_id % 2 AS ch, 50 + doc_id % 100 AS nf,
+        |    (doc_id % 10 = 0) AS corrupt
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |samp AS (SELECT doc_id, nf, corrupt, unnest(range(0, nf)) AS t, ch
+        |  FROM aud),
+        |sc AS (SELECT doc_id, nf, corrupt, t, unnest(range(0, ch)) AS c
+        |  FROM samp),
+        |asum AS (SELECT doc_id, any_value(nf) AS nf,
+        |    any_value(corrupt) AS corrupt,
+        |    CAST(sum(abs(((doc_id * 31 + t * 7 + c * 13) % 65536) - 32768))
+        |      AS BIGINT) AS sum_abs
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, 'image' AS kind,
+        |  CAST(CASE WHEN corrupt THEN NULL ELSE w * h END AS BIGINT) AS units,
+        |  CAST(CASE WHEN corrupt THEN NULL ELSE w * h * csum END AS BIGINT) AS checksum
+        |FROM img
+        |UNION ALL
+        |SELECT doc_id, 'audio' AS kind,
+        |  CAST(CASE WHEN corrupt THEN NULL ELSE nf END AS BIGINT) AS units,
+        |  CAST(CASE WHEN corrupt THEN NULL ELSE sum_abs END AS BIGINT) AS checksum
+        |FROM asum
+        |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -407,6 +407,10 @@ object Multimodal {
     "image/jpeg" -> "FFD8FF",
     "application/pdf" -> "25504446",
     "application/zip" -> "504B0304",
+    // RIFF container (WAV/AVI/WebP share it; disambiguating needs bytes
+    // 9-12, beyond the 8-byte sniff prefix — container-level is the
+    // honest claim)
+    "application/x-riff" -> "52494646",
     "application/gzip" -> "1F8B")
 
   /** MIME sniffing by magic bytes — the triage step a mixed-media crawl

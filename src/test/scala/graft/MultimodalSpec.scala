@@ -129,6 +129,30 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("sniffMime routes mixed PNG/WAV/opaque payloads to the right decoder") {
+    val png = Multimodal.syntheticImagePayloads(Seq(2L).toDF("doc_id"))
+    val wav = Multimodal.syntheticWavPayloads(Seq(3L).toDF("doc_id"))
+    val junk = Seq((4L, "neither".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val sniffed = png.union(wav).union(junk)
+      .withColumn("mime", Multimodal.sniffMime(col("payload")))
+    val mimes = sniffed.orderBy("doc_id").select("mime").as[String].collect()
+    assert(mimes.toSeq == Seq("image/png", "application/x-riff",
+      "application/octet-stream"))
+    // truncated payloads keep their magic prefix: triage still classifies
+    // them, the decoder is what nulls them out
+    val corrupt = Multimodal.syntheticImagePayloads(Seq(10L).toDF("doc_id"))
+      .union(Multimodal.syntheticWavPayloads(Seq(20L).toDF("doc_id")))
+      .withColumn("mime", Multimodal.sniffMime(col("payload")))
+    assert(corrupt.orderBy("doc_id").select("mime").as[String].collect().toSeq
+      == Seq("image/png", "application/x-riff"))
+    val imgRow = Multimodal.decodeImage(
+      sniffed.filter(col("mime") === "image/png")).collect().head
+    assert(imgRow.getLong(1) == 3 && imgRow.getLong(2) == 1) // id 2: w=3 h=1
+    val audRow = Multimodal.decodeAudio(
+      sniffed.filter(col("mime") === "application/x-riff")).collect().head
+    assert(audRow.getLong(2) == 2L && audRow.getLong(4) == 53L)
+  }
+
   test("syntheticImagePayloads: geometry/color arithmetic matches the decode") {
     val ids = Seq(1L, 7L, 13L, 20L, 39L) // 20 -> corrupt (id % 10 == 0)
     val decoded = Multimodal.decodeImage(
