@@ -915,6 +915,27 @@ object Queries {
         |WHERE round(i::DOUBLE / (na.n + nb.n - i), 6) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Fuzzy record-linkage near-duplicate pairs: blocked Levenshtein over
+    // part names (block = trailing noun, so the quadratic is per-block;
+    // minDist=1 leaves exact-equal names to t_dedup_exact's hash path).
+    // Both engines run the same classic edit-distance DP — the comparator
+    // itself is the oracle's comparator.
+    "q_fuzzy_parts" -> Q(
+      (s, dir) =>
+        Dedup.fuzzyPairs(rd(s, dir, "part"),
+            blockKey = regexp_extract(col("p_name"), "(\\w+)$", 1),
+            maxDist = 3, minDist = 1, idCol = "p_partkey", strCol = "p_name")
+          .orderBy("id_a", "id_b"),
+      Some("""WITH n AS (SELECT p_partkey AS id, p_name AS s,
+        |    regexp_extract(p_name, '(\w+)$', 1) AS blk FROM part
+        |  WHERE regexp_extract(p_name, '(\w+)$', 1) != '')
+        |SELECT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b,
+        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM n a JOIN n b ON a.blk = b.blk AND a.id < b.id
+        |WHERE abs(len(a.s) - len(b.s)) <= 3
+        |  AND levenshtein(a.s, b.s) BETWEEN 1 AND 3
+        |ORDER BY id_a, id_b""".stripMargin)),
+
     // MinHash signatures (12 engine-stable permutations over token sets).
     "t_minhash_sigs" -> Q(
       (s, dir) =>
@@ -1126,6 +1147,50 @@ object Queries {
   // ----------------------------------------------------- text analysis
 
   private lazy val analysis: Seq[(String, Q)] = Seq(
+
+    // Trainable quality classifier: 3 batch-perceptron rounds over hashed
+    // bag-of-words features (64 buckets + bias), labels self-derived from
+    // lang='en'. All-integer train+score, so the oracle replays the ENTIRE
+    // training run: w1 is the cold-start update (w0 = 0 misclassifies
+    // everything), then two score->misclassified->delta rounds, then the
+    // final scoring pass — identical arithmetic in both engines.
+    "t_perceptron" -> Q(
+      (s, dir) =>
+        Classifier.qualityScores(rd(s, dir, "documents"),
+            positive = col("lang") === "en", nBuckets = 64, rounds = 3)
+          .orderBy("doc_id"),
+      Some {
+        def round(i: Int): String = {
+          val (w, wn) = (s"w$i", s"w${i + 1}")
+          s"""s$i AS (SELECT f.doc_id, CAST(sum(f.cnt * coalesce(w.w, 0)) AS BIGINT) AS sc
+          |  FROM fx f LEFT JOIN $w w ON f.b = w.b GROUP BY f.doc_id),
+          |m$i AS (SELECT s.doc_id, l.y FROM s$i s JOIN lab l USING (doc_id)
+          |  WHERE l.y * s.sc <= 0),
+          |d$i AS (SELECT f.b, CAST(sum(m.y * f.cnt) AS BIGINT) AS d
+          |  FROM fx f JOIN m$i m USING (doc_id) GROUP BY f.b),
+          |$wn AS (SELECT coalesce(w.b, d.b) AS b, coalesce(w.w, 0) + coalesce(d.d, 0) AS w
+          |  FROM $w w FULL JOIN d$i d ON w.b = d.b)""".stripMargin
+        }
+        s"""WITH $ToksCte, $StreamCte, $UniCte,
+        |fx AS (
+        |  SELECT doc_id, ${sqlHash60("token")} % 64 AS b,
+        |    CAST(sum("count") AS BIGINT) AS cnt
+        |  FROM uni GROUP BY 1, 2
+        |  UNION ALL SELECT doc_id, 64, 1 FROM documents),
+        |lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+        |  FROM documents),
+        |w1 AS (SELECT f.b, CAST(sum(l.y * f.cnt) AS BIGINT) AS w
+        |  FROM fx f JOIN lab l USING (doc_id) GROUP BY f.b),
+        |${round(1)},
+        |${round(2)},
+        |sf AS (SELECT f.doc_id, CAST(sum(f.cnt * coalesce(w.w, 0)) AS BIGINT) AS score
+        |  FROM fx f LEFT JOIN w3 w ON f.b = w.b GROUP BY f.doc_id)
+        |SELECT s.doc_id, l.y, s.score,
+        |  CASE WHEN s.score > 0 THEN CAST(1 AS BIGINT)
+        |       ELSE CAST(-1 AS BIGINT) END AS pred
+        |FROM sf s JOIN lab l USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+      }),
 
     "t_langid" -> Q(
       (s, dir) =>

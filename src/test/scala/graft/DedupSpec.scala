@@ -209,6 +209,35 @@ class DedupSpec extends AnyFunSuite {
     assert(shuffled == hits)
   }
 
+  test("fuzzyPairs: blocked levenshtein pairs, band prune, null-safe blocks") {
+    val names = Seq(
+      (1L, "cold widget"), (2L, "bold widget"),  // dist 1, same block
+      (3L, "cold gadget"),                       // other block: never paired
+      (4L, "colder widget"),                     // dist 2 from "cold widget"
+      (5L, "cold widget"),                       // exact dup: minDist=1 drops
+      (6L, null.asInstanceOf[String]),           // null string -> null block
+      (7L, "widget")).toDF("doc_id", "text")     // dist 5 from cold: too far
+    val pairs = Dedup.fuzzyPairs(names,
+        blockKey = regexp_extract(col("text"), "(\\w+)$", 1),
+        maxDist = 2, minDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(pairs((1L, 2L)) == 1L)
+    assert(pairs((1L, 4L)) == 2L)
+    // "bold widget"~"colder widget" is dist 3: band-pruned IN (len diff 2)
+    // but DP-filtered OUT — the prune is a superset of the match set
+    assert(!pairs.contains((2L, 4L)))
+    assert(pairs((2L, 5L)) == 1L)                // dup-of-1 still pairs with 2
+    assert(!pairs.keySet.exists { case (a, b) => a == 1L && b == 5L }) // exact
+    assert(!pairs.keySet.exists { case (a, b) =>
+      Set(a, b).intersect(Set(3L, 6L, 7L)).nonEmpty })
+    // minDist=0 admits the exact-equal pair too
+    val withExact = Dedup.fuzzyPairs(names,
+        blockKey = regexp_extract(col("text"), "(\\w+)$", 1),
+        maxDist = 2, minDist = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(withExact((1L, 5L)) == 0L)
+  }
+
   test("redaction scrubs emails, urls, long numbers; counts audit them") {
     val d = Seq((1L,
       "mail me at a.user+x@site-two.org or see https://ex.com/p?q=1 id 12345678 ok 123"))
