@@ -2370,6 +2370,50 @@ object Queries {
         |ORDER BY query_id, rank""".stripMargin),
       headline = true),
 
+    // Maximal Marginal Relevance diverse top-5 over the 20-candidate
+    // re-rank window (lambda = 0.7). Integer-micro relevance and pairwise
+    // sims make every greedy round exact; the oracle replays all 5 picks
+    // as chained argmax CTEs.
+    "e_mmr" -> Q(
+      (s, dir) =>
+        Similarity.mmrSelect(rd(s, dir, "embeddings"), queryId = 0L,
+            k = 5, nCand = 20, lambdaMicro = 700000L)
+          .orderBy("rank"),
+      Some {
+        val lm = 700000L
+        val nm = 1000000L - lm
+        def pick(i: Int): String =
+          if (i == 1)
+            s"""p1 AS (SELECT id, rm, CAST($lm AS BIGINT) * rm AS mmr FROM cand
+            |  ORDER BY rm DESC, id LIMIT 1),
+            |sel1 AS (SELECT id FROM p1)""".stripMargin
+          else
+            s"""p$i AS (SELECT c.id, c.rm,
+            |    CAST($lm AS BIGINT) * c.rm - CAST($nm AS BIGINT) * max(ps.sm) AS mmr
+            |  FROM cand c JOIN ps ON ps.ia = c.id
+            |  JOIN sel${i - 1} s ON ps.ib = s.id
+            |  WHERE c.id NOT IN (SELECT id FROM sel${i - 1})
+            |  GROUP BY c.id, c.rm
+            |  ORDER BY mmr DESC, c.id LIMIT 1),
+            |sel$i AS (SELECT id FROM sel${i - 1} UNION ALL SELECT id FROM p$i)""".stripMargin
+        val unions = (2 to 5)
+          .map(i => s"UNION ALL SELECT $i, id, rm, mmr FROM p$i").mkString("\n")
+        s"""WITH v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM v WHERE id = 0),
+        |cand AS (SELECT c.id, c.v,
+        |    CAST(round(${sqlCos("c.v", "q.qv")} * 1e6, 0) AS BIGINT) AS rm
+        |  FROM v c, q WHERE c.id != 0
+        |  ORDER BY rm DESC, c.id LIMIT 20),
+        |ps AS (SELECT a.id AS ia, b.id AS ib,
+        |    CAST(round(${sqlCos("a.v", "b.v")} * 1e6, 0) AS BIGINT) AS sm
+        |  FROM cand a JOIN cand b ON a.id != b.id),
+        |${(1 to 5).map(pick).mkString(",\n")}
+        |SELECT CAST(1 AS BIGINT) AS rank, id AS vec_id, rm AS rel_micro,
+        |  mmr AS mmr_micro FROM p1
+        |$unions
+        |ORDER BY rank""".stripMargin
+      }),
+
     // LSH-bucketed ANN — the scale path. The bucket function is md5-derived
     // hyperplane signs, so the oracle replays it exactly: the same plane
     // literals (Similarity.planeMatrix) are inlined into the SQL.

@@ -55,6 +55,74 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Maximal Marginal Relevance (Carbonell & Goldstein 1998) — the
+    * diversity-aware top-k every RAG retriever bolts onto plain kNN:
+    * greedily pick k results maximizing
+    * `lambda * rel(c) - (1 - lambda) * max_sim(c, selected)` so near-
+    * duplicate hits don't crowd the result list.
+    *
+    * Exactness: relevance and pairwise cosines are rounded to integer
+    * MICRO units (`round(cos * 1e6)` — the [[labelCentroids]] engine-exact
+    * contract) and lambda is `lambdaMicro`/1e6, so every MMR score is an
+    * exact integer and the greedy argmax (ties broken by lowest id) is
+    * bit-reproducible and SQL-replayable (`e_mmr` replays all k rounds).
+    *
+    * Scale shape: the corpus-sized work is one broadcast-query cosine
+    * pass + TakeOrdered top-`nCand` (the re-rank window, same contract as
+    * any cross-encoder re-ranker); the nCand^2 pairwise-sim matrix and
+    * the k-round greedy are bounded by WINDOW geometry (nCand defaults to
+    * 20, never corpus size), collected once. The greedy itself is
+    * inherently sequential — k dependent argmaxes — so it runs on the
+    * collected window rather than as k full Spark jobs.
+    *
+    * Output: (rank 1..k, idCol, rel_micro, mmr_micro); the first pick's
+    * mmr is lambda*rel with no penalty term. Ids must be long-typed. */
+  def mmrSelect(corpus: DataFrame, queryId: Long, k: Int = 5,
+                nCand: Int = 20, lambdaMicro: Long = 700000L,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && nCand >= k, "need 1 <= k <= nCand")
+    require(lambdaMicro >= 0 && lambdaMicro <= 1000000L, "lambdaMicro in [0, 1e6]")
+    val s = corpus.sparkSession
+    import s.implicits._
+    val v = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val q = broadcast(v.filter(col("id") === queryId)
+      .select(col("v").as("qv"), norm(col("v")).as("qn")))
+    val cand = graft.core.CacheScope.persist(
+      v.filter(col("id") =!= queryId).crossJoin(q) // 1-row broadcast compose
+        .select(col("id"), col("v"),
+          round(dot(col("qv"), col("v")) / (col("qn") * norm(col("v"))) * 1e6, 0)
+            .cast("long").as("rm"))
+        .orderBy(desc("rm"), asc("id")).limit(nCand)) // TakeOrdered: the window
+    // nCand rows + nCand^2 sims — re-rank geometry, never corpus size.
+    val cRows = cand.select("id", "rm").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    if (cRows.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("rank", idCol, "rel_micro", "mmr_micro")
+    val a = cand.select(col("id").as("ia"), col("v").as("va"))
+    val b = cand.select(col("id").as("ib"), col("v").as("vb"))
+    val sims = a.join(b, col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"),
+        round(dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))) * 1e6, 0)
+          .cast("long").as("sm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rel = cRows.toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val remaining = scala.collection.mutable.SortedSet(cRows.map(_._1): _*)
+    for (r <- 1 to math.min(k, cRows.length)) {
+      val pick = remaining.map { c =>
+        val penalty =
+          if (selected.isEmpty) 0L
+          else selected.map(sel => sims((c, sel._2))).max
+        val mmr = lambdaMicro * rel(c) - (1000000L - lambdaMicro) * penalty
+        (c, mmr)
+      }.maxBy { case (c, m) => (m, -c) } // highest mmr, lowest id on ties
+      selected += ((r.toLong, pick._1, rel(pick._1), pick._2))
+      remaining -= pick._1
+    }
+    selected.toSeq.toDF("rank", idCol, "rel_micro", "mmr_micro")
+  }
+
   /** Embedding width from the first row with a NON-EMPTY vector (a null
     * embedding in row 1 must not NPE the driver — size(null) is null/-1
     * depending on `spark.sql.legacy.sizeOfNull` — and a zero-length vector

@@ -26,6 +26,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(knn(2)._2 == 4L && knn(2)._3 == -1.0)
   }
 
+  test("mmr trades relevance for diversity; plain order would not") {
+    // query 0 = [1, 0.4]; ids 1,2 identical [1,0] (top relevance, mutual
+    // sim 1.0); id 3 orthogonal [0,1] (low relevance, sim 0 to the rest).
+    // lambda=0.5: pick1 = 1 (rel argmax, tie->lowest id), pick2 = 3 (the
+    // redundant 2 is fully penalized), pick3 = 2. Pure kNN would rank 1,2,3.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.4f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrSelect(emb, queryId = 0L, k = 3, nCand = 3,
+      lambdaMicro = 500000L).orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 3L, 2L))
+    // first pick: no penalty term -> mmr = lambda * rel exactly
+    assert(out(0).getLong(3) == 500000L * out(0).getLong(2))
+    // redundant duplicate scored below the orthogonal doc in round 2
+    assert(out(1).getLong(2) < out(0).getLong(2)) // 3 is less relevant...
+    assert(out(2).getLong(1) == 2L)               // ...but 2 picked last
+    // absent query id -> empty result, schema intact
+    val empty = Similarity.mmrSelect(emb, queryId = 99L, k = 3, nCand = 3)
+    assert(empty.columns.toSeq ==
+      Seq("rank", "vec_id", "rel_micro", "mmr_micro") && empty.count() == 0)
+    graft.core.CacheScope.release()
+  }
+
   test("LSH buckets put same-direction vectors together, opposite apart") {
     val bucketed = vecs.select($"vec_id",
       Similarity.lshBucket($"embedding", 8, 4).as("bucket"))
