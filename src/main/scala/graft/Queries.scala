@@ -504,6 +504,20 @@ object Queries {
         |  round(max(l_extendedprice), 6) AS price_max
         |FROM lineitem""".stripMargin)),
 
+    // Columnar dataset profile (the "dataset card" row per column): exact
+    // null and distinct counts in one aggregate job.
+    "q_profile" -> Q(
+      (s, dir) => graft.core.Catalog.profile(rd(s, dir, "orders")),
+      Some {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+        cols.map(c =>
+          s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+          |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+          |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM orders""".stripMargin)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+      }),
+
     // Sessionization over the events stream table (batch form of the
     // streaming gap-session operator; see graft.streaming).
     "q_events_sessions" -> Q(
@@ -1322,6 +1336,48 @@ object Queries {
         |SELECT w0, w1, cbi, ps / 1000000.0 AS pmi FROM r
         |ORDER BY pmi DESC, w0, w1""".stripMargin)),
 
+    // TextRank keyword importance: 3 integer-micro PageRank rounds over
+    // the vocab-capped token co-occurrence graph. The oracle rebuilds the
+    // graph and replays every damped round with the same floor divisions
+    // (Spark `div` == DuckDB `//` on non-negative longs).
+    "t_textrank" -> Q(
+      (s, dir) =>
+        TextRanking.textrank(rd(s, dir, "documents"), vocabSize = 200,
+            iters = 3, k = 30)
+          .orderBy(desc("prm"), asc("token")),
+      Some {
+        def iter(i: Int): String =
+          s"""p$i AS (SELECT v.token,
+          |    CAST(150000 + (850000 * coalesce(s.s, 0)) // 1000000 AS BIGINT) AS prm
+          |  FROM voc v LEFT JOIN (
+          |    SELECT e.dst AS token,
+          |      CAST(sum((p.prm * e.w) // e.wdeg) AS BIGINT) AS s
+          |    FROM ed e JOIN p${i - 1} p ON p.token = e.src GROUP BY e.dst) s
+          |  ON s.token = v.token)""".stripMargin
+        s"""WITH $ToksCte, $StreamCte,
+        |unic AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM stream GROUP BY token),
+        |voc AS (SELECT token FROM unic ORDER BY cnt DESC, token LIMIT 200),
+        |bg AS (SELECT doc_id, token AS w0,
+        |        lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+        |      FROM stream),
+        |bt AS (SELECT w0, w1, CAST(count(*) AS BIGINT) AS cnt FROM bg
+        |       WHERE w1 IS NOT NULL AND w0 != w1 GROUP BY w0, w1),
+        |ef AS (SELECT w0, w1, cnt FROM bt
+        |       JOIN voc va ON bt.w0 = va.token
+        |       JOIN voc vb ON bt.w1 = vb.token),
+        |ed0 AS (SELECT src, dst, CAST(sum(cnt) AS BIGINT) AS w FROM (
+        |    SELECT w0 AS src, w1 AS dst, cnt FROM ef
+        |    UNION ALL SELECT w1, w0, cnt FROM ef) u GROUP BY src, dst),
+        |wd AS (SELECT src, CAST(sum(w) AS BIGINT) AS wdeg FROM ed0 GROUP BY src),
+        |ed AS (SELECT ed0.src, ed0.dst, ed0.w, wd.wdeg
+        |       FROM ed0 JOIN wd ON ed0.src = wd.src),
+        |p0 AS (SELECT token, CAST(1000000 AS BIGINT) AS prm FROM voc),
+        |${iter(1)},
+        |${iter(2)},
+        |${iter(3)}
+        |SELECT token, prm FROM p3 ORDER BY prm DESC, token LIMIT 30""".stripMargin
+      }),
+
     // Per-document cross-entropy under the corpus bigram LM (add-1
     // smoothing): the in-distribution quality filter.
     "t_crossentropy" -> Q(
@@ -1452,6 +1508,25 @@ object Queries {
         |SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fingerprint
         |FROM toks ORDER BY doc_id""".stripMargin)),
+
+    // Sqrt-temperature mixture sampling (alpha = 0.5): composition
+    // proportional to sqrt(stratum count), scarcest stratum kept whole.
+    // sqrt is IEEE-correctly-rounded in both engines, so the oracle
+    // re-derives the exact same rates and membership.
+    "t_temperature" -> Q(
+      (s, dir) =>
+        Sampling.temperatureSample(rd(s, dir, "documents"), "doc_id", "lang")
+          .select("doc_id", "lang").orderBy("doc_id"),
+      Some(s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |    FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+        |mn AS (SELECT min(n) AS nmin FROM c),
+        |r AS (SELECT lang,
+        |    CAST(round(sqrt(CAST((SELECT nmin FROM mn) AS DOUBLE) / n)
+        |      * 10000, 0) AS BIGINT) AS bound
+        |  FROM c)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE ${sqlHash60("CAST(doc_id AS VARCHAR) || ':temp'")} % 10000 < r.bound
+        |ORDER BY doc_id""".stripMargin)),
 
     // Gopher-style repetition filters (dup-token / top-bigram / dup-trigram
     // fractions) — degenerate-document detection for a training mix.

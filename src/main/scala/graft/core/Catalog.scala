@@ -302,4 +302,27 @@ object Catalog {
     }
     df.sparkSession.createDataFrame(df.rdd, StructType(fields))
   }
+
+  /** Columnar dataset profile — the "dataset card" summary row per column:
+    * (column, n_rows, n_nulls, n_distinct), exact. One aggregate job: the
+    * multi-countDistinct expands the input (2 rows per column per input
+    * row pre-shuffle — the standard exact-profiling cost; swap in HLL
+    * sketches via [[graft.operators.Sketches]] when approximate is
+    * acceptable at the 100 TB end). Output is column-count geometry,
+    * built on the driver like any stats row. */
+  def profile(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    // space-embedded agg aliases: cannot collide with the profiled table's
+    // own column names in `row` (same idea as detectListColumns above)
+    val aggs = df.columns.flatMap(c => Seq(
+      sum(when(col(s"`$c`").isNull, 1L).otherwise(0L)).as(c + " nulls"),
+      countDistinct(col(s"`$c`")).as(c + " distinct"))).toSeq
+    val row = df.agg(count(lit(1)).as(" n"), aggs: _*).collect()(0)
+    val n = row.getAs[Long](" n")
+    df.columns.toSeq.map(c => (c, n, row.getAs[Long](c + " nulls"),
+        row.getAs[Long](c + " distinct")))
+      .toDF("column", "n_rows", "n_nulls", "n_distinct")
+      .orderBy("column")
+  }
 }

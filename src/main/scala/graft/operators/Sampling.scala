@@ -68,6 +68,31 @@ object Sampling {
     targets.map { case (s, w) => s -> math.min(1.0, w * t / counts(s)) }
   }
 
+  /** Sqrt-temperature mixture sampling (temperature alpha = 0.5 — the
+    * multilingual-pretraining standard, Lample & Conneau 2019 §3.1):
+    * deterministic per-stratum downsampling to a composition proportional
+    * to count^alpha. The scarcest stratum binds (keep rate 1.0); every
+    * other stratum keeps rate (n_min/n_s)^(1-alpha) = sqrt(n_min/n_s).
+    * Alpha is FIXED at 0.5 on purpose: IEEE sqrt is correctly rounded in
+    * every engine, a general pow is not — so the rates, and therefore
+    * per-row membership, are bit-identical cross-engine (`t_temperature`
+    * re-derives them in SQL). Null strata are dropped (no stable rate).
+    *
+    * Scale shape: one strata-count collect (stratum-cardinality geometry)
+    * + the [[stratifiedSample]] row-local hash filter — zero extra
+    * shuffles over the data. */
+  def temperatureSample(df: DataFrame, idCol: String, strataCol: String,
+                        salt: String = "temp"): DataFrame = {
+    val counts = df.filter(col(strataCol).isNotNull)
+      .groupBy(strataCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    if (counts.isEmpty) return df.limit(0)
+    val nMin = counts.map(_._2).min
+    val rates = counts.map { case (st, n) =>
+      st -> math.sqrt(nMin.toDouble / n) }.toMap
+    stratifiedSample(df, idCol, strataCol, rates, defaultRate = 0.0, salt)
+  }
+
   /** [[mixRates]] + [[stratifiedSample]] in one call: deterministic sample
     * whose stratum composition matches `targets` (to hash-bucket
     * granularity) at the maximum feasible size. */

@@ -265,4 +265,65 @@ object TextRanking {
       .select(col(idCol), (col("rank0") + 1).as("rank"),
         (col("total_micro") / 1e6).as("score"))
   }
+
+  /** TextRank (Mihalcea & Tarau 2004): weighted PageRank over the corpus
+    * token co-occurrence graph — graph-based keyword importance, the
+    * complement of the frequency ([[tfidf]]) and association
+    * ([[collocations]]) rankings. Nodes are the top `vocabSize` corpus
+    * tokens (count desc, token tie-break); edges are symmetrized
+    * adjacent-token co-occurrence counts between vocab tokens (self-loops
+    * dropped); importance is `iters` damped rounds at d = 0.85.
+    *
+    * PageRank is normally float — here every quantity is an exact
+    * integer: ranks live in micro units (init 1e6), each neighbor
+    * contribution is the floor division (pr·w) div wdeg, and the damping
+    * update is 150000 + (850000·s) div 1e6. A fixed-round run is
+    * therefore bit-reproducible and SQL-replayable (`t_textrank` replays
+    * every round; Spark `div`, DuckDB `//` and Scala `/` agree on
+    * non-negative longs).
+    *
+    * Scale shape: the corpus-sized work is two distributed aggregates
+    * (corpus unigram + bigram counts) behind one vocab broadcast join;
+    * the graph itself is vocab-capped (<= vocabSize^2 edges — geometry
+    * chosen by the caller, never data size), so the per-round rank state
+    * collected to the driver is as bounded as a k-means centroid set.
+    * Output: top `k` of (token, prm) by rank. */
+  def textrank(docs: DataFrame, vocabSize: Int = 200, iters: Int = 3,
+               k: Int = 30, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    require(vocabSize >= 1 && iters >= 1 && k >= 1,
+      "need positive vocabSize, iters, k")
+    val s = docs.sparkSession
+    import s.implicits._
+    val vocab = graft.core.CacheScope.persist(
+      TextOps.unigrams(docs, idCol, textCol)
+        .groupBy("token").agg(sum("count").as("cnt"))
+        .orderBy(desc("cnt"), asc("token")).limit(vocabSize)
+        .select("token"))
+    // vocab-filtered corpus bigram counts: <= vocabSize^2 rows from here on
+    val bi = graft.core.CacheScope.persist(
+      TextOps.ngrams(docs, 2, idCol, textCol)
+        .groupBy("w0", "w1").agg(sum("count").as("cnt"))
+        .filter(col("w0") =!= col("w1"))
+        .join(broadcast(vocab.select(col("token").as("w0"))), "w0")
+        .join(broadcast(vocab.select(col("token").as("w1"))), "w1"))
+    val sym = bi.select(col("w0").as("src"), col("w1").as("dst"), col("cnt"))
+      .unionByName(bi.select(col("w1").as("src"), col("w0").as("dst"), col("cnt")))
+      .groupBy("src", "dst").agg(sum("cnt").as("w"))
+    val wdeg = sym.groupBy("src").agg(sum(col("w")).as("wdeg"))
+    val edges = graft.core.CacheScope.persist(sym.join(wdeg, "src"))
+    val tokens = vocab.collect().map(_.getString(0)) // vocab-cap geometry
+    var pr: Map[String, Long] = tokens.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val sums = edges
+        .withColumn("prm", element_at(typedlit(pr), col("src")))
+        .withColumn("c", expr("(prm * w) div wdeg"))
+        .groupBy("dst").agg(sum("c").as("s"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      pr = tokens.map(t =>
+        t -> (150000L + (850000L * sums.getOrElse(t, 0L)) / 1000000L)).toMap
+    }
+    pr.toSeq.toDF("token", "prm")
+      .orderBy(desc("prm"), asc("token")).limit(k)
+  }
 }

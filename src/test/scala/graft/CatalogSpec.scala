@@ -148,6 +148,22 @@ class CatalogSpec extends AnyFunSuite {
     assert(withStats.schema("@id").metadata.getString("nonconsumptive") == "0.1.0")
   }
 
+  test("profile: exact per-column rows, nulls and distincts") {
+    val df = Seq(
+      (1L, Some("a"), Some(1.5)),
+      (2L, Some("a"), None),
+      (3L, None, Some(2.5)),
+      (4L, Some("b"), Some(2.5))).toDF("id", "s", "v")
+    val p = Catalog.profile(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(p("id") == ((4L, 0L, 4L)))
+    assert(p("s") == ((4L, 1L, 2L)))
+    assert(p("v") == ((4L, 1L, 2L)))
+    // ordered by column name for a stable dataset-card layout
+    assert(Catalog.profile(df).collect().map(_.getString(0)).toSeq ==
+      Seq("id", "s", "v"))
+  }
+
   test("Ids.assignDense is deterministic across invocations") {
     val df = Seq("q", "b", "m", "a", "z").toDF("@id")
     val a = Ids.assignDense(df).collect().map(r => (r.getString(0), r.getLong(1))).toSet

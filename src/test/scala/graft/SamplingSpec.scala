@@ -74,6 +74,29 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("temperature sampling: scarcest stratum whole, big strata at sqrt rate") {
+    val rows = (1 to 160).map(i => (i.toLong, "big")) ++
+      (161 to 170).map(i => (i.toLong, "small")) ++
+      Seq((171L, null.asInstanceOf[String]))
+    val df = rows.toDF("doc_id", "lang")
+    val kept = graft.operators.Sampling
+      .temperatureSample(df, "doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // the scarcest stratum binds: all 10 "small" rows survive
+    assert(kept.count(_._2 == "small") == 10)
+    // big stratum downsampled to ~sqrt(10/160) = 25% — hash granularity
+    // keeps it loose, but it must be a strict subset and non-empty
+    val nBig = kept.count(_._2 == "big")
+    assert(nBig > 0 && nBig < 160)
+    // null stratum has no stable rate: dropped
+    assert(!kept.exists(_._2 == null))
+    // deterministic across runs
+    val again = graft.operators.Sampling
+      .temperatureSample(df.repartition(13), "doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(again.sortBy(_._1).toSeq == kept.sortBy(_._1).toSeq)
+  }
+
   test("null ids: explicit null split, dropped from samples — never binned") {
     val withNulls = Seq(
       (Some("a"), "en"), (Some("b"), "en"), (None, "en"), (None, "de"))

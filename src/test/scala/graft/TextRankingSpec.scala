@@ -85,6 +85,27 @@ class TextRankingSpec extends AnyFunSuite {
     assert(top(0) == (1L, 2L) && top(1) == (2L, 1L))
   }
 
+  test("textrank: hub token ranks highest, isolated token gets base rank") {
+    val g = Seq(
+      (1L, "alpha hub"), (2L, "beta hub"), (3L, "gamma hub"),
+      (4L, "hub delta"), (5L, "solo")).toDF("doc_id", "text")
+    val out = TextRanking.textrank(g, vocabSize = 10, iters = 3, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // hub has 4 edges, every spoke 1, solo 0
+    assert(out("hub") > out("alpha"))
+    assert(out("hub") > out("solo"))
+    // isolated node: damping floor only (no incoming contributions)
+    assert(out("solo") == 150000L)
+    // spokes are symmetric by construction -> identical ranks
+    assert(out("alpha") == out("beta") && out("beta") == out("gamma")
+      && out("gamma") == out("delta"))
+    // deterministic across runs and partitionings
+    val again = TextRanking.textrank(g.repartition(5), vocabSize = 10,
+      iters = 3, k = 10).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == out)
+    graft.core.CacheScope.release()
+  }
+
   test("cross-entropy: repetitive in-distribution docs score lower than odd ones") {
     val d = Seq(
       (1L, "the cat sat the cat sat the cat sat the cat sat"),
