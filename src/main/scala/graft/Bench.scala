@@ -31,9 +31,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: spin up executors/codegen so the first timed query
-    // measures the engine, not JVM start.
+    // measures the engine, not JVM start. The decimal/group-by/window
+    // passes pre-JIT the codegen paths the first headline queries hit —
+    // without them q1's first sample pays ~2x in C2 compilation.
     spark.read.parquet(s"$sfDir/nation.parquet").count()
     spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.range(1000000)
+      .selectExpr("id % 7 AS k", "cast(id as decimal(18,6)) AS d")
+      .groupBy("k").agg(org.apache.spark.sql.functions.expr("sum(d)"),
+        org.apache.spark.sql.functions.expr("avg(d)")).collect()
+    spark.range(100000).selectExpr("id % 13 AS k", "id AS v")
+      .selectExpr("k", "row_number() OVER (PARTITION BY k ORDER BY v) AS r")
+      .filter("r <= 5").collect()
     // Idle-gate calibration (VERDICT r6 #2): a fixed 50M-row sum costs a
     // stable ~0.1s on an idle host; run it until two consecutive samples
     // agree within 25% (up to 8 tries) so a contended host delays — and

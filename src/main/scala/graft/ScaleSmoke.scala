@@ -208,6 +208,34 @@ object ScaleSmoke {
     // compression signal: row-local DEFLATE — linear in bytes, no shuffle
     time("compression_signal")(
       TextAnalysis.compressionSignals(docs).count())
+    // perceptron train+score: per round two aggregates over the feature
+    // table + a 65-long weight collect — rounds are corpus passes, state
+    // is geometry. Must scale linearly in corpus size.
+    time("perceptron_3r_64b")({
+      val out = graft.operators.Classifier.qualityScores(docs,
+        positive = col("lang") === "en", nBuckets = 64, rounds = 3)
+      out.agg(sum(when(col("pred") === col("y"), 1L).otherwise(0L))).count()
+    })
+    // TextRank: corpus-sized work is the two ngram aggregates; the graph
+    // and per-round state stay vocab-capped regardless of factor.
+    time("textrank_v200_i3")(
+      graft.operators.TextRanking.textrank(docs, vocabSize = 200,
+        iters = 3, k = 30).count())
+    // fuzzy linkage over replicated short strings: blocking must keep the
+    // quadratic inside blocks (block = trailing token of the first words).
+    // Replication multiplies block sizes, so pair output grows ~N^2 per
+    // block — run it post-exact-dedup like the jaccard entry.
+    time("fuzzy_pairs_post_dedup")({
+      val uniq = Dedup.dropExactDuplicates(docs)
+        .withColumn("head40", substring(col("text"), 1, 40))
+      Dedup.fuzzyPairs(uniq,
+        blockKey = regexp_extract(col("head40"), "^(\\w+)", 1),
+        maxDist = 3, minDist = 1, strCol = "head40").count()
+    })
+    // temperature sampling: one stratum-count collect + a row-local filter
+    time("temperature_sample")(
+      graft.operators.Sampling.temperatureSample(docs, "doc_id", "lang")
+        .count())
     spark.stop()
   }
 }
