@@ -1509,6 +1509,34 @@ object Queries {
         |  md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fingerprint
         |FROM toks ORDER BY doc_id""".stripMargin)),
 
+    // Content-defined chunking: boundaries where the 8-char window hash
+    // is 0 mod 64 (expected chunk ~64 chars) — the rsync/LBFS dedup-
+    // storage primitive. Row-local; the oracle recomputes every window
+    // hash, boundary, and chunk md5.
+    "t_cdc_chunks" -> Q(
+      (s, dir) =>
+        TextOps.cdcChunks(rd(s, dir, "documents"), window = 8, divisor = 64)
+          .orderBy("doc_id", "chunk_idx"),
+      Some(s"""WITH c AS (SELECT doc_id, text, len(text) AS n
+        |    FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT doc_id, text, n,
+        |    list_filter(list_transform(range(8, n + 1),
+        |        i -> CASE WHEN ${sqlHash60("substr(text, CAST(i AS INTEGER) - 7, 8)")} % 64 = 0
+        |             THEN i END),
+        |      x -> x IS NOT NULL) AS bnds
+        |  FROM c),
+        |se AS (SELECT doc_id, text,
+        |    [1] || list_transform(bnds, x -> x + 1) AS starts,
+        |    bnds || [n] AS ends
+        |  FROM b)
+        |SELECT doc_id, j AS chunk_idx, starts[j] AS start,
+        |  ends[j] - starts[j] + 1 AS chunk_len,
+        |  md5(substr(text, CAST(starts[j] AS INTEGER),
+        |    CAST(ends[j] - starts[j] + 1 AS INTEGER))) AS chunk_md5
+        |FROM se, unnest(range(1, len(starts) + 1)) AS u(j)
+        |WHERE starts[j] <= ends[j]
+        |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // Sqrt-temperature mixture sampling (alpha = 0.5): composition
     // proportional to sqrt(stratum count), scarcest stratum kept whole.
     // sqrt is IEEE-correctly-rounded in both engines, so the oracle

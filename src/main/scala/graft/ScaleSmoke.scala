@@ -236,6 +236,9 @@ object ScaleSmoke {
     time("temperature_sample")(
       graft.operators.Sampling.temperatureSample(docs, "doc_id", "lang")
         .count())
+    // CDC: row-local window hashing — linear in characters, no shuffle
+    time("cdc_chunks_w8_d64")(
+      TextOps.cdcChunks(docs, window = 8, divisor = 64).count())
     spark.stop()
   }
 }

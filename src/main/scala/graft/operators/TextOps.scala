@@ -224,6 +224,58 @@ object TextOps {
           .cast("long").as("n_tokens"))
   }
 
+  /** Content-defined chunking (CDC) — split each document at positions
+    * chosen by CONTENT, not offset, so an insertion early in a document
+    * shifts only the chunk it lands in and every later chunk re-aligns
+    * (the dedup-storage primitive behind rsync/LBFS/restic; fixed-offset
+    * chunking would re-hash the whole tail). A position i is a boundary
+    * when the hash of the `window`-char substring ending at i is 0 mod
+    * `divisor` — expected chunk length ~`divisor` chars. Output: one row
+    * per chunk (idCol, chunk_idx, start, chunk_len, chunk_md5); feed
+    * chunk_md5 into [[graft.operators.Dedup.dedupSpans]]-style
+    * first-occurrence marking for cross-corpus chunk dedup.
+    *
+    * Engine-stable and SQL-replayable: the boundary hash is the md5-derived
+    * hash60 (not a platform gear table), so DuckDB recomputes identical
+    * boundaries (`t_cdc_chunks`). Entirely row-local (windows, boundary
+    * filter, chunk assembly all inside the row; one explode) — no shuffle
+    * at any size. Docs shorter than `window` form one whole-doc chunk;
+    * empty/null text yields no rows. A production variant would swap the
+    * per-window md5 for a codegen'd rolling-hash Expression (the
+    * [[graft.plans.HashExpressions.hash60]] shape) — the boundary
+    * SEMANTICS and everything downstream stay identical. */
+  def cdcChunks(docs: DataFrame, window: Int = 8, divisor: Long = 64,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window >= 1 && divisor >= 1, "need window >= 1 and divisor >= 1")
+    val t = col("__cdc_t")
+    val n = length(t)
+    val bnds = when(n >= window,
+      filter(
+        transform(sequence(lit(window), n),
+          i => struct(i.as("i"),
+            pmod(graft.functions.TextFunctions.hash60(
+              t.substr(i - lit(window - 1), lit(window))), lit(divisor)).as("h"))),
+        s => s.getField("h") === 0L))
+      .otherwise(array())
+    val chunks = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol).as("__cdc_t"))
+      .withColumn("__starts",
+        concat(array(lit(1)), transform(bnds, b => b.getField("i") + 1)))
+      .withColumn("__ends",
+        concat(transform(bnds, b => b.getField("i")), array(n)))
+    chunks
+      .select(col(idCol), t,
+        posexplode(transform(sequence(lit(1), size(col("__starts"))),
+          j => struct(element_at(col("__starts"), j).as("s"),
+            element_at(col("__ends"), j).as("e")))).as(Seq("idx0", "c")))
+      .filter(col("c.s") <= col("c.e")) // a boundary at n leaves an empty tail
+      .select(col(idCol), (col("idx0") + 1).cast("long").as("chunk_idx"),
+        col("c.s").cast("long").as("start"),
+        (col("c.e") - col("c.s") + 1).cast("long").as("chunk_len"),
+        md5(t.substr(col("c.s"), col("c.e") - col("c.s") + 1)).as("chunk_md5"))
+  }
+
   /** Sequence packing — assign every document a position in a fixed-token-
     * budget training sequence (the GPT-style "concatenate then cut every
     * `budget` tokens" packing). Deterministic and fully distributed:

@@ -139,6 +139,38 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!ch.exists(_._1 == "c")) // empty doc -> no chunks
   }
 
+  test("cdc chunks: full coverage, content-defined boundaries re-align after edits") {
+    val base = "the quick brown fox jumps over the lazy dog and then " * 20
+    val docs = Seq(
+      (1L, base),
+      (2L, "PREFIX-INSERTED " + base), // early edit: tail chunks must re-align
+      (3L, "short"),                   // < window: one whole-doc chunk
+      (4L, ""), (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val ch = TextOps.cdcChunks(docs, window = 8, divisor = 32).collect()
+      .groupBy(_.getLong(0))
+    // coverage: chunks tile the document exactly, in order
+    for (id <- Seq(1L, 2L)) {
+      val rows = ch(id).sortBy(_.getLong(1))
+      assert(rows.head.getLong(2) == 1L)
+      val total = rows.map(_.getLong(3)).sum
+      val n = docs.filter(col("doc_id") === id)
+        .select(length(col("text"))).collect()(0).getInt(0)
+      assert(total == n.toLong, s"doc $id tiles")
+      rows.sliding(2).foreach { case Array(a, b) =>
+        assert(b.getLong(2) == a.getLong(2) + a.getLong(3)) }
+    }
+    // the defining CDC property: after an early insertion, the two docs
+    // still share most chunk hashes (fixed-offset chunking would share none)
+    val h1 = ch(1L).map(_.getString(4)).toSet
+    val h2 = ch(2L).map(_.getString(4)).toSet
+    assert((h1 intersect h2).size >= h1.size / 2,
+      s"shared=${(h1 intersect h2).size} of ${h1.size}")
+    // short doc: one chunk spanning everything; empty/null: no rows
+    assert(ch(3L).length == 1 && ch(3L)(0).getLong(3) == 5L)
+    assert(!ch.contains(4L) && !ch.contains(5L))
+  }
+
   test("sequence packing: contiguous per-bucket layout, exact grid arithmetic") {
     val d = Seq(("a", "one two three"), ("b", "four five"), ("c", ""),
       ("d", "six seven eight nine")).toDF("doc_id", "text")
