@@ -2264,7 +2264,58 @@ object Queries {
         |  SELECT doc_id, bm25_rank, cos_sim,
         |    row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rank
         |  FROM hscored) WHERE rank <= 10
-        |ORDER BY rank""".stripMargin))
+        |ORDER BY rank""".stripMargin)),
+
+    // Hard-negative mining for retrieval training: query = the corpus's
+    // top trigram (t_phrase's self-derivation); positives = docs with the
+    // exact phrase; the BM25 top-20 minus positives are the classic
+    // lexically-similar-but-wrong hard negatives. One labeled
+    // training-pair table per query, composed from existing operators.
+    "t_hard_negatives" -> Q(
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val uni = graft.core.CacheScope.persist(TextOps.unigrams(docs))
+        val top = TextOps.trigrams(docs)
+          .groupBy("w0", "w1", "w2").agg(sum("count").as("n"))
+          .orderBy(desc("n"), asc("w0"), asc("w1"), asc("w2"))
+          .limit(1).collect().headOption
+        top match {
+          case None =>
+            docs.select(col("doc_id"), lit(0L).as("bm25_rank"),
+              lit("").as("label")).limit(0)
+          case Some(t) =>
+            val phrase = Seq(t.getString(0), t.getString(1), t.getString(2))
+            val pos = TextRanking.phraseOccurrences(docs, phrase)
+              .select(col("doc_id"), lit(1).as("__pos"))
+            TextRanking.bm25Rank(docs, phrase, k = 20, unigrams = uni)
+              .join(pos, Seq("doc_id"), "left")
+              .select(col("doc_id"), col("rank").as("bm25_rank"),
+                when(col("__pos").isNotNull, lit("positive"))
+                  .otherwise(lit("hard_negative")).as("label"))
+              .orderBy("bm25_rank")
+        }
+      },
+      Some(s"""WITH $ToksCte, $StreamCte, $UniCte,
+        |$sqlBm25Ctes,
+        |g AS (SELECT doc_id, pos, token AS w0,
+        |    lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+        |    lead(token, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM stream),
+        |top AS (SELECT w0, w1, w2 FROM g WHERE w2 IS NOT NULL
+        |  GROUP BY 1, 2, 3 ORDER BY count(*) DESC, w0, w1, w2 LIMIT 1),
+        |hits AS (SELECT DISTINCT g.doc_id FROM g JOIN top USING (w0, w1, w2)),
+        |tw AS (SELECT w0 AS token FROM top UNION SELECT w1 FROM top
+        |  UNION SELECT w2 FROM top),
+        |tot AS (SELECT doc_id, CAST(sum(score_micro) AS BIGINT) AS total_micro
+        |  FROM sc JOIN tw USING (token) GROUP BY doc_id),
+        |ranked AS (SELECT doc_id, total_micro,
+        |    row_number() OVER (ORDER BY total_micro DESC, doc_id) AS rank
+        |  FROM tot)
+        |SELECT r.doc_id, r.rank AS bm25_rank,
+        |  CASE WHEN h.doc_id IS NOT NULL THEN 'positive'
+        |       ELSE 'hard_negative' END AS label
+        |FROM ranked r LEFT JOIN hits h ON r.doc_id = h.doc_id
+        |WHERE r.rank <= 20 ORDER BY r.rank""".stripMargin))
   )
 
   // ------------------------------------------------------------- SRP
