@@ -129,6 +129,21 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_id", "quality_score").collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(streamed == batch && streamed.nonEmpty)
+    // CDC chunking is row-local too: identical boundaries over the stream
+    val c = graft.operators.TextOps.cdcChunks(
+        spark.readStream.schema(schema).parquet(docDir.toString),
+        window = 8, divisor = 64)
+      .writeStream.format("memory").queryName("docs_cdc_stream").start()
+    c.processAllAvailable(); c.stop()
+    val cdcStreamed = spark.table("docs_cdc_stream")
+      .select("doc_id", "chunk_idx", "chunk_md5").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    val cdcBatch = graft.operators.TextOps.cdcChunks(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        window = 8, divisor = 64)
+      .select("doc_id", "chunk_idx", "chunk_md5").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(cdcStreamed == cdcBatch && cdcStreamed.nonEmpty)
   }
 
   test("streaming sequence packing == batch packSequences (single batch)") {
