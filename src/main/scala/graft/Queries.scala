@@ -1336,6 +1336,39 @@ object Queries {
         |SELECT w0, w1, cbi, ps / 1000000.0 AS pmi FROM r
         |ORDER BY pmi DESC, w0, w1""".stripMargin)),
 
+    // Kneser-Ney-smoothed bigram-LM cross-entropy: the production
+    // (KenLM/CCNet-family) discounting. d = 3/4 exactly makes every
+    // probability one rational of exact integer-valued doubles, so both
+    // engines take ln of identical ratios.
+    "t_kneser_ney" -> Q(
+      (s, dir) =>
+        TextRanking.kneserNeyCrossEntropy(rd(s, dir, "documents"))
+          .orderBy("doc_id"),
+      Some(s"""WITH $ToksCte, $StreamCte,
+        |bg AS (SELECT doc_id, token AS w0,
+        |        lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+        |      FROM stream),
+        |bd AS (SELECT doc_id, w0, w1, CAST(count(*) AS BIGINT) AS "count"
+        |  FROM bg WHERE w1 IS NOT NULL GROUP BY doc_id, w0, w1),
+        |bt AS (SELECT w0, w1, CAST(sum("count") AS BIGINT) AS cbi
+        |  FROM bd GROUP BY w0, w1),
+        |s0 AS (SELECT w0, CAST(sum(cbi) AS BIGINT) AS s0,
+        |    CAST(count(*) AS BIGINT) AS n1r FROM bt GROUP BY w0),
+        |n1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS n1l FROM bt GROUP BY w1),
+        |bb AS (SELECT CAST(count(*) AS DOUBLE) AS b FROM bt),
+        |j AS (SELECT bd.doc_id, bd."count",
+        |    CAST(round(ln(
+        |        ((4.0 * bt.cbi - 3.0) * bb.b + 3.0 * s0.n1r * n1.n1l)
+        |        / (4.0 * s0.s0 * bb.b)) * 1000000, 0) AS BIGINT) AS lp
+        |  FROM bd JOIN bt USING (w0, w1) JOIN s0 USING (w0)
+        |  JOIN n1 USING (w1) CROSS JOIN bb),
+        |a AS (SELECT doc_id, CAST(sum("count" * lp) AS BIGINT) AS s,
+        |    CAST(sum("count") AS BIGINT) AS n FROM j GROUP BY doc_id)
+        |SELECT doc_id, n AS n_bigrams,
+        |  -CAST(round(CAST(s AS DOUBLE) / n, 0) AS BIGINT) / 1000000.0
+        |    AS cross_entropy
+        |FROM a ORDER BY doc_id""".stripMargin)),
+
     // TextRank keyword importance: 3 integer-micro PageRank rounds over
     // the vocab-capped token co-occurrence graph. The oracle rebuilds the
     // graph and replays every damped round with the same floor divisions

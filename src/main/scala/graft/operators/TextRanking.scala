@@ -120,6 +120,55 @@ object TextRanking {
           / 1e6).as("cross_entropy"))
   }
 
+  /** [[bigramCrossEntropy]] with KNESER-NEY smoothing — the discounting
+    * the production LM filters (KenLM/CCNet) actually use: instead of
+    * adding mass everywhere, absolute-discount each seen bigram by d = 3/4
+    * and give the freed mass to words in proportion to how many DISTINCT
+    * contexts they follow (continuation probability), so "Francisco"
+    * (frequent but only after "San") stops outscoring genuinely versatile
+    * words:
+    *
+    *   P(w1|w0) = max(c(w0,w1) - d, 0)/S(w0) + d·N1r(w0)/S(w0) · N1l(w1)/B
+    *
+    * with S(w0) = sum_w c(w0,w), N1r/N1l = distinct right/left neighbor
+    * counts, B = distinct bigram count. d = 3/4 exactly, so over corpus
+    * bigrams (c >= 1) the probability is ONE rational
+    * ((4c-3)·B + 3·N1r·N1l) / (4·S·B) whose numerator and denominator are
+    * exact integer-valued doubles — both engines take ln of identical
+    * ratios (the [[bigramCrossEntropy]] integer-scaling contract; the
+    * fixed d is what makes the arithmetic exact, like temperature
+    * sampling's fixed alpha).
+    *
+    * Plan shape: unchanged from [[bigramCrossEntropy]] — corpus bigram
+    * aggregate, two context-count aggregates over it (bigram-table-sized,
+    * NOT corpus-sized), one scalar count, per-doc hash joins + one final
+    * aggregate. */
+  def kneserNeyCrossEntropy(docs: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val bi = graft.core.CacheScope.persist(
+      TextOps.ngrams(docs, 2, idCol, textCol))
+    val biTot = graft.core.CacheScope.persist(
+      bi.groupBy("w0", "w1").agg(sum("count").as("cbi")))
+    val ctx0 = biTot.groupBy("w0")
+      .agg(sum("cbi").as("s0"), count(lit(1)).as("n1r"))
+    val ctx1 = biTot.groupBy("w1").agg(count(lit(1)).as("n1l"))
+    val b = biTot.count().toDouble // one scalar: the distinct-bigram count
+    bi.join(biTot, Seq("w0", "w1"))
+      .join(ctx0, Seq("w0"))
+      .join(ctx1, Seq("w1"))
+      .withColumn("lp_scaled",
+        round(log(
+          ((lit(4.0) * col("cbi") - lit(3.0)) * lit(b)
+            + lit(3.0) * col("n1r") * col("n1l"))
+          / (lit(4.0) * col("s0") * lit(b))) * 1e6, 0).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("count") * col("lp_scaled")).as("s"),
+        sum("count").as("n_bigrams"))
+      .select(col(idCol), col("n_bigrams"),
+        (-round(col("s").cast("double") / col("n_bigrams"), 0).cast("long")
+          / 1e6).as("cross_entropy"))
+  }
+
   /** Top-`k` keywords per document by TF-IDF (desc, token asc tie-break) —
     * the standard document-keyword extraction. The rank window partitions by
     * document, so the sort is per-document-sized — scale-safe. */

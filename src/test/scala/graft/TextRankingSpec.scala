@@ -85,6 +85,25 @@ class TextRankingSpec extends AnyFunSuite {
     assert(top(0) == (1L, 2L) && top(1) == (2L, 1L))
   }
 
+  test("kneser-ney CE matches hand-computed exact values") {
+    // corpus bigrams: ab:2, ba:1, ac:1 -> B=3; S(a)=3 N1r(a)=2; S(b)=1
+    // N1r(b)=1; N1l(a)=N1l(b)=N1l(c)=1.
+    //   P(b|a) = ((8-3)*3 + 3*2*1)/(4*3*3) = 21/36
+    //   P(a|b) = ((4-3)*3 + 3*1*1)/(4*1*3) = 1/2
+    //   P(c|a) = ((4-3)*3 + 3*2*1)/(4*3*3) = 1/4
+    // doc1 lp: 2*round(ln(21/36)*1e6) + round(ln(1/2)*1e6)
+    //        = 2*(-538997) - 693147 = -1771141 -> CE 0.59038
+    // doc2 lp: round(ln(1/4)*1e6) = -1386294 -> CE 1.386294
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val ce = TextRanking.kneserNeyCrossEntropy(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(ce(1L) == ((3L, 0.59038)))
+    assert(ce(2L) == ((1L, 1.386294)))
+    // discounting sanity: the versatile context "a" spreads mass, so its
+    // frequent bigram stays under 1 even with c=2 of S=3
+    graft.core.CacheScope.release()
+  }
+
   test("textrank: hub token ranks highest, isolated token gets base rank") {
     val g = Seq(
       (1L, "alpha hub"), (2L, "beta hub"), (3L, "gamma hub"),
