@@ -153,4 +153,32 @@ class EdgeCasesSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getString(1)).toSet
     assert(child == Set("1" -> "a", "1" -> "b", "2" -> "c"))
   }
+
+  test("round-7 operators: unicode CDC tiling, empty-corpus train/rank") {
+    // CDC positions are CHARACTER-based: multibyte text must tile exactly
+    val uni = Seq((1L, "héllo wörld 你好世界 😀 " * 10))
+      .toDF("doc_id", "text")
+    val rows = TextOps.cdcChunks(uni, window = 8, divisor = 16).collect()
+      .sortBy(_.getLong(1))
+    val n = uni.select(length(col("text"))).collect()(0).getInt(0)
+    assert(rows.map(_.getLong(3)).sum == n.toLong)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) == a.getLong(2) + a.getLong(3))
+    case _ => }
+    // empty corpus: textrank and perceptron degrade to empty/zero, not throw
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextRanking.textrank(empty).count() == 0L)
+    val lab = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    val w = graft.operators.Classifier.trainPerceptron(
+      graft.operators.Classifier.hashedFeatures(lab, nBuckets = 8),
+      graft.operators.Classifier.labels(lab, col("lang") === "en"),
+      nBuckets = 8, rounds = 2)
+    assert(w.forall(_ == 0L))
+    // single-doc textrank: no self-loops, spokes only
+    val solo = Seq((1L, "one two one two")).toDF("doc_id", "text")
+    val pr = TextRanking.textrank(solo, vocabSize = 5, iters = 2, k = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pr.keySet == Set("one", "two") && pr("one") == pr("two"))
+    graft.core.CacheScope.release()
+  }
 }
