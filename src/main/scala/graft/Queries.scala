@@ -720,6 +720,39 @@ object Queries {
         |SELECT token, "count", wordid FROM vocab ORDER BY wordid""".stripMargin),
       headline = true),
 
+    // Incremental vocabulary merge: vocab built on even-id docs, grown by
+    // the odd-id batch — existing wordids STABLE, counts merged, new
+    // tokens appended after the existing id range (the streaming-vocab
+    // pattern the reference's static build lacks).
+    "t_vocab_merge" -> Q(
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val existing = TextOps.totalWordcounts(
+          docs.filter(col("doc_id") % 2 === 0))
+        TextOps.mergeVocab(existing, docs.filter(col("doc_id") % 2 =!= 0))
+          .orderBy("wordid")
+      },
+      Some("""WITH to2 AS (SELECT regexp_extract_all(text, '[\p{L}]+') AS t
+        |    FROM documents WHERE doc_id % 2 = 0),
+        |so AS (SELECT unnest(t) AS token FROM to2),
+        |vo AS (SELECT token, CAST(count(*) AS BIGINT) AS c,
+        |    row_number() OVER (ORDER BY count(*) DESC, token) - 1 AS wordid
+        |  FROM so GROUP BY token),
+        |tn AS (SELECT regexp_extract_all(text, '[\p{L}]+') AS t
+        |    FROM documents WHERE doc_id % 2 != 0),
+        |sn AS (SELECT unnest(t) AS token FROM tn),
+        |cn AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM sn GROUP BY token),
+        |mx AS (SELECT coalesce(max(wordid), -1) AS m FROM vo),
+        |kept AS (SELECT vo.token, vo.c + coalesce(cn.c, 0) AS "count", vo.wordid
+        |  FROM vo LEFT JOIN cn USING (token)),
+        |fresh AS (SELECT cn.token, cn.c AS "count",
+        |    row_number() OVER (ORDER BY cn.c DESC, cn.token) - 1
+        |      + (SELECT m FROM mx) + 1 AS wordid
+        |  FROM cn ANTI JOIN vo USING (token))
+        |SELECT token, "count", wordid FROM kept
+        |UNION ALL SELECT token, "count", wordid FROM fresh
+        |ORDER BY wordid""".stripMargin)),
+
     // J1: encoded unigrams via broadcast vocabulary join (one tokenize pass).
     "t_encoded_unigrams" -> Q(
       (s, dir) =>

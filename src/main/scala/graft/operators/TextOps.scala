@@ -128,6 +128,45 @@ object TextOps {
     graft.core.Ids.denseRankBy(counts, Seq(desc("count"), asc("token")), "wordid")
       .filter(col("wordid") < cap)
 
+  /** Incremental vocabulary growth — the production half the reference's
+    * static `total_wordcounts` (corpus.py:186-245) lacks: fold a NEW batch
+    * of documents into an existing `(token, count, wordid)` vocabulary
+    * WITHOUT renumbering. Every existing token keeps its wordid (so every
+    * encoded table, cache, and downstream artifact keyed by wordid stays
+    * valid — the whole point of id stability); counts are merged; tokens
+    * first seen in the new batch are appended AFTER the existing id range,
+    * ranked among themselves by (merged count desc, token).
+    *
+    * Scale shape: one aggregate over the new batch, one full-outer hash
+    * join with the vocabulary, a 1-row max() scalar, and the two-phase
+    * [[graft.core.Ids.denseRankBy]] over the NEW-token remainder only —
+    * no global window, no renumber of the (possibly billion-row) existing
+    * table. Applying repeatedly is the streaming-vocab pattern: each
+    * batch appends a dense block. */
+  def mergeVocab(existing: DataFrame, newDocs: DataFrame,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val newCounts = newDocs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnew"))
+    val joined = graft.core.CacheScope.persist(
+      existing.select(col("token"), col("count").as("cold"), col("wordid"))
+        .join(newCounts, Seq("token"), "full_outer"))
+    val kept = joined.filter(col("wordid").isNotNull)
+      .select(col("token"),
+        (coalesce(col("cold"), lit(0L)) + coalesce(col("cnew"), lit(0L)))
+          .as("count"), col("wordid"))
+    // 1-row scalar; -1 on an empty existing vocab so new ids start at 0
+    val maxId = Option(joined.agg(max("wordid")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(-1L)
+    val fresh = joined.filter(col("wordid").isNull)
+      .select(col("token"), col("cnew").as("count"))
+    val freshRanked = graft.core.Ids
+      .denseRankBy(fresh, Seq(desc("count"), asc("token")), "__r")
+      .select(col("token"), col("count"),
+        (col("__r") + lit(maxId + 1)).as("wordid"))
+    kept.unionByName(freshRanked)
+  }
+
   /** encoded unigram counts: token replaced by its frequency-rank wordid via
     * a broadcast hash join against the (<=1M row) vocabulary
     * (J1, transformations.py:320-346). The unigram table is persisted and

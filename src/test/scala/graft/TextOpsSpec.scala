@@ -139,6 +139,38 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!ch.exists(_._1 == "c")) // empty doc -> no chunks
   }
 
+  test("mergeVocab: existing wordids stable, counts merged, new tokens appended") {
+    val old = Seq((1L, "alpha beta alpha"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val existing = TextOps.totalWordcounts(old)
+    val before = existing.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // new batch: boosts gamma, introduces delta + epsilon
+    val fresh = Seq((3L, "gamma gamma delta"), (4L, "epsilon delta delta"))
+      .toDF("doc_id", "text")
+    val merged = TextOps.mergeVocab(existing, fresh).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // id stability: every pre-existing token keeps its wordid even though
+    // gamma's merged count (3) now exceeds alpha's (2)
+    for ((tok, (_, id)) <- before) assert(merged(tok)._2 == id, tok)
+    assert(merged("gamma")._1 == 3L && merged("alpha")._1 == 2L)
+    // new tokens appended after the old range, ranked by (count, token)
+    val maxOld = before.values.map(_._2).max
+    assert(merged("delta") == ((3L, maxOld + 1)))   // 3 occurrences
+    assert(merged("epsilon") == ((1L, maxOld + 2))) // 1 occurrence
+    // empty new batch is a no-op (counts and ids unchanged)
+    val noop = TextOps.mergeVocab(existing,
+      Seq.empty[(Long, String)].toDF("doc_id", "text")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(noop == before)
+    // empty existing vocab: merge == plain vocab build on the new batch
+    val fromEmpty = TextOps.mergeVocab(existing.limit(0), fresh).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val direct = TextOps.totalWordcounts(fresh).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fromEmpty == direct)
+    graft.core.CacheScope.release()
+  }
+
   test("cdc chunks: full coverage, content-defined boundaries re-align after edits") {
     val base = "the quick brown fox jumps over the lazy dog and then " * 20
     val docs = Seq(
