@@ -383,4 +383,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(b.nonEmpty)
     assert(s == b, s"stream ${s.size} pairs vs batch ${b.size}")
   }
+
+  test("vocabulary grows over a stream with per-batch id stability") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val vdir = java.nio.file.Files.createTempDirectory("vocab_stream").toString
+    Seq((1L, "alpha beta alpha"), (2L, "beta gamma"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(vdir)
+    Seq((3L, "gamma gamma delta"), (4L, "epsilon delta delta"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(vdir)
+    val schema = spark.read.parquet(vdir).schema
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    var vocab = TextOps.totalWordcounts(empty)
+    val snapshots = scala.collection.mutable.ArrayBuffer
+      .empty[Map[String, Long]] // token -> wordid after each batch
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(vdir)
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        vocab = TextOps.mergeVocab(vocab, df)
+        // materialize within the batch (the source df is batch-scoped)
+        val snap = vocab.collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        vocab = snap.toSeq.toDF("token", "count", "wordid")
+        snapshots += snap.map(t => t._1 -> t._3).toMap
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    assert(snapshots.length == 2) // one file per trigger
+    // id stability: every token of batch i keeps its id in batch i+1
+    for ((tok, id) <- snapshots(0)) assert(snapshots(1)(tok) == id, tok)
+    // final state: ids are a dense 0..V-1 permutation and counts equal the
+    // all-at-once batch build (ids may differ — stability, not re-ranking)
+    val fin = vocab.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(fin.map(_._3).sorted.toSeq == (0L until fin.length.toLong))
+    val batchCounts = TextOps.totalWordcounts(
+        spark.read.parquet(vdir)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fin.map(t => t._1 -> t._2).toMap == batchCounts)
+    graft.core.CacheScope.release()
+  }
 }
