@@ -48,11 +48,15 @@ object Queries {
     else df
   }
 
-  /** events.ts is nanosecond-precision parquet; Spark only reads it with the
-    * nanosAsLong fallback (value becomes epoch nanos as BIGINT). */
+  /** events.ts normalized to epoch NANOS as BIGINT regardless of the file's
+    * physical type — ns-precision parquet arrives as a long already (via the
+    * nanosAsLong fallback); us-precision arrives as TIMESTAMP_NTZ and is
+    * converted (session tz is UTC, so the wall clock IS the epoch, matching
+    * DuckDB's naive-timestamp epoch_ms on the oracle side). Downstream code
+    * does pure integer time math (`ts div 1000000` -> ms) on one contract. */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    rd(s, dir, "events")
+    graft.core.Catalog.epochNanos(rd(s, dir, "events"), "ts")
   }
 
   /** Exact-sum pattern: per-row round to `scale` + decimal cast. */

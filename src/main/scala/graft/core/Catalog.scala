@@ -18,6 +18,23 @@ object Catalog {
   /** Id-field preference, reference catalog.py:525-535. */
   val IdCandidates = Seq("@id", "id", "filename")
 
+  /** Normalize a time column to epoch NANOS as BIGINT, whatever the source
+    * precision: ns-precision parquet already reads as a long (nanosAsLong
+    * fallback) and passes through; timestamp/timestamp_ntz columns convert
+    * via unix_micros * 1000 (with the session tz pinned to UTC the NTZ wall
+    * clock IS the epoch, so this matches DuckDB's epoch_ms() on the same
+    * file). Integer time math downstream then has ONE contract regardless
+    * of how the writer chose to encode time. */
+  def epochNanos(df: DataFrame, colName: String): DataFrame =
+    df.schema(colName).dataType match {
+      case LongType => df
+      case _: TimestampType | _: TimestampNTZType =>
+        df.withColumn(colName,
+          unix_micros(col(colName).cast(TimestampType)) * lit(1000L))
+      case other => throw new IllegalArgumentException(
+        s"$colName: cannot normalize ${other.simpleString} to epoch nanos")
+    }
+
   final case class ColumnPlan(
       name: String,
       target: DataType,

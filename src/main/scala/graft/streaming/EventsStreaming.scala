@@ -12,19 +12,16 @@ import org.apache.spark.sql.types._
   */
 object EventsStreaming {
 
-  /** events.parquet schema with ns timestamps read as long (see Queries). */
-  val EventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // epoch nanos
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** File-source stream over a directory of event parquet files. */
+  /** File-source stream over a directory of event parquet files. The file
+    * schema is taken from the files already staged in `dir` (file streams
+    * need a schema up front), then `ts` is normalized to epoch nanos long —
+    * so ns-long and us-timestamp encodings both stream through the same
+    * downstream integer time math. */
   def readStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(EventSchema).parquet(dir)
+    val fileSchema = spark.read.parquet(dir).schema
+    graft.core.Catalog.epochNanos(
+        spark.readStream.schema(fileSchema).parquet(dir), "ts")
       .withColumn("event_time", timestamp_millis(expr("ts div 1000000")))
   }
 
