@@ -28,7 +28,18 @@ object Catalog {
   def epochNanos(df: DataFrame, colName: String): DataFrame =
     df.schema(colName).dataType match {
       case LongType => df
-      case _: TimestampType | _: TimestampNTZType =>
+      case _: TimestampType =>
+        // instant-typed: unix_micros is timezone-independent
+        df.withColumn(colName, unix_micros(col(colName)) * lit(1000L))
+      case _: TimestampNTZType =>
+        // wall-clock typed: the cast to TimestampType interprets the wall
+        // clock in the session tz, so "NTZ wall clock == UTC epoch" (the
+        // contract DuckDB's epoch on the same file uses) only holds under
+        // UTC sessions — enforce rather than silently offset.
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"$colName: TIMESTAMP_NTZ→epoch-nanos requires " +
+            s"spark.sql.session.timeZone=UTC (got $tz)")
         df.withColumn(colName,
           unix_micros(col(colName).cast(TimestampType)) * lit(1000L))
       case other => throw new IllegalArgumentException(

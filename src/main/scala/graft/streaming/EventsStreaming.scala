@@ -12,14 +12,29 @@ import org.apache.spark.sql.types._
   */
 object EventsStreaming {
 
+  /** Default events schema (ns timestamps read as long), used when the
+    * landing directory is empty at stream start — file streams need a schema
+    * up front, and a batch-read probe cannot infer one from zero files. */
+  val EventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // epoch nanos
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   /** File-source stream over a directory of event parquet files. The file
-    * schema is taken from the files already staged in `dir` (file streams
-    * need a schema up front), then `ts` is normalized to epoch nanos long —
-    * so ns-long and us-timestamp encodings both stream through the same
-    * downstream integer time math. */
-  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    * schema is taken from files already staged in `dir` when present (so a
+    * us-precision `ts` streams correctly), falling back to `schema` /
+    * [[EventSchema]] on an empty landing directory; then `ts` is normalized
+    * to epoch nanos long, so ns-long and us-timestamp encodings both stream
+    * through the same downstream integer time math. Files arriving later
+    * must match the ts encoding present (or assumed) at stream start. */
+  def readStream(spark: SparkSession, dir: String,
+                 schema: Option[StructType] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val fileSchema = spark.read.parquet(dir).schema
+    val fileSchema = schema.getOrElse(
+      scala.util.Try(spark.read.parquet(dir).schema).getOrElse(EventSchema))
     graft.core.Catalog.epochNanos(
         spark.readStream.schema(fileSchema).parquet(dir), "ts")
       .withColumn("event_time", timestamp_millis(expr("ts div 1000000")))

@@ -171,4 +171,30 @@ class CatalogSpec extends AnyFunSuite {
     assert(a == b)
     assert(a == Set(("a", 0L), ("b", 1L), ("m", 2L), ("q", 3L), ("z", 4L)))
   }
+
+  test("epochNanos: NTZ conversion refuses a non-UTC session (no silent offset)") {
+    import org.apache.spark.sql.functions.{col, to_timestamp_ntz, lit}
+    val df = Seq("2024-01-01 00:00:00").toDF("raw")
+      .select(to_timestamp_ntz(col("raw")).as("ts"))
+    val key = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "America/New_York")
+      val e = intercept[IllegalArgumentException] {
+        Catalog.epochNanos(df, "ts").collect()
+      }
+      assert(e.getMessage.contains("UTC"))
+    } finally spark.conf.set(key, saved)
+    // and under UTC the wall clock IS the epoch
+    val ns = Catalog.epochNanos(df, "ts").head().getLong(0)
+    assert(ns == 1704067200L * 1000000000L)
+    // instant-typed timestamps convert regardless of session tz
+    val inst = Seq(1704067200L).toDF("s")
+      .select(col("s").cast("timestamp").as("ts"))
+    try {
+      spark.conf.set(key, "America/New_York")
+      assert(Catalog.epochNanos(inst, "ts").head().getLong(0) ==
+        1704067200L * 1000000000L)
+    } finally spark.conf.set(key, saved)
+  }
 }

@@ -37,7 +37,8 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.nonEmpty)
     s.foreach { case (k, v) => assert(b(k) == v, s"window $k differs") }
     import org.apache.spark.sql.functions._
-    val maxMs = spark.read.parquet(s"$dir/events.parquet")
+    val maxMs = graft.core.Catalog
+      .epochNanos(spark.read.parquet(s"$dir/events.parquet"), "ts")
       .agg(max(expr("ts div 1000000"))).head().getLong(0)
     val finalized = b.keySet.filter { case (hourMs, _) =>
       hourMs + 3600000L < maxMs - 7200000L }
@@ -360,7 +361,8 @@ class StreamingSpec extends AnyFunSuite {
       ev => EventsStreaming.correlateStream(ev, "view", "click",
         maxDelayMs = 3600000L))
     // batch oracle: the identical interval join over a static read
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.core.Catalog
+      .epochNanos(spark.read.parquet(s"$dir/events.parquet"), "ts")
       .withColumn("event_time", timestamp_millis(expr("ts div 1000000")))
     val cause = ev.filter(col("event_type") === "view")
       .select(col("user_id").as("c_user"), col("event_id").as("cause_id"),
@@ -423,5 +425,30 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(fin.map(t => t._1 -> t._2).toMap == batchCounts)
     graft.core.CacheScope.release()
+  }
+
+  test("readStream starts on an EMPTY landing dir and picks up late files") {
+    // capability check: the schema probe must not throw on zero files — the
+    // stream falls back to the explicit default EventSchema and consumes
+    // files that arrive after start (the common landing-dir pattern).
+    val empty = java.nio.file.Files.createTempDirectory("events_empty")
+    val events = EventsStreaming.readStream(spark, empty.toString)
+    assert(events.isStreaming)
+    assert(events.schema("ts").dataType.typeName == "long") // normalized
+    val q = events.groupBy("event_type").count()
+      .writeStream.format("memory").queryName("late_files_test")
+      .outputMode(OutputMode.Complete).start()
+    q.processAllAvailable()
+    assert(spark.table("late_files_test").count() == 0) // nothing yet
+    // file lands AFTER stream start, in the ns-long encoding the default
+    // schema assumes (the documented contract for empty-dir starts)
+    graft.core.Catalog
+      .epochNanos(spark.read.parquet(s"$dir/events.parquet"), "ts")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(empty.toString)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("late_files_test").agg(sum("count")).head().getLong(0)
+    val want = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(got == want)
   }
 }
