@@ -150,7 +150,7 @@ object Queries {
   // =============================================================== queries
 
   val all: Seq[(String, Q)] = relational ++ textCore ++ dedup ++ analysis ++
-    srp ++ srpExtra ++ vectors ++ multimodal
+    srp ++ srpExtra ++ vectors ++ pca ++ multimodal
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, q) => n -> q.fn }.toMap
@@ -3132,6 +3132,150 @@ object Queries {
         |SELECT label, count(*) AS n, round(min(nrm), 6) AS min_norm,
         |  round(max(nrm), 6) AS max_norm
         |FROM n GROUP BY label ORDER BY label""".stripMargin))
+  )
+
+  /** Shared CTE base for the PCA family: per-(vector, dim) long table,
+    * per-dim sums, full d x d raw-product matrix, population covariance,
+    * and — when `iters > 0` — that many UNROLLED power-iteration steps
+    * (w_k = C v_{k-1}, v_k = w_k / |w_k|), the SQL mirror of
+    * [[graft.operators.Pca.powerIterate]]. Both engines run the SAME fixed
+    * step count from the SAME uniform start vector, so the iterate is a
+    * deterministic function of the data (convergence NOT required for
+    * cross-engine agreement — fp noise stays contracted; see Pca scaladoc). */
+  private def sqlPcaCtes(iters: Int, d: Int = 64): String = {
+    // MATERIALIZED + window-function normalization: DuckDB inlines plain
+    // CTEs per reference, so a norm computed as a scalar subquery over w_k
+    // would reference w_k twice -> 2^k plan expansion. One reference per
+    // CTE and a materialized base keeps the unrolled chain linear.
+    val base = s"""WITH dmat AS MATERIALIZED (
+      |  SELECT vec_id,
+      |         unnest(range(1, ${d + 1})) AS i,
+      |         unnest(list_transform(range(1, ${d + 1}),
+      |           k -> CAST(embedding[k] AS DOUBLE))) AS x
+      |  FROM embeddings),
+      |mstat AS MATERIALIZED (
+      |  SELECT i, sum(x) AS s, count(*) AS n FROM dmat GROUP BY i),
+      |pmat AS MATERIALIZED (
+      |  SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS ss, count(*) AS n
+      |  FROM dmat a JOIN dmat b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+      |cmat AS MATERIALIZED (
+      |  SELECT p.i, p.j, p.ss / p.n - (ma.s / ma.n) * (mb.s / mb.n) AS cov
+      |  FROM pmat p JOIN mstat ma ON ma.i = p.i
+      |  JOIN mstat mb ON mb.i = p.j),
+      |v0 AS (SELECT i, 1.0 / sqrt($d) AS v FROM mstat)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""w$k AS (SELECT c.i AS i, sum(c.cov * v.v) AS w
+         |  FROM cmat c JOIN v${k - 1} v ON v.i = c.j GROUP BY c.i),
+         |v$k AS MATERIALIZED (
+         |  SELECT i, w / sqrt(sum(w * w) OVER ()) AS v FROM w$k)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+
+  // def, not val: `val all` forces this group during object construction,
+  // before later-declared plain vals initialize (they'd read as 0)
+  private def PcaIters: Int = 24
+
+  /** PC2 chain appended to the PC1 chain: Rayleigh lambda1 from the final
+    * PC1 iterate, Hotelling deflation (C - lambda1 v1 v1'), then the same
+    * unrolled power iteration on the deflated matrix from the c=1
+    * deterministic non-uniform start of [[Pca.principalComponents]] (the
+    * uniform vector can be orthogonal to PC2's dominant direction). */
+  private def sqlPca2Ctes(iters: Int, d: Int = 64): String = {
+    val v1 = s"v$iters"
+    val base = s"""${sqlPcaCtes(iters)},
+      |wl AS (SELECT c.i AS i, sum(c.cov * v.v) AS w
+      |  FROM cmat c JOIN $v1 v ON v.i = c.j GROUP BY c.i),
+      |lam AS MATERIALIZED (
+      |  SELECT sum(v.v * w.w) AS l FROM $v1 v JOIN wl w ON w.i = v.i),
+      |cmat2 AS MATERIALIZED (
+      |  SELECT c.i, c.j, c.cov - (SELECT l FROM lam) * va.v * vb.v AS cov
+      |  FROM cmat c JOIN $v1 va ON va.i = c.i JOIN $v1 vb ON vb.i = c.j),
+      |u0 AS (SELECT i, 1.0 + 0.001 * (((i - 1) * 31 + 17) % 89) AS v
+      |  FROM mstat)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""x$k AS (SELECT c.i AS i, sum(c.cov * v.v) AS w
+         |  FROM cmat2 c JOIN u${k - 1} v ON v.i = c.j GROUP BY c.i),
+         |u$k AS MATERIALIZED (
+         |  SELECT i, w / sqrt(sum(w * w) OVER ()) AS v FROM x$k)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+
+  private lazy val pca: Seq[(String, Q)] = Seq(
+
+    // Population covariance of the embedding cloud — the single-pass
+    // moments aggregate (shuffle volume: one ~2k-double buffer per
+    // partition, data-size independent). Upper triangle, 1-based dims.
+    "e_covariance" -> Q(
+      (s, dir) =>
+        Pca.covarianceDF(rd(s, dir, "embeddings"), "embedding", 64)
+          .select(col("i").cast("long"), col("j").cast("long"), col("cov"))
+          .orderBy("i", "j"),
+      Some(s"""${sqlPcaCtes(0)}
+        |SELECT i, j, round(cov, 6) AS cov FROM cmat
+        |WHERE i <= j ORDER BY i, j""".stripMargin)),
+
+    // PC1 loadings after a fixed 24-step power iteration (driver-side on
+    // the collected d x d covariance; the oracle unrolls the identical 24
+    // steps as CTEs).
+    "e_pca_loadings" -> Q(
+      (s, dir) =>
+        Pca.pc1LoadingsDF(rd(s, dir, "embeddings"), "embedding", 64,
+            iters = PcaIters)
+          .select(col("i").cast("long"), col("loading"))
+          .orderBy("i"),
+      Some(s"""${sqlPcaCtes(PcaIters)}
+        |SELECT i, round(v, 6) AS loading FROM v$PcaIters
+        |ORDER BY i""".stripMargin)),
+
+    // Mean-centered projection of every vector onto PC1 — the distributed
+    // pass is ONE codegen'd dot product per row against a broadcast
+    // literal ((x - mu) . v = x . v - mu . v).
+    "e_pca_project" -> Q(
+      (s, dir) =>
+        Pca.pc1Projection(rd(s, dir, "embeddings"), "vec_id", "embedding",
+            64, iters = PcaIters)
+          .select(col("vec_id"), round(col("pc1"), 6).as("pc1"))
+          .orderBy("vec_id"),
+      Some(s"""${sqlPcaCtes(PcaIters)},
+        |proj AS (SELECT d.vec_id,
+        |    sum((d.x - m.s / m.n) * vv.v) AS p
+        |  FROM dmat d JOIN mstat m ON m.i = d.i
+        |  JOIN v$PcaIters vv ON vv.i = d.i
+        |  GROUP BY d.vec_id)
+        |SELECT vec_id, round(p, 6) AS pc1 FROM proj
+        |ORDER BY vec_id""".stripMargin)),
+
+    // PC2 via Hotelling deflation — the oracle replays lambda1 (Rayleigh),
+    // the rank-1 subtraction, and 24 more unrolled steps from the same
+    // deterministic non-uniform start the Scala deflation uses.
+    "e_pca_pc2" -> Q(
+      (s, dir) =>
+        Pca.pc2LoadingsDF(rd(s, dir, "embeddings"), "embedding", 64,
+            iters = PcaIters)
+          .select(col("i").cast("long"), col("loading"))
+          .orderBy("i"),
+      Some(s"""${sqlPca2Ctes(PcaIters)}
+        |SELECT i, round(v, 6) AS loading FROM u$PcaIters
+        |ORDER BY i""".stripMargin)),
+
+    // Spectrum summary: PC1 eigenvalue, total variance (trace), explained
+    // ratio — the "is one direction dominating the cloud" health check.
+    "e_pca_var" -> Q(
+      (s, dir) =>
+        Pca.varianceSummaryDF(rd(s, dir, "embeddings"), "embedding", 64,
+          iters = PcaIters),
+      Some(s"""${sqlPcaCtes(PcaIters)},
+        |wl AS (SELECT c.i AS i, sum(c.cov * v.v) AS w
+        |  FROM cmat c JOIN v$PcaIters v ON v.i = c.j GROUP BY c.i),
+        |lam AS MATERIALIZED (
+        |  SELECT sum(v.v * w.w) AS l FROM v$PcaIters v JOIN wl w ON w.i = v.i),
+        |tr AS (SELECT sum(cov) AS t FROM cmat WHERE i = j)
+        |SELECT round((SELECT l FROM lam), 6) AS lambda1,
+        |       round(t, 6) AS trace,
+        |       round((SELECT l FROM lam) / t, 6) AS var_ratio
+        |FROM tr""".stripMargin))
   )
 
   // --------------------------------------------------------- multimodal

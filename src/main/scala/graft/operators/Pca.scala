@@ -1,0 +1,249 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.plans.{ExplicitEncoders, VectorExpressions}
+
+/** Principal-component analysis over an embedding column — the
+  * dimensionality-reduction / whitening stage of an embedding pipeline
+  * (dedup thresholds and ANN indexes both benefit from decorrelated,
+  * variance-ranked coordinates).
+  *
+  * Scale shape: the ONLY data-sized job is the second-moment aggregate — a
+  * typed [[Aggregator]] whose buffer is `[n, sum(d), upper-tri sumprod
+  * d(d+1)/2]` doubles. Partial aggregation combines map-side, so the
+  * shuffle carries one ~2k-double buffer per partition REGARDLESS of row
+  * count; at 100 TB that is the same wire volume as at 100 MB. Everything
+  * eigen (power iteration on the d x d covariance) is O(d^2 * iters)
+  * driver arithmetic on that single aggregate — no second pass, no
+  * collect of row data. Projection is then one broadcast-literal dot
+  * product per row, fully codegen'd (see [[graft.plans.DotProduct]]).
+  *
+  * Beyond the reference (nonconsumptive has SRP hashing but no PCA); the
+  * deterministic fixed-iteration power method keeps a cross-engine SQL
+  * oracle possible (same iterate after k steps in any engine).
+  */
+object Pca {
+
+  /** One-pass raw second moments of a d-dim float-vector column.
+    * Buffer layout: `[n, s_0..s_{d-1}, ss(0,0) ss(0,1).. ss(0,d-1)
+    * ss(1,1).. ]` — count, per-dim sums, upper-triangle sums of products. */
+  final class MomentsAgg(dim: Int)
+      extends Aggregator[Seq[Float], Array[Double], Array[Double]] {
+    private val len = 1 + dim + dim * (dim + 1) / 2
+
+    override def zero: Array[Double] = new Array[Double](len)
+
+    override def reduce(b: Array[Double], v: Seq[Float]): Array[Double] = {
+      require(v.length == dim, s"expected dim=$dim, got ${v.length}")
+      val x = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { x(i) = v(i).toDouble; i += 1 }
+      b(0) += 1d
+      i = 0
+      var t = 1 + dim
+      while (i < dim) {
+        b(1 + i) += x(i)
+        val xi = x(i)
+        var j = i
+        while (j < dim) { b(t) += xi * x(j); t += 1; j += 1 }
+        i += 1
+      }
+      b
+    }
+
+    override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < len) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def finish(r: Array[Double]): Array[Double] = r
+    override def bufferEncoder: Encoder[Array[Double]] =
+      ExplicitEncoders.doubleArray
+    override def outputEncoder: Encoder[Array[Double]] =
+      ExplicitEncoders.doubleArray
+  }
+
+  /** Moments collected to the driver: (n, mean[d], full population
+    * covariance matrix cov[d][d] = E[xy] - E[x]E[y], unrounded). */
+  final case class Moments(n: Long, mean: Array[Double],
+                           cov: Array[Array[Double]])
+
+  def moments(df: DataFrame, vecCol: String, dim: Int): Moments = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val buf = df.select(col(vecCol).cast("array<float>"))
+      .as[Seq[Float]]
+      .select(new MomentsAgg(dim).toColumn)
+      .head()
+    val n = buf(0)
+    require(n > 0, "PCA over an empty input")
+    val mean = Array.tabulate(dim)(i => buf(1 + i) / n)
+    val cov = Array.ofDim[Double](dim, dim)
+    var t = 1 + dim
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val c = buf(t) / n - mean(i) * mean(j)
+        cov(i)(j) = c
+        cov(j)(i) = c
+        t += 1
+        j += 1
+      }
+      i += 1
+    }
+    Moments(n.toLong, mean, cov)
+  }
+
+  /** The k-step power iterate of `cov` from the uniform positive start
+    * vector `1/sqrt(d)` — deterministic (fixed step count, no convergence
+    * test, no randomness), so any engine that runs the same k steps on the
+    * same matrix lands on the same vector to fp noise. Returns (v, lambda)
+    * with lambda the Rayleigh quotient v'Cv of the final iterate. */
+  def powerIterate(cov: Array[Array[Double]], iters: Int,
+                   start: Option[Array[Double]] = None): (Array[Double], Double) = {
+    val d = cov.length
+    var v = start.map(_.clone()).getOrElse(
+      Array.fill(d)(1d / math.sqrt(d.toDouble)))
+    var it = 0
+    while (it < iters) {
+      val w = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        var s = 0d
+        val row = cov(i)
+        var j = 0
+        while (j < d) { s += row(j) * v(j); j += 1 }
+        w(i) = s
+        i += 1
+      }
+      var nrm = 0d
+      i = 0
+      while (i < d) { nrm += w(i) * w(i); i += 1 }
+      nrm = math.sqrt(nrm)
+      require(nrm > 0, "power iteration collapsed to the zero vector")
+      i = 0
+      while (i < d) { w(i) /= nrm; i += 1 }
+      v = w
+      it += 1
+    }
+    var lambda = 0d
+    var i = 0
+    while (i < d) {
+      var s = 0d
+      var j = 0
+      while (j < d) { s += cov(i)(j) * v(j); j += 1 }
+      lambda += v(i) * s
+      i += 1
+    }
+    (v, lambda)
+  }
+
+  /** Top-k principal components via power iteration with Hotelling
+    * deflation (C <- C - lambda v v'). Driver-side O(k d^2 iters). */
+  def principalComponents(cov: Array[Array[Double]], k: Int,
+                          iters: Int = 24): Seq[(Array[Double], Double)] = {
+    val d = cov.length
+    val work = Array.tabulate(d, d)((i, j) => cov(i)(j))
+    (0 until k).map { c =>
+      // deterministic NON-uniform start: the uniform vector can be exactly
+      // orthogonal to the dominant eigenvector of a deflated matrix (e.g.
+      // when PC1 is the all-ones direction), pinning the iterate in a null
+      // direction forever
+      val start = Array.tabulate(d)(i => 1d + 0.001 * ((i * 31 + c * 17) % 89))
+      val (v, lambda) = powerIterate(work, iters, Some(start))
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) { work(i)(j) -= lambda * v(i) * v(j); j += 1 }
+        i += 1
+      }
+      (v, lambda)
+    }
+  }
+
+  /** Covariance as a DataFrame of upper-triangle entries (1-based i <= j,
+    * matching SQL array subscripts), rounded for cross-engine comparison.
+    * The d(d+1)/2-row result materializes from the single aggregate buffer
+    * on the driver — row count depends on d only, never on data size. */
+  def covarianceDF(df: DataFrame, vecCol: String, dim: Int,
+                   scale: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val m = moments(df, vecCol, dim)
+    val rows = for {
+      i <- 0 until dim
+      j <- i until dim
+    } yield (i + 1, j + 1,
+      BigDecimal(m.cov(i)(j)).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    rows.toDF("i", "j", "cov")
+  }
+
+  /** PC1 loadings as a DataFrame (1-based dim index, rounded). */
+  def pc1LoadingsDF(df: DataFrame, vecCol: String, dim: Int,
+                    iters: Int = 24, scale: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (v, _) = powerIterate(moments(df, vecCol, dim).cov, iters)
+    v.toSeq.zipWithIndex
+      .map { case (x, i) => (i + 1,
+        BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .toDF("i", "loading")
+  }
+
+  private def round6(x: Double, scale: Int): Double =
+    BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** PC2 loadings in the exact shape the SQL oracle replays: PC1 from the
+    * UNIFORM start (matching [[pc1LoadingsDF]]), Hotelling deflation with
+    * its Rayleigh quotient, then `iters` more steps from the c=1
+    * deterministic non-uniform start (see [[principalComponents]]). */
+  def pc2LoadingsDF(df: DataFrame, vecCol: String, dim: Int,
+                    iters: Int = 24, scale: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val m = moments(df, vecCol, dim)
+    val (v1, lam1) = powerIterate(m.cov, iters)
+    val work = Array.tabulate(dim, dim)((i, j) =>
+      m.cov(i)(j) - lam1 * v1(i) * v1(j))
+    val start = Array.tabulate(dim)(i => 1d + 0.001 * ((i * 31 + 17) % 89))
+    val (v2, _) = powerIterate(work, iters, Some(start))
+    v2.toSeq.zipWithIndex
+      .map { case (x, i) => (i + 1, round6(x, scale)) }
+      .toDF("i", "loading")
+  }
+
+  /** One-row variance summary: PC1 Rayleigh quotient, total variance
+    * (covariance trace), and the explained-variance ratio. */
+  def varianceSummaryDF(df: DataFrame, vecCol: String, dim: Int,
+                        iters: Int = 24, scale: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val m = moments(df, vecCol, dim)
+    val (_, lam1) = powerIterate(m.cov, iters)
+    val trace = (0 until dim).map(i => m.cov(i)(i)).sum
+    Seq((round6(lam1, scale), round6(trace, scale),
+        round6(lam1 / trace, scale)))
+      .toDF("lambda1", "trace", "var_ratio")
+  }
+
+  /** Mean-centered projection of every vector onto PC1 — ONE distributed
+    * pass: `(x - mu) . v = x . v - mu . v`, the per-row dot against a
+    * broadcast literal (codegen'd), minus a driver-computed constant. */
+  def pc1Projection(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                    iters: Int = 24): DataFrame = {
+    val m = moments(df, vecCol, dim)
+    val (v, _) = powerIterate(m.cov, iters)
+    var muDotV = 0d
+    var i = 0
+    while (i < dim) { muDotV += m.mean(i) * v(i); i += 1 }
+    df.select(col(idCol),
+      (VectorExpressions.dotProduct(col(vecCol).cast("array<double>"), lit(v))
+        - lit(muDotV)).as("pc1"))
+  }
+}

@@ -247,6 +247,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("covariance moments maintain incrementally over a stream") {
+    // Pca.MomentsAgg is one typed aggregate with an order-independent
+    // merge, so embedding covariance maintains over a stream too: after
+    // two micro-batches the complete-mode buffer equals the batch moments
+    // of the concatenated input — incremental drift tracking of an
+    // embedding cloud without re-reading history.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Seq[Float]]
+    val q = ms.toDF().toDF("embedding").as[Seq[Float]]
+      .select(new graft.operators.Pca.MomentsAgg(2).toColumn)
+      .writeStream.format("memory").queryName("moments_stream")
+      .outputMode("complete").start()
+    ms.addData(Seq(0f, 0f), Seq(2f, 0f), Seq(0f, 2f))
+    q.processAllAvailable()
+    ms.addData(Seq(2f, 2f), Seq(4f, 4f))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("moments_stream").head().getSeq[Double](0)
+    // exact same fixture as PcaSpec: n=5, sums=(8,8), ss=(24,20,24)
+    assert(streamed == Seq(5.0, 8.0, 8.0, 24.0, 20.0, 24.0))
+  }
+
   test("bloom seen-set maintains incrementally over a stream") {
     // bloomBuild is one grouped bit_or aggregate, so it too runs unchanged
     // as a streaming query — the incremental "have we seen this key"
