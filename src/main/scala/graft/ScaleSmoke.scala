@@ -90,6 +90,15 @@ object ScaleSmoke {
       .drop("rep").repartition(64).persist()
     val nVec = bigEmb.count()
     println(s"[scale] vectors=$nVec")
+    // PCA moments: ONE pass, partial-agg buffer per partition — the
+    // timing must track the scan linearly; the eigen step is driver-side
+    // d^2 work and amortizes to zero
+    time("pca_moments")({
+      graft.operators.Pca.moments(bigEmb, "embedding", 64).n
+    })
+    time("pca_project")(
+      graft.operators.Pca.pc1Projection(bigEmb, "vec_id", "embedding", 64)
+        .count())
     // fixed vs sqrt(n) cell geometry: the fixed one degrades linearly
     time("knn_ivf_64cells")(
       Similarity.knnIvf(bigEmb, k = 5, nlist = 64, nprobe = 1).count())
