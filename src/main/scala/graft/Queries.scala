@@ -1243,6 +1243,55 @@ object Queries {
         |ORDER BY doc_id""".stripMargin
       }),
 
+    // Multinomial Naive Bayes lang routing — generative counterpart to
+    // t_perceptron; every log term is a micro-nat long of an exact-integer
+    // ratio so the oracle replays the identical integer sums.
+    "t_naive_bayes" -> Q(
+      (s, dir) =>
+        Classifier.naiveBayes(rd(s, dir, "documents"), labelCol = "lang")
+          .orderBy("doc_id"),
+      Some(s"""WITH $ToksCte, $StreamCte, $UniCte,
+        |dl AS (SELECT doc_id, lang FROM documents),
+        |tl AS (SELECT u.token, dl.lang AS cand,
+        |    CAST(sum(u."count") AS BIGINT) AS c_tl
+        |  FROM uni u JOIN dl ON dl.doc_id = u.doc_id
+        |  GROUP BY u.token, dl.lang),
+        |nl AS (SELECT cand, CAST(sum(c_tl) AS BIGINT) AS n_l
+        |  FROM tl GROUP BY cand),
+        |vv AS (SELECT CAST(count(DISTINCT token) AS DOUBLE) AS v FROM uni),
+        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |lc AS (SELECT ld.cand,
+        |    CAST(round(ln(CAST(coalesce(nl.n_l, 0) AS DOUBLE)
+        |      + (SELECT v FROM vv)) * 1e6, 0) AS BIGINT) AS ln_nv,
+        |    CAST(round(ln(ld.n_docs_l / (SELECT n FROM nd)) * 1e6, 0)
+        |      AS BIGINT) AS ln_prior
+        |  FROM (SELECT lang AS cand, CAST(count(*) AS DOUBLE) AS n_docs_l
+        |        FROM documents GROUP BY lang) ld
+        |  LEFT JOIN nl ON nl.cand = ld.cand),
+        |lpt AS (SELECT token, cand,
+        |    CAST(round(ln(CAST(c_tl AS DOUBLE) + 1.0) * 1e6, 0) AS BIGINT)
+        |      AS lp
+        |  FROM tl),
+        |dt AS (SELECT doc_id, CAST(sum("count") AS BIGINT) AS n_tok
+        |  FROM uni GROUP BY doc_id),
+        |pres AS (SELECT u.doc_id, lpt.cand,
+        |    CAST(sum(u."count" * lpt.lp) AS BIGINT) AS s_pres
+        |  FROM uni u JOIN lpt ON lpt.token = u.token
+        |  GROUP BY u.doc_id, lpt.cand),
+        |sc AS (SELECT dt.doc_id, lc.cand,
+        |    coalesce(p.s_pres, 0) - dt.n_tok * lc.ln_nv + lc.ln_prior
+        |      AS score
+        |  FROM dt CROSS JOIN lc
+        |  LEFT JOIN pres p ON p.doc_id = dt.doc_id AND p.cand = lc.cand),
+        |rk AS (SELECT doc_id, cand, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, cand) AS rn
+        |  FROM sc)
+        |SELECT r.doc_id, r.cand AS pred_lang, r.score AS score_micro,
+        |  CASE WHEN r.cand = d.lang THEN 1 ELSE 0 END AS correct
+        |FROM rk r JOIN documents d ON d.doc_id = r.doc_id
+        |WHERE r.rn = 1 ORDER BY r.doc_id""".stripMargin)),
+
     "t_langid" -> Q(
       (s, dir) =>
         TextAnalysis.languageId(rd(s, dir, "documents")).orderBy("doc_id"),

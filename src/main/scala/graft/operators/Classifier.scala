@@ -108,4 +108,74 @@ object Classifier {
     scoreLinear(feats, w, idCol).join(lab, idCol)
       .select(col(idCol), col("y"), col("score"), col("pred"))
   }
+
+  /** Multinomial Naive Bayes over token counts with add-1 smoothing — the
+    * generative counterpart to the perceptron (the other classic cheap
+    * text classifier in pipeline triage: language/domain routing from a
+    * labeled column). Self-training here: labels come from `labelCol` of
+    * the same table and every doc is scored against every label.
+    *
+    * log P(l | doc) ∝ ln P(l) + Σ_t cnt_t · ln((c_tl + 1)/(N_l + V))
+    *              = prior + Σ_present cnt·ln(c_tl + 1) − n_tok·ln(N_l + V)
+    * because absent (t,l) pairs contribute ln(0+1) = 0 to the first sum —
+    * so NO dense vocab × label grid is ever built: the present-pair term
+    * is one token-keyed equi-join, the absent mass folds into a per-label
+    * constant. All log terms are micro-nat-scaled longs of exact-integer-
+    * valued ratios (the [[TextRanking.bigramCrossEntropy]] determinism
+    * contract), so scores are exact integer sums in any engine.
+    *
+    * Scale shape: token-count agg (map-side combined) + (token,label)
+    * model agg (vocab × |labels|, label cardinality bounded) + one
+    * broadcast of the per-label constants + one equi-join on token + one
+    * per-(doc,label) agg + one argmax agg (min-of-struct, not a window).
+    * Docs with zero tokens have no likelihood evidence and are absent,
+    * like the cross-entropy operators.
+    *
+    * Output: (idCol, pred_<labelCol>, score_micro, correct). */
+  def naiveBayes(docs: DataFrame, labelCol: String = "lang",
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val d = docs.filter(col(idCol).isNotNull)
+    val tok = graft.core.CacheScope.persist(
+      TextOps.unigrams(d, idCol, textCol))
+    val docLang = d.select(col(idCol), col(labelCol).as("y_true"))
+    val tl = graft.core.CacheScope.persist(
+      tok.join(docLang, Seq(idCol))
+        .groupBy(col("token"), col("y_true").as("cand"))
+        .agg(sum("count").cast("long").as("c_tl")))
+    val nDocs = d.count().toDouble
+    val vocabV = tok.select("token").distinct().count().toDouble
+    val nl = tl.groupBy("cand").agg(sum("c_tl").cast("long").as("n_l"))
+    val langConst = d.groupBy(col(labelCol).as("cand"))
+      .agg(count(lit(1)).as("n_docs_l"))
+      .join(nl, Seq("cand"), "left")
+      .select(col("cand"),
+        round(log(coalesce(col("n_l").cast("double"), lit(0d)) + lit(vocabV))
+          * 1e6, 0).cast("long").as("ln_nv"),
+        round(log(col("n_docs_l").cast("double") / lit(nDocs)) * 1e6, 0)
+          .cast("long").as("ln_prior"))
+    val lp = tl.select(col("token"), col("cand"),
+      round(log(col("c_tl").cast("double") + lit(1d)) * 1e6, 0)
+        .cast("long").as("lp"))
+    val docTot = tok.groupBy(col(idCol)).agg(sum("count").cast("long").as("n_tok"))
+    val pres = tok.join(lp, Seq("token"))
+      .groupBy(col(idCol), col("cand"))
+      .agg(sum(col("count") * col("lp")).cast("long").as("s_pres"))
+    val scored = docTot.crossJoin(broadcast(langConst))
+      .join(pres, Seq(idCol, "cand"), "left")
+      .select(col(idCol), col("cand"),
+        (coalesce(col("s_pres"), lit(0L)) - col("n_tok") * col("ln_nv")
+          + col("ln_prior")).as("score"))
+    // argmax as an aggregate, not a window: min of (-score, label) picks
+    // the max score with the lexicographically-first label on ties
+    scored
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("score")).as("ns"), col("cand"))).as("m"))
+      .select(col(idCol), col("m.cand").as(s"pred_$labelCol"),
+        (-col("m.ns")).as("score_micro"))
+      .join(docLang, Seq(idCol))
+      .withColumn("correct",
+        when(col(s"pred_$labelCol") === col("y_true"), 1L).otherwise(0L))
+      .drop("y_true")
+  }
 }

@@ -52,4 +52,37 @@ class ClassifierSpec extends AnyFunSuite {
     assert(w1.toSeq == w2.toSeq)
     graft.core.CacheScope.release()
   }
+
+  test("naive bayes classifies a separable fixture and carries correctness") {
+    val d = Seq(
+      (1L, "cat cat dog", "a"), (2L, "cat", "a"),
+      (3L, "bird bird", "b"), (4L, "bird dog", "b"))
+      .toDF("doc_id", "text", "lang")
+    val out = Classifier.naiveBayes(d).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    // class-defining tokens dominate: every doc routes to its own label
+    assert(out == Map(
+      1L -> ("a", 1L), 2L -> ("a", 1L), 3L -> ("b", 1L), 4L -> ("b", 1L)))
+    graft.core.CacheScope.release()
+  }
+
+  test("naive bayes breaks exact score ties by lexicographic label") {
+    // perfectly symmetric evidence: both docs score a and b equally
+    val d = Seq((1L, "cat", "b"), (2L, "cat", "a"))
+      .toDF("doc_id", "text", "lang")
+    val out = Classifier.naiveBayes(d).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    assert(out == Map(1L -> ("a", 0L), 2L -> ("a", 1L)))
+    graft.core.CacheScope.release()
+  }
+
+  test("naive bayes is partition-order-free") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = Classifier.naiveBayes(base).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val b = Classifier.naiveBayes(base.repartition(13)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(a == b)
+    graft.core.CacheScope.release()
+  }
 }
