@@ -246,4 +246,29 @@ object Pca {
       (VectorExpressions.dotProduct(col(vecCol).cast("array<double>"), lit(v))
         - lit(muDotV)).as("pc1"))
   }
+
+  /** Dimensionality reduction onto the top-k principal components — the
+    * ANN/whitening preprocessor (decorrelated, variance-ranked
+    * coordinates; `whiten = true` additionally scales each coordinate by
+    * 1/sqrt(lambda_c) so the projected cloud is isotropic). Output:
+    * (idCol, pc) with `pc` an array<double> of length k.
+    *
+    * Same scale shape as [[pc1Projection]]: the spectrum comes from the
+    * single moments aggregate + driver deflation; the data pass is k
+    * codegen'd literal dots per row — no join, no shuffle, row-local. */
+  def projectTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                  k: Int, iters: Int = 24, whiten: Boolean = false,
+                  minLambda: Double = 1e-12): DataFrame = {
+    val m = moments(df, vecCol, dim)
+    val pcs = principalComponents(m.cov, k, iters)
+    val x = col(vecCol).cast("array<double>")
+    val coords = pcs.map { case (v, lambda) =>
+      var muDotV = 0d
+      var i = 0
+      while (i < dim) { muDotV += m.mean(i) * v(i); i += 1 }
+      val p = VectorExpressions.dotProduct(x, lit(v)) - lit(muDotV)
+      if (whiten) p / lit(math.sqrt(math.max(lambda, minLambda))) else p
+    }
+    df.select(col(idCol), array(coords: _*).as("pc"))
+  }
 }

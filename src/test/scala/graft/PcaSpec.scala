@@ -120,6 +120,40 @@ class PcaSpec extends AnyFunSuite {
     assert(math.abs(ratio - lam / tr) < 1e-5)
   }
 
+  test("projectTopK: coordinates are decorrelated with variance = lambda_c") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pcs = Pca.principalComponents(
+      Pca.moments(df, "embedding", 64).cov, k = 3, iters = 300)
+    val rows = Pca.projectTopK(df, "vec_id", "embedding", 64, k = 3,
+      iters = 300).collect().map(_.getSeq[Double](1))
+    val n = rows.length.toDouble
+    for (c <- 0 until 3) {
+      val xs = rows.map(_(c))
+      val mu = xs.sum / n
+      assert(math.abs(mu) < 1e-9) // mean-centered
+      val v = xs.map(x => (x - mu) * (x - mu)).sum / n
+      assert(math.abs(v - pcs(c)._2) / pcs(c)._2 < 1e-6,
+        s"coord $c variance $v vs lambda ${pcs(c)._2}")
+    }
+    // decorrelation: off-diagonal covariance of the projected cloud ~ 0
+    for (a <- 0 until 3; b <- a + 1 until 3) {
+      val cab = rows.map(r => r(a) * r(b)).sum / n
+      assert(math.abs(cab) < 1e-6, s"cov($a,$b) = $cab")
+    }
+  }
+
+  test("projectTopK whitening makes every coordinate unit variance") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rows = Pca.projectTopK(df, "vec_id", "embedding", 64, k = 2,
+      iters = 300, whiten = true).collect().map(_.getSeq[Double](1))
+    val n = rows.length.toDouble
+    for (c <- 0 until 2) {
+      val xs = rows.map(_(c))
+      val v = xs.map(x => x * x).sum / n - math.pow(xs.sum / n, 2)
+      assert(math.abs(v - 1.0) < 1e-6, s"whitened coord $c variance $v")
+    }
+  }
+
   test("fixed-iteration loadings are deterministic across invocations") {
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val a = Pca.pc1LoadingsDF(df, "embedding", 64).collect()
