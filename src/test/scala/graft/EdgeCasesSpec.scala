@@ -181,4 +181,48 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(pr.keySet == Set("one", "two") && pr("one") == pr("two"))
     graft.core.CacheScope.release()
   }
+
+  test("pca edges: empty input and wrong-dim rows fail fast, not silently") {
+    import graft.operators.Pca
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Pca.moments(empty, "embedding", 4)
+    }
+    assert(e1.getMessage.contains("empty"))
+    val ragged = Seq((1L, Array(1f, 2f)), (2L, Array(1f, 2f, 3f)))
+      .toDF("vec_id", "embedding")
+    intercept[org.apache.spark.SparkException] { // require inside the agg
+      Pca.moments(ragged, "embedding", 2)
+    }
+    // a constant cloud has zero covariance: the eigen direction is
+    // undefined and power iteration refuses rather than emitting noise
+    val const = Seq((1L, Array(1f, 1f)), (2L, Array(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val m = Pca.moments(const, "embedding", 2)
+    assert(m.cov.flatten.forall(_ == 0d))
+    val e2 = intercept[IllegalArgumentException] {
+      Pca.powerIterate(m.cov, iters = 5)
+    }
+    assert(e2.getMessage.contains("zero vector"))
+  }
+
+  test("naive bayes edges: single label, empty-text docs, null ids") {
+    import graft.operators.Classifier
+    // one label: prior ln(1)=0, every doc routes to it, all correct
+    val mono = Seq((1L, "aa bb", "x"), (2L, "bb", "x"))
+      .toDF("doc_id", "text", "lang")
+    val out1 = Classifier.naiveBayes(mono).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    assert(out1 == Map(1L -> ("x", 1L), 2L -> ("x", 1L)))
+    // docs with no tokens carry no evidence and are absent (the
+    // cross-entropy contract); null ids are out of contract and dropped
+    val mixed = Seq(
+      (java.lang.Long.valueOf(1L), "aa bb", "x"),
+      (java.lang.Long.valueOf(2L), "", "y"),
+      (null.asInstanceOf[java.lang.Long], "aa", "y"))
+      .toDF("doc_id", "text", "lang")
+    val ids = Classifier.naiveBayes(mixed).collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L))
+    graft.core.CacheScope.release()
+  }
 }
