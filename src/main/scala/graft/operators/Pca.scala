@@ -37,6 +37,7 @@ object Pca {
     override def zero: Array[Double] = new Array[Double](len)
 
     override def reduce(b: Array[Double], v: Seq[Float]): Array[Double] = {
+      require(v != null, "null embedding row (filter nulls before PCA)")
       require(v.length == dim, s"expected dim=$dim, got ${v.length}")
       val x = new Array[Double](dim)
       var i = 0
