@@ -43,11 +43,18 @@ object Bench {
     spark.range(100000).selectExpr("id % 13 AS k", "id AS v")
       .selectExpr("k", "row_number() OVER (PARTITION BY k ORDER BY v) AS r")
       .filter("r <= 5").collect()
-    // Idle-gate calibration (VERDICT r6 #2): a fixed 50M-row sum costs a
-    // stable ~0.1s on an idle host; run it until two consecutive samples
-    // agree within 25% (up to 8 tries) so a contended host delays — and
-    // marks — the measurement instead of silently contaminating it. The
-    // last calibration time is recorded in the JSON as `calib_sec`.
+    // Idle-gate calibration (VERDICT r6 #2, hardened per r7 #2): a fixed
+    // 50M-row sum costs a stable ~0.18s on an idle host. Two gates:
+    //  (a) jitter — two consecutive samples must agree within 25% (a host
+    //      with BURSTY load never settles and the run is delayed);
+    //  (b) steady load — consecutive agreement alone passes under STEADY
+    //      contention (r7 recorded calib 1.59s with two agreeing samples),
+    //      so the settled value is also compared against a pinned idle
+    //      constant; while it exceeds 3x idle we back off and resample.
+    // If after all tries calib is still > 3x idle, the run proceeds but is
+    // loudly marked `"contended": true` in the JSON so the driver (or a
+    // human) can discard/retry — a marked-dirty number beats a silent one.
+    val idleCalibSec = sys.env.getOrElse("SPARK_GRAFT_IDLE_CALIB", "0.18").toDouble
     def calibOnce(): Double = {
       val t0 = System.nanoTime()
       spark.range(50000000L).selectExpr("sum(id * 3 + 1)").collect()
@@ -56,12 +63,20 @@ object Bench {
     var calib = calibOnce()
     var calibTries = 1
     var settled = false
-    while (!settled && calibTries < 8) {
+    while (!(settled && calib <= 3 * idleCalibSec) && calibTries < 12) {
+      if (settled) { // settled-but-loaded: give the host time to drain
+        System.err.println(
+          f"[bench] host contended (calib $calib%.3fs > 3x idle " +
+            f"$idleCalibSec%.3fs); backing off")
+        Thread.sleep(5000)
+        settled = false
+      }
       val next = calibOnce()
       settled = math.abs(next - calib) / math.max(next, calib) <= 0.25
       calib = next
       calibTries += 1
     }
+    val contended = calib > 3 * idleCalibSec
     // Dev profiling hook: SPARK_GRAFT_BENCH_QUERIES="a,b" restricts the run
     // to the named queries (any registry query, not just headlines).
     val names = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
@@ -84,6 +99,32 @@ object Bench {
       }
       name -> samples
     }
+    // Second recorded variant (VERDICT r7 #7): the same headline suite with
+    // AQE ON — documents the cluster-default story (runtime re-planning,
+    // skew splitting) that the AQE-off local default above deliberately
+    // avoids. 2 samples per query (the min is what's recorded; the first
+    // sample absorbs AQE's re-plan compilation). Skipped when the primary
+    // run is already AQE-on, or via SPARK_GRAFT_AQE_BOTH=false.
+    val aqeOnResults: Seq[(String, Seq[Double])] =
+      if (aqe == "true" || sys.env.get("SPARK_GRAFT_AQE_BOTH").contains("false")) Nil
+      else {
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        val r = names.map { name =>
+          val fn = Queries.queries(name)
+          val samples = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name (aqe) failed: ${e.getMessage}")
+            }
+            finally graft.core.CacheScope.release()
+            (System.nanoTime() - t0) / 1e9
+          }
+          name -> samples
+        }
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        r
+      }
     // headline value per query = min of samples (scheduling-noise floor);
     // all samples are recorded so a contaminated run is visible in the
     // artifact itself (VERDICT r6 #2), not just in its total.
@@ -93,10 +134,18 @@ object Bench {
       "\"" + k + "\":[" + v.map(s => f"$s%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = f"${results.map(_._2.min).sum}%.3f"
+    val aqeJson =
+      if (aqeOnResults.isEmpty) ""
+      else {
+        val aq = aqeOnResults.map { case (k, v) => "\"" + k + "\":" + f"${v.min}%.3f" }
+          .mkString("{", ",", "}")
+        f""""aqe_on_queries":$aq,"aqe_on_total":${aqeOnResults.map(_._2.min).sum}%.3f,"""
+      }
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        f""""samples":$samplesJson,"calib_sec":$calib%.3f,""" +
-        s""""calib_tries":$calibTries,"aqe":$aqe,"sf":"$sfDir"}"""
+        f""""samples":$samplesJson,$aqeJson"calib_sec":$calib%.3f,""" +
+        s""""calib_tries":$calibTries,"contended":$contended,""" +
+        s""""aqe":$aqe,"sf":"$sfDir"}"""
     // bare stdout line (build.sbt strips sbt's [info] framing via
     // OutputStrategy) + a file copy, so the driver's parser always finds it.
     println(json)

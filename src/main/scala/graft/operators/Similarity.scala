@@ -55,6 +55,29 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Exact brute-force top-k by squared L2 in integer MICRO units — the
+    * metric-matched baseline for the L2-family ANN paths ([[ivfPqSearch]],
+    * [[pqAdcSearch]]): `dist = sum((q*1e6 - n*1e6)^2)` as an exact BIGINT,
+    * ties to the lowest neighbor id. Same scale shape as [[knnBrute]]:
+    * queries broadcast once, the corpus streams through the scored join,
+    * per-query window top-k — no corpus-sized shuffle. */
+  def knnBruteL2(corpus: DataFrame, queries: DataFrame, k: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val vm = transform(col(vecCol), x => round(x.cast("double") * lit(1e6), 0))
+    val q = broadcast(queries
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), vm.as("qm")))
+    val c = corpus.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), vm.as("nm"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(zip_with(col("qm"), col("nm"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).cast("long").as("dist"))
+    val w = Window.partitionBy("query_id").orderBy(asc("dist"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Maximal Marginal Relevance (Carbonell & Goldstein 1998) — the
     * diversity-aware top-k every RAG retriever bolts onto plain kNN:
     * greedily pick k results maximizing
@@ -810,6 +833,47 @@ object Similarity {
       .filter(col("rank") <= topk)
       .select(col("query_id"), col("id").as("neighbor_id"),
         col("adist"), col("rank"))
+  }
+
+  /** IVF-PQ search with an exact re-rank REFINE step (FAISS IndexRefineFlat
+    * composed over IndexIVFPQ) — the standard recall fix that leaves the
+    * index untouched: fetch `topk * refine` ADC candidates from the
+    * inverted-file read, then re-score ONLY those candidates with the
+    * exact integer micro squared-L2 against the original vectors and keep
+    * the true top-k among them. ADC quantization error stops costing
+    * recall the moment the true neighbor makes the candidate list at all.
+    *
+    * Scale shape: the corpus-sized work is unchanged (the probed-cell ADC
+    * scan); the refine adds one CANDIDATE-sized pass — the candidate list
+    * (queries x topk*refine rows) is broadcast against the corpus for the
+    * neighbor vectors, so the corpus is scanned but never shuffled, and
+    * the exact math runs on |candidates| rows, never |corpus|.
+    *
+    * Output: (query_id, neighbor_id, dist, rank) — `dist` is the EXACT
+    * integer micro squared-L2 (the [[knnBruteL2]] metric), ties to the
+    * lowest neighbor id. Fully SQL-replayable (`e_ivf_pq_refine`). */
+  def ivfPqSearchRefined(model: IvfPq.Model, queries: DataFrame,
+                         corpus: DataFrame, topk: Int, m: Int = 4,
+                         dim: Int = -1, idCol: String = "vec_id",
+                         vecCol: String = "embedding", nprobe: Int = 1,
+                         refine: Int = 4): DataFrame = {
+    require(refine >= 1, "need refine >= 1")
+    val cand = ivfPqSearch(model, queries, topk * refine, m, dim,
+      idCol, vecCol, nprobe).select(col("query_id"), col("neighbor_id"))
+    val vm = transform(col(vecCol), x => round(x.cast("double") * lit(1e6), 0))
+    val nv = corpus.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), vm.as("nm"))
+    val qv = queries.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), vm.as("qm"))
+    val exact = nv.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(zip_with(col("qm"), col("nm"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).cast("long").as("dist"))
+    val w = Window.partitionBy("query_id").orderBy(asc("dist"), asc("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topk)
+      .select(col("query_id"), col("neighbor_id"), col("dist"), col("rank"))
   }
 
   /** Drop rows whose bucket holds more than `maxBucket` members: the hard

@@ -49,6 +49,29 @@ class IdsSpec extends AnyFunSuite {
     assert(plan.contains("rangepartitioning"), "global order lost")
   }
 
+  test("denseRankBy: the input is range-shuffled ONCE (exchange reused)") {
+    // The two-phase rank's single-shuffle property (VERDICT r7 #6): the
+    // data branch and the per-partition-counts branch must SHARE the range
+    // exchange via ReuseExchange — a Spark upgrade that breaks exchange
+    // reuse here would silently double the rank's shuffle cost, so pin it.
+    val df = (0 until 1000).map(i => (s"k$i", i)).toDF("k", "v")
+    val ranked = Ids.denseRankBy(df, Seq(df("v").asc, df("k").asc), "rid")
+    ranked.collect() // finalize any adaptive plan before reading it
+    // read only the FINAL adaptive plan (the toString appends the initial,
+    // pre-reuse plan below it), and count DISTINCT exchange instances
+    // (plan_id), not textual occurrences — AQE prints a reused stage's
+    // subtree verbatim at every reference. One physical range exchange
+    // means the input was shuffled once.
+    val plan = ranked.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val ranges = raw"Exchange rangepartitioning[^\n]*plan_id=(\d+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(ranges.size == 1,
+      s"expected exactly one range exchange on the data path, got $ranges:\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"offsets branch no longer reuses the range exchange:\n$plan")
+  }
+
   test("messy parquet: mergeSchema + cast map resolves drift") {
     val dir = java.nio.file.Files.createTempDirectory("messy").toString
     Seq(("a", 1)).toDF("@id", "v").write.parquet(s"$dir/p1")
