@@ -231,11 +231,14 @@ object Queries {
           .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
           .groupBy(col("o_orderkey"),
             date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
-          .agg(sum(sdec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
-            .as("rev_dec"))
-          .orderBy(desc("rev_dec"), asc("o_orderkey"))
+          // integer-scaled long sum (lrow contract): exact, so the top-10
+          // cut by rev_l is the same cut the decimal oracle makes
+          .agg(sum(lrow(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+            .as("rev_l"))
+          .orderBy(desc("rev_l"), asc("o_orderkey"))
           .limit(10)
-          .select(col("o_orderkey"), col("orderdate"), outd(col("rev_dec")).as("revenue"))
+          .select(col("o_orderkey"), col("orderdate"),
+            round(col("rev_l").cast("double") / lit(1e4), 2).as("revenue"))
           .orderBy(desc("revenue"), asc("o_orderkey"))
       },
       Some(s"""WITH r AS (
@@ -270,9 +273,10 @@ object Queries {
           .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"), col("n_name"))
-          .agg(sum(sdec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
-            .as("rev_dec"))
-          .select(col("r_name"), col("n_name"), outd(col("rev_dec")).as("revenue"))
+          // integer-scaled long sum (lrow contract; same grid as the
+          // decimal oracle, primitive codegen aggregate buffer)
+          .agg(lsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("revenue"))
           .orderBy("r_name", "n_name")
       },
       Some(s"""SELECT r_name, n_name,
@@ -1188,6 +1192,31 @@ object Queries {
       (s, dir) => {
         val docs = rd(s, dir, "documents")
         Dedup.decontaminate(
+            docs.filter(col("doc_id") % 31 =!= 0),
+            docs.filter(col("doc_id") % 31 === 0), n = 8)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $ToksCte,
+        |sl AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+        |       FROM toks WHERE len(t) >= 8),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    ${sqlHash60("array_to_string(t[i:i+7], ' ')")} AS sh
+        |  FROM sl),
+        |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 31 = 0)
+        |SELECT s.doc_id, count(*) AS shared_ngrams
+        |FROM sh s JOIN ev USING (sh)
+        |WHERE s.doc_id % 31 <> 0
+        |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // The same decontamination through the Bloom pre-filter path (the
+    // eval-set-too-big-to-broadcast shape): eval shingles -> 64Kbit Bloom
+    // broadcast, row-local bit tests prune the training shingles, exact
+    // join confirms. No false negatives + exact confirm = bit-identical
+    // output, so the oracle is t_decontam's SQL verbatim.
+    "t_decontam_bloom" -> Q(
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        Dedup.decontaminateBloom(
             docs.filter(col("doc_id") % 31 =!= 0),
             docs.filter(col("doc_id") % 31 === 0), n = 8)
           .orderBy("doc_id")

@@ -209,6 +209,27 @@ class DedupSpec extends AnyFunSuite {
     assert(shuffled == hits)
   }
 
+  test("decontaminateBloom is bit-identical to the exact path") {
+    // no false negatives (Bloom) + exact confirm join (kills false
+    // positives) => identical output; the pre-filter only changes how
+    // many rows reach the join. Checked on real sf0.001 documents AND
+    // under a deliberately tiny (collision-heavy) filter geometry, where
+    // the false-positive rate is high and only the confirm join saves it.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val train = docs.filter($"doc_id" % 31 =!= 0)
+    val eval = docs.filter($"doc_id" % 31 === 0)
+    val exact = Dedup.decontaminate(train, eval, n = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloomed = Dedup.decontaminateBloom(train, eval, n = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty)
+    assert(bloomed == exact)
+    val collisionHeavy = Dedup.decontaminateBloom(train, eval, n = 8,
+        numBits = 32, numHashes = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(collisionHeavy == exact)
+  }
+
   test("fuzzyPairs: blocked levenshtein pairs, band prune, null-safe blocks") {
     val names = Seq(
       (1L, "cold widget"), (2L, "bold widget"),  // dist 1, same block
