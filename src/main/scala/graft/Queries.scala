@@ -1841,6 +1841,28 @@ object Queries {
         |  start_tok % 512 AS seq_off
         |FROM cum ORDER BY doc_id""".stripMargin)),
 
+    // Length-bucketed training batches: 16-token length bands, ordered by
+    // (n_tok, doc_id) and cut into batches of 8 — padding-minimizing batch
+    // construction. Within-band positions come from the two-phase global
+    // rank minus the band's first rank (no band-sized window; see
+    // TextOps.lengthBatches). The oracle replays the same total order with
+    // a per-band row_number.
+    "t_length_batches" -> Q(
+      (s, dir) =>
+        TextOps.lengthBatches(rd(s, dir, "documents"),
+            batchSize = 8, bucketTokens = 16)
+          .orderBy("bucket", "batch_ix", "pos"),
+      Some(s"""WITH $ToksCte,
+        |n AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+        |    CAST(len(t) // 16 AS BIGINT) AS bucket FROM toks),
+        |r AS (SELECT doc_id, n_tok, bucket,
+        |    row_number() OVER (PARTITION BY bucket ORDER BY n_tok, doc_id) - 1 AS rn
+        |  FROM n)
+        |SELECT doc_id, n_tok, bucket, CAST(rn // 8 AS BIGINT) AS batch_ix,
+        |  CAST(rn % 8 AS BIGINT) AS pos,
+        |  max(n_tok) OVER (PARTITION BY bucket, rn // 8) AS padded_to
+        |FROM r ORDER BY bucket, batch_ix, pos""".stripMargin)),
+
     // Count-min sketch heavy hitters: a fixed-size (3 x 16) sketch of the
     // corpus token counts, probed for the exact top-20 tokens. Width 16 is
     // deliberately small so collisions occur and the CMS over-count
@@ -3380,6 +3402,34 @@ object Queries {
         |    row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
         |  FROM ex) WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin)),
+
+    // Per-label centroid-distance outliers (embedding-space data
+    // cleaning): exact integer micro distances to the own-label centroid,
+    // flagged when above factor x the label's integral-mean distance —
+    // integers end to end, so the full report (distance, mean, flag)
+    // hash-matches.
+    "e_outliers" -> Q(
+      (s, dir) =>
+        Similarity.embeddingOutliers(rd(s, dir, "embeddings"), factor = 4)
+          .orderBy("vec_id"),
+      Some("""WITH vm AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000, 0)) AS vm
+        |  FROM embeddings
+        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND label IS NOT NULL),
+        |ve AS (SELECT vec_id, label, unnest(range(0, len(vm))) AS dim,
+        |    CAST(unnest(vm) AS BIGINT) AS v FROM vm),
+        |c AS (SELECT label, dim,
+        |    CAST(round(CAST(sum(v) AS BIGINT) / count(*), 0) AS BIGINT) AS cm
+        |  FROM ve GROUP BY label, dim),
+        |d AS (SELECT ve.vec_id, ve.label,
+        |    CAST(sum((ve.v - c.cm) * (ve.v - c.cm)) AS BIGINT) AS dist_sq
+        |  FROM ve JOIN c ON ve.label = c.label AND ve.dim = c.dim
+        |  GROUP BY 1, 2),
+        |m AS (SELECT label, CAST(sum(dist_sq) // count(*) AS BIGINT) AS mean_dist
+        |  FROM d GROUP BY label)
+        |SELECT d.vec_id, d.label, d.dist_sq, m.mean_dist,
+        |  d.dist_sq > 4 * m.mean_dist AS is_outlier
+        |FROM d JOIN m USING (label) ORDER BY d.vec_id""".stripMargin)),
 
     // Vector column statistics: norms + per-label rollup (array math).
     "e_embed_stats" -> Q(

@@ -414,6 +414,57 @@ object Similarity {
         (round(col("s").cast("double") / col("n"), 0).cast("long") / 1e6)
           .as("centroid"))
 
+  /** Per-label centroid-distance OUTLIERS — embedding-space data cleaning
+    * (mislabeled rows, corrupted vectors, off-distribution samples): a
+    * vector is flagged when its exact integer squared-L2 distance to its
+    * OWN label's centroid exceeds `factor` times the label's mean
+    * distance. Exact integers end to end: micro components, integer micro
+    * centroids (the [[labelCentroids]] round-the-ratio contract), and the
+    * comparison `d > factor * (sum_d DIV n)` — integer floor-division
+    * mean, no float anywhere, so the flag set is bit-reproducible and
+    * SQL-replayable (`e_outliers`).
+    *
+    * Scale shape: centroids and the distance moments are labels-sized
+    * aggregates broadcast back; the per-vector distance is row-local
+    * (one zip_with/aggregate over the joined centroid array). No
+    * corpus-sized shuffle, no driver collect.
+    *
+    * Output: (idCol, labelCol, dist_sq, mean_dist, is_outlier) for every
+    * vector with a non-null id, label and embedding. */
+  def embeddingOutliers(corpus: DataFrame, factor: Long = 4,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        labelCol: String = "label"): DataFrame = {
+    require(factor >= 1, "need factor >= 1")
+    val vm = transform(col(vecCol), x => round(x.cast("double") * lit(1e6), 0))
+    val base = corpus.filter(col(idCol).isNotNull && col(vecCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .select(col(idCol), col(labelCol), vm.as("__vm"))
+    // integer micro centroid per (label, dim): round(sum / n) — the
+    // labelCentroids grid, kept integer; reassembled per label as a
+    // dim-ordered array (labels x dim rows -> labels rows)
+    val cents = base
+      .select(col(labelCol), posexplode(col("__vm")).as(Seq("dim", "v")))
+      .groupBy(col(labelCol), col("dim"))
+      .agg(sum(col("v").cast("long")).as("s"), count(lit(1)).as("n"))
+      .select(col(labelCol), col("dim"),
+        round(col("s").cast("double") / col("n"), 0).as("cm"))
+      .groupBy(col(labelCol))
+      .agg(array_sort(collect_list(struct(col("dim"), col("cm")))).as("cs"))
+      .select(col(labelCol), transform(col("cs"), c => c.getField("cm")).as("__cm"))
+    val dists = base.join(broadcast(cents), labelCol)
+      .select(col(idCol), col(labelCol),
+        aggregate(zip_with(col("__vm"), col("__cm"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).cast("long").as("dist_sq"))
+    val moments = dists.groupBy(labelCol)
+      .agg(sum("dist_sq").as("__sd"), count(lit(1)).as("__n"))
+      // integral DIV, not float /: exact past 2^53 and identical to the
+      // oracle's floor division on non-negative sums
+      .select(col(labelCol), expr("__sd DIV __n").as("mean_dist"))
+    dists.join(broadcast(moments), labelCol)
+      .select(col(idCol), col(labelCol), col("dist_sq"), col("mean_dist"),
+        (col("dist_sq") > lit(factor) * col("mean_dist")).as("is_outlier"))
+  }
+
   /** Full k-means (Lloyd's algorithm) over the embedding column, engine-
     * exact end to end: components are micro-scaled to integers ONCE
     * (`round(v * 1e6)`, the [[labelCentroids]] contract), distances are

@@ -357,6 +357,43 @@ object TextOps {
         (col("start_tok") % lit(budget)).as("seq_off"))
   }
 
+  /** Length-bucketed training batches — the padding-minimizing batch
+    * construction every sequence trainer wants (docs of similar token
+    * count batched together, so pad-to-max waste per batch is bounded by
+    * `bucketTokens - 1` rather than the corpus length spread). Each doc
+    * lands in length band `n_tok / bucketTokens`; bands are ordered by
+    * (n_tok, id) — total, rerun-identical — and cut into batches of
+    * `batchSize`. Output: (idCol, n_tok, bucket, batch_ix, pos,
+    * padded_to) where padded_to is the batch's true max length.
+    *
+    * Scale shape: within-band positions come from ONE global two-phase
+    * rank ([[graft.core.Ids.denseRankBy]] over (band, len, id)) minus the
+    * band's first rank (a bands-sized broadcast join) — there is NO
+    * band-sized window, so a skewed length distribution (most corpora)
+    * cannot pile one band onto one task the way a naive
+    * `row_number() OVER (PARTITION BY band)` would. The only windows are
+    * the per-(band, batch) max — partitions bounded by batchSize rows. */
+  def lengthBatches(docs: DataFrame, batchSize: Int = 32,
+                    bucketTokens: Int = 16, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(batchSize >= 1 && bucketTokens >= 1,
+      "need batchSize >= 1 and bucketTokens >= 1")
+    val base = docs.select(col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n_tok"))
+      .withColumn("bucket", (col("n_tok") / lit(bucketTokens)).cast("long"))
+    val ranked = graft.core.Ids.denseRankBy(base,
+      Seq(col("bucket").asc, col("n_tok").asc, col(idCol).asc), "__rid")
+    val bandStart = ranked.groupBy("bucket").agg(min("__rid").as("__b0"))
+    val rn = ranked.join(broadcast(bandStart), "bucket")
+      .withColumn("__rn", col("__rid") - col("__b0"))
+    val batchMax = Window.partitionBy(col("bucket"),
+      (col("__rn") / lit(batchSize)).cast("long"))
+    rn.select(col(idCol), col("n_tok"), col("bucket"),
+        (col("__rn") / lit(batchSize)).cast("long").as("batch_ix"),
+        (col("__rn") % lit(batchSize)).as("pos"),
+        max("n_tok").over(batchMax).as("padded_to"))
+  }
+
   /** chunked_wordcounts (A4, wordcounting.py:5-55): split each document's
     * token stream into ~equal chunks of ≈chunkSize tokens, count words per
     * (doc, chunk). Chunk id is computed arithmetically from the position so

@@ -476,4 +476,25 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(_.getString(1))
     assert(short.sameElements(Array("image/jpeg", "application/gzip")))
   }
+
+  test("embeddingOutliers flags the planted far point, not the cluster") {
+    // label "a": a tight cluster near the origin plus one far point — only
+    // the far point's distance exceeds 4x the label mean. Label "b" is a
+    // lone vector: its centroid is itself, dist 0, never flagged.
+    // note the flag is relative: a lone far point among only n points can
+    // never exceed (n-1)x the mean (its own distance dominates the mean),
+    // so the cluster must outnumber factor + 1 — 7 points here vs factor 4
+    val cluster = (1L to 7L).map(i =>
+      (i, Array((i % 3) * 0.001f, (i % 2) * 0.001f), "a"))
+    val vecs = (cluster ++ Seq(
+      (8L, Array(10.0f, 10.0f), "a"),
+      (9L, Array(2.0f, 2.0f), "b"),
+      (10L, null.asInstanceOf[Array[Float]], "a"), // null embedding: dropped
+      (11L, Array(1.0f, 1.0f), null)               // null label: dropped
+    )).toDF("vec_id", "embedding", "label")
+    val out = Similarity.embeddingOutliers(vecs, factor = 4).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(out == ((1L to 7L).map(_ -> false) ++
+      Seq(8L -> true, 9L -> false)).toMap)
+  }
 }

@@ -267,4 +267,38 @@ class TextOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getInt(1)))
     both.foreach { case (a, b) => assert(math.abs(a - b) <= 1) }
   }
+
+  test("lengthBatches: band-local batches, bounded padding, dense positions") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val batchSize = 8
+    val bucketTokens = 16
+    val rows = TextOps.lengthBatches(docs, batchSize, bucketTokens)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nTok, bucket, _, pos, paddedTo) =>
+      assert(bucket == nTok / bucketTokens) // band membership
+      assert(pos >= 0 && pos < batchSize)
+      assert(paddedTo >= nTok)              // pad target covers every member
+      // padding waste bounded by the band width, the operator's whole point
+      assert(paddedTo - nTok < bucketTokens)
+    }
+    // positions are dense 0..k-1 within each (bucket, batch)
+    rows.groupBy(t => (t._3, t._4)).foreach { case ((b, ix), g) =>
+      assert(g.map(_._5).sorted.toSeq == (0L until g.length.toLong),
+        s"batch ($b,$ix) positions not dense")
+      assert(g.length <= batchSize)
+      // the batch's pad target is its true max length
+      assert(g.map(_._6).distinct.length == 1 && g.head._6 == g.map(_._2).max)
+    }
+    // only the LAST batch of a band may be short
+    rows.groupBy(_._3).foreach { case (_, band) =>
+      val sizes = band.groupBy(_._4).map { case (ix, g) => ix -> g.length }
+      val lastIx = sizes.keys.max
+      sizes.foreach { case (ix, n) =>
+        if (ix != lastIx) assert(n == batchSize)
+      }
+    }
+  }
 }
