@@ -1770,6 +1770,39 @@ object Queries {
         |WHERE starts[j] <= ends[j]
         |ORDER BY doc_id, chunk_idx""".stripMargin)),
 
+    // CDC via the O(n) polynomial ROLLING hash (codegen Expression — one
+    // multiply-add per code point instead of a full md5 per window). The
+    // oracle replays the identical fold over Unicode code points with
+    // list_reduce: acc = (acc * 257 + cp) % 1e9+7 over each 8-wide window,
+    // boundary when % 64 == 0 — then the shared chunk assembly.
+    "t_cdc_rolling" -> Q(
+      (s, dir) =>
+        TextOps.cdcChunksRolling(rd(s, dir, "documents"), window = 8,
+            divisor = 64)
+          .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH c AS (SELECT doc_id, text, len(text) AS n,
+        |    list_transform(regexp_extract_all(text, '(?s).'),
+        |      ch -> CAST(unicode(ch) AS BIGINT)) AS cp
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT doc_id, text, n,
+        |    list_filter(list_transform(range(8, n + 1),
+        |        i -> CASE WHEN list_reduce(cp[CAST(i AS INTEGER) - 7:CAST(i AS INTEGER)],
+        |            (a, x) -> (a * 257 + x) % 1000000007) % 64 = 0
+        |          THEN i END),
+        |      x -> x IS NOT NULL) AS bnds
+        |  FROM c),
+        |se AS (SELECT doc_id, text,
+        |    [1] || list_transform(bnds, x -> x + 1) AS starts,
+        |    bnds || [n] AS ends
+        |  FROM b)
+        |SELECT doc_id, j AS chunk_idx, starts[j] AS start,
+        |  ends[j] - starts[j] + 1 AS chunk_len,
+        |  md5(substr(text, CAST(starts[j] AS INTEGER),
+        |    CAST(ends[j] - starts[j] + 1 AS INTEGER))) AS chunk_md5
+        |FROM se, unnest(range(1, len(starts) + 1)) AS u(j)
+        |WHERE starts[j] <= ends[j]
+        |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // Sqrt-temperature mixture sampling (alpha = 0.5): composition
     // proportional to sqrt(stratum count), scarcest stratum kept whole.
     // sqrt is IEEE-correctly-rounded in both engines, so the oracle

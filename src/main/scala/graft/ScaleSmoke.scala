@@ -248,6 +248,32 @@ object ScaleSmoke {
     // CDC: row-local window hashing — linear in characters, no shuffle
     time("cdc_chunks_w8_d64")(
       TextOps.cdcChunks(docs, window = 8, divisor = 64).count())
+    // length-bucketed batches: one two-phase rank (single range shuffle)
+    // + a bands-sized broadcast join; no band-sized window, so a skewed
+    // length distribution costs nothing extra
+    time("length_batches_b32")(
+      TextOps.lengthBatches(docs, batchSize = 32, bucketTokens = 16).count())
+    graft.core.CacheScope.release()
+    // Bloom-prefiltered decontamination: the filter stays numBits/32 rows
+    // however large the eval set; train shingles test it row-locally and
+    // only survivors pay the exact confirm join
+    time("decontam_bloom_n8")(
+      Dedup.decontaminateBloom(docs, base.filter(col("doc_id") % 31 === 0),
+        n = 8).count())
+    // per-label outlier report: two labels-sized aggregates broadcast
+    // back, distances row-local — must track the vector scan linearly
+    time("embed_outliers")(
+      Similarity.embeddingOutliers(bigEmb, factor = 4).count())
+    // IVF-PQ + exact refine: candidate-sized re-rank on top of the
+    // inverted-file read — the refine adds a broadcast of q*topk*refine
+    // candidate rows, never a corpus shuffle
+    time("ivfpq_refine_10q")({
+      val mdl = Similarity.ivfPqFit(bigEmb, nlist = ivfCells, m = 4,
+        k = 16, dim = 64)
+      Similarity.ivfPqSearchRefined(mdl, bigEmb.filter(col("vec_id") < 10),
+        bigEmb, topk = 5, m = 4, dim = 64, refine = 4).count()
+    })
+    graft.core.CacheScope.release()
     spark.stop()
   }
 }

@@ -203,6 +203,49 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!ch.contains(4L) && !ch.contains(5L))
   }
 
+  test("cdc rolling variant: same tiling/edit contract, O(n) hash, unicode") {
+    // same contract suite as the md5 variant — the assembly is SHARED, the
+    // boundary hash is the rolling polynomial (different positions, same
+    // expected-chunk-length semantics)
+    val base = "the quick brown fox jumps over the lazy dog and then " * 20
+    val docs = Seq(
+      (1L, base),
+      (2L, "PREFIX-INSERTED " + base),
+      (3L, "short"),
+      (4L, ""), (5L, null.asInstanceOf[String]),
+      (6L, "😀 😁 code points not UTF-16 units " * 10)
+    ).toDF("doc_id", "text")
+    val ch = TextOps.cdcChunksRolling(docs, window = 8, divisor = 32)
+      .collect().groupBy(_.getLong(0))
+    for (id <- Seq(1L, 2L, 6L)) {
+      val rows = ch(id).sortBy(_.getLong(1))
+      assert(rows.head.getLong(2) == 1L)
+      val n = docs.filter(col("doc_id") === id)
+        .select(length(col("text"))).collect()(0).getInt(0)
+      assert(rows.map(_.getLong(3)).sum == n.toLong, s"doc $id tiles")
+      rows.sliding(2).foreach { case Array(a, b) =>
+        assert(b.getLong(2) == a.getLong(2) + a.getLong(3)) }
+    }
+    val h1 = ch(1L).map(_.getString(4)).toSet
+    val h2 = ch(2L).map(_.getString(4)).toSet
+    assert((h1 intersect h2).size >= h1.size / 2,
+      s"shared=${(h1 intersect h2).size} of ${h1.size}")
+    assert(ch(3L).length == 1 && ch(3L)(0).getLong(3) == 5L)
+    assert(!ch.contains(4L) && !ch.contains(5L))
+    // interpreted eval == the shared rolling scan (codegen calls the same
+    // helper; this pins the recurrence against the window fold directly)
+    val cps = "abcdefghij".codePoints().toArray
+    val got = graft.plans.CdcBoundaries.boundaries(cps, 4, 1L, 257L,
+      1000000007L, 257L * 257L * 257L % 1000000007L)
+    assert(got.toSeq == (4L to 10L), "divisor=1: every full window bounds")
+    val folds = (3 until cps.length).map { i =>
+      cps.slice(i - 3, i + 1).foldLeft(0L)((a, c) => (a * 257L + c) % 1000000007L)
+    }
+    val d7 = (3 until cps.length).filter(i => folds(i - 3) % 7 == 0).map(_ + 1L)
+    assert(graft.plans.CdcBoundaries.boundaries(cps, 4, 7L, 257L,
+      1000000007L, 257L * 257L * 257L % 1000000007L).toSeq == d7)
+  }
+
   test("sequence packing: contiguous per-bucket layout, exact grid arithmetic") {
     val d = Seq(("a", "one two three"), ("b", "four five"), ("c", ""),
       ("d", "six seven eight nine")).toDF("doc_id", "text")
