@@ -3818,6 +3818,48 @@ object Queries {
         |SELECT * FROM ok UNION ALL SELECT * FROM bad
         |ORDER BY doc_id, frame_idx""".stripMargin)),
 
+    // Perceptual average hash over REAL decoded pixels: gradient PNGs are
+    // encoded in-plan from doc_id arithmetic, decoded by the real JDK
+    // codec, block-averaged onto an 8x8 grid and bit-packed (two 32-bit
+    // words — DuckDB's << refuses the BIGINT sign bit). Exact integers:
+    // the bit test cross-multiplies block and image sums, so the oracle
+    // predicts every bit from the gradient formula alone. Every 10th
+    // payload is truncated -> all-null hash row.
+    "m_image_ahash" -> Q(
+      (s, dir) =>
+        Multimodal.imageAHash(
+            Multimodal.syntheticGradientPayloads(rd(s, dir, "documents")))
+          .orderBy("doc_id"),
+      Some("""WITH g AS (SELECT doc_id, 4 + doc_id % 12 AS w,
+        |    4 + (doc_id // 12) % 9 AS h, (doc_id % 10 = 0) AS corrupt
+        |  FROM documents),
+        |px AS (SELECT doc_id, w, h, least(8, w) AS gw, least(8, h) AS gh,
+        |    x, y, (doc_id * 37 + x * 11 + y * 29) % 256 AS v
+        |  FROM g, unnest(range(0, w)) AS ux(x), unnest(range(0, h)) AS uy(y)
+        |  WHERE NOT corrupt),
+        |b AS (SELECT doc_id, gw, gh, (y * gh) // h AS by, (x * gw) // w AS bx,
+        |    CAST(sum(v) AS BIGINT) AS sb, CAST(count(*) AS BIGINT) AS nb
+        |  FROM px GROUP BY 1, 2, 3, 4, 5),
+        |t AS (SELECT doc_id, CAST(sum(sb) AS BIGINT) AS st,
+        |    CAST(sum(nb) AS BIGINT) AS nt
+        |  FROM b GROUP BY 1),
+        |bits AS (SELECT b.doc_id, b.gw, b.gh,
+        |    CASE WHEN b.by < b.gh // 2 AND b.sb * t.nt > t.st * b.nb
+        |      THEN 1::BIGINT << CAST(b.by * b.gw + b.bx AS INTEGER)
+        |      ELSE 0::BIGINT END AS hbit,
+        |    CASE WHEN b.by >= b.gh // 2 AND b.sb * t.nt > t.st * b.nb
+        |      THEN 1::BIGINT << CAST((b.by - b.gh // 2) * b.gw + b.bx AS INTEGER)
+        |      ELSE 0::BIGINT END AS lbit
+        |  FROM b JOIN t USING (doc_id)),
+        |hashed AS (SELECT doc_id, CAST(any_value(gw) AS BIGINT) AS gw,
+        |    CAST(any_value(gh) AS BIGINT) AS gh,
+        |    CAST(bit_or(hbit) AS BIGINT) AS ahash_hi,
+        |    CAST(bit_or(lbit) AS BIGINT) AS ahash_lo
+        |  FROM bits GROUP BY doc_id)
+        |SELECT d.doc_id, hh.gw, hh.gh, hh.ahash_hi, hh.ahash_lo
+        |FROM documents d LEFT JOIN hashed hh ON d.doc_id = hh.doc_id
+        |ORDER BY d.doc_id""".stripMargin)),
+
     // The triage -> dispatch composition a mixed-media crawl runs: build a
     // corpus whose payloads are REAL PNGs (even ids) and REAL WAVs (odd
     // ids), sniff each payload's container by magic bytes — the declared

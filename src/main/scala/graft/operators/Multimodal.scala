@@ -397,6 +397,123 @@ object Multimodal {
       .toDF(idCol, "payload")
   }
 
+  /** Gradient PNG fixtures for the perceptual-hash path: pixel (x, y) of
+    * doc `id` is the GRAY value `(id * 37 + x * 11 + y * 29) % 256` (all
+    * three channels equal), sized `w = 4 + id % 12`, `h = 4 + (id / 12)
+    * % 9`. Non-uniform by construction — a flat image hashes to all-zero
+    * bits and proves nothing. PNG is lossless, so the decoded pixels ARE
+    * the formula and the oracle can predict every block sum
+    * arithmetically. Every 10th payload is truncated (undecodable). */
+  def syntheticGradientPayloads(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 4 + (id % 12).toInt
+          val h = 4 + ((id / 12) % 9).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val g = ((id * 37 + x * 11 + y * 29) % 256).toInt
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          val png = baos.toByteArray
+          (id, if (id % 10 == 0) png.take(12) else png)
+        }
+      }
+      .toDF(idCol, "payload")
+  }
+
+  /** Perceptual AVERAGE HASH (aHash) over REAL decoded pixels — the
+    * image-dedup fingerprint (resize-to-grid, bit = block brighter than
+    * the image mean): near-identical images (recompress, small crop,
+    * brightness-preserving noise) land within a few bits, so image
+    * near-dup detection becomes the SAME banded-Hamming machinery the
+    * text path uses (SRP sign bits, [[Dedup.simhash]]).
+    *
+    * Engine-exact: gray = green channel (fixtures are gray anyway; a
+    * luminance formula would drag in rounding), the grid cell of pixel x
+    * is `x * gw DIV w` (pure integers), and the bit test cross-multiplies
+    * — `sum_block * n_total > sum_total * n_block` — instead of comparing
+    * float means. The 64 bits pack into TWO 32-bit words (`ahash_hi` =
+    * grid rows 0..gh/2-1, `ahash_lo` = the rest): DuckDB's BIGINT `<<`
+    * refuses to shift into the sign bit, so a single 64-bit word could
+    * not be oracle-replayed (the same reason the SRP path packs 60 bits).
+    * Images smaller than the grid use gw = min(grid, w) cells per row —
+    * positions stay dense, nothing is padded.
+    *
+    * Undecodable payloads yield null hash fields (triage-visible, like
+    * [[decodeImage]]). Output: (idCol, gw, gh, ahash_hi, ahash_lo). */
+  def imageAHash(df: DataFrame, grid: Int = 8, idCol: String = "doc_id",
+                 payloadCol: String = "payload"): DataFrame = {
+    require(grid >= 1 && grid % 2 == 0 && grid <= 8,
+      "grid must be even and in [2, 8] (two 32-bit words)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img =
+            if (bytes == null) null
+            else
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case _: java.io.IOException => null }
+          if (img == null)
+            (id, None: Option[Long], None: Option[Long],
+              None: Option[Long], None: Option[Long])
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val gw = math.min(grid, w)
+            val gh = math.min(grid, h)
+            val sums = Array.ofDim[Long](gh, gw)
+            val cnts = Array.ofDim[Long](gh, gw)
+            var total = 0L
+            var y = 0
+            while (y < h) {
+              val by = y * gh / h
+              var x = 0
+              while (x < w) {
+                val g = (img.getRGB(x, y) >> 8) & 0xFF
+                sums(by)(x * gw / w) += g
+                cnts(by)(x * gw / w) += 1
+                total += g
+                x += 1
+              }
+              y += 1
+            }
+            val nTotal = w.toLong * h
+            var hi = 0L
+            var lo = 0L
+            var by = 0
+            while (by < gh) {
+              var bx = 0
+              while (bx < gw) {
+                if (sums(by)(bx) * nTotal > total * cnts(by)(bx)) {
+                  if (by < gh / 2) hi |= 1L << (by * gw + bx)
+                  else lo |= 1L << ((by - gh / 2) * gw + bx)
+                }
+                bx += 1
+              }
+              by += 1
+            }
+            (id, Some(gw.toLong), Some(gh.toLong), Some(hi), Some(lo))
+          }
+        }
+      }
+      .toDF(idCol, "gw", "gh", "ahash_hi", "ahash_lo")
+  }
+
   /** Container-format magic numbers: (mime, uppercase hex prefix). Order is
     * match priority — longer/more specific prefixes first (PNG's 8-byte
     * signature before the 2-byte gzip one). Public so callers (and the SQL

@@ -169,4 +169,37 @@ class MultimodalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("imageAHash: identity, brightness invariance, near-dup Hamming") {
+    val (w, h) = (16, 12)
+    def grad(x: Int, y: Int) = (x * 13 + y * 31) % 200 // < 200: +10 can't wrap
+    def gray(v: Int) = (v, v, v)
+    val base = encode(w, h, "png")((x, y) => gray(grad(x, y)))
+    val brighter = encode(w, h, "png")((x, y) => gray(grad(x, y) + 10))
+    // one corner block's pixels nudged: most grid bits must survive
+    val nudged = encode(w, h, "png")((x, y) =>
+      gray(if (x < 2 && y < 2) math.min(255, grad(x, y) + 120) else grad(x, y)))
+    val other = encode(w, h, "png")((x, y) => gray((x * 97 + y * 53) % 256))
+    val df = Seq((1L, base), (2L, base), (3L, brighter), (4L, nudged),
+      (5L, other), (6L, base.take(12)),
+      (7L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "payload")
+    val out = Multimodal.imageAHash(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def hash(id: Long) = (out(id).getLong(3), out(id).getLong(4))
+    def hamming(a: (Long, Long), b: (Long, Long)) =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    assert(hash(1L) == hash(2L))                  // identical bytes: equal
+    // aHash is exactly invariant to a uniform brightness shift: adding c
+    // to every pixel adds c*nb to each block sum and c*nt to the total,
+    // which cancels in the cross-multiplied bit test
+    assert(hash(1L) == hash(3L))
+    val dNear = hamming(hash(1L), hash(4L))
+    val dFar = hamming(hash(1L), hash(5L))
+    assert(dNear <= 8, s"near-dup moved $dNear bits")
+    assert(dFar > dNear, s"unrelated image ($dFar) not farther than near-dup ($dNear)")
+    assert(out(6L).isNullAt(1) && out(6L).isNullAt(3)) // corrupt: null row
+    assert(out(7L).isNullAt(3))                        // null payload
+    // hashes are non-degenerate (gradient sets and clears bits)
+    assert(hash(1L) != ((0L, 0L)))
+  }
 }
