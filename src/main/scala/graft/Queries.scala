@@ -3860,6 +3860,46 @@ object Queries {
         |FROM documents d LEFT JOIN hashed hh ON d.doc_id = hh.doc_id
         |ORDER BY d.doc_id""".stripMargin)),
 
+    // VAD-ish energy segmentation over real decoded PCM: burst WAV
+    // fixtures (quiet/loud 25-frame blocks) are encoded in-plan, decoded
+    // by the real JDK codec, windowed, thresholded against the track mean
+    // (cross-multiplied integers — no float mean) and merged into
+    // segments. The oracle regenerates every sample arithmetically and
+    // replays the merge as gaps-and-islands. Truncated payloads -> one
+    // all-null row.
+    "m_audio_segments" -> Q(
+      (s, dir) =>
+        Multimodal.audioEnergySegments(
+            Multimodal.syntheticBurstWavPayloads(rd(s, dir, "documents")),
+            winFrames = 25, factor = 1)
+          .orderBy(asc("doc_id"), asc_nulls_first("seg_idx")),
+      Some("""WITH g AS (SELECT doc_id, 200 + doc_id % 100 AS nf,
+        |    (doc_id % 10 = 0) AS corrupt FROM documents),
+        |s AS (SELECT doc_id, t, t // 25 AS win,
+        |    abs(((doc_id * 31 + t * 7) %
+        |        (CASE WHEN (t // 25) % 2 = 0 THEN 128 ELSE 32768 END))
+        |      - CASE WHEN (t // 25) % 2 = 0 THEN 64 ELSE 16384 END) AS av
+        |  FROM g, unnest(range(0, nf)) AS u(t) WHERE NOT corrupt),
+        |w AS (SELECT doc_id, win, CAST(sum(av) AS BIGINT) AS sa,
+        |    CAST(count(*) AS BIGINT) AS ns FROM s GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(sum(sa) AS BIGINT) AS tsa,
+        |    CAST(sum(ns) AS BIGINT) AS tns FROM w GROUP BY 1),
+        |act AS (SELECT w.doc_id, w.win, w.sa FROM w JOIN tot USING (doc_id)
+        |  WHERE w.sa * tot.tns > tot.tsa * w.ns),
+        |seg AS (SELECT doc_id, win, sa,
+        |    win - row_number() OVER (PARTITION BY doc_id ORDER BY win) AS grp
+        |  FROM act),
+        |segs AS (SELECT doc_id, CAST(min(win) AS BIGINT) AS start_win,
+        |    CAST(count(*) AS BIGINT) AS n_wins,
+        |    CAST(sum(sa) AS BIGINT) AS sum_abs,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY min(win))
+        |      AS BIGINT) AS seg_idx
+        |  FROM seg GROUP BY doc_id, grp)
+        |SELECT doc_id, seg_idx, start_win, n_wins, sum_abs FROM segs
+        |UNION ALL
+        |SELECT doc_id, NULL, NULL, NULL, NULL FROM g WHERE corrupt
+        |ORDER BY doc_id, seg_idx NULLS FIRST""".stripMargin)),
+
     // The triage -> dispatch composition a mixed-media crawl runs: build a
     // corpus whose payloads are REAL PNGs (even ids) and REAL WAVs (odd
     // ids), sniff each payload's container by magic bytes — the declared

@@ -254,6 +254,132 @@ object Multimodal {
       .toDF(idCol, "payload")
   }
 
+  /** Burst WAV fixtures for the energy-segmentation path: mono PCM16,
+    * `n_frames = 200 + id % 100`, with amplitude alternating per 25-frame
+    * block — quiet blocks (`(t/25) % 2 == 0`) hold samples in [-64, 64),
+    * loud blocks in [-16384, 16384), each sample
+    * `((id*31 + t*7) % (2*amp)) - amp`. Blocks align with the
+    * segmentation windows so the oracle predicts every window's energy
+    * arithmetically. Every 10th payload is truncated. */
+  def syntheticBurstWavPayloads(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val nFrames = 200 + (id % 100).toInt
+          val pcm = new Array[Byte](nFrames * 2)
+          var t = 0
+          while (t < nFrames) {
+            val amp = if ((t / 25) % 2 == 0) 64L else 16384L
+            val v = (((id * 31 + t * 7) % (2 * amp)) - amp).toInt
+            pcm(t * 2) = (v & 0xFF).toByte
+            pcm(t * 2 + 1) = ((v >> 8) & 0xFF).toByte
+            t += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val stream = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(stream,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+          val wav = baos.toByteArray
+          (id, if (id % 10 == 0) wav.take(16) else wav)
+        }
+      }
+      .toDF(idCol, "payload")
+  }
+
+  /** Energy-based audio SEGMENTATION over real decoded PCM — the VAD-ish
+    * primitive speech pipelines run before transcription/training: frame
+    * the track into `winFrames`-frame windows, mark a window ACTIVE when
+    * its energy exceeds `factor` times the track's per-sample mean, and
+    * merge consecutive active windows into segments.
+    *
+    * Engine-exact: energy is the sum of |sample| (integers), and the
+    * active test cross-multiplies — `sa_win * n_track_samples > factor *
+    * sa_track * n_win_samples` — so no float mean ever exists and the
+    * DuckDB oracle (`m_audio_segments`) predicts every segment from the
+    * fixture formula (classic gaps-and-islands merge on its side).
+    *
+    * Output: one row per segment (idCol, seg_idx 1-based, start_win,
+    * n_wins, sum_abs). A decoded track with NO active window emits no
+    * rows (silence); an UNDECODABLE payload emits one all-null row
+    * (triage-visible, the [[decodeFrames]] convention). */
+  def audioEnergySegments(df: DataFrame, winFrames: Int = 25,
+                          factor: Long = 1, idCol: String = "doc_id",
+                          payloadCol: String = "payload"): DataFrame = {
+    require(winFrames >= 1 && factor >= 1, "need winFrames >= 1 and factor >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val decoded: Option[(Array[Long], Array[Long])] =
+          if (bytes == null) None
+          else
+            try {
+              val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val fmt = in.getFormat
+              if (fmt.getSampleSizeInBits != 16) None
+              else {
+                val channels = fmt.getChannels
+                val data = in.readAllBytes()
+                val nFrames = data.length / fmt.getFrameSize
+                val nWins = (nFrames + winFrames - 1) / winFrames
+                val sa = new Array[Long](math.max(nWins, 1))
+                val ns = new Array[Long](math.max(nWins, 1))
+                val bigEndian = fmt.isBigEndian
+                var i = 0
+                while (i + 1 < data.length) {
+                  val s =
+                    if (bigEndian) ((data(i) << 8) | (data(i + 1) & 0xFF)).toShort
+                    else ((data(i + 1) << 8) | (data(i) & 0xFF)).toShort
+                  val t = (i / 2) / channels
+                  sa(t / winFrames) += math.abs(s.toLong)
+                  ns(t / winFrames) += 1
+                  i += 2
+                }
+                Some((sa, ns))
+              }
+            } catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException => None
+              case _: java.io.IOException => None
+            }
+        decoded match {
+          case None =>
+            Seq((id, None: Option[Long], None: Option[Long],
+              None: Option[Long], None: Option[Long]))
+          case Some((sa, ns)) =>
+            val tsa = sa.sum
+            val tns = ns.sum
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+            var segStart = -1
+            var segSum = 0L
+            var w = 0
+            while (w < sa.length) {
+              val active = ns(w) > 0 && sa(w) * tns > factor * tsa * ns(w)
+              if (active) {
+                if (segStart < 0) { segStart = w; segSum = 0L }
+                segSum += sa(w)
+              } else if (segStart >= 0) {
+                out += ((id, Some((out.length + 1).toLong), Some(segStart.toLong),
+                  Some((w - segStart).toLong), Some(segSum)))
+                segStart = -1
+              }
+              w += 1
+            }
+            if (segStart >= 0)
+              out += ((id, Some((out.length + 1).toLong), Some(segStart.toLong),
+                Some((sa.length - segStart).toLong), Some(segSum)))
+            out.toSeq
+        }
+      }
+      .toDF(idCol, "seg_idx", "start_win", "n_wins", "sum_abs")
+  }
+
   /** REAL multi-frame decode — frame extraction from an animated-GIF
     * container via `javax.imageio`'s GIF reader (the JDK's only
     * multi-frame codec; inter-frame video codecs like H.264 don't ship

@@ -202,4 +202,59 @@ class MultimodalSpec extends AnyFunSuite {
     // hashes are non-degenerate (gradient sets and clears bits)
     assert(hash(1L) != ((0L, 0L)))
   }
+
+  test("audioEnergySegments: merges consecutive loud windows, exact energies") {
+    // mono PCM16, 25-frame windows; amplitude per window:
+    // [quiet, LOUD, LOUD, quiet, LOUD] -> segments (1,2) and (4,1)
+    def wav(amps: Seq[Int]): Array[Byte] = {
+      val nFrames = amps.length * 25
+      val pcm = new Array[Byte](nFrames * 2)
+      for (t <- 0 until nFrames) {
+        val amp = amps(t / 25)
+        val v = ((t * 7) % (2 * amp)) - amp
+        pcm(t * 2) = (v & 0xFF).toByte
+        pcm(t * 2 + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val stream = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val baos = new ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(stream,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    val bursty = wav(Seq(64, 16384, 16384, 64, 16384))
+    // truly constant samples: every window's energy EQUALS the track mean,
+    // and the strictly-greater test marks none active
+    val flat = {
+      val nFrames = 100
+      val pcm = new Array[Byte](nFrames * 2)
+      for (t <- 0 until nFrames) {
+        pcm(t * 2) = (512 & 0xFF).toByte
+        pcm(t * 2 + 1) = ((512 >> 8) & 0xFF).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val stream = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val baos = new ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(stream,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    val df = Seq((1L, bursty), (2L, flat), (3L, bursty.take(16)))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.audioEnergySegments(df, winFrames = 25, factor = 1)
+      .collect()
+    val segs = out.filter(r => r.getLong(0) == 1L)
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(segs.map(t => (t._2, t._3)).toSeq == Seq((1L, 2L), (4L, 1L)),
+      s"got ${segs.toSeq}")
+    // exact energy: segment 1's sum_abs is the two loud windows' |s| sums
+    val expected = (25 until 75).map(t => math.abs(((t * 7) % 32768) - 16384).toLong).sum
+    assert(out.find(r => r.getLong(0) == 1L && r.getLong(1) == 1L)
+      .get.getLong(4) == expected)
+    assert(!out.exists(_.getLong(0) == 2L))            // silence: no rows
+    val corrupt = out.filter(_.getLong(0) == 3L)
+    assert(corrupt.length == 1 && corrupt.head.isNullAt(1)) // triage row
+  }
 }
