@@ -3860,6 +3860,59 @@ object Queries {
         |FROM documents d LEFT JOIN hashed hh ON d.doc_id = hh.doc_id
         |ORDER BY d.doc_id""".stripMargin)),
 
+    // Image dedup BY perceptual hash — the composition the fixtures were
+    // built for: consecutive ids are the same image at two brightnesses,
+    // aHash is exactly brightness-invariant, so hash-equality grouping
+    // must pair them (keeper = lowest id per hash). Undecodable payloads
+    // are excluded from grouping (no hash to group on).
+    "m_image_dups" -> Q(
+      (s, dir) => {
+        val hashed = graft.core.CacheScope.persist(
+          Multimodal.imageAHash(
+              Multimodal.syntheticGradientPairPayloads(rd(s, dir, "documents")))
+            .filter(col("ahash_hi").isNotNull))
+        val keep = hashed.groupBy("gw", "gh", "ahash_hi", "ahash_lo")
+          .agg(min("doc_id").as("keeper"))
+        hashed.join(keep, Seq("gw", "gh", "ahash_hi", "ahash_lo"))
+          .select(col("doc_id"), col("keeper"),
+            (col("doc_id") =!= col("keeper")).as("is_dup"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (SELECT doc_id, doc_id - doc_id % 2 AS base,
+        |    (doc_id % 2) * 7 AS shift,
+        |    4 + (doc_id - doc_id % 2) % 12 AS w,
+        |    4 + ((doc_id - doc_id % 2) // 12) % 9 AS h,
+        |    (doc_id % 10 = 0) AS corrupt
+        |  FROM documents),
+        |px AS (SELECT doc_id, w, h, least(8, w) AS gw, least(8, h) AS gh,
+        |    x, y, (base * 37 + x * 11 + y * 29) % 200 + shift AS v
+        |  FROM g, unnest(range(0, w)) AS ux(x), unnest(range(0, h)) AS uy(y)
+        |  WHERE NOT corrupt),
+        |b AS (SELECT doc_id, gw, gh, (y * gh) // h AS by, (x * gw) // w AS bx,
+        |    CAST(sum(v) AS BIGINT) AS sb, CAST(count(*) AS BIGINT) AS nb
+        |  FROM px GROUP BY 1, 2, 3, 4, 5),
+        |t AS (SELECT doc_id, CAST(sum(sb) AS BIGINT) AS st,
+        |    CAST(sum(nb) AS BIGINT) AS nt
+        |  FROM b GROUP BY 1),
+        |bits AS (SELECT b.doc_id, b.gw, b.gh,
+        |    CASE WHEN b.by < b.gh // 2 AND b.sb * t.nt > t.st * b.nb
+        |      THEN 1::BIGINT << CAST(b.by * b.gw + b.bx AS INTEGER)
+        |      ELSE 0::BIGINT END AS hbit,
+        |    CASE WHEN b.by >= b.gh // 2 AND b.sb * t.nt > t.st * b.nb
+        |      THEN 1::BIGINT << CAST((b.by - b.gh // 2) * b.gw + b.bx AS INTEGER)
+        |      ELSE 0::BIGINT END AS lbit
+        |  FROM b JOIN t USING (doc_id)),
+        |hashed AS (SELECT doc_id, CAST(any_value(gw) AS BIGINT) AS gw,
+        |    CAST(any_value(gh) AS BIGINT) AS gh,
+        |    CAST(bit_or(hbit) AS BIGINT) AS ahash_hi,
+        |    CAST(bit_or(lbit) AS BIGINT) AS ahash_lo
+        |  FROM bits GROUP BY doc_id),
+        |keep AS (SELECT gw, gh, ahash_hi, ahash_lo, min(doc_id) AS keeper
+        |  FROM hashed GROUP BY 1, 2, 3, 4)
+        |SELECT h.doc_id, k.keeper, h.doc_id <> k.keeper AS is_dup
+        |FROM hashed h JOIN keep k USING (gw, gh, ahash_hi, ahash_lo)
+        |ORDER BY h.doc_id""".stripMargin)),
+
     // VAD-ish energy segmentation over real decoded PCM: burst WAV
     // fixtures (quiet/loud 25-frame blocks) are encoded in-plan, decoded
     // by the real JDK codec, windowed, thresholded against the track mean

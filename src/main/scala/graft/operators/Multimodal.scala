@@ -254,6 +254,44 @@ object Multimodal {
       .toDF(idCol, "payload")
   }
 
+  /** Gradient-PAIR PNG fixtures for the image-dedup path: consecutive ids
+    * form a near-duplicate pair — the even id carries the base gradient
+    * `(base*37 + x*11 + y*29) % 200` (headroom below 255 on purpose), the
+    * odd id the SAME image brightened by +7. aHash is exactly invariant
+    * to a uniform brightness shift, so each pair hashes identically and
+    * hash-equality dedup must group them (`m_image_dups`). Geometry from
+    * the PAIR id, so both members agree. Every 10th payload truncated. */
+  def syntheticGradientPairPayloads(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val base = id - id % 2
+          val shift = (id % 2).toInt * 7
+          val w = 4 + (base % 12).toInt
+          val h = 4 + ((base / 12) % 9).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val g = ((base * 37 + x * 11 + y * 29) % 200).toInt + shift
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          val png = baos.toByteArray
+          (id, if (id % 10 == 0) png.take(12) else png)
+        }
+      }
+      .toDF(idCol, "payload")
+  }
+
   /** Burst WAV fixtures for the energy-segmentation path: mono PCM16,
     * `n_frames = 200 + id % 100`, with amplitude alternating per 25-frame
     * block — quiet blocks (`(t/25) % 2 == 0`) hold samples in [-64, 64),
