@@ -451,10 +451,14 @@ object Similarity {
       .groupBy(col(labelCol))
       .agg(array_sort(collect_list(struct(col("dim"), col("cm")))).as("cs"))
       .select(col(labelCol), transform(col("cs"), c => c.getField("cm")).as("__cm"))
-    val dists = base.join(broadcast(cents), labelCol)
-      .select(col(idCol), col(labelCol),
-        aggregate(zip_with(col("__vm"), col("__cm"), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x).cast("long").as("dist_sq"))
+    // persisted: the per-vector distance pass feeds BOTH the label moments
+    // and the final report — without it the centroid join + dim-wide dot
+    // products run twice (3 long columns cached, never the vectors)
+    val dists = graft.core.CacheScope.persist(
+      base.join(broadcast(cents), labelCol)
+        .select(col(idCol), col(labelCol),
+          aggregate(zip_with(col("__vm"), col("__cm"), (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x).cast("long").as("dist_sq")))
     val moments = dists.groupBy(labelCol)
       .agg(sum("dist_sq").as("__sd"), count(lit(1)).as("__n"))
       // integral DIV, not float /: exact past 2^53 and identical to the

@@ -398,22 +398,35 @@ object TextOps {
     *
     * Scale shape: within-band positions come from ONE global two-phase
     * rank ([[graft.core.Ids.denseRankBy]] over (band, len, id)) minus the
-    * band's first rank (a bands-sized broadcast join) — there is NO
-    * band-sized window, so a skewed length distribution (most corpora)
-    * cannot pile one band onto one task the way a naive
-    * `row_number() OVER (PARTITION BY band)` would. The only windows are
-    * the per-(band, batch) max — partitions bounded by batchSize rows. */
+    * band's first rank — there is NO band-sized window, so a skewed
+    * length distribution (most corpora) cannot pile one band onto one
+    * task the way a naive `row_number() OVER (PARTITION BY band)` would.
+    * Band first-ranks are NOT re-derived from the ranked table (that
+    * would re-run the rank pipeline on a second branch): because the rank
+    * orders by (band, len, id), a band's first rank IS the running total
+    * of earlier bands' counts — one aggregate over the persisted 3-column
+    * base + a prefix sum over the BAND table (bounded by max-length /
+    * bucketTokens, never data size). The only other window is the
+    * per-(band, batch) max — partitions bounded by batchSize rows. */
   def lengthBatches(docs: DataFrame, batchSize: Int = 32,
                     bucketTokens: Int = 16, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
     require(batchSize >= 1 && bucketTokens >= 1,
       "need batchSize >= 1 and bucketTokens >= 1")
-    val base = docs.select(col(idCol),
-        size(tokens(col(textCol))).cast("long").as("n_tok"))
-      .withColumn("bucket", (col("n_tok") / lit(bucketTokens)).cast("long"))
+    // persisted: the tokenize pass feeds BOTH the rank and the band counts
+    val base = graft.core.CacheScope.persist(
+      docs.select(col(idCol),
+          size(tokens(col(textCol))).cast("long").as("n_tok"))
+        .withColumn("bucket", (col("n_tok") / lit(bucketTokens)).cast("long")))
     val ranked = graft.core.Ids.denseRankBy(base,
       Seq(col("bucket").asc, col("n_tok").asc, col(idCol).asc), "__rid")
-    val bandStart = ranked.groupBy("bucket").agg(min("__rid").as("__b0"))
+    // bands-sized by construction; `pmod(bucket, 1)` (constant 0 but not
+    // foldable) states the one-partition-by-design contract in the plan,
+    // the graft.core.Ids.denseRankBy convention
+    val bandStart = base.groupBy("bucket").agg(count(lit(1)).as("__bn"))
+      .select(col("bucket"),
+        (sum("__bn").over(Window.partitionBy(pmod(col("bucket"), lit(1L)))
+          .orderBy("bucket")) - col("__bn")).as("__b0"))
     val rn = ranked.join(broadcast(bandStart), "bucket")
       .withColumn("__rn", col("__rid") - col("__b0"))
     val batchMax = Window.partitionBy(col("bucket"),
