@@ -77,19 +77,32 @@ object Ids {
     *     single-partition WindowExec is harmless at any scale.)
     *  4. broadcast the offsets back (one long per partition) and add
     *     `row_number` WITHIN each range partition.
-    * The range exchange is shared by the count branch and the data branch
-    * via ReuseExchange — the input is shuffled once. Deliberately NOT
-    * `persist`/CacheScope: a persisted DataFrame registers its plan in the
-    * session CacheManager, where any IDENTICAL later plan (same source
-    * path) silently reuses the cached rows — serving stale data after the
-    * underlying file changes and breaking the corpus cache's staleness
-    * contract (CorpusSpec caught exactly that). */
+    * CORRECTNESS-CRITICAL SINGLE-COMPUTATION CONTRACT: the offsets branch
+    * and the data branch MUST read the same physical range partitioning.
+    * RangePartitioner samples its boundaries with an rdd.id-derived seed,
+    * so two independent executions of the "same" exchange draw DIFFERENT
+    * boundaries — per-partition counts from one applied to partitions of
+    * the other produce duplicate and inverted ranks. ReuseExchange
+    * guarantees one execution for plain inputs, but NOT when the input is
+    * a cached InMemoryRelation (observed at sf0.1: reuse silently fails,
+    * two exchanges run, 104/5000 rows mis-ranked). So the ranged data is
+    * pinned with an explicit CacheScope persist — both branches read one
+    * materialization no matter what the planner does.
+    *
+    * The persist carries a per-call epoch literal (dropped before output):
+    * the session CacheManager matches PLANS, so without it an identical
+    * later denseRankBy over the same (since-rewritten) source file would
+    * silently serve the stale cache — the staleness trap CorpusSpec
+    * caught when this operator briefly persisted without a salt. The
+    * epoch makes every invocation's plan unique: within the call both
+    * branches share the cache, across calls nothing ever matches. */
   def denseRankBy(df: DataFrame, sortExprs: Seq[org.apache.spark.sql.Column],
                   idName: String): DataFrame = {
     val pid = "__graft_rank_pid"
     val off = "__graft_rank_off"
     val cnt = "__graft_rank_cnt"
     val mid = "__graft_rank_mid"
+    val epoch = "__graft_rank_epoch"
     // monotonically_increasing_id() = (physical partition id << 33) | a
     // partition-LOCAL consecutive 0-based counter, evaluated in row order
     // above the within-partition sort — so it decomposes into exactly the
@@ -98,11 +111,13 @@ object Ids {
     // neither dense nor stable — SURVEY §1.5 — but split into its two
     // fields over range-partitioned sorted data it is deterministic: the
     // global rank offsets[pid] + local below is.)
-    val ranged = df.repartitionByRange(
-        df.sparkSession.sessionState.conf.numShufflePartitions, sortExprs: _*)
-      .sortWithinPartitions(sortExprs: _*)
-      .withColumn(mid, monotonically_increasing_id())
-      .withColumn(pid, shiftright(col(mid), 33))
+    val ranged = CacheScope.persist(
+      df.repartitionByRange(
+          df.sparkSession.sessionState.conf.numShufflePartitions, sortExprs: _*)
+        .sortWithinPartitions(sortExprs: _*)
+        .withColumn(mid, monotonically_increasing_id())
+        .withColumn(pid, shiftright(col(mid), 33))
+        .withColumn(epoch, lit(rankEpoch.incrementAndGet())))
     // The prefix-sum window runs over AT MOST numShufflePartitions rows
     // (one per range partition) — bounded by cluster geometry, never data
     // size, so one partition is correct BY DESIGN. `pid % 1` (constant 0,
@@ -119,6 +134,10 @@ object Ids {
     ranged.join(broadcast(offsets), pid)
       .withColumn(idName,
         (col(off) + (col(mid).bitwiseAND(lit((1L << 33) - 1)))).cast(LongType))
-      .drop(pid, off, mid)
+      .drop(pid, off, mid, epoch)
   }
+
+  /** Per-invocation salt for [[denseRankBy]]'s internal persist — see the
+    * single-computation contract above. */
+  private val rankEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
 }

@@ -49,27 +49,53 @@ class IdsSpec extends AnyFunSuite {
     assert(plan.contains("rangepartitioning"), "global order lost")
   }
 
-  test("denseRankBy: the input is range-shuffled ONCE (exchange reused)") {
-    // The two-phase rank's single-shuffle property (VERDICT r7 #6): the
-    // data branch and the per-partition-counts branch must SHARE the range
-    // exchange via ReuseExchange — a Spark upgrade that breaks exchange
-    // reuse here would silently double the rank's shuffle cost, so pin it.
+  test("denseRankBy: the input is range-shuffled ONCE (pinned cache)") {
+    // The two-phase rank's single-computation property (VERDICT r7 #6,
+    // hardened): the data branch and the per-partition-counts branch MUST
+    // read one physical range partitioning — RangePartitioner boundaries
+    // are sampled with an rdd.id seed, so two independent exchanges
+    // DIVERGE and corrupt the offsets (observed over a cached input at
+    // sf0.1 before the internal persist). Both consumers must now read
+    // the pinned InMemoryRelation, whose cached plan holds the single
+    // range exchange.
     val df = (0 until 1000).map(i => (s"k$i", i)).toDF("k", "v")
     val ranked = Ids.denseRankBy(df, Seq(df("v").asc, df("k").asc), "rid")
     ranked.collect() // finalize any adaptive plan before reading it
-    // read only the FINAL adaptive plan (the toString appends the initial,
-    // pre-reuse plan below it), and count DISTINCT exchange instances
-    // (plan_id), not textual occurrences — AQE prints a reused stage's
-    // subtree verbatim at every reference. One physical range exchange
-    // means the input was shuffled once.
+    // the only range exchange lives INSIDE the pinned cache's build plan
+    // (printed under InMemoryRelation); the outer plan consumes the cache.
+    // Count DISTINCT exchange instances (plan_id) — nested/initial plan
+    // sections reprint the same instance.
     val plan = ranked.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==")(0)
     val ranges = raw"Exchange rangepartitioning[^\n]*plan_id=(\d+)".r
       .findAllMatchIn(plan).map(_.group(1)).toSet
     assert(ranges.size == 1,
-      s"expected exactly one range exchange on the data path, got $ranges:\n$plan")
-    assert(plan.contains("ReusedExchange"),
-      s"offsets branch no longer reuses the range exchange:\n$plan")
+      s"expected ONE physical range shuffle (inside the cache build), got $ranges:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"rank no longer reads the pinned ranged cache:\n$plan")
+    graft.core.CacheScope.release()
+  }
+
+  test("denseRankBy: correct dense ranks over a CACHED input (regression)") {
+    // The bug this pins: with a cached InMemoryRelation input,
+    // ReuseExchange silently failed, the two branches drew DIFFERENT
+    // sampled range boundaries, and 104/5000 sf0.1 rows got duplicate /
+    // inverted ranks. The fix (internal pinned persist) must hold the
+    // ranks dense and order-correct regardless of input caching.
+    import graft.functions.TextFunctions._
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val base = graft.core.CacheScope.persist(
+      docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("bucket", (col("n_tok") / lit(16)).cast("long")))
+    val rows = Ids.denseRankBy(base,
+        Seq(col("bucket").asc, col("n_tok").asc, col("doc_id").asc), "__rid")
+      .collect()
+      .map(r => (r.getLong(2), r.getLong(1), r.getLong(0), r.getLong(3)))
+      .sortBy(_._4)
+    assert(rows.map(_._4).toSeq == (0L until rows.length.toLong), "ranks not dense")
+    val keys = rows.map(t => (t._1, t._2, t._3))
+    assert(keys.sameElements(keys.sorted), "rank order violates the sort key")
+    graft.core.CacheScope.release()
   }
 
   test("messy parquet: mergeSchema + cast map resolves drift") {
