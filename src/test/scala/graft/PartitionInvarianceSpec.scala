@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partition-count invariance — the distributed-correctness property the
+  * oracle cannot see: every operator's RESULT must be identical whether the
+  * session shuffles into 1, 4, or 13 partitions (a cluster resize, AQE
+  * coalesce, or spark.sql.shuffle.partitions change must never change
+  * answers). Runs a representative slice of the registry — global rank,
+  * vocabulary (rank-derived ids), banded LSH join, IVF-PQ (sampled range +
+  * coarse geometry), CDC, batching, streaming-fold vocab — under three
+  * shuffle-partition settings and requires bit-identical sorted rows.
+  *
+  * 13 is deliberately prime and larger than the 4-partition test default:
+  * range boundaries, band buckets and two-phase offsets all move, so any
+  * partition-count leakage into VALUES shows up as a diff. */
+class PartitionInvarianceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private val names = Seq("q_running_total", "t_vocab", "t_length_batches",
+    "t_minhash_lsh", "e_ivf_pq", "t_cdc_rolling", "t_vocab_merge")
+
+  private def run(name: String, parts: Int): Seq[String] = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      val df = Queries.queries(name)(spark, dir)
+      df.collect().map(_.toString).sorted.toSeq
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      graft.core.CacheScope.release()
+    }
+  }
+
+  names.foreach { name =>
+    test(s"$name is invariant to the shuffle partition count") {
+      val base = run(name, 4)
+      assert(base.nonEmpty)
+      for (parts <- Seq(1, 13)) {
+        val got = run(name, parts)
+        assert(got == base,
+          s"$name changed results at shuffle.partitions=$parts " +
+            s"(${got.size} vs ${base.size} rows)")
+      }
+    }
+  }
+}

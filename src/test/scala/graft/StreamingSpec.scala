@@ -145,6 +145,31 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_id", "chunk_idx", "chunk_md5").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
     assert(cdcStreamed == cdcBatch && cdcStreamed.nonEmpty)
+    // Bloom pre-filtering is stream-composable too: the filter collapses
+    // to one broadcast row and each stream row tests its bits row-locally
+    // — the landing-dir decontamination shape (static eval Bloom built
+    // once, arriving documents pruned before any exact join). Identical
+    // survivors to the batch prune.
+    import graft.operators.{Dedup, Sketches}
+    import graft.functions.TextFunctions.hash60
+    val evalSh = Dedup.shingles(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") % 31 === 0), 8)
+      .select(hash60(col("shingle")).as("sh")).distinct()
+    val bloom = Sketches.bloomBuild(evalSh, "sh")
+    def trainSh(df: org.apache.spark.sql.DataFrame) =
+      Dedup.shingles(df.filter(col("doc_id") % 31 =!= 0), 8)
+        .select(col("doc_id"), hash60(col("shingle")).as("sh"))
+    val bp = Sketches.bloomPrune(bloom,
+        trainSh(spark.readStream.schema(schema).parquet(docDir.toString)), "sh")
+      .writeStream.format("memory").queryName("docs_bloom_stream").start()
+    bp.processAllAvailable(); bp.stop()
+    val prunedStream = spark.table("docs_bloom_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val prunedBatch = Sketches.bloomPrune(bloom,
+        trainSh(spark.read.parquet(s"$dir/documents.parquet")), "sh")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(prunedStream == prunedBatch && prunedStream.nonEmpty)
   }
 
   test("streaming sequence packing == batch packSequences (single batch)") {
