@@ -3818,6 +3818,64 @@ object Queries {
         |SELECT * FROM ok UNION ALL SELECT * FROM bad
         |ORDER BY doc_id, frame_idx""".stripMargin)),
 
+    // Deterministic frame sampling: every 2nd frame of each decoded GIF
+    // (stride sampler, no RNG); corrupt rows pass through for triage. The
+    // oracle is the frame-decode oracle filtered to even frame indices.
+    "m_frame_sample" -> Q(
+      (s, dir) =>
+        Multimodal.sampleFrames(
+            Multimodal.decodeFrames(
+              Multimodal.syntheticGifPayloads(rd(s, dir, "documents"))),
+            every = 2)
+          .orderBy(asc("doc_id"), asc_nulls_first("frame_idx")),
+      Some("""WITH g AS (SELECT doc_id, 2 + doc_id % 4 AS nf,
+        |    4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h,
+        |    (doc_id % 10 = 0) AS corrupt
+        |  FROM documents),
+        |fr AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS f
+        |  FROM g WHERE NOT corrupt),
+        |ok AS (SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |    CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |    CAST(w * h AS BIGINT) AS n_px,
+        |    CAST(w * h * ((doc_id * 37 + f * 11) % 256) AS BIGINT) AS sum_r,
+        |    CAST(w * h * ((doc_id * 59 + f * 23) % 256) AS BIGINT) AS sum_g,
+        |    CAST(w * h * ((doc_id * 83 + f * 41) % 256) AS BIGINT) AS sum_b
+        |  FROM fr WHERE f % 2 = 0),
+        |bad AS (SELECT doc_id, CAST(NULL AS BIGINT) AS frame_idx,
+        |    CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+        |    CAST(NULL AS BIGINT) AS n_px, CAST(NULL AS BIGINT) AS sum_r,
+        |    CAST(NULL AS BIGINT) AS sum_g, CAST(NULL AS BIGINT) AS sum_b
+        |  FROM g WHERE corrupt)
+        |SELECT * FROM ok UNION ALL SELECT * FROM bad
+        |ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // Exact block-average resize to an 8x8 gray grid over REAL decoded
+    // pixels — the standalone downscale step (aHash's first stage);
+    // integer floor-division block means, so every target pixel is
+    // predicted arithmetically from the gradient formula.
+    "m_image_resize" -> Q(
+      (s, dir) =>
+        Multimodal.imageResize(
+            Multimodal.syntheticGradientPayloads(rd(s, dir, "documents")))
+          .orderBy(asc("doc_id"), asc_nulls_first("by"), asc_nulls_first("bx")),
+      Some("""WITH g AS (SELECT doc_id, 4 + doc_id % 12 AS w,
+        |    4 + (doc_id // 12) % 9 AS h, (doc_id % 10 = 0) AS corrupt
+        |  FROM documents),
+        |px AS (SELECT doc_id, w, h, least(8, w) AS gw, least(8, h) AS gh,
+        |    x, y, (doc_id * 37 + x * 11 + y * 29) % 256 AS v
+        |  FROM g, unnest(range(0, w)) AS ux(x), unnest(range(0, h)) AS uy(y)
+        |  WHERE NOT corrupt),
+        |b AS (SELECT doc_id, CAST(gw AS BIGINT) AS gw, CAST(gh AS BIGINT) AS gh,
+        |    CAST((x * gw) // w AS BIGINT) AS bx, CAST((y * gh) // h AS BIGINT) AS by,
+        |    CAST(sum(v) // count(*) AS BIGINT) AS v
+        |  FROM px GROUP BY 1, 2, 3, 4, 5),
+        |bad AS (SELECT doc_id, CAST(NULL AS BIGINT) AS gw,
+        |    CAST(NULL AS BIGINT) AS gh, CAST(NULL AS BIGINT) AS bx,
+        |    CAST(NULL AS BIGINT) AS by, CAST(NULL AS BIGINT) AS v
+        |  FROM g WHERE corrupt)
+        |SELECT * FROM b UNION ALL SELECT * FROM bad
+        |ORDER BY doc_id, by, bx""".stripMargin)),
+
     // Perceptual average hash over REAL decoded pixels: gradient PNGs are
     // encoded in-plan from doc_id arithmetic, decoded by the real JDK
     // codec, block-averaged onto an 8x8 grid and bit-packed (two 32-bit

@@ -254,6 +254,69 @@ object Multimodal {
       .toDF(idCol, "payload")
   }
 
+  /** Deterministic frame SAMPLING over a decoded frame table (the
+    * [[decodeFrames]] schema): keep every `every`-th frame by frame
+    * index — the stride sampler a video pipeline runs before feature
+    * extraction (no RNG: the same video always yields the same frames).
+    * Corrupt rows (null frame_idx) pass through — triage stays visible. */
+  def sampleFrames(frames: DataFrame, every: Int,
+                   frameCol: String = "frame_idx"): DataFrame = {
+    require(every >= 1, "need every >= 1")
+    frames.filter(col(frameCol).isNull || col(frameCol) % every === 0)
+  }
+
+  /** Exact block-average RESIZE of a decoded image to (at most) a
+    * `gridW x gridH` gray grid — the downscale step of an image feature
+    * pipeline, and the standalone form of [[imageAHash]]'s first stage.
+    * Output one row per target pixel: (idCol, gw, gh, bx, by, v) with
+    * `v = sum(gray) DIV count` over the source block (integer floor
+    * division — exact, SQL-replayable) and block membership
+    * `bx = x * gw DIV w` (pure integers, the aHash convention). Images
+    * smaller than the grid produce their own size (`gw = min(gridW, w)`).
+    * Undecodable payloads yield ONE all-null row. */
+  def imageResize(df: DataFrame, gridW: Int = 8, gridH: Int = 8,
+                  idCol: String = "doc_id",
+                  payloadCol: String = "payload"): DataFrame = {
+    require(gridW >= 1 && gridH >= 1, "need gridW >= 1 and gridH >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val img =
+          if (bytes == null) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+        if (img == null)
+          Seq((id, None: Option[Long], None: Option[Long],
+            None: Option[Long], None: Option[Long], None: Option[Long]))
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val gw = math.min(gridW, w)
+          val gh = math.min(gridH, h)
+          val sums = Array.ofDim[Long](gh, gw)
+          val cnts = Array.ofDim[Long](gh, gw)
+          var y = 0
+          while (y < h) {
+            val by = y * gh / h
+            var x = 0
+            while (x < w) {
+              sums(by)(x * gw / w) += (img.getRGB(x, y) >> 8) & 0xFF
+              cnts(by)(x * gw / w) += 1
+              x += 1
+            }
+            y += 1
+          }
+          for (by <- 0 until gh; bx <- 0 until gw) yield
+            (id, Some(gw.toLong), Some(gh.toLong), Some(bx.toLong),
+              Some(by.toLong), Some(sums(by)(bx) / cnts(by)(bx)))
+        }
+      }
+      .toDF(idCol, "gw", "gh", "bx", "by", "v")
+  }
+
   /** Gradient-PAIR PNG fixtures for the image-dedup path: consecutive ids
     * form a near-duplicate pair — the even id carries the base gradient
     * `(base*37 + x*11 + y*29) % 200` (headroom below 255 on purpose), the

@@ -203,6 +203,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(hash(1L) != ((0L, 0L)))
   }
 
+  test("imageResize: block means, small-image grid clamp, corrupt null row") {
+    // uniform image: every target pixel IS the color; 3x2 source under an
+    // 8x8 grid clamps to its own size; truncated payload -> one null row
+    val uni = encode(16, 16, "png")((_, _) => (0, 77, 0))
+    val tiny = encode(3, 2, "png")((x, y) => (0, x * 10 + y * 40, 0))
+    val df = Seq((1L, uni), (2L, tiny), (3L, uni.take(12)))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.imageResize(df).collect()
+    val u = out.filter(_.getLong(0) == 1L)
+    assert(u.length == 64 && u.forall(_.getLong(5) == 77L))
+    val t = out.filter(_.getLong(0) == 2L)
+    assert(t.length == 6 && t.forall(r => r.getLong(1) == 3L && r.getLong(2) == 2L))
+    // 1:1 blocks: value is the exact source pixel
+    assert(t.map(r => ((r.getLong(3), r.getLong(4)), r.getLong(5))).toMap ==
+      (for (x <- 0 until 3; y <- 0 until 2) yield ((x.toLong, y.toLong), (x * 10 + y * 40).toLong)).toMap)
+    val c = out.filter(_.getLong(0) == 3L)
+    assert(c.length == 1 && c.head.isNullAt(1) && c.head.isNullAt(5))
+  }
+
   test("audioEnergySegments: merges consecutive loud windows, exact energies") {
     // mono PCM16, 25-frame windows; amplitude per window:
     // [quiet, LOUD, LOUD, quiet, LOUD] -> segments (1,2) and (4,1)
