@@ -1233,6 +1233,30 @@ object Queries {
         |WHERE s.doc_id % 31 <> 0
         |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Character-exact repeated-substring spans (Lee et al. 2021 shape):
+    // every maximal run of positions whose 24-char gram repeats
+    // corpus-wide — boundary-free, so verbatim copies are caught at any
+    // offset. L-gram seeding + df count + per-doc gaps-and-islands; the
+    // oracle replays grams, hashes, df, and the island merge.
+    "t_substring_spans" -> Q(
+      (s, dir) =>
+        Dedup.repeatedSubstringSpans(rd(s, dir, "documents"), L = 24)
+          .orderBy("doc_id", "span_start"),
+      Some(s"""WITH c AS (SELECT doc_id, text, len(text) AS n
+        |    FROM documents WHERE text IS NOT NULL AND len(text) >= 24),
+        |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    ${sqlHash60("substr(text, CAST(i AS INTEGER), 24)")} AS h
+        |  FROM c, unnest(range(1, n - 22)) AS u(i)),
+        |rep AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        |m AS (SELECT g.doc_id, g.pos,
+        |    g.pos - row_number() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS grp
+        |  FROM g JOIN rep USING (h))
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 23 AS BIGINT) AS span_end,
+        |  CAST(count(*) AS BIGINT) AS n_grams
+        |FROM m GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin)),
+
     // C4-style span-level corpus dedup: cut each document into 8-token
     // chunks, keep only the FIRST corpus-wide occurrence of every chunk
     // (ordered by doc_id, chunk_id — total), reassemble survivors. The

@@ -248,6 +248,11 @@ object ScaleSmoke {
     // CDC: row-local window hashing — linear in characters, no shuffle
     time("cdc_chunks_w8_d64")(
       TextOps.cdcChunks(docs, window = 8, divisor = 64).count())
+    // character-exact repeated-substring spans: one L-gram explode (rows =
+    // total characters), one hash-partitioned df count, per-doc island
+    // merge — linear in corpus characters
+    time("substring_spans_L24")(
+      Dedup.repeatedSubstringSpans(docs, L = 24).count())
     // length-bucketed batches: one two-phase rank (single range shuffle)
     // + a bands-sized broadcast join; no band-sized window, so a skewed
     // length distribution costs nothing extra

@@ -209,6 +209,29 @@ class DedupSpec extends AnyFunSuite {
     assert(shuffled == hits)
   }
 
+  test("repeatedSubstringSpans: exact boundaries, offset-free, no false spans") {
+    // the planted 30-char copy sits at DIFFERENT offsets in docs 1 and 2 —
+    // the boundary-free property chunk-aligned dedup lacks
+    val copy = "zqxjvkwpfyghmbntrlscdzeuioazq1" // 30 chars, no self-overlap
+    val d1 = "ABCD " + copy + " EFGH"            // shared region " copy " @ 5
+    val d2 = "IJKLMNOPQRST " + copy + " U"       // shared region " copy " @ 13
+    val d3 = "totally unrelated text with no repeats at all here ok"
+    val df = Seq((1L, d1), (2L, d2), (3L, d3),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSubstringSpans(df, L = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the CROSS-DOC shared substring is " " + copy + " " (32 chars — the
+    // flanking spaces are genuinely shared too): 23 repeated 10-grams,
+    // one maximal span covering exactly those 32 characters in each doc
+    val s1 = spans.filter(_._1 == 1L)
+    val s2 = spans.filter(_._1 == 2L)
+    assert(s1.length == 1 && s2.length == 1)
+    assert(s1.head == ((1L, 5L, 36L, 23L)), s1.head.toString)
+    assert(s2.head == ((2L, 13L, 44L, 23L)), s2.head.toString)
+    assert(!spans.exists(_._1 == 3L)) // no repeats -> no rows
+    assert(!spans.exists(_._1 == 4L)) // null text dropped
+  }
+
   test("decontaminateBloom is bit-identical to the exact path") {
     // no false negatives (Bloom) + exact confirm join (kills false
     // positives) => identical output; the pre-filter only changes how
