@@ -1257,6 +1257,50 @@ object Queries {
         |FROM m GROUP BY doc_id, grp
         |ORDER BY doc_id, span_start""".stripMargin)),
 
+    // The cut composition: delete every repeated-substring span from its
+    // document and stitch the remainder (cut-all policy). Null-text docs
+    // keep their null; span-free docs pass through byte-identical.
+    "t_substring_cut" -> Q(
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val spans = Dedup.repeatedSubstringSpans(docs, L = 24)
+        Dedup.removeSpans(docs, spans)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH c AS (SELECT doc_id, text, len(text) AS n
+        |    FROM documents WHERE text IS NOT NULL AND len(text) >= 24),
+        |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    ${sqlHash60("substr(text, CAST(i AS INTEGER), 24)")} AS h
+        |  FROM c, unnest(range(1, n - 22)) AS u(i)),
+        |rep AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        |m AS (SELECT g.doc_id, g.pos,
+        |    g.pos - row_number() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS grp
+        |  FROM g JOIN rep USING (h)),
+        |sp AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS s,
+        |    CAST(max(pos) + 23 AS BIGINT) AS e
+        |  FROM m GROUP BY doc_id, grp),
+        |gaps AS (SELECT d.doc_id, d.text, len(d.text) AS n, sp.s, sp.e,
+        |    coalesce(lag(sp.e) OVER (PARTITION BY d.doc_id ORDER BY sp.s), 0) AS pe
+        |  FROM documents d JOIN sp ON d.doc_id = sp.doc_id),
+        |segs AS (SELECT doc_id, text, n, pe + 1 AS gs, s - 1 AS ge, s, e,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY s) AS rn,
+        |    count(*) OVER (PARTITION BY doc_id) AS nsp
+        |  FROM gaps),
+        |kept AS (SELECT doc_id,
+        |    string_agg(CASE WHEN gs <= ge
+        |      THEN substr(text, CAST(gs AS INTEGER), CAST(ge - gs + 1 AS INTEGER))
+        |      ELSE '' END, '' ORDER BY s)
+        |    || any_value(CASE WHEN rn = nsp THEN
+        |         CASE WHEN e + 1 <= n
+        |           THEN substr(text, CAST(e + 1 AS INTEGER), CAST(n - e AS INTEGER))
+        |           ELSE '' END END) AS clean_text,
+        |    CAST(sum(e - s + 1) AS BIGINT) AS n_cut_chars
+        |  FROM segs GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(k.clean_text, d.text) AS clean_text,
+        |  coalesce(k.n_cut_chars, 0) AS n_cut_chars
+        |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+        |ORDER BY d.doc_id""".stripMargin)),
+
     // C4-style span-level corpus dedup: cut each document into 8-token
     // chunks, keep only the FIRST corpus-wide occurrence of every chunk
     // (ordered by doc_id, chunk_id — total), reassemble survivors. The

@@ -232,6 +232,23 @@ class DedupSpec extends AnyFunSuite {
     assert(!spans.exists(_._1 == 4L)) // null text dropped
   }
 
+  test("removeSpans: stitched remainder, pass-through, null preserved") {
+    val copy = "zqxjvkwpfyghmbntrlscdzeuioazq1"
+    val d1 = "ABCD " + copy + " EFGH"
+    val d2 = "IJKLMNOPQRST " + copy + " U"
+    val d3 = "totally unrelated text with no repeats at all here ok"
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSubstringSpans(docs, L = 10)
+    val out = Dedup.removeSpans(docs, spans).collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)), r.getLong(2))).toMap
+    // the shared region " copy " (32 chars incl. flanking spaces) is cut
+    assert(out(1L) == ((Some("ABCDEFGH"), 32L)))
+    assert(out(2L) == ((Some("IJKLMNOPQRSTU"), 32L)))
+    assert(out(3L) == ((Some(d3), 0L))) // span-free: byte-identical
+    assert(out(4L) == ((None, 0L)))     // null text stays null
+  }
+
   test("decontaminateBloom is bit-identical to the exact path") {
     // no false negatives (Bloom) + exact confirm join (kills false
     // positives) => identical output; the pre-filter only changes how
