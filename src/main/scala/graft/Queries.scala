@@ -1257,6 +1257,33 @@ object Queries {
         |FROM m GROUP BY doc_id, grp
         |ORDER BY doc_id, span_start""".stripMargin)),
 
+    // Keep-first policy: the corpus-first occurrence of every gram is
+    // exempt, so exactly one copy of each repeated region survives — the
+    // Lee et al. removal semantics. The oracle ranks occurrences per gram
+    // hash by (doc_id, pos) and marks only rank > 1.
+    "t_substring_keepfirst" -> Q(
+      (s, dir) =>
+        Dedup.repeatedSubstringSpans(rd(s, dir, "documents"), L = 24,
+            keepFirst = true)
+          .orderBy("doc_id", "span_start"),
+      Some(s"""WITH c AS (SELECT doc_id, text, len(text) AS n
+        |    FROM documents WHERE text IS NOT NULL AND len(text) >= 24),
+        |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    ${sqlHash60("substr(text, CAST(i AS INTEGER), 24)")} AS h
+        |  FROM c, unnest(range(1, n - 22)) AS u(i)),
+        |mk AS (SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |    FROM g) WHERE rn > 1),
+        |m AS (SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM mk)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 23 AS BIGINT) AS span_end,
+        |  CAST(count(*) AS BIGINT) AS n_grams
+        |FROM m GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin)),
+
     // The cut composition: delete every repeated-substring span from its
     // document and stitch the remainder (cut-all policy). Null-text docs
     // keep their null; span-free docs pass through byte-identical.

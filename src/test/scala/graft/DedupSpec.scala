@@ -232,6 +232,20 @@ class DedupSpec extends AnyFunSuite {
     assert(!spans.exists(_._1 == 4L)) // null text dropped
   }
 
+  test("repeatedSubstringSpans keepFirst: first occurrence survives a cut") {
+    val copy = "zqxjvkwpfyghmbntrlscdzeuioazq1"
+    val d1 = "ABCD " + copy + " EFGH"
+    val d2 = "IJKLMNOPQRST " + copy + " U"
+    val docs = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSubstringSpans(docs, L = 10, keepFirst = true)
+    // doc 1 holds every gram's corpus-first occurrence -> exempt entirely;
+    // doc 2's copy region is the only removable span
+    val out = Dedup.removeSpans(docs, spans).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ((d1, 0L)))
+    assert(out(2L) == (("IJKLMNOPQRSTU", 32L)))
+  }
+
   test("removeSpans: stitched remainder, pass-through, null preserved") {
     val copy = "zqxjvkwpfyghmbntrlscdzeuioazq1"
     val d1 = "ABCD " + copy + " EFGH"
