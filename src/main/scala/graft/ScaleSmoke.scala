@@ -248,6 +248,9 @@ object ScaleSmoke {
     // CDC: row-local window hashing — linear in characters, no shuffle
     time("cdc_chunks_w8_d64")(
       TextOps.cdcChunks(docs, window = 8, divisor = 64).count())
+    // rolling variant: same shape, O(n) per row instead of O(n*w) md5
+    time("cdc_rolling_w8_d64")(
+      TextOps.cdcChunksRolling(docs, window = 8, divisor = 64).count())
     // character-exact repeated-substring spans: one L-gram explode (rows =
     // total characters), one hash-partitioned df count, per-doc island
     // merge — linear in corpus characters
