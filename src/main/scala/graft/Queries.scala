@@ -1898,6 +1898,33 @@ object Queries {
         |WHERE starts[j] <= ends[j]
         |ORDER BY doc_id, chunk_idx""".stripMargin)),
 
+    // Deterministic greedy LM decoding (temperature-0 argmax): start at
+    // the most frequent token, follow the most frequent successor 8 times
+    // (ties lowest token). The oracle replays the chain with a recursive
+    // CTE over the same bigram table.
+    "t_greedy_chain" -> Q(
+      (s, dir) =>
+        TextRanking.greedyChain(rd(s, dir, "documents"), steps = 8)
+          .orderBy("step"),
+      Some(s"""WITH RECURSIVE $ToksCte, $StreamCte,
+        |b AS (SELECT doc_id, token AS w0,
+        |        lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+        |      FROM stream),
+        |bg AS (SELECT w0, w1, CAST(count(*) AS BIGINT) AS c FROM b
+        |       WHERE w1 IS NOT NULL GROUP BY w0, w1),
+        |succ AS (SELECT w0, w1 FROM (
+        |    SELECT w0, w1, row_number() OVER (PARTITION BY w0 ORDER BY c DESC, w1) AS rn
+        |    FROM bg) WHERE rn = 1),
+        |start AS (SELECT token FROM (
+        |    SELECT token, count(*) AS c FROM stream GROUP BY token
+        |    ORDER BY c DESC, token LIMIT 1)),
+        |chain(step, token) AS (
+        |  SELECT CAST(0 AS BIGINT) AS step, token FROM start
+        |  UNION ALL
+        |  SELECT chain.step + 1, s.w1 FROM chain JOIN succ s ON chain.token = s.w0
+        |  WHERE chain.step < 8)
+        |SELECT step, token FROM chain ORDER BY step""".stripMargin)),
+
     // Sqrt-temperature mixture sampling (alpha = 0.5): composition
     // proportional to sqrt(stratum count), scarcest stratum kept whole.
     // sqrt is IEEE-correctly-rounded in both engines, so the oracle

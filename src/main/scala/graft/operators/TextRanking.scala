@@ -143,6 +143,41 @@ object TextRanking {
     * aggregate, two context-count aggregates over it (bigram-table-sized,
     * NOT corpus-sized), one scalar count, per-doc hash joins + one final
     * aggregate. */
+  /** Deterministic GREEDY generation from the corpus bigram LM — argmax
+    * decoding, the temperature-0 case every LM decoder degenerates to:
+    * start at the corpus's most frequent token, repeatedly take the
+    * most frequent successor (ties to the lowest token — total order, so
+    * the chain is rerun- and engine-identical; `t_greedy_chain` replays
+    * it with a recursive CTE). A token with no successor ends the chain
+    * early; greedy LOOPS are allowed and simply repeat until `steps`.
+    *
+    * Scale shape: the corpus-sized work is the two ngram aggregates; the
+    * successor table is vocab-bounded and broadcast, and each of the
+    * `steps` chain extensions joins ONE row against it. Output:
+    * (step 0.., token). */
+  def greedyChain(docs: DataFrame, steps: Int = 8,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(steps >= 0, "need steps >= 0")
+    val bg = TextOps.ngrams(docs, 2, idCol, textCol)
+      .groupBy(col("w0"), col("w1"))
+      .agg(sum("count").as("c"))
+    val wSucc = Window.partitionBy("w0").orderBy(desc("c"), asc("w1"))
+    val succ = graft.core.CacheScope.persist(broadcast(
+      bg.withColumn("__rn", row_number().over(wSucc))
+        .filter(col("__rn") === 1).select(col("w0"), col("w1"))))
+    val start = TextOps.totalWordcounts(docs, idCol = idCol, textCol = textCol)
+      .orderBy(desc("count"), asc("token")).limit(1)
+      .select(lit(0L).as("step"), col("token"))
+    var chain = start
+    var frontier = start
+    for (i <- 1 to steps) {
+      frontier = frontier.join(succ, frontier("token") === succ("w0"))
+        .select(lit(i.toLong).as("step"), col("w1").as("token"))
+      chain = chain.unionByName(frontier)
+    }
+    chain
+  }
+
   def kneserNeyCrossEntropy(docs: DataFrame, idCol: String = "doc_id",
                             textCol: String = "text"): DataFrame = {
     val bi = graft.core.CacheScope.persist(
