@@ -1406,6 +1406,37 @@ object Queries {
 
   // ----------------------------------------------------- text analysis
 
+  /** DSIR scoring chain (follows $ToksCte, $StreamCte): hashed
+    * unigram+bigram features -> 4096-bucket counts -> add-one-smoothed
+    * micro-nat log-likelihood-ratio weights (target = lang='en') -> per-doc
+    * scores `sc(doc_id, score_micro)`. Shared by t_dsir / t_dsir_resample. */
+  private lazy val sqlDsirCtes: String =
+    s"""bg AS (SELECT doc_id,
+    |    token || ' ' || lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS f
+    |  FROM stream),
+    |feats AS (SELECT doc_id, token AS f FROM stream
+    |  UNION ALL SELECT doc_id, f FROM bg WHERE f IS NOT NULL),
+    |bf AS (SELECT doc_id, ${sqlHash60("'dsir:' || f")} % 4096 AS bucket
+    |  FROM feats),
+    |db AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+    |  FROM bf GROUP BY doc_id, bucket),
+    |tset AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+    |ct AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS c_t
+    |  FROM db JOIN tset USING (doc_id) GROUP BY bucket),
+    |cr AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS c_r
+    |  FROM db GROUP BY bucket),
+    |nt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_t
+    |  FROM db JOIN tset USING (doc_id)),
+    |nr AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_r FROM db),
+    |w AS (SELECT cr.bucket,
+    |    CAST(round(ln(((coalesce(ct.c_t, 0) + 1.0) * (nr.n_r + 4096))
+    |      / ((cr.c_r + 1.0) * (nt.n_t + 4096))) * 1e6, 0) AS BIGINT)
+    |      AS w_micro
+    |  FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN nt CROSS JOIN nr),
+    |sc AS (SELECT db.doc_id,
+    |    CAST(sum(db.cnt * w.w_micro) AS BIGINT) AS score_micro
+    |  FROM db JOIN w USING (bucket) GROUP BY db.doc_id)""".stripMargin
+
   private lazy val analysis: Seq[(String, Q)] = Seq(
 
     // Trainable quality classifier: 3 batch-perceptron rounds over hashed
@@ -1774,6 +1805,46 @@ object Queries {
         |  FROM cum)
         |SELECT doc_id, n_tokens FROM sel
         |WHERE (a + n_tokens - 1) // 2000 > (a - 1) // 2000
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic uniform k-sample: k smallest salted id hashes — the
+    // hash analog of a reservoir sample (prefix-stable in k). All-integer;
+    // membership replayed exactly.
+    "t_uniform_k" -> Q(
+      (s, dir) =>
+        Sampling.uniformK(
+            rd(s, dir, "documents").select("doc_id", "lang"), "doc_id", 40)
+          .orderBy("doc_id"),
+      Some(s"""WITH h AS (SELECT doc_id, lang,
+        |    ${sqlHash60("CAST(doc_id AS VARCHAR) || ':uniform'")} % 1000000 AS hk
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |SELECT doc_id, lang FROM
+        |  (SELECT * FROM h ORDER BY hk, doc_id LIMIT 40)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Efraimidis–Spirakis weighted k-sample without replacement: key =
+    // ln(u)/w on the integer micro grid, top-k keys. The one libm call per
+    // row is rounded to micro before comparison, so membership is
+    // cross-engine exact; token count is the weight.
+    "t_weighted_k" -> Q(
+      (s, dir) => {
+        val withW = rd(s, dir, "documents")
+          .select(col("doc_id"),
+            size(tokens(col("text"))).cast("long").as("n_tokens"))
+        Sampling.weightedSampleK(withW, "doc_id", "n_tokens", k = 40,
+          salt = "es").orderBy("doc_id")
+      },
+      Some(s"""WITH $ToksCte,
+        |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks
+        |  WHERE doc_id IS NOT NULL AND len(t) > 0),
+        |keyed AS (SELECT doc_id, n_tokens,
+        |    CAST(round(ln((CAST(${sqlHash60(
+               "CAST(doc_id AS VARCHAR) || ':es'")} % 1000000 AS DOUBLE)
+        |        + 0.5) / 1e6) * 1e6 / CAST(n_tokens AS DOUBLE), 0) AS BIGINT)
+        |      AS key_micro
+        |  FROM base)
+        |SELECT doc_id, n_tokens FROM
+        |  (SELECT * FROM keyed ORDER BY key_micro DESC, doc_id LIMIT 40)
         |ORDER BY doc_id""".stripMargin)),
 
     // Stratified deterministic sampling (the training-mix knob): keep 50%
@@ -2725,7 +2796,48 @@ object Queries {
         |  CASE WHEN h.doc_id IS NOT NULL THEN 'positive'
         |       ELSE 'hard_negative' END AS label
         |FROM ranked r LEFT JOIN hits h ON r.doc_id = h.doc_id
-        |WHERE r.rank <= 20 ORDER BY r.rank""".stripMargin))
+        |WHERE r.rank <= 20 ORDER BY r.rank""".stripMargin)),
+
+    // DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
+    // features (4096 buckets), per-bucket add-one-smoothed log-likelihood
+    // ratio target-vs-raw in integer micro-nats, per-doc score = sum of
+    // cnt*weight, deterministic top-50. The oracle rebuilds the whole
+    // model: same md5 bucket hash, same smoothing rational inside one ln,
+    // same micro rounding — so selection membership AND scores match
+    // exactly. Target = lang='en' (the same self-derived label the
+    // perceptron/NB classifiers use).
+    "t_dsir" -> Q(
+      (s, dir) =>
+        Dsir.selectTop(rd(s, dir, "documents"), col("lang") === "en",
+          numBuckets = 4096, k = 50),
+      Some(s"""WITH $ToksCte, $StreamCte, $sqlDsirCtes
+        |SELECT doc_id, score_micro, round(score_micro / 1e6, 6) AS score
+        |FROM sc ORDER BY score_micro DESC, doc_id LIMIT 50""".stripMargin)),
+
+    // DSIR's resampling half: hash-deterministic Bernoulli keep with
+    // p = exp((score - max)/T) on an integer micro grid — membership AND
+    // the (p_micro, u_micro) evidence columns replayed exactly.
+    "t_dsir_resample" -> Q(
+      (s, dir) => {
+        val feats = graft.core.CacheScope.persist(Dsir.hashedFeatures(
+          rd(s, dir, "documents"), numBuckets = 4096))
+        val tf = feats.join(
+          rd(s, dir, "documents").filter(col("lang") === "en").select("doc_id"),
+          Seq("doc_id"), "semi")
+        val scored = Dsir.scoreDocuments(
+          feats, Dsir.importanceWeights(tf, feats, 4096))
+        Dsir.importanceResample(scored, temperature = 2.0).orderBy("doc_id")
+      },
+      Some(s"""WITH $ToksCte, $StreamCte, $sqlDsirCtes,
+        |mx AS (SELECT max(score_micro) AS m FROM sc),
+        |r AS (SELECT doc_id, score_micro,
+        |    CAST(round(exp(CAST(score_micro - mx.m AS DOUBLE) / 2000000.0)
+        |      * 1e6, 0) AS BIGINT) AS p_micro,
+        |    ${sqlHash60("CAST(doc_id AS VARCHAR) || ':resample:dsir'")}
+        |      % 1000000 AS u_micro
+        |  FROM sc CROSS JOIN mx)
+        |SELECT doc_id, score_micro, p_micro, u_micro FROM r
+        |WHERE u_micro < p_micro ORDER BY doc_id""".stripMargin))
   )
 
   // ------------------------------------------------------------- SRP

@@ -282,6 +282,14 @@ object ScaleSmoke {
         bigEmb, topk = 5, m = 4, dim = 64, refine = 4).count()
     })
     graft.core.CacheScope.release()
+    // DSIR selection: feature table = one explode + one (doc,bucket)
+    // aggregate; the model is 4096 weight rows broadcast back — corpus
+    // cost is two aggregates however large the corpus, then resampling is
+    // a row-local filter
+    time("dsir_top1k_b4096")(
+      graft.operators.Dsir.selectTop(docs, col("lang") === "en",
+        numBuckets = 4096, k = 1000).count())
+    graft.core.CacheScope.release()
     spark.stop()
   }
 }

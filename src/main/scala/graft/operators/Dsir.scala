@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** DSIR-style importance resampling for pretraining-data selection
+  * (Xie et al. 2023, "Data Selection for Language Models via Importance
+  * Resampling"): score every raw document by how target-like its hashed
+  * n-gram feature distribution is, then keep the top slice.
+  *
+  * Pipeline shape (all corpus-sized stages are single aggregates):
+  *
+  *  1. [[hashedFeatures]] — unigram + bigram token features hashed into a
+  *     fixed `numBuckets` space (feature hashing closes the vocabulary:
+  *     the model is `numBuckets` counters regardless of corpus size).
+  *  2. [[importanceWeights]] — per-bucket log-likelihood ratio
+  *     `ln(p_target(b) / p_raw(b))` under add-one smoothing, carried as
+  *     integer MICRO-nats so downstream sums are exact and
+  *     order-independent. The weight table has at most `numBuckets` rows —
+  *     broadcast-sized by construction, independent of corpus size.
+  *  3. [[scoreDocuments]] — per-document score = Σ count(b) · w(b) via a
+  *     broadcast join of the weight table onto the per-doc bucket counts:
+  *     the corpus-sized side shuffles ONCE (the groupBy(doc, bucket)),
+  *     never for the join.
+  *  4. [[selectTop]] — deterministic top-k by (score desc, id asc), a
+  *     TakeOrdered — no global sort.
+  *
+  * Cross-engine determinism: bucket = hash60("dsir:" ++ feature) mod B
+  * (md5-derived, engine-stable); weights are `round(ln(rational) * 1e6)`
+  * where the rational's numerator/denominator are exact integers, the same
+  * micro-nat contract the TF-IDF / Kneser-Ney / BM25 oracles use.
+  *
+  * The reference engine has no data-selection stage; this extends its
+  * corpus model (corpus.py:1-60) the way a 100 TB pretraining pipeline
+  * needs. 2^53 headroom: doc scores are Σ cnt·|w| ≤ n_tokens · ln(B)·1e6
+  * ≈ n_tokens · 2e7 — safe for documents under ~4e8 tokens.
+  */
+object Dsir {
+
+  /** Per-document hashed feature COUNTS: (idCol, bucket, cnt).
+    *
+    * Features are the unigram tokens plus adjacent-pair bigrams
+    * ("a b", space-joined), each hashed into [0, numBuckets) with the
+    * engine-stable hash60 under a "dsir:" salt. Row-local explode + one
+    * hash aggregate; no joins, no windows.
+    */
+  def hashedFeatures(docs: DataFrame, numBuckets: Int,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+    // unigrams ++ bigrams, built row-locally from the one token array
+    val bi = transform(
+      sequence(lit(1), size(col("toks")) - lit(1)),
+      i => concat(element_at(col("toks"), i), lit(" "),
+        element_at(col("toks"), i + lit(1))))
+    val feats = concat(
+      col("toks"),
+      when(size(col("toks")) >= 2, bi).otherwise(array()))
+    toks.select(col(idCol), explode(feats).as("f"))
+      .select(col(idCol),
+        pmod(hash60(concat(lit("dsir:"), col("f"))), lit(numBuckets.toLong))
+          .as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-bucket importance weights in integer micro-nats:
+    *
+    *   w(b) = round( ln( (c_t(b)+1) · (C_r+B) / ((c_r(b)+1) · (C_t+B)) ) · 1e6 )
+    *
+    * where c_t/c_r are target/raw bucket counts, C_t/C_r their totals and
+    * B = numBuckets (add-one smoothing over the hashed space). Emits one
+    * row per bucket OBSERVED in the raw corpus — buckets absent from raw
+    * can never contribute to a raw document's score, so the table stays
+    * ≤ min(numBuckets, distinct-features) rows. Output: (bucket, w_micro).
+    */
+  def importanceWeights(targetFeats: DataFrame, rawFeats: DataFrame,
+                        numBuckets: Int): DataFrame = {
+    val ct = targetFeats.groupBy("bucket").agg(sum("cnt").as("c_t"))
+    val cr = rawFeats.groupBy("bucket").agg(sum("cnt").as("c_r"))
+    // scalar totals: one-row aggregates, composed via crossJoin (broadcast
+    // of a single row — the established scalar-compose pattern here)
+    val totT = targetFeats.agg(sum("cnt").as("n_t"))
+    val totR = rawFeats.agg(sum("cnt").as("n_r"))
+    cr.join(ct, Seq("bucket"), "left")
+      .na.fill(0L, Seq("c_t"))
+      .crossJoin(broadcast(totT)).crossJoin(broadcast(totR))
+      .select(col("bucket"),
+        round(log(
+          (col("c_t") + lit(1)).cast("double") * (col("n_r") + lit(numBuckets)) /
+            ((col("c_r") + lit(1)).cast("double") * (col("n_t") + lit(numBuckets)))
+        ) * lit(1e6), 0).cast("long").as("w_micro"))
+  }
+
+  /** Per-document importance score: Σ_b cnt(b) · w_micro(b), via a
+    * BROADCAST join of the (≤ numBuckets)-row weight table — the
+    * corpus-sized feature table is never reshuffled for the join.
+    * Output: (idCol, score_micro). Buckets with no weight row cannot occur
+    * when `weights` was built from the same raw corpus (inner join is
+    * therefore lossless). */
+  def scoreDocuments(rawFeats: DataFrame, weights: DataFrame,
+                     idCol: String = "doc_id"): DataFrame =
+    rawFeats.join(broadcast(weights), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt") * col("w_micro")).as("score_micro"))
+
+  /** End-to-end selection: target = `docs` rows matching `targetPred`; raw
+    * = all of `docs`. Returns the top-k most target-like documents as
+    * (idCol, score_micro, score) ordered (score desc, id asc) — a
+    * TakeOrdered, not a global sort. The feature table is computed once
+    * and persisted across its two consumers (weights numerator uses the
+    * target slice of the same table). */
+  def selectTop(docs: DataFrame, targetPred: Column, numBuckets: Int, k: Int,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val feats = graft.core.CacheScope.persist(
+      hashedFeatures(docs, numBuckets, idCol, textCol))
+    val targetIds = docs.filter(targetPred).select(col(idCol))
+    // target slice via semi join on ids (the id table may be corpus-sized:
+    // semi join, not forced broadcast — Catalyst broadcasts it when small)
+    val tf = feats.join(targetIds, Seq(idCol), "semi")
+    val w = importanceWeights(tf, feats, numBuckets)
+    val scored = scoreDocuments(feats, w, idCol)
+    val top = scored.orderBy(desc("score_micro"), col(idCol).asc).limit(k)
+    top.select(col(idCol), col("score_micro"),
+      round(col("score_micro") / lit(1e6), 6).as("score"))
+  }
+
+  /** The RESAMPLING half of DSIR: keep each scored document with
+    * probability `p = exp((score - maxScore) / temperature)` (shifted by
+    * the corpus max so p ≤ 1; temperature in nats widens/narrows the
+    * band), decided by a DETERMINISTIC hash-uniform — no RNG state, so
+    * membership is stable under reprocessing and exactly replayable by
+    * the oracle, the same contract as [[Sampling]].
+    *
+    * Integer decision grid: `p_micro = round(p * 1e6)` vs
+    * `u_micro = hash60(id ++ salt) mod 1e6` — the comparison happens on
+    * exact longs, keeping the one engine-sensitive operation (`exp`) a
+    * single rounded scalar per row. maxScore arrives via a one-row
+    * broadcast crossJoin (scalar-compose pattern); everything else is
+    * row-local — no shuffle at any corpus size.
+    *
+    * Output: the kept rows of `scored` plus (p_micro, u_micro).
+    */
+  def importanceResample(scored: DataFrame, temperature: Double = 1.0,
+                         salt: String = "dsir", idCol: String = "doc_id",
+                         scoreCol: String = "score_micro"): DataFrame = {
+    require(temperature > 0, s"temperature must be positive, got $temperature")
+    val mx = scored.agg(max(col(scoreCol)).as("__max_micro"))
+    scored.crossJoin(broadcast(mx))
+      .withColumn("p_micro",
+        round(exp((col(scoreCol) - col("__max_micro")).cast("double") /
+          lit(1e6 * temperature)) * lit(1e6), 0).cast("long"))
+      .withColumn("u_micro",
+        pmod(hash60(concat(col(idCol).cast("string"), lit(":resample:" + salt))),
+          lit(1000000L)))
+      .filter(col("u_micro") < col("p_micro"))
+      .drop("__max_micro")
+  }
+}

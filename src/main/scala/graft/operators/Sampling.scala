@@ -174,4 +174,52 @@ object Sampling {
       .filter(expr(s"(__a + __w - 1) DIV ${step}L > (__a - 1) DIV ${step}L"))
       .drop("__bucket", "__w", "__cum", "__a")
   }
+
+  /** Deterministic uniform k-sample: the k rows whose salted id hash is
+    * smallest — the hash-based analog of a reservoir sample, with the
+    * reservoir property (any k' < k prefix of the ordering is the k'-sample,
+    * so growing/shrinking k never reshuffles membership). All-integer
+    * ordering (hash, then id as total tie-break), executed as a TakeOrdered
+    * top-k — no global sort, no RNG state, exact SQL replay.
+    *
+    * Null-id rows are dropped ([[stratifiedSample]] contract). */
+  def uniformK(df: DataFrame, idCol: String, k: Int,
+               salt: String = "uniform"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.filter(col(idCol).isNotNull)
+      .withColumn("__h", hashBucket(col(idCol), salt, 1000000))
+      .orderBy(col("__h"), col(idCol))
+      .limit(k)
+      .drop("__h")
+  }
+
+  /** Weighted k-sample WITHOUT replacement (Efraimidis–Spirakis 2006): each
+    * row draws key = ln(u) / w with a hash-deterministic uniform
+    * u ∈ (0,1); the k LARGEST keys are the sample. Inclusion probability is
+    * proportional-to-size without replacement — the classic one-pass
+    * distributed weighted sampler (the u^(1/w) max-key form, taken in log
+    * space so big weights don't collapse into 1.0 ulp territory).
+    *
+    * Determinism: u = (hash60(id ++ salt) mod 1e6 + 0.5) / 1e6 — exact
+    * integer hash, then ONE libm call per row rounded onto an integer
+    * micro-key grid (`key_micro = round(ln(u) * 1e6 / w)`), the same
+    * micro-grid contract the TF-IDF/BM25 oracles use, with id as total
+    * tie-break. Executed as TakeOrdered top-k: no global sort.
+    *
+    * Null-id rows are dropped; rows with null/zero/negative weight can
+    * never be selected (PPS semantics) and are filtered out. */
+  def weightedSampleK(df: DataFrame, idCol: String, weightCol: String, k: Int,
+                      salt: String = "es"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (hashBucket(col(idCol), salt, 1000000).cast("double") + lit(0.5)) /
+      lit(1e6)
+    df.filter(col(idCol).isNotNull)
+      .filter(coalesce(col(weightCol).cast("long"), lit(0L)) > 0)
+      .withColumn("__key_micro",
+        round(log(u) * lit(1e6) / col(weightCol).cast("long").cast("double"), 0)
+          .cast("long"))
+      .orderBy(desc("__key_micro"), col(idCol))
+      .limit(k)
+      .drop("__key_micro")
+  }
 }

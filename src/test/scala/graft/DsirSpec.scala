@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dsir
+
+class DsirSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Target (en) docs share a vocabulary; off-target (xx) docs another; one
+  // mixed doc sits between. DSIR must rank pure-target docs above the mixed
+  // doc above pure-off-target docs.
+  private lazy val docs = Seq(
+    (1L, "alpha beta gamma alpha beta", "en"),
+    (2L, "beta gamma alpha gamma", "en"),
+    (3L, "alpha alpha beta gamma beta", "en"),
+    (4L, "zork quux blarg zork quux", "xx"),
+    (5L, "quux blarg zork blarg", "xx"),
+    (6L, "alpha beta zork quux", "xx"), // mixed: half target-like
+    (7L, "", "en"), // empty: no features, no score row
+    (8L, null.asInstanceOf[String], "xx") // null text: no features either
+  ).toDF("doc_id", "text", "lang")
+
+  test("hashedFeatures: unigrams + adjacent bigrams, mass preserved") {
+    val f = Dsir.hashedFeatures(docs, numBuckets = 1 << 20)
+    // doc 1: 5 tokens -> 5 unigrams + 4 bigrams = 9 feature occurrences
+    val mass = f.groupBy("doc_id").agg(sum("cnt").as("m")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mass(1L) == 9L && mass(2L) == 7L && mass(6L) == 7L)
+    assert(!mass.contains(7L) && !mass.contains(8L))
+    // with a huge bucket space, distinct features rarely collide: doc 1 has
+    // 3 distinct unigrams + 3 distinct bigrams (alpha-beta x2 merges)
+    assert(f.filter(col("doc_id") === 1L).count() == 6L)
+  }
+
+  test("importanceWeights: one row per raw bucket, target buckets weigh more") {
+    val feats = Dsir.hashedFeatures(docs, numBuckets = 1 << 20)
+    val tf = feats.join(docs.filter(col("lang") === "en").select("doc_id"),
+      Seq("doc_id"), "semi")
+    val w = Dsir.importanceWeights(tf, feats, 1 << 20)
+    assert(w.count() == feats.select("bucket").distinct().count())
+    // every weight a finite long; target-exclusive buckets positive,
+    // off-target-exclusive buckets all share the ln((0+1)/(c_r+1))-driven
+    // minimum end of the range
+    val joined = feats.join(w, Seq("bucket"))
+    val tMin = joined.join(docs.filter(col("lang") === "en")
+        .select("doc_id"), Seq("doc_id"), "semi")
+      .agg(min("w_micro")).collect()(0).getLong(0)
+    val xMax = joined.filter(col("doc_id") === 4L)
+      .agg(max("w_micro")).collect()(0).getLong(0)
+    assert(tMin > xMax, s"target-min $tMin should exceed off-target-max $xMax")
+  }
+
+  test("selectTop ranks target-like docs first, mixed doc in between") {
+    val top = Dsir.selectTop(docs, col("lang") === "en",
+      numBuckets = 1 << 20, k = 6).collect()
+    val order = top.map(_.getLong(0)).toSeq
+    // pure target docs (1,2,3) before the mixed doc (6) before pure xx (4,5)
+    assert(order.take(3).toSet == Set(1L, 2L, 3L), order.toString)
+    assert(order(3) == 6L, order.toString)
+    assert(order.drop(4).toSet == Set(4L, 5L), order.toString)
+    // scores strictly ordered and score == score_micro/1e6 rounded
+    val micros = top.map(_.getLong(1)).toSeq
+    assert(micros == micros.sorted.reverse)
+    top.foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getLong(1) / 1e6) < 1e-6 + 1e-9)
+    }
+    graft.core.CacheScope.release()
+  }
+
+  test("importanceResample: max-score doc always kept, membership deterministic") {
+    val feats = Dsir.hashedFeatures(docs, numBuckets = 1 << 20)
+    val tf = feats.join(docs.filter(col("lang") === "en").select("doc_id"),
+      Seq("doc_id"), "semi")
+    val scored = Dsir.scoreDocuments(feats,
+      Dsir.importanceWeights(tf, feats, 1 << 20))
+    val kept = Dsir.importanceResample(scored, temperature = 2.0).collect()
+    // p is monotone in score: the max-score doc has p_micro = 1e6 > any
+    // u_micro, so it is always kept
+    val maxDoc = scored.orderBy(desc("score_micro")).first().getLong(0)
+    assert(kept.map(_.getLong(0)).contains(maxDoc))
+    // deterministic: second run keeps the identical set
+    val kept2 = Dsir.importanceResample(scored, temperature = 2.0).collect()
+    assert(kept.map(_.getLong(0)).sorted.toSeq ==
+      kept2.map(_.getLong(0)).sorted.toSeq)
+    // evidence columns honor the keep rule
+    kept.foreach { r =>
+      val (p, u) = (r.getAs[Long]("p_micro"), r.getAs[Long]("u_micro"))
+      assert(u < p && p >= 0 && p <= 1000000L && u >= 0 && u < 1000000L)
+    }
+  }
+
+  test("bucket collisions stay in-range at tiny bucket counts") {
+    val f = Dsir.hashedFeatures(docs, numBuckets = 4)
+    val bks = f.select("bucket").distinct().collect().map(_.getLong(0))
+    assert(bks.forall(b => b >= 0 && b < 4))
+    // end-to-end still runs (weights well-defined under heavy collision)
+    val top = Dsir.selectTop(docs, col("lang") === "en", numBuckets = 4, k = 10)
+    assert(top.count() == 6L) // all docs with features scored
+    graft.core.CacheScope.release()
+  }
+}

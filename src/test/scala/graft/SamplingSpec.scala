@@ -153,4 +153,40 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(sel == Set(3L))
   }
+
+  test("uniformK: exact k, deterministic, prefix-stable in k, null ids dropped") {
+    val k20 = Sampling.uniformK(docs, "doc_id", 20).collect().map(_.getLong(0))
+    val k40 = Sampling.uniformK(docs, "doc_id", 40).collect().map(_.getLong(0))
+    assert(k20.length == 20 && k40.length == 40)
+    // reservoir/prefix property: the 20-sample IS the first 20 of the 40-sample
+    assert(k20.toSeq == k40.take(20).toSeq)
+    // rerun identical
+    assert(Sampling.uniformK(docs, "doc_id", 20).collect()
+      .map(_.getLong(0)).toSeq == k20.toSeq)
+    val withNull = Seq(Option(1L), Option(2L), None).toDF("doc_id")
+    assert(Sampling.uniformK(withNull, "doc_id", 10).count() == 2)
+  }
+
+  test("weightedSampleK: heavy rows favored, zero/null weights excluded") {
+    // 200 light rows (w=1) + 10 heavy rows (w=10000): a 10-sample should be
+    // dominated by heavy rows (each heavy row's key ln(u)/1e4 is ~1e4 closer
+    // to zero than any light row's)
+    val rows = (0L until 200L).map((_, 1L)) ++ (1000L until 1010L).map((_, 10000L))
+    val df = rows.toDF("doc_id", "w")
+    val sel = Sampling.weightedSampleK(df, "doc_id", "w", k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(sel.count(_ >= 1000L) == 10, s"expected all heavy, got $sel")
+    // zero/null weights and null ids can never appear
+    val edge = Seq((Some(1L), Some(0L)), (Some(2L), None), (None, Some(5L)),
+      (Some(3L), Some(5L)), (Some(4L), Some(5L))).toDF("doc_id", "w")
+    val picked = Sampling.weightedSampleK(edge, "doc_id", "w", k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(picked == Set(3L, 4L))
+    // determinism across physical orderings
+    val a = Sampling.weightedSampleK(df.repartition(7), "doc_id", "w", k = 25)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.weightedSampleK(df.orderBy($"doc_id".desc), "doc_id", "w",
+      k = 25).collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
 }
