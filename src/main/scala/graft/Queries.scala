@@ -2819,13 +2819,8 @@ object Queries {
     // the (p_micro, u_micro) evidence columns replayed exactly.
     "t_dsir_resample" -> Q(
       (s, dir) => {
-        val feats = graft.core.CacheScope.persist(Dsir.hashedFeatures(
-          rd(s, dir, "documents"), numBuckets = 4096))
-        val tf = feats.join(
-          rd(s, dir, "documents").filter(col("lang") === "en").select("doc_id"),
-          Seq("doc_id"), "semi")
-        val scored = Dsir.scoreDocuments(
-          feats, Dsir.importanceWeights(tf, feats, 4096))
+        val scored = Dsir.scoreAll(rd(s, dir, "documents"),
+          col("lang") === "en", numBuckets = 4096)
         Dsir.importanceResample(scored, temperature = 2.0).orderBy("doc_id")
       },
       Some(s"""WITH $ToksCte, $StreamCte, $sqlDsirCtes,

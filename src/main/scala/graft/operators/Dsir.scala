@@ -107,22 +107,61 @@ object Dsir {
       .groupBy(col(idCol))
       .agg(sum(col("cnt") * col("w_micro")).as("score_micro"))
 
+  /** Per-document DSIR scores when the TARGET IS A PREDICATE over the same
+    * corpus (the self-supervised form the driver rows use): the flag rides
+    * along from the first projection, so target and raw bucket counts fall
+    * out of ONE conditional aggregate, and both totals come from the
+    * numBuckets-row bucket table — no semi joins, no extra corpus passes.
+    * Exactly three corpus-sized stages: the feature aggregate, the bucket
+    * aggregate (map-combined to ≤ partitions × numBuckets rows), and the
+    * score aggregate. Same arithmetic as [[importanceWeights]] +
+    * [[scoreDocuments]] (a null predicate counts as non-target, matching
+    * SQL filter semantics). Output: (idCol, score_micro).
+    *
+    * For a genuinely SEPARATE target corpus (the classic Wikipedia-vs-crawl
+    * setup), compose the building blocks instead: [[hashedFeatures]] on
+    * each corpus, [[importanceWeights]], [[scoreDocuments]]. */
+  def scoreAll(docs: DataFrame, targetPred: Column, numBuckets: Int,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val toks = docs.select(col(idCol), targetPred.as("__t"),
+      tokens(col(textCol)).as("toks"))
+    val bi = transform(
+      sequence(lit(1), size(col("toks")) - lit(1)),
+      i => concat(element_at(col("toks"), i), lit(" "),
+        element_at(col("toks"), i + lit(1))))
+    val feats = concat(
+      col("toks"),
+      when(size(col("toks")) >= 2, bi).otherwise(array()))
+    val perDoc = graft.core.CacheScope.persist(
+      toks.select(col(idCol), col("__t"), explode(feats).as("f"))
+        .select(col(idCol), col("__t"),
+          pmod(hash60(concat(lit("dsir:"), col("f"))), lit(numBuckets.toLong))
+            .as("bucket"))
+        .groupBy(col(idCol), col("__t"), col("bucket"))
+        .agg(count(lit(1)).as("cnt")))
+    val bucketStats = perDoc.groupBy("bucket").agg(
+      sum("cnt").as("c_r"),
+      sum(when(col("__t"), col("cnt")).otherwise(lit(0L))).as("c_t"))
+    val tot = bucketStats.agg(sum("c_r").as("n_r"), sum("c_t").as("n_t"))
+    val w = bucketStats.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        round(log(
+          (col("c_t") + lit(1)).cast("double") * (col("n_r") + lit(numBuckets)) /
+            ((col("c_r") + lit(1)).cast("double") * (col("n_t") + lit(numBuckets)))
+        ) * lit(1e6), 0).cast("long").as("w_micro"))
+    perDoc.join(broadcast(w), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt") * col("w_micro")).as("score_micro"))
+  }
+
   /** End-to-end selection: target = `docs` rows matching `targetPred`; raw
     * = all of `docs`. Returns the top-k most target-like documents as
     * (idCol, score_micro, score) ordered (score desc, id asc) — a
-    * TakeOrdered, not a global sort. The feature table is computed once
-    * and persisted across its two consumers (weights numerator uses the
-    * target slice of the same table). */
+    * TakeOrdered, not a global sort. */
   def selectTop(docs: DataFrame, targetPred: Column, numBuckets: Int, k: Int,
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val feats = graft.core.CacheScope.persist(
-      hashedFeatures(docs, numBuckets, idCol, textCol))
-    val targetIds = docs.filter(targetPred).select(col(idCol))
-    // target slice via semi join on ids (the id table may be corpus-sized:
-    // semi join, not forced broadcast — Catalyst broadcasts it when small)
-    val tf = feats.join(targetIds, Seq(idCol), "semi")
-    val w = importanceWeights(tf, feats, numBuckets)
-    val scored = scoreDocuments(feats, w, idCol)
+    val scored = scoreAll(docs, targetPred, numBuckets, idCol, textCol)
     val top = scored.orderBy(desc("score_micro"), col(idCol).asc).limit(k)
     top.select(col(idCol), col("score_micro"),
       round(col("score_micro") / lit(1e6), 6).as("score"))

@@ -70,6 +70,19 @@ class DsirSpec extends AnyFunSuite {
     graft.core.CacheScope.release()
   }
 
+  test("scoreAll == hashedFeatures∘importanceWeights∘scoreDocuments (two paths, one result)") {
+    val viaBlocks = {
+      val feats = Dsir.hashedFeatures(docs, numBuckets = 512)
+      val tf = feats.join(docs.filter(col("lang") === "en").select("doc_id"),
+        Seq("doc_id"), "semi")
+      Dsir.scoreDocuments(feats, Dsir.importanceWeights(tf, feats, 512))
+    }
+    val viaFlag = Dsir.scoreAll(docs, col("lang") === "en", numBuckets = 512)
+    assert(viaFlag.exceptAll(viaBlocks).count() == 0 &&
+      viaBlocks.exceptAll(viaFlag).count() == 0)
+    graft.core.CacheScope.release()
+  }
+
   test("importanceResample: max-score doc always kept, membership deterministic") {
     val feats = Dsir.hashedFeatures(docs, numBuckets = 1 << 20)
     val tf = feats.join(docs.filter(col("lang") === "en").select("doc_id"),
