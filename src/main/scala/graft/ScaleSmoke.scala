@@ -290,6 +290,12 @@ object ScaleSmoke {
       graft.operators.Dsir.selectTop(docs, col("lang") === "en",
         numBuckets = 4096, k = 1000).count())
     graft.core.CacheScope.release()
+    // trigram KN: one corpus trigram aggregate + three trigram-TYPE-table
+    // aggregates; per-doc joins are hash joins on the type tables — cost
+    // must track the trigram scan, like bigrams
+    time("kn3_cross_entropy")(
+      graft.operators.TextRanking.trigramKneserNeyCrossEntropy(docs).count())
+    graft.core.CacheScope.release()
     spark.stop()
   }
 }

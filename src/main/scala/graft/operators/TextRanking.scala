@@ -204,6 +204,75 @@ object TextRanking {
           / 1e6).as("cross_entropy"))
   }
 
+  /** TRIGRAM interpolated Kneser-Ney cross-entropy — one order closer to
+    * the 5-gram KenLM filters CCNet actually ships, built entirely from
+    * the corpus trigram table (lower-order continuation counts derived
+    * from it, the standard practice):
+    *
+    *   P(w2|w0,w1) = max(c012−d,0)/S01 + d·N1r01/S01 · Pc(w2|w1)
+    *   Pc(w2|w1)   = max(Nc12−d,0)/Nmid1 + d·N1rc1/Nmid1 · Nl2/B
+    *
+    * with d = 3/4, c012 the corpus trigram count, S01 = Σ_w2 c012,
+    * N1r01 = distinct w2 after (w0,w1), Nc12 = distinct w0 before
+    * (w1,w2), Nmid1 = Σ_w2 Nc12, N1rc1 = distinct w2 after w1 (in
+    * trigram support), Nl2 = distinct w1 before w2, B = distinct (w1,w2).
+    *
+    * Multiplying through, each probability is ONE ratio of two LONGS
+    * computed exactly (d = 3/4 ⇒ every term is an integer ×4):
+    *
+    *   num = max(4·c012−3,0)·4·Nmid1·B
+    *       + 3·N1r01·(max(4·Nc12−3,0)·B + 3·N1rc1·Nl2)
+    *   den = 16·S01·Nmid1·B
+    *
+    * Cross-engine contract: num/den are exact int64 (overflow bound:
+    * den = 16·S01·Nmid·B must stay < 2^63 ≈ 9.2e18 — holds through
+    * ~1e6-type trigram supports; past that, shard the model by w1 and
+    * renormalize), each cast to double (IEEE-identical rounding in both
+    * engines), ONE ln per row rounded to micro-nats before any
+    * aggregation — the [[bigramCrossEntropy]] contract.
+    *
+    * Plan shape: corpus trigram aggregate; three context aggregates over
+    * the TRIGRAM-TYPE table (not corpus-sized); one scalar count; the
+    * per-doc trigram table hash-joins the model tables (pair/triple
+    * tables are vocab²-ish — no broadcast hints, the planner broadcasts
+    * what fits) + one final per-doc aggregate. Documents with < 3 tokens
+    * have no trigrams and are absent. */
+  def trigramKneserNeyCrossEntropy(docs: DataFrame, idCol: String = "doc_id",
+                                   textCol: String = "text"): DataFrame = {
+    val tri = graft.core.CacheScope.persist(
+      TextOps.ngrams(docs, 3, idCol, textCol))
+    val triTot = graft.core.CacheScope.persist(
+      tri.groupBy("w0", "w1", "w2").agg(sum("count").as("ctri")))
+    val s01 = triTot.groupBy("w0", "w1")
+      .agg(sum("ctri").as("s01"), count(lit(1)).as("n1r01"))
+    val cont = graft.core.CacheScope.persist(
+      triTot.groupBy("w1", "w2").agg(count(lit(1)).as("ncont")))
+    val mid = cont.groupBy("w1")
+      .agg(sum("ncont").as("nmid"), count(lit(1)).as("n1rc"))
+    val nl = cont.groupBy("w2").agg(count(lit(1)).as("nl"))
+    val b = cont.count() // one scalar: distinct (w1,w2) in trigram support
+    val num = greatest(lit(4L) * col("ctri") - lit(3L), lit(0L)) *
+        (lit(4L) * col("nmid") * lit(b)) +
+      lit(3L) * col("n1r01") *
+        (greatest(lit(4L) * col("ncont") - lit(3L), lit(0L)) * lit(b) +
+          lit(3L) * col("n1rc") * col("nl"))
+    val den = lit(16L) * col("s01") * col("nmid") * lit(b)
+    tri.join(triTot, Seq("w0", "w1", "w2"))
+      .join(s01, Seq("w0", "w1"))
+      .join(mid, Seq("w1"))
+      .join(cont, Seq("w1", "w2"))
+      .join(nl, Seq("w2"))
+      .withColumn("lp_scaled",
+        round(log(num.cast("double") / den.cast("double")) * 1e6, 0)
+          .cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("count") * col("lp_scaled")).as("s"),
+        sum("count").as("n_trigrams"))
+      .select(col(idCol), col("n_trigrams"),
+        (-round(col("s").cast("double") / col("n_trigrams"), 0).cast("long")
+          / 1e6).as("cross_entropy"))
+  }
+
   /** Top-`k` keywords per document by TF-IDF (desc, token asc tie-break) —
     * the standard document-keyword extraction. The rank window partitions by
     * document, so the sort is per-document-sized — scale-safe. */

@@ -179,4 +179,56 @@ class TextRankingSpec extends AnyFunSuite {
     assert(TextRanking.phraseOccurrences(d, Seq("a", "zzz")).count() == 0)
     graft.core.CacheScope.release()
   }
+
+  test("trigram KN CE matches an independent brute-force model") {
+    val texts = Seq(
+      1L -> "a b c a b d a b c",
+      2L -> "b c a b c a",
+      3L -> "c a b d a b",
+      4L -> "x y") // 2 tokens: no trigram, must be absent from the output
+    // independent model: plain-Scala collections, same d=3/4 formulas
+    def toks(s: String) = "[\\p{L}]+".r.findAllIn(s).toVector
+    val docTris = texts.map { case (id, t) =>
+      id -> toks(t).sliding(3).filter(_.size == 3).toVector
+        .map(v => (v(0), v(1), v(2)))
+    }
+    val corpusTri = docTris.flatMap(_._2).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val s01 = corpusTri.groupBy { case ((a, b, _), _) => (a, b) }
+      .view.mapValues(_.values.sum).toMap
+    val n1r01 = corpusTri.groupBy { case ((a, b, _), _) => (a, b) }
+      .view.mapValues(_.size.toLong).toMap
+    val cont = corpusTri.keys.toSeq.map { case (a, b, c) => ((b, c), a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet.size.toLong).toMap
+    val nmid = cont.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1rc = cont.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val nl = cont.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val b = cont.size.toLong
+    def roundHalfUp(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def lp(tri: (String, String, String)): Long = {
+      val c = corpusTri(tri); val (w0, w1, w2) = tri
+      val num = math.max(4 * c - 3, 0L) * (4 * nmid(w1) * b) +
+        3 * n1r01((w0, w1)) * (math.max(4 * cont((w1, w2)) - 3, 0L) * b +
+          3 * n1rc(w1) * nl(w2))
+      val den = 16 * s01((w0, w1)) * nmid(w1) * b
+      roundHalfUp(math.log(num.toDouble / den.toDouble) * 1e6)
+    }
+    val expect = docTris.filter(_._2.nonEmpty).map { case (id, ts) =>
+      val s = ts.groupBy(identity).map { case (t, o) => o.size * lp(t) }.sum
+      val n = ts.size.toLong
+      id -> (n, -roundHalfUp(s.toDouble / n) / 1e6)
+    }.toMap
+    val got = TextRanking.trigramKneserNeyCrossEntropy(
+        texts.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == expect.keySet) // doc 4 absent
+    expect.foreach { case (id, (n, ce)) =>
+      assert(got(id)._1 == n, s"doc $id trigram count")
+      assert(math.abs(got(id)._2 - ce) < 1e-9, s"doc $id CE: ${got(id)._2} vs $ce")
+    }
+    // CE is positive (every trigram probability < 1 on this corpus)
+    expect.values.foreach { case (_, ce) => assert(ce > 0) }
+    graft.core.CacheScope.release()
+  }
 }
