@@ -1437,6 +1437,41 @@ object Queries {
     |    CAST(sum(db.cnt * w.w_micro) AS BIGINT) AS score_micro
     |  FROM db JOIN w USING (bucket) GROUP BY db.doc_id)""".stripMargin
 
+  /** Trigram Kneser-Ney model + per-doc sums (follows $ToksCte,
+    * $StreamCte): trigram stream -> per-doc + corpus trigram tables ->
+    * the five model tables -> per-trigram micro-nat log-probs ->
+    * `a(doc_id, s, n)`. Shared by t_kneser_ney3 / t_ccnet_buckets. */
+  private lazy val sqlKn3Ctes: String =
+    s"""tg AS (SELECT doc_id, token AS w0,
+    |    lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+    |    lead(token, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    |  FROM stream),
+    |td AS (SELECT doc_id, w0, w1, w2, CAST(count(*) AS BIGINT) AS "count"
+    |  FROM tg WHERE w2 IS NOT NULL GROUP BY doc_id, w0, w1, w2),
+    |tt AS (SELECT w0, w1, w2, CAST(sum("count") AS BIGINT) AS ctri
+    |  FROM td GROUP BY w0, w1, w2),
+    |s01 AS (SELECT w0, w1, CAST(sum(ctri) AS BIGINT) AS s01,
+    |    CAST(count(*) AS BIGINT) AS n1r01 FROM tt GROUP BY w0, w1),
+    |cont AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS ncont
+    |  FROM tt GROUP BY w1, w2),
+    |mid AS (SELECT w1, CAST(sum(ncont) AS BIGINT) AS nmid,
+    |    CAST(count(*) AS BIGINT) AS n1rc FROM cont GROUP BY w1),
+    |nlt AS (SELECT w2, CAST(count(*) AS BIGINT) AS nl
+    |  FROM cont GROUP BY w2),
+    |bb AS (SELECT CAST(count(*) AS BIGINT) AS b FROM cont),
+    |j AS (SELECT td.doc_id, td."count",
+    |    CAST(round(ln(
+    |      CAST(greatest(4 * tt.ctri - 3, 0) * (4 * mid.nmid * bb.b)
+    |        + 3 * s01.n1r01 * (greatest(4 * cont.ncont - 3, 0) * bb.b
+    |          + 3 * mid.n1rc * nlt.nl) AS DOUBLE)
+    |      / CAST(16 * s01.s01 * mid.nmid * bb.b AS DOUBLE))
+    |      * 1000000, 0) AS BIGINT) AS lp
+    |  FROM td JOIN tt USING (w0, w1, w2) JOIN s01 USING (w0, w1)
+    |  JOIN mid USING (w1) JOIN cont USING (w1, w2) JOIN nlt USING (w2)
+    |  CROSS JOIN bb),
+    |a AS (SELECT doc_id, CAST(sum("count" * lp) AS BIGINT) AS s,
+    |    CAST(sum("count") AS BIGINT) AS n FROM j GROUP BY doc_id)""".stripMargin
+
   private lazy val analysis: Seq[(String, Q)] = Seq(
 
     // Trainable quality classifier: 3 batch-perceptron rounds over hashed
@@ -1704,40 +1739,33 @@ object Queries {
       (s, dir) =>
         TextRanking.trigramKneserNeyCrossEntropy(rd(s, dir, "documents"))
           .orderBy("doc_id"),
-      Some(s"""WITH $ToksCte, $StreamCte,
-        |tg AS (SELECT doc_id, token AS w0,
-        |    lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
-        |    lead(token, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
-        |  FROM stream),
-        |td AS (SELECT doc_id, w0, w1, w2, CAST(count(*) AS BIGINT) AS "count"
-        |  FROM tg WHERE w2 IS NOT NULL GROUP BY doc_id, w0, w1, w2),
-        |tt AS (SELECT w0, w1, w2, CAST(sum("count") AS BIGINT) AS ctri
-        |  FROM td GROUP BY w0, w1, w2),
-        |s01 AS (SELECT w0, w1, CAST(sum(ctri) AS BIGINT) AS s01,
-        |    CAST(count(*) AS BIGINT) AS n1r01 FROM tt GROUP BY w0, w1),
-        |cont AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS ncont
-        |  FROM tt GROUP BY w1, w2),
-        |mid AS (SELECT w1, CAST(sum(ncont) AS BIGINT) AS nmid,
-        |    CAST(count(*) AS BIGINT) AS n1rc FROM cont GROUP BY w1),
-        |nlt AS (SELECT w2, CAST(count(*) AS BIGINT) AS nl
-        |  FROM cont GROUP BY w2),
-        |bb AS (SELECT CAST(count(*) AS BIGINT) AS b FROM cont),
-        |j AS (SELECT td.doc_id, td."count",
-        |    CAST(round(ln(
-        |      CAST(greatest(4 * tt.ctri - 3, 0) * (4 * mid.nmid * bb.b)
-        |        + 3 * s01.n1r01 * (greatest(4 * cont.ncont - 3, 0) * bb.b
-        |          + 3 * mid.n1rc * nlt.nl) AS DOUBLE)
-        |      / CAST(16 * s01.s01 * mid.nmid * bb.b AS DOUBLE))
-        |      * 1000000, 0) AS BIGINT) AS lp
-        |  FROM td JOIN tt USING (w0, w1, w2) JOIN s01 USING (w0, w1)
-        |  JOIN mid USING (w1) JOIN cont USING (w1, w2) JOIN nlt USING (w2)
-        |  CROSS JOIN bb),
-        |a AS (SELECT doc_id, CAST(sum("count" * lp) AS BIGINT) AS s,
-        |    CAST(sum("count") AS BIGINT) AS n FROM j GROUP BY doc_id)
+      Some(s"""WITH $ToksCte, $StreamCte, $sqlKn3Ctes
         |SELECT doc_id, n AS n_trigrams,
         |  -CAST(round(CAST(s AS DOUBLE) / n, 0) AS BIGINT) / 1000000.0
         |    AS cross_entropy
         |FROM a ORDER BY doc_id""".stripMargin)),
+
+    // CCNet perplexity buckets: equal-population head/middle/tail cut of
+    // the trigram-KN cross-entropy ranking — floor(rank*3/n) over the
+    // total order (ce asc, id asc). Rank is the two-phase scheme on the
+    // Spark side, a plain window in the oracle.
+    "t_ccnet_buckets" -> Q(
+      (s, dir) =>
+        TextRanking.perplexityBuckets(rd(s, dir, "documents"), nBuckets = 3)
+          .orderBy("doc_id"),
+      Some(s"""WITH $ToksCte, $StreamCte, $sqlKn3Ctes,
+        |ce AS (SELECT doc_id, n AS n_trigrams,
+        |    -CAST(round(CAST(s AS DOUBLE) / n, 0) AS BIGINT) / 1000000.0
+        |      AS cross_entropy
+        |  FROM a),
+        |rk AS (SELECT doc_id, n_trigrams, cross_entropy,
+        |    row_number() OVER (ORDER BY cross_entropy, doc_id) - 1 AS rank0,
+        |    count(*) OVER () AS nn FROM ce)
+        |SELECT doc_id, n_trigrams, cross_entropy,
+        |  (rank0 * 3) // nn AS bucket_id,
+        |  CASE (rank0 * 3) // nn WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+        |    ELSE 'tail' END AS bucket
+        |FROM rk ORDER BY doc_id""".stripMargin)),
 
     // TextRank keyword importance: 3 integer-micro PageRank rounds over
     // the vocab-capped token co-occurrence graph. The oracle rebuilds the

@@ -273,6 +273,42 @@ object TextRanking {
           / 1e6).as("cross_entropy"))
   }
 
+  /** CCNet-style PERPLEXITY BUCKETS: rank every document by LM
+    * cross-entropy (here the trigram-KN signal) and cut the corpus into
+    * `nBuckets` equal-population bands — CCNet's head/middle/tail split,
+    * the filter its pipeline actually applies downstream of the KenLM
+    * score. bucket_id = floor(rank · nBuckets / n) over the total order
+    * (cross_entropy asc, id asc), so the split is deterministic,
+    * engine-exact (pure integer arithmetic once ranks exist) and balanced
+    * to ±1 document.
+    *
+    * Scale shape: the rank is [[graft.core.Ids.denseRankBy]] — the
+    * two-phase range-partitioned scheme, ONE data shuffle, no global
+    * window; n arrives as a one-row broadcast (max rank + 1), never a
+    * driver collect of data. Output: (idCol, n_trigrams, cross_entropy,
+    * bucket_id, bucket) with bucket named head/middle/tail for the
+    * 3-bucket case and b<i> otherwise. */
+  def perplexityBuckets(docs: DataFrame, nBuckets: Int = 3,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val ce = trigramKneserNeyCrossEntropy(docs, idCol, textCol)
+    val ranked = graft.core.Ids.denseRankBy(ce,
+      Seq(col("cross_entropy").asc, col(idCol).asc), "rank0")
+    val tot = ranked.agg((max("rank0") + lit(1L)).as("__n"))
+    val bucketId = expr(s"rank0 * $nBuckets DIV __n")
+    val named =
+      if (nBuckets == 3)
+        when(col("bucket_id") === 0, lit("head"))
+          .when(col("bucket_id") === 1, lit("middle"))
+          .otherwise(lit("tail"))
+      else concat(lit("b"), col("bucket_id").cast("string"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("bucket_id", bucketId)
+      .select(col(idCol), col("n_trigrams"), col("cross_entropy"),
+        col("bucket_id"), named.as("bucket"))
+  }
+
   /** Top-`k` keywords per document by TF-IDF (desc, token asc tie-break) —
     * the standard document-keyword extraction. The rank window partitions by
     * document, so the sort is per-document-sized — scale-safe. */

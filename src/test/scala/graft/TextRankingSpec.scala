@@ -231,4 +231,26 @@ class TextRankingSpec extends AnyFunSuite {
     expect.values.foreach { case (_, ce) => assert(ce > 0) }
     graft.core.CacheScope.release()
   }
+
+  test("perplexityBuckets: balanced bands, ordered by CE, head < tail") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextRanking.perplexityBuckets(d, nBuckets = 3).collect()
+    val byBucket = out.groupBy(_.getAs[String]("bucket"))
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    // equal-population to +-1
+    val sizes = byBucket.view.mapValues(_.length).toMap
+    assert(sizes.values.max - sizes.values.min <= 1, sizes.toString)
+    // every head CE <= every tail CE (the cut respects the ranking)
+    val maxHead = byBucket("head").map(_.getAs[Double]("cross_entropy")).max
+    val minTail = byBucket("tail").map(_.getAs[Double]("cross_entropy")).min
+    assert(maxHead <= minTail)
+    // bucket_id consistent with the name
+    out.foreach { r =>
+      val expected = r.getAs[Long]("bucket_id") match {
+        case 0 => "head"; case 1 => "middle"; case _ => "tail"
+      }
+      assert(r.getAs[String]("bucket") == expected)
+    }
+    graft.core.CacheScope.release()
+  }
 }
