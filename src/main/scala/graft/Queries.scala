@@ -1208,6 +1208,35 @@ object Queries {
         |WHERE s.doc_id % 31 <> 0
         |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Contamination SEVERITY: per-doc fraction of distinct 8-gram shingles
+    // found in the eval set, clean docs included — the distribution the
+    // decontamination threshold is tuned on.
+    "t_contam_frac" -> Q(
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        Dedup.contaminationReport(
+            docs.filter(col("doc_id") % 31 =!= 0),
+            docs.filter(col("doc_id") % 31 === 0), n = 8)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $ToksCte,
+        |sl AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+        |       FROM toks WHERE len(t) >= 8),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    ${sqlHash60("array_to_string(t[i:i+7], ' ')")} AS sh
+        |  FROM sl),
+        |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 31 = 0),
+        |tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 31 <> 0),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+        |  FROM tr GROUP BY doc_id),
+        |hit AS (SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM tr JOIN ev USING (sh) GROUP BY tr.doc_id)
+        |SELECT t.doc_id, t.n_shingles, coalesce(h.n_hits, 0) AS n_hits,
+        |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / t.n_shingles, 6)
+        |    AS overlap_frac
+        |FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+        |ORDER BY t.doc_id""".stripMargin)),
+
     // The same decontamination through the Bloom pre-filter path (the
     // eval-set-too-big-to-broadcast shape): eval shingles -> 64Kbit Bloom
     // broadcast, row-local bit tests prune the training shingles, exact

@@ -296,6 +296,14 @@ object ScaleSmoke {
     time("kn3_cross_entropy")(
       graft.operators.TextRanking.trigramKneserNeyCrossEntropy(docs).count())
     graft.core.CacheScope.release()
+    // real-codec image decode throughput: synthesize one PNG per doc id
+    // (row-local imageio encode), then the batched mapPartitions decode +
+    // aHash — both passes must run at scan speed, no shuffle anywhere
+    time("image_decode_ahash")({
+      val imgs = graft.operators.Multimodal.syntheticImagePayloads(
+        docs.limit(100000).select(col("doc_id")))
+      graft.operators.Multimodal.imageAHash(imgs).count()
+    })
     spark.stop()
   }
 }

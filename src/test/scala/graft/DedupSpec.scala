@@ -209,6 +209,27 @@ class DedupSpec extends AnyFunSuite {
     assert(shuffled == hits)
   }
 
+  test("contaminationReport: fractions incl. clean docs, consistent with decontaminate") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "zeta eta theta iota kappa"),
+      (3L, "gamma delta epsilon whatever here also delta epsilon whatever")).toDF("doc_id", "text")
+    val eval = Seq((100L, "gamma delta epsilon whatever here")).toDF("doc_id", "text")
+    val rep = Dedup.contaminationReport(train, eval, n = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // doc 1: 3 distinct 3-grams, 1 shared; doc 2: 3, 0 shared (CLEAN row
+    // present); doc 3: 7 windows but "delta epsilon whatever" repeats ->
+    // 6 distinct, 3 shared
+    assert(rep(1L) == ((3L, 1L, 0.333333)))
+    assert(rep(2L) == ((3L, 0L, 0.0)))
+    assert(rep(3L) == ((6L, 3L, 0.5)))
+    // n_hits agrees with decontaminate's shared_ngrams on flagged docs
+    val flags = Dedup.decontaminate(train, eval, n = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    flags.foreach { case (id, shared) => assert(rep(id)._2 == shared) }
+    graft.core.CacheScope.release()
+  }
+
   test("repeatedSubstringSpans: exact boundaries, offset-free, no false spans") {
     // the planted 30-char copy sits at DIFFERENT offsets in docs 1 and 2 —
     // the boundary-free property chunk-aligned dedup lacks
