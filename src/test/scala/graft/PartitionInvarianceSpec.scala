@@ -19,7 +19,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   private val names = Seq("q_running_total", "t_vocab", "t_length_batches",
-    "t_minhash_lsh", "e_ivf_pq", "t_cdc_rolling", "t_vocab_merge")
+    "t_minhash_lsh", "e_ivf_pq", "t_cdc_rolling", "t_vocab_merge",
+    // round-8 third pass: DSIR model (bucket aggregates + broadcast
+    // weights), rank-cut perplexity buckets, severity fractions
+    "t_dsir", "t_ccnet_buckets", "t_contam_frac")
 
   private def run(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
