@@ -2719,6 +2719,32 @@ object Queries {
         |  array_to_string(string_split(trim(sym), '  '), ' ') AS segm
         |FROM s6 ORDER BY word""".stripMargin)),
 
+    // Document -> input_ids: the trained tokenizer applied to every
+    // document, pieces to dense ids (rank of the distinct piece strings),
+    // sequence re-assembled in (word, piece) order. The oracle reuses the
+    // training replay's final word-segmentation state (s6) — per-doc
+    // sequences, counts and the id map all recomputed independently.
+    "t_input_ids" -> Q(
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val merges = Bpe.train(docs, nMerges = 6)
+        Bpe.encodeDocuments(docs, merges).orderBy("doc_id")
+      },
+      Some(s"""WITH $sqlBpeCtes,
+        |pc AS (SELECT word, l[x] AS piece, x AS sp
+        |  FROM (SELECT word, string_split(trim(sym), '  ') AS l FROM s6),
+        |    unnest(range(1, len(l) + 1)) AS u(x)),
+        |ws AS (SELECT doc_id, pos, lower(token) AS word FROM stream
+        |  WHERE regexp_matches(lower(token), '^[a-z]+$$')),
+        |pieces AS (SELECT ws.doc_id, ws.pos, pc.sp, pc.piece
+        |  FROM ws JOIN pc ON pc.word = ws.word),
+        |voc AS (SELECT piece, row_number() OVER (ORDER BY piece) - 1 AS pid
+        |  FROM (SELECT DISTINCT piece FROM pieces))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pieces,
+        |  string_agg(CAST(pid AS VARCHAR), ' ' ORDER BY pos, sp) AS ids_str
+        |FROM pieces JOIN voc USING (piece)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // OOV rate against the top-100 vocabulary — the tokenizer-coverage
     // signal: documents full of out-of-vocabulary tokens are exactly the
     // ones a fixed vocab serves worst. One broadcast join against the

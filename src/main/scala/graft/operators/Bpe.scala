@@ -99,4 +99,43 @@ object Bpe {
     }
     when(w.rlike("^[a-z]+$"), split(trim(sym), "  "))
   }
+
+  /** Document-level tokenizer APPLICATION — the doc → `input_ids` bridge a
+    * training pipeline runs after the tokenizer is trained: every in-
+    * contract word (lowercased `[a-z]+`, the trainer's own contract) is
+    * segmented by the merge table, pieces get DENSE INTEGER IDS (dense
+    * rank of the distinct piece strings — data-derived, deterministic,
+    * and at most 26 + merges.size distinct pieces exist since the replace
+    * chain only ever creates single letters or merge results), and each
+    * document re-assembles its id sequence in (word, piece) order.
+    *
+    * Out-of-contract words (digits, non-Latin scripts) are SKIPPED — the
+    * same NULL contract as [[encode]]; documents with no encodable words
+    * are absent. Output: (idCol, n_pieces, ids_str) with ids_str the
+    * space-joined id sequence (string form — the engine's array-output
+    * convention for cross-engine comparison).
+    *
+    * Scale shape: one tokenize + one row-local segmentation explode; the
+    * piece vocabulary is ≤ 26+|merges| rows (broadcast); sequence
+    * re-assembly is collect_list + row-local array_sort per document —
+    * no window, no global sort; one per-doc aggregate shuffle. */
+  def encodeDocuments(docs: DataFrame, merges: Seq[Merge],
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val words = docs.select(col(idCol),
+      posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
+        .as(Seq("pos", "word")))
+    val pieces = graft.core.CacheScope.persist(
+      words.select(col(idCol), col("pos"),
+        posexplode(encode(col("word"), merges)).as(Seq("sp", "piece"))))
+    val vocab = graft.core.Ids.denseRankBy(
+      pieces.select("piece").distinct(), Seq(col("piece").asc), "piece_id")
+    pieces.join(broadcast(vocab), Seq("piece"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pieces"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("sp"),
+            col("piece_id")))),
+          x => x.getField("piece_id").cast("string"))).as("ids_str"))
+  }
 }

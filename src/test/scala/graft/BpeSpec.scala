@@ -54,4 +54,30 @@ class BpeSpec extends AnyFunSuite {
     assert(enc == Seq("aa", "a"))
     graft.core.CacheScope.release()
   }
+
+  test("encodeDocuments: id sequences decode back to the word segmentations") {
+    val docs = Seq(
+      (1L, "the cat the cat sat"),
+      (2L, "Кошка спит 123"), // no [a-z]+ words: absent from the output
+      (3L, "The THE the")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, nMerges = 4)
+    val out = Bpe.encodeDocuments(docs, merges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out.keySet == Set(1L, 3L))
+    // rebuild the piece vocabulary independently (rank of distinct pieces)
+    def segm(w: String): Seq[String] =
+      Seq(w).toDF("w").select(Bpe.encode(col("w"), merges).as("t"))
+        .head().getSeq[String](0)
+    val wordsByDoc = Map(
+      1L -> Seq("the", "cat", "the", "cat", "sat"),
+      3L -> Seq("the", "the", "the")) // case-folded by the encoder
+    val allPieces = wordsByDoc.values.flatten.toSeq.distinct.flatMap(segm)
+    val vocab = allPieces.distinct.sorted.zipWithIndex.toMap
+    wordsByDoc.foreach { case (id, ws) =>
+      val expIds = ws.flatMap(segm).map(vocab)
+      assert(out(id)._1 == expIds.length, s"doc $id piece count")
+      assert(out(id)._2 == expIds.mkString(" "), s"doc $id id sequence")
+    }
+    graft.core.CacheScope.release()
+  }
 }
