@@ -2745,6 +2745,51 @@ object Queries {
         |FROM pieces JOIN voc USING (piece)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Packed training sequences: the encodeDocuments stream laid end to
+    // end in 8 hash buckets and cut every 128 pieces — per-sequence
+    // concatenated ids plus doc/piece counts, the final pretraining
+    // artifact. The oracle rebuilds global piece indexes (per-bucket
+    // running sums + in-doc rank) and re-derives every sequence string.
+    "t_packed_ids" -> Q(
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val merges = Bpe.train(docs, nMerges = 6)
+        Bpe.packedInputIds(docs, merges, budget = 128, nBuckets = 8)
+          .orderBy("bucket", "seq_id")
+      },
+      Some(s"""WITH $sqlBpeCtes,
+        |pc AS (SELECT word, l[x] AS piece, x AS sp
+        |  FROM (SELECT word, string_split(trim(sym), '  ') AS l FROM s6),
+        |    unnest(range(1, len(l) + 1)) AS u(x)),
+        |ws AS (SELECT doc_id, pos, lower(token) AS word FROM stream
+        |  WHERE regexp_matches(lower(token), '^[a-z]+$$')),
+        |pieces AS (SELECT ws.doc_id, ws.pos, pc.sp, pc.piece
+        |  FROM ws JOIN pc ON pc.word = ws.word),
+        |voc AS (SELECT piece, row_number() OVER (ORDER BY piece) - 1 AS pid
+        |  FROM (SELECT DISTINCT piece FROM pieces)),
+        |enc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pieces
+        |  FROM pieces GROUP BY doc_id),
+        |bk AS (SELECT doc_id, n_pieces,
+        |    ${sqlHash60("CAST(doc_id AS VARCHAR) || ':pack'")} % 8 AS bucket
+        |  FROM enc),
+        |st AS (SELECT doc_id, bucket,
+        |    COALESCE(CAST(sum(n_pieces) OVER (PARTITION BY bucket
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |      0) AS start_tok
+        |  FROM bk),
+        |pp AS (SELECT p.doc_id, st.bucket,
+        |    st.start_tok + row_number()
+        |      OVER (PARTITION BY p.doc_id ORDER BY p.pos, p.sp) - 1 AS pg,
+        |    v.pid
+        |  FROM pieces p JOIN voc v USING (piece) JOIN st USING (doc_id))
+        |SELECT bucket, pg // 128 AS seq_id,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_pieces,
+        |  string_agg(CAST(pid AS VARCHAR), ' ' ORDER BY pg) AS ids_str
+        |FROM pp GROUP BY bucket, pg // 128
+        |ORDER BY bucket, seq_id""".stripMargin)),
+
     // OOV rate against the top-100 vocabulary — the tokenizer-coverage
     // signal: documents full of out-of-vocabulary tokens are exactly the
     // ones a fixed vocab serves worst. One broadcast join against the

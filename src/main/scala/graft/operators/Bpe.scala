@@ -138,4 +138,43 @@ object Bpe {
             col("piece_id")))),
           x => x.getField("piece_id").cast("string"))).as("ids_str"))
   }
+
+  /** PACKED TRAINING SEQUENCES — the final artifact a pretraining
+    * pipeline emits: [[encodeDocuments]] output laid end to end in
+    * `nBuckets` independent hash-bucketed streams (the
+    * [[TextOps.packSequences]] grid, same "pack" salt semantics) and cut
+    * every `budget` PIECES. Documents straddle boundaries with standard
+    * concat-and-chunk semantics; each output row is one training
+    * sequence: (bucket, seq_id, n_docs, n_pieces, ids_str) with exactly
+    * `budget` pieces except each stream's tail.
+    *
+    * Scale shape: the only non-row-local steps are the per-bucket running
+    * sum (partitioned window — each bucket holds ~1/nBuckets of the
+    * corpus) and the per-(bucket, seq) aggregate; piece-to-sequence
+    * assignment is pure integer arithmetic on the global piece index.
+    * No data-sized window, no global sort. */
+  def packedInputIds(docs: DataFrame, merges: Seq[Merge], budget: Int = 512,
+                     nBuckets: Int = 32, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(budget >= 1 && nBuckets >= 1, "need budget >= 1 and nBuckets >= 1")
+    val enc = encodeDocuments(docs, merges, idCol, textCol)
+      .withColumn("bucket",
+        graft.operators.Sampling.hashBucket(col(idCol), "pack", nBuckets))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val started = enc.withColumn("start_tok",
+      coalesce(sum("n_pieces").over(w), lit(0L)))
+    started
+      .select(col(idCol), col("bucket"), col("start_tok"),
+        posexplode(split(col("ids_str"), " ")).as(Seq("ip", "pid")))
+      .withColumn("pg", col("start_tok") + col("ip"))
+      .withColumn("seq_id", expr(s"pg DIV ${budget}L"))
+      .groupBy(col("bucket"), col("seq_id"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_pieces"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pg"), col("pid")))),
+          x => x.getField("pid"))).as("ids_str"))
+  }
 }

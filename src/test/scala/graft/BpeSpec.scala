@@ -80,4 +80,34 @@ class BpeSpec extends AnyFunSuite {
     }
     graft.core.CacheScope.release()
   }
+
+  test("packedInputIds: budget-exact sequences, mass preserved, straddle allowed") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = Bpe.train(docs, nMerges = 4)
+    val budget = 64
+    val packs = Bpe.packedInputIds(docs, merges, budget = budget, nBuckets = 4)
+      .collect()
+    val enc = Bpe.encodeDocuments(docs, merges)
+      .agg(org.apache.spark.sql.functions.sum("n_pieces")).collect()(0).getLong(0)
+    // total piece mass is conserved through packing
+    assert(packs.map(_.getAs[Long]("n_pieces")).sum == enc)
+    // every sequence except each bucket's LAST holds exactly `budget` pieces
+    val byBucket = packs.groupBy(_.getAs[Long]("bucket"))
+    byBucket.foreach { case (b, seqs) =>
+      val sorted = seqs.sortBy(_.getAs[Long]("seq_id"))
+      // seq ids are the dense prefix 0..n-1 of the bucket's grid
+      assert(sorted.map(_.getAs[Long]("seq_id")).toSeq ==
+        (0L until sorted.length).toSeq, s"bucket $b grid")
+      sorted.dropRight(1).foreach { r =>
+        assert(r.getAs[Long]("n_pieces") == budget,
+          s"bucket $b seq ${r.getAs[Long]("seq_id")}")
+      }
+      // the emitted string really carries n_pieces ids
+      sorted.foreach { r =>
+        assert(r.getAs[String]("ids_str").split(" ").length ==
+          r.getAs[Long]("n_pieces"))
+      }
+    }
+    graft.core.CacheScope.release()
+  }
 }
