@@ -2097,6 +2097,43 @@ object Queries {
         |  WHERE chain.step < 8)
         |SELECT step, token FROM chain ORDER BY step""".stripMargin)),
 
+    // Deterministic MULTINOMIAL decode: successor drawn from the full
+    // c(w,.)/S(w) distribution by integer inverse-CDF with a
+    // hash-deterministic uniform — faithful temperature-1 sampling of the
+    // LM with zero libm, replayed exactly by the recursive CTE.
+    "t_sampled_chain" -> Q(
+      (s, dir) =>
+        TextRanking.sampledChain(rd(s, dir, "documents"), steps = 8)
+          .orderBy("step"),
+      Some(s"""WITH RECURSIVE $ToksCte, $StreamCte,
+        |b AS (SELECT doc_id, token AS w0,
+        |        lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+        |      FROM stream),
+        |bg AS (SELECT w0, w1, CAST(count(*) AS BIGINT) AS c FROM b
+        |       WHERE w1 IS NOT NULL GROUP BY w0, w1),
+        |succ AS (SELECT w0, w1, c,
+        |    CAST(sum(c) OVER (PARTITION BY w0 ORDER BY w1
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY w0) AS BIGINT) AS sw
+        |  FROM bg),
+        |start AS (SELECT token FROM (
+        |    SELECT token, count(*) AS c FROM stream GROUP BY token
+        |    ORDER BY c DESC, token LIMIT 1)),
+        |chain(step, token) AS (
+        |  SELECT CAST(0 AS BIGINT) AS step, token FROM start
+        |  UNION ALL
+        |  SELECT chain.step + 1, s.w1 FROM chain JOIN succ s
+        |  ON chain.token = s.w0
+        |  WHERE chain.step < 8
+        |    AND ${sqlHash60(
+                 "'decode:' || CAST(chain.step + 1 AS VARCHAR) || ':' || s.w0")}
+        |      % s.sw >= s.cum - s.c
+        |    AND ${sqlHash60(
+                 "'decode:' || CAST(chain.step + 1 AS VARCHAR) || ':' || s.w0")}
+        |      % s.sw < s.cum)
+        |SELECT step, token FROM chain ORDER BY step""".stripMargin)),
+
     // Sqrt-temperature mixture sampling (alpha = 0.5): composition
     // proportional to sqrt(stratum count), scarcest stratum kept whole.
     // sqrt is IEEE-correctly-rounded in both engines, so the oracle

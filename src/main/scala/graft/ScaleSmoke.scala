@@ -296,6 +296,15 @@ object ScaleSmoke {
     time("kn3_cross_entropy")(
       graft.operators.TextRanking.trigramKneserNeyCrossEntropy(docs).count())
     graft.core.CacheScope.release()
+    // tokenizer application + packing: corpus-wide segmentation explode,
+    // 26+merges-row broadcast id map, per-bucket running sum, per-seq
+    // aggregate — the end-to-end doc -> packed-input_ids artifact
+    time("packed_input_ids_b512")({
+      val merges = graft.operators.Bpe.train(docs, nMerges = 6)
+      graft.operators.Bpe.packedInputIds(docs, merges, budget = 512,
+        nBuckets = 64).count()
+    })
+    graft.core.CacheScope.release()
     // real-codec image decode throughput: synthesize one PNG per doc id
     // (row-local imageio encode), then the batched mapPartitions decode +
     // aHash — both passes must run at scan speed, no shuffle anywhere

@@ -178,6 +178,51 @@ object TextRanking {
     chain
   }
 
+  /** Deterministic MULTINOMIAL decoding from the corpus bigram LM — the
+    * temperature-1 sampling counterpart to [[greedyChain]]: at step i on
+    * token w, the successor is drawn from the full conditional
+    * distribution c(w,·)/S(w) by INVERSE-CDF over integer counts with a
+    * hash-deterministic uniform `u = hash60("salt:i:w") mod S(w)` — pick
+    * the successor (ordered by token) whose cumulative-count window
+    * contains u. Pure integer arithmetic end to end (no libm at all), so
+    * the draw is rerun- and engine-identical while still being a faithful
+    * multinomial sample of the LM. Chain starts at the corpus's most
+    * frequent token ([[greedyChain]]'s convention) and ends early on a
+    * successor-less token.
+    *
+    * Scale shape: the corpus-sized work is the one bigram aggregate; the
+    * cumulative windows are keyed by w0 (vocab-partitioned, never
+    * global); each of the `steps` extensions joins the 1-row frontier
+    * (broadcast) against the persisted successor table. Output:
+    * (step 0.., token). */
+  def sampledChain(docs: DataFrame, steps: Int = 8, salt: String = "decode",
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(steps >= 0, "need steps >= 0")
+    val bg = TextOps.ngrams(docs, 2, idCol, textCol)
+      .groupBy(col("w0"), col("w1"))
+      .agg(sum("count").as("c"))
+    val wCum = Window.partitionBy("w0").orderBy(asc("w1"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val succ = graft.core.CacheScope.persist(
+      bg.withColumn("cum", sum("c").over(wCum))
+        .withColumn("s", sum("c").over(Window.partitionBy("w0"))))
+    val start = TextOps.totalWordcounts(docs, idCol = idCol, textCol = textCol)
+      .orderBy(desc("count"), asc("token")).limit(1)
+      .select(lit(0L).as("step"), col("token"))
+    var chain = start
+    var frontier = start
+    for (i <- 1 to steps) {
+      val u = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit(s"$salt:$i:"), col("w0"))), col("s"))
+      frontier = succ.join(broadcast(frontier),
+          succ("w0") === frontier("token"))
+        .filter(u >= col("cum") - col("c") && u < col("cum"))
+        .select(lit(i.toLong).as("step"), col("w1").as("token"))
+      chain = chain.unionByName(frontier)
+    }
+    chain
+  }
+
   def kneserNeyCrossEntropy(docs: DataFrame, idCol: String = "doc_id",
                             textCol: String = "text"): DataFrame = {
     val bi = graft.core.CacheScope.persist(

@@ -232,6 +232,51 @@ class TextRankingSpec extends AnyFunSuite {
     graft.core.CacheScope.release()
   }
 
+  test("sampledChain: brute-force inverse-CDF replay, valid bigram path") {
+    val d = Seq(
+      (1L, "a b a c a b a c a d"),
+      (2L, "b a b a c")).toDF("doc_id", "text")
+    // corpus bigrams and the chain, brute-forced with the same hash
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val toks = Seq("a b a c a b a c a d", "b a b a c").flatMap(
+      _.split(" ").sliding(2).map(p => (p(0), p(1))))
+    val bg = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def step(i: Int, w: String): Option[String] = {
+      val succ = bg.collect { case ((a, b), c) if a == w => (b, c) }.toSeq.sortBy(_._1)
+      if (succ.isEmpty) None
+      else {
+        val s = succ.map(_._2).sum
+        val u = h60(s"decode:$i:$w") % s
+        var cum = 0L
+        succ.collectFirst { case (b, c) if { cum += c; u < cum } => b }
+      }
+    }
+    // start = most frequent token ('a', 9 occurrences)
+    var cur = "a"
+    val expect = scala.collection.mutable.ArrayBuffer((0L, "a"))
+    var i = 1
+    var alive = true
+    while (i <= 8 && alive) {
+      step(i, cur) match {
+        case Some(n) => expect += ((i.toLong, n)); cur = n; i += 1
+        case None => alive = false
+      }
+    }
+    val got = TextRanking.sampledChain(d, steps = 8).orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == expect.toSeq, s"got $got expected $expect")
+    // every consecutive pair is a real corpus bigram
+    got.sliding(2).foreach {
+      case Seq((_, w0), (_, w1)) => assert(bg.contains((w0, w1)))
+      case _ =>
+    }
+    graft.core.CacheScope.release()
+  }
+
   test("perplexityBuckets: balanced bands, ordered by CE, head < tail") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = TextRanking.perplexityBuckets(d, nBuckets = 3).collect()
