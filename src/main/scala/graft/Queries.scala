@@ -1796,6 +1796,43 @@ object Queries {
         |    ELSE 'tail' END AS bucket
         |FROM rk ORDER BY doc_id""".stripMargin)),
 
+    // Zipf-law fit: least-squares ln(count) ~ ln(rank) over the top-1000
+    // vocab — micro-rounded logs, exact integer sufficient statistics,
+    // one double slope/intercept expression identical in both engines.
+    "t_zipf" -> Q(
+      (s, dir) =>
+        TextAnalysis.zipfFit(rd(s, dir, "documents"), k = 1000),
+      Some(s"""WITH $ToksCte, $StreamCte,
+        |v AS (SELECT token, "count",
+        |    row_number() OVER (ORDER BY "count" DESC, token) - 1 AS wordid
+        |  FROM (SELECT token, CAST(count(*) AS BIGINT) AS "count"
+        |        FROM stream GROUP BY token
+        |        ORDER BY count(*) DESC, token LIMIT 1000)),
+        |p AS (SELECT
+        |    CAST(round(ln(CAST(wordid + 1 AS DOUBLE)) * 1e6, 0) AS BIGINT)
+        |      AS x,
+        |    CAST(round(ln(CAST("count" AS DOUBLE)) * 1e6, 0) AS BIGINT)
+        |      AS y
+        |  FROM v),
+        |sm AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM p)
+        |SELECT n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+        |  round(((CAST(sy AS DOUBLE)
+        |      - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |        * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE)) / 1e6, 6) AS intercept
+        |FROM sm""".stripMargin)),
+
     // TextRank keyword importance: 3 integer-micro PageRank rounds over
     // the vocab-capped token co-occurrence graph. The oracle rebuilds the
     // graph and replays every damped round with the same floor divisions

@@ -282,4 +282,44 @@ object TextAnalysis {
           .otherwise(lit(0L)))
       .withColumn("keep", col("blocked_micro") <= lit(maxRatioMicro))
   }
+
+  /** Zipf-law fit — the corpus-health diagnostic: least-squares slope of
+    * ln(count) against ln(rank) over the top-`k` vocabulary. Natural text
+    * sits near slope −1; a corpus drifting toward 0 is boilerplate-heavy
+    * (flat frequencies), far below −1 is template/spam-dominated.
+    *
+    * Cross-engine contract: both logs are micro-rounded LONGS before any
+    * sum (the engine's micro-grid rule), the five sufficient statistics
+    * are exact integer sums over ≤ k rows, and the final slope/intercept
+    * are single double expressions over those longs — identical IEEE
+    * trees in both engines, rounded once to 6dp. Long bounds: Σxy ≤
+    * k·(ln(k)·1e6)·(ln(c_max)·1e6) — safe through k = 1e6 and counts to
+    * e^300; the n·Σxy products happen in double space.
+    *
+    * Scale shape: one vocabulary build ([[TextOps.totalWordcounts]] — the
+    * two-phase rank) + one aggregate over the k-row vocab table. Output:
+    * one row (n, slope, intercept) with intercept in nats. */
+  def zipfFit(docs: DataFrame, k: Int = 1000, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"need k >= 2 points to fit, got $k")
+    val v = graft.operators.TextOps.totalWordcounts(docs, cap = k,
+      idCol = idCol, textCol = textCol)
+    val pts = v.select(
+      round(log((col("wordid") + lit(1L)).cast("double")) * 1e6, 0)
+        .cast("long").as("x"),
+      round(log(col("count").cast("double")) * 1e6, 0).cast("long").as("y"))
+    val sums = pts.agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val nD = col("n").cast("double")
+    val slopeRaw = (nD * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) /
+      (nD * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double"))
+    sums.select(col("n"),
+      round(slopeRaw, 6).as("slope"),
+      round((col("sy").cast("double") - slopeRaw * col("sx").cast("double")) /
+        nD / lit(1e6), 6).as("intercept"))
+  }
 }

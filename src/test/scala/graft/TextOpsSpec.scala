@@ -344,4 +344,30 @@ class TextOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("zipfFit: exact least-squares replay on a constructed power law") {
+    // counts 16/8/4/2 at ranks 1..4 -> y = ln 16 .. ln 2 against x = ln 1..ln 4
+    val words = Seq("aa" -> 16, "bb" -> 8, "cc" -> 4, "dd" -> 2)
+    val text = words.flatMap { case (w, c) => Seq.fill(c)(w) }.mkString(" ")
+    val out = graft.operators.TextAnalysis.zipfFit(
+      Seq((1L, text)).toDF("doc_id", "text"), k = 10).collect()(0)
+    // independent replay: same micro grid, same sufficient statistics
+    val pts = words.zipWithIndex.map { case ((_, c), i) =>
+      (math.round(math.log(i + 1.0) * 1e6), math.round(math.log(c.toDouble) * 1e6))
+    }
+    val n = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum.toDouble, pts.map(_._2).sum.toDouble)
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(out.getAs[Long]("n") == 4L)
+    assert(math.abs(out.getAs[Double]("slope") - slope) < 1e-5)
+    // halving counts per rank doubling: slope = -ln2/ln2-ish scale; the
+    // constructed law is count = 32 * rank^(-log2 scale) -> slope ~ -1.5
+    assert(out.getAs[Double]("slope") < -1.0 &&
+      out.getAs[Double]("slope") > -2.5)
+    // intercept recovers roughly ln(32) = 3.47 for this law
+    assert(math.abs(out.getAs[Double]("intercept") -
+      (pts.map(_._2).sum / 4.0 / 1e6 - slope * (sx / 4.0 / 1e6))) < 1e-4)
+  }
 }
