@@ -475,6 +475,41 @@ class StreamingSpec extends AnyFunSuite {
     graft.core.CacheScope.release()
   }
 
+  test("frozen DSIR model scores a document stream identically to batch") {
+    // the production deployment shape: the importance model is TRAINED on
+    // a reference corpus once (static weight table), then arriving
+    // documents are scored as they land — per-doc scoring is a
+    // batch-scoped aggregate + broadcast join, so foreachBatch applies
+    // the frozen model unchanged and stream == batch exactly.
+    import graft.operators.Dsir
+    val docDir = java.nio.file.Files.createTempDirectory("docs_dsir_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      docDir.resolve("documents.parquet"))
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
+    val feats = Dsir.hashedFeatures(batchDocs, 4096)
+    val tf = feats.join(
+      batchDocs.filter(col("lang") === "en").select("doc_id"),
+      Seq("doc_id"), "semi")
+    val w = Dsir.importanceWeights(tf, feats, 4096).cache()
+    assert(w.count() > 0)
+    val got = scala.collection.mutable.Map.empty[Long, Long]
+    val q = spark.readStream.schema(schema).parquet(docDir.toString)
+      .writeStream.foreachBatch {
+        (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          Dsir.scoreDocuments(Dsir.hashedFeatures(b, 4096), w).collect()
+            .foreach(r => got(r.getLong(0)) = r.getLong(1))
+          ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    val batch = Dsir.scoreAll(batchDocs, col("lang") === "en", 4096)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.toMap == batch && got.nonEmpty)
+    w.unpersist(blocking = false)
+    graft.core.CacheScope.release()
+  }
+
   test("readStream starts on an EMPTY landing dir and picks up late files") {
     // capability check: the schema probe must not throw on zero files — the
     // stream falls back to the explicit default EventSchema and consumes
