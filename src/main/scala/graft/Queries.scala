@@ -1796,6 +1796,37 @@ object Queries {
         |    ELSE 'tail' END AS bucket
         |FROM rk ORDER BY doc_id""".stripMargin)),
 
+    // Vocabulary growth curve (Heaps-law view): equal-population document
+    // bands in id order; cumulative docs/tokens/vocab per band, with each
+    // token counted at its FIRST band — exact, one corpus pass + one
+    // vocab-sized min aggregate.
+    "t_vocab_growth" -> Q(
+      (s, dir) =>
+        TextAnalysis.vocabGrowth(rd(s, dir, "documents"), nBands = 10)
+          .orderBy("band"),
+      Some(s"""WITH $ToksCte,
+        |rk AS (SELECT doc_id, t,
+        |    row_number() OVER (ORDER BY doc_id) - 1 AS rank0,
+        |    count(*) OVER () AS n FROM toks),
+        |bd AS (SELECT doc_id, t, (rank0 * 10) // n AS band FROM rk),
+        |mass AS (SELECT band, CAST(count(*) AS BIGINT) AS docs_in_band,
+        |    CAST(sum(len(t)) AS BIGINT) AS toks_in_band
+        |  FROM bd GROUP BY band),
+        |fb AS (SELECT token, min(band) AS first_band
+        |  FROM (SELECT band, unnest(t) AS token FROM bd) GROUP BY token),
+        |hist AS (SELECT first_band AS band,
+        |    CAST(count(*) AS BIGINT) AS new_tokens
+        |  FROM fb GROUP BY first_band)
+        |SELECT m.band,
+        |  CAST(sum(m.docs_in_band) OVER (ORDER BY m.band) AS BIGINT)
+        |    AS n_docs,
+        |  CAST(sum(m.toks_in_band) OVER (ORDER BY m.band) AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(sum(coalesce(h.new_tokens, 0)) OVER (ORDER BY m.band)
+        |    AS BIGINT) AS vocab
+        |FROM mass m LEFT JOIN hist h ON h.band = m.band
+        |ORDER BY m.band""".stripMargin)),
+
     // Zipf-law fit: least-squares ln(count) ~ ln(rank) over the top-1000
     // vocab — micro-rounded logs, exact integer sufficient statistics,
     // one double slope/intercept expression identical in both engines.

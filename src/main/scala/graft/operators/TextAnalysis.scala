@@ -299,6 +299,61 @@ object TextAnalysis {
     * Scale shape: one vocabulary build ([[TextOps.totalWordcounts]] — the
     * two-phase rank) + one aggregate over the k-row vocab table. Output:
     * one row (n, slope, intercept) with intercept in nats. */
+  /** Vocabulary GROWTH curve (Heaps' law view): cut the corpus into
+    * `nBands` equal-population document bands in id order and report, per
+    * band, the CUMULATIVE document count, token count, and distinct-token
+    * vocabulary up to and including that band. Natural text grows its
+    * vocabulary ~ tokens^beta (beta ≈ 0.5-0.6); a flat curve means
+    * near-duplicate content, a linear one gibberish/ids.
+    *
+    * Exact and one-pass: each document's band is floor(rank·nBands/n)
+    * (the [[TextRanking.perplexityBuckets]] integer cut over the
+    * two-phase rank); each TOKEN contributes to vocab growth exactly at
+    * its FIRST band (min over its documents), so cumulative vocab is a
+    * running sum over the nBands-row first-appearance histogram — no
+    * distinct-count per prefix, no repeated scans. Output:
+    * (band, n_docs, n_tokens, vocab) — all cumulative, all exact longs.
+    *
+    * Scale shape: one rank (single data shuffle), one per-doc aggregate,
+    * one token-level min aggregate (vocab-sized), then nBands-row
+    * arithmetic; the band histograms broadcast-compose. */
+  def vocabGrowth(docs: DataFrame, nBands: Int = 10,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(nBands >= 1, s"nBands must be >= 1, got $nBands")
+    import graft.functions.TextFunctions.tokens
+    val ranked = graft.core.Ids.denseRankBy(
+      docs.select(col(idCol), tokens(col(textCol)).as("toks")),
+      Seq(col(idCol).asc), "rank0")
+    val tot = ranked.agg((max("rank0") + lit(1L)).as("__n"))
+    val banded = graft.core.CacheScope.persist(
+      ranked.crossJoin(broadcast(tot))
+        .withColumn("band", expr(s"rank0 * $nBands DIV __n"))
+        .select(col(idCol), col("band"), col("toks")))
+    // per-band doc/token mass
+    val mass = banded.groupBy("band").agg(
+      count(lit(1)).as("docs_in_band"),
+      sum(size(col("toks")).cast("long")).as("tokens_in_band"))
+    // per-token first band -> first-appearance histogram
+    val firsts = banded
+      .select(col("band"), explode(col("toks")).as("token"))
+      .groupBy("token").agg(min("band").as("first_band"))
+      .groupBy("first_band").agg(count(lit(1)).as("new_tokens"))
+      .withColumnRenamed("first_band", "band")
+    // cumulative sums over the <= nBands rows: a window over a table of
+    // band geometry, never data size
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy("band")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    mass.join(firsts, Seq("band"), "left")
+      .na.fill(0L, Seq("new_tokens"))
+      .select(col("band"),
+        sum("docs_in_band").over(wCum).as("n_docs"),
+        sum("tokens_in_band").over(wCum).as("n_tokens"),
+        sum("new_tokens").over(wCum).as("vocab"))
+  }
+
   def zipfFit(docs: DataFrame, k: Int = 1000, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
     require(k >= 2, s"need k >= 2 points to fit, got $k")

@@ -345,6 +345,21 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("vocabGrowth: cumulative counts exact, monotone, first-band credit") {
+    // bands of 2 docs each: vocab grows only when a token first appears
+    val d = Seq(
+      (1L, "a b"), (2L, "a c"), // band 0: vocab {a,b,c}
+      (3L, "a b c"), (4L, "d"), // band 1: +d
+      (5L, "a"), (6L, "e f")) // band 2: +e +f
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.vocabGrowth(d, nBands = 3)
+      .orderBy("band").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 2L, 4L, 3L), (1L, 4L, 8L, 4L),
+      (2L, 6L, 11L, 6L)))
+    graft.core.CacheScope.release()
+  }
+
   test("zipfFit: exact least-squares replay on a constructed power law") {
     // counts 16/8/4/2 at ranks 1..4 -> y = ln 16 .. ln 2 against x = ln 1..ln 4
     val words = Seq("aa" -> 16, "bb" -> 8, "cc" -> 4, "dd" -> 2)
