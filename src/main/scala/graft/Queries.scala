@@ -1851,17 +1851,21 @@ object Queries {
         |    CAST(sum(x * x) AS BIGINT) AS sxx
         |  FROM p)
         |SELECT n,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0 THEN
         |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
         |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) END AS slope,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0 THEN
         |  round(((CAST(sy AS DOUBLE)
         |      - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
         |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
         |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
         |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
         |        * CAST(sx AS DOUBLE))
-        |    / CAST(n AS DOUBLE)) / 1e6, 6) AS intercept
+        |    / CAST(n AS DOUBLE)) / 1e6, 6) END AS intercept
         |FROM sm""".stripMargin)),
 
     // TextRank keyword importance: 3 integer-micro PageRank rounds over

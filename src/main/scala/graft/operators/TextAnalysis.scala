@@ -340,18 +340,19 @@ object TextAnalysis {
       .groupBy("token").agg(min("band").as("first_band"))
       .groupBy("first_band").agg(count(lit(1)).as("new_tokens"))
       .withColumnRenamed("first_band", "band")
-    // cumulative sums over the <= nBands rows: a window over a table of
-    // band geometry, never data size
-    val wCum = org.apache.spark.sql.expressions.Window
-      .orderBy("band")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    mass.join(firsts, Seq("band"), "left")
+    // cumulative sums over the <= nBands rows: a TRIANGULAR broadcast
+    // self-join of the band histogram (band² rows of pure geometry) —
+    // keeps the engine's zero-single-partition-window invariant intact
+    // rather than introducing an unpartitioned window, however tiny
+    val hist = mass.join(firsts, Seq("band"), "left")
       .na.fill(0L, Seq("new_tokens"))
-      .select(col("band"),
-        sum("docs_in_band").over(wCum).as("n_docs"),
-        sum("tokens_in_band").over(wCum).as("n_tokens"),
-        sum("new_tokens").over(wCum).as("vocab"))
+    val contrib = hist.select(col("band").as("b2"),
+      col("docs_in_band").as("d2"), col("tokens_in_band").as("t2"),
+      col("new_tokens").as("v2"))
+    hist.select("band").join(broadcast(contrib), col("b2") <= col("band"))
+      .groupBy("band")
+      .agg(sum("d2").as("n_docs"), sum("t2").as("n_tokens"),
+        sum("v2").as("vocab"))
   }
 
   def zipfFit(docs: DataFrame, k: Int = 1000, idCol: String = "doc_id",
@@ -368,13 +369,17 @@ object TextAnalysis {
       sum(col("x") * col("y")).as("sxy"),
       sum(col("x") * col("x")).as("sxx"))
     val nD = col("n").cast("double")
+    val den = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
     val slopeRaw = (nD * col("sxy").cast("double") -
-        col("sx").cast("double") * col("sy").cast("double")) /
-      (nD * col("sxx").cast("double") -
-        col("sx").cast("double") * col("sx").cast("double"))
+        col("sx").cast("double") * col("sy").cast("double")) / den
+    // a single distinct x (k=1 vocab, or an all-one-token corpus) makes
+    // the normal-equation denominator 0: the fit is UNDEFINED — emit NULL
+    // slope/intercept rather than tripping ANSI divide-by-zero
     sums.select(col("n"),
-      round(slopeRaw, 6).as("slope"),
-      round((col("sy").cast("double") - slopeRaw * col("sx").cast("double")) /
-        nD / lit(1e6), 6).as("intercept"))
+      when(den =!= lit(0.0), round(slopeRaw, 6)).as("slope"),
+      when(den =!= lit(0.0),
+        round((col("sy").cast("double") - slopeRaw * col("sx").cast("double")) /
+          nD / lit(1e6), 6)).as("intercept"))
   }
 }

@@ -225,4 +225,41 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(ids == Set(1L))
     graft.core.CacheScope.release()
   }
+
+  test("round-8 selection/LM operators survive empty and degenerate corpora") {
+    import graft.operators.{Dsir, TextAnalysis}
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    // DSIR: empty corpus -> empty scores/selection, never a throw
+    assert(Dsir.scoreAll(empty, col("lang") === "en", 64).count() == 0L)
+    assert(Dsir.selectTop(empty, col("lang") === "en", 64, 5).count() == 0L)
+    // resample over an empty scored table: max is null, nothing emitted
+    val scoredEmpty = Seq.empty[(Long, Long)].toDF("doc_id", "score_micro")
+    assert(Dsir.importanceResample(scoredEmpty).count() == 0L)
+    // no target matches: weights all-negative-ish but well-defined
+    val noTarget = Seq((1L, "a b c", "xx"), (2L, "c d", "yy"))
+      .toDF("doc_id", "text", "lang")
+    val sc = Dsir.scoreAll(noTarget, col("lang") === "en", 64).collect()
+    assert(sc.length == 2 && sc.forall(!_.isNullAt(1)))
+    // trigram KN on a corpus with no 3-token doc: empty, not a crash
+    val short = Seq((1L, "a b"), (2L, "x")).toDF("doc_id", "text")
+    assert(TextRanking.trigramKneserNeyCrossEntropy(short).count() == 0L)
+    // perplexity buckets on a tiny corpus: fewer docs than bands still
+    // yields a total partition of the scored docs
+    val tiny = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val pb = TextRanking.perplexityBuckets(tiny, nBuckets = 3).collect()
+    assert(pb.length == 2 &&
+      pb.forall(r => Set("head", "middle", "tail")(r.getAs[String]("bucket"))))
+    // zipf with a single distinct token: denominator degenerates -> the
+    // fit is NaN/undefined, but it must not throw; n reports the points
+    val mono = Seq((1L, "a a a a")).toDF("doc_id", "text")
+    val z = TextAnalysis.zipfFit(mono, k = 10).collect()(0)
+    assert(z.getLong(0) == 1L)
+    // vocab growth with more bands than docs: bands with docs only
+    val vg = TextAnalysis.vocabGrowth(tiny, nBands = 10).collect()
+    assert(vg.nonEmpty && vg.length <= 10)
+    // sampled chain on empty corpus: no start token, empty chain
+    assert(TextRanking.sampledChain(empty.select(col("doc_id"),
+      col("text")), steps = 4).count() == 0L)
+    graft.core.CacheScope.release()
+  }
 }
