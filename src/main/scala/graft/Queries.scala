@@ -1796,6 +1796,43 @@ object Queries {
         |    ELSE 'tail' END AS bucket
         |FROM rk ORDER BY doc_id""".stripMargin)),
 
+    // Pairwise source KL divergence over the shared top-200 vocab grid —
+    // the data-mixing diagnostic (which sources are redundant, which are
+    // unlike anything else). Micro-nat log ratios, exact long numerators,
+    // one double division per pair.
+    "t_source_kl" -> Q(
+      (s, dir) =>
+        TextAnalysis.sourceDivergence(rd(s, dir, "documents"), k = 200)
+          .orderBy("source_a", "source_b"),
+      Some(s"""WITH $ToksCte, $StreamCte,
+        |u AS (SELECT d.source AS src, s.token FROM stream s
+        |  JOIN documents d USING (doc_id)),
+        |uc AS (SELECT src, token, CAST(count(*) AS BIGINT) AS c
+        |  FROM u GROUP BY src, token),
+        |topv AS (SELECT token FROM (SELECT token, sum(c) AS ct FROM uc
+        |  GROUP BY token ORDER BY sum(c) DESC, token LIMIT 200)),
+        |srcs AS (SELECT DISTINCT src FROM uc),
+        |grid AS (SELECT srcs.src, topv.token FROM srcs CROSS JOIN topv),
+        |cnt AS (SELECT g.src, g.token, coalesce(uc.c, 0) AS c
+        |  FROM grid g LEFT JOIN uc ON uc.src = g.src AND uc.token = g.token),
+        |tot AS (SELECT src, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY src),
+        |pr AS (SELECT a.src AS source_a, b.src AS source_b,
+        |    a.c AS c_a, b.c AS c_b, ta.n AS n_a, tb.n AS n_b
+        |  FROM cnt a JOIN cnt b USING (token)
+        |  JOIN tot ta ON ta.src = a.src JOIN tot tb ON tb.src = b.src
+        |  WHERE a.src <> b.src),
+        |tm AS (SELECT source_a, source_b, n_a, c_a,
+        |    CAST(round(ln(CAST((c_a + 1) * (n_b + 200) AS DOUBLE)
+        |      / CAST((c_b + 1) * (n_a + 200) AS DOUBLE)) * 1e6, 0) AS BIGINT)
+        |      AS lr
+        |  FROM pr),
+        |ag AS (SELECT source_a, source_b, max(n_a) AS n_a,
+        |    CAST(sum((c_a + 1) * lr) AS BIGINT) AS num
+        |  FROM tm GROUP BY source_a, source_b)
+        |SELECT source_a, source_b, n_a,
+        |  round((CAST(num AS DOUBLE) / (n_a + 200)) / 1e6, 6) AS kl
+        |FROM ag ORDER BY source_a, source_b""".stripMargin)),
+
     // Vocabulary growth curve (Heaps-law view): equal-population document
     // bands in id order; cumulative docs/tokens/vocab per band, with each
     // token counted at its FIRST band — exact, one corpus pass + one

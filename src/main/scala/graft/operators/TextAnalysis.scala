@@ -299,6 +299,61 @@ object TextAnalysis {
     * Scale shape: one vocabulary build ([[TextOps.totalWordcounts]] — the
     * two-phase rank) + one aggregate over the k-row vocab table. Output:
     * one row (n, slope, intercept) with intercept in nats. */
+  /** Pairwise SOURCE DIVERGENCE — the data-mixing diagnostic: for every
+    * ordered pair of sources, the add-one-smoothed KL divergence of their
+    * unigram distributions over the corpus top-`k` vocabulary:
+    *
+    *   KL(a‖b) = Σ_t p_a(t) · ln(p_a(t)/p_b(t)),
+    *   p_s(t) = (c_s(t)+1)/(N_s+k)   over the shared top-k grid
+    *
+    * High KL(a‖b) = source a looks nothing like b (upweighting b won't
+    * cover a); near-zero rows are redundant sources. Restricting to a
+    * fixed top-k grid bounds the model at |sources|·k cells and makes the
+    * smoothing well-defined (every source sees the same support).
+    *
+    * Cross-engine contract: each log-ratio is one ln of a rational of
+    * exact int64 products, micro-rounded; the per-pair numerator
+    * Σ (c_a+1)·lr_micro is an exact long; ONE double division at the end
+    * ([[zipfFit]]'s pattern). Sources are assumed BOUNDED (corpus/domain
+    * names, not ids) — the pair grid is |S|²·k rows of geometry.
+    *
+    * Output: (source_a, source_b, n_a, kl) for a ≠ b, kl in nats. */
+  def sourceDivergence(docs: DataFrame, k: Int = 200,
+                       sourceCol: String = "source",
+                       textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import graft.functions.TextFunctions.tokens
+    val uni = graft.core.CacheScope.persist(
+      docs.select(col(sourceCol).as("src"),
+          explode(tokens(col(textCol))).as("token"))
+        .groupBy("src", "token").agg(count(lit(1)).as("c")))
+    val topV = broadcast(uni.groupBy("token").agg(sum("c").as("ct"))
+      .orderBy(desc("ct"), asc("token")).limit(k).select("token"))
+    val grid = uni.select("src").distinct().crossJoin(topV)
+    val cnt = graft.core.CacheScope.persist(
+      grid.join(uni, Seq("src", "token"), "left").na.fill(0L, Seq("c")))
+    val totals = cnt.groupBy("src").agg(sum("c").as("n"))
+    val aSide = cnt.join(totals, "src")
+      .select(col("src").as("source_a"), col("token"),
+        col("c").as("c_a"), col("n").as("n_a"))
+    val bSide = cnt.join(totals, "src")
+      .select(col("src").as("source_b"), col("token"),
+        col("c").as("c_b"), col("n").as("n_b"))
+    aSide.join(bSide, Seq("token"))
+      .filter(col("source_a") =!= col("source_b"))
+      .withColumn("lr_micro",
+        round(log(((col("c_a") + lit(1L)) * (col("n_b") + lit(k.toLong)))
+            .cast("double") /
+          ((col("c_b") + lit(1L)) * (col("n_a") + lit(k.toLong)))
+            .cast("double")) * 1e6, 0).cast("long"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(max("n_a").as("n_a"),
+        sum((col("c_a") + lit(1L)) * col("lr_micro")).as("num"))
+      .select(col("source_a"), col("source_b"), col("n_a"),
+        round(col("num").cast("double") / (col("n_a") + lit(k.toLong)) /
+          lit(1e6), 6).as("kl"))
+  }
+
   /** Vocabulary GROWTH curve (Heaps' law view): cut the corpus into
     * `nBands` equal-population document bands in id order and report, per
     * band, the CUMULATIVE document count, token count, and distinct-token

@@ -345,6 +345,24 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sourceDivergence: zero for identical sources, large for disjoint, non-negative") {
+    val d = Seq(
+      (1L, "a b c a b", "A"), (2L, "c a b", "A"),
+      (3L, "a b c a b", "B"), (4L, "c a b", "B"), // B identical to A
+      (5L, "x y z x y", "C"), (6L, "z x y", "C")) // C disjoint vocab
+      .toDF("doc_id", "text", "source")
+    val kl = graft.operators.TextAnalysis.sourceDivergence(d, k = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(kl.size == 6) // 3 sources, ordered pairs
+    assert(math.abs(kl(("A", "B"))) < 1e-6 && math.abs(kl(("B", "A"))) < 1e-6)
+    assert(kl(("A", "C")) > 0.5 && kl(("C", "A")) > 0.5)
+    // proper distributions over the shared smoothed grid: KL >= 0 (up to
+    // micro rounding)
+    kl.values.foreach(v => assert(v > -1e-5, v.toString))
+    graft.core.CacheScope.release()
+  }
+
   test("vocabGrowth: cumulative counts exact, monotone, first-band credit") {
     // bands of 2 docs each: vocab grows only when a token first appears
     val d = Seq(
