@@ -228,3 +228,48 @@ object CmsProps extends Properties("Sketches.cms") {
     }
   }
 }
+
+/** DSIR resampling properties: membership is a deterministic function of
+  * (score, max, T, id-hash), and p = exp((s-max)/T) is monotone in BOTH
+  * arguments — higher temperature or higher score can only ADD members. */
+object DsirProps extends Properties("Dsir.importanceResample") {
+  import org.apache.spark.sql.functions._
+
+  private lazy val spark = TestSpark.spark
+
+  private val scoresGen: Gen[List[(Long, Long)]] =
+    Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 500L),
+      Gen.chooseNum(-5000000L, 0L))).map(_.distinctBy(_._1))
+
+  property("kept set grows monotonically with temperature") = {
+    import spark.implicits._
+    forAll(scoresGen) { rows =>
+      val df = rows.toDF("doc_id", "score_micro")
+      def kept(t: Double): Set[Long] =
+        graft.operators.Dsir.importanceResample(df, temperature = t)
+          .collect().map(_.getLong(0)).toSet
+      val (k1, k2, k4) = (kept(1.0), kept(2.0), kept(4.0))
+      Prop(k1.subsetOf(k2) && k2.subsetOf(k4)) :|
+        s"T=1:$k1 T=2:$k2 T=4:$k4"
+    }
+  }
+
+  property("max-score doc always kept; keep rule matches exp formula") = {
+    import spark.implicits._
+    forAll(scoresGen) { rows =>
+      val df = rows.toDF("doc_id", "score_micro")
+      val out = graft.operators.Dsir.importanceResample(df, temperature = 2.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Long]("p_micro"), r.getAs[Long]("u_micro")))
+      val maxDoc = rows.maxBy(r => (r._2, -r._1))._1
+      val maxScore = rows.map(_._2).max
+      val maxDocs = rows.filter(_._2 == maxScore).map(_._1).toSet
+      val keptIds = out.map(_._1).toSet
+      // every max-score doc has p_micro = 1e6 > u — always kept
+      Prop(maxDocs.subsetOf(keptIds) &&
+        out.forall { case (_, s, p, u) =>
+          u < p && p == math.round(math.exp((s - maxScore) / 2e6) * 1e6)
+        }) :| s"out=${out.toList} maxDocs=$maxDocs maxDoc=$maxDoc"
+    }
+  }
+}
