@@ -125,6 +125,28 @@ object Bench {
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
         r
       }
+    // Third recorded section: the round-8 PIPELINE operators (selection,
+    // LM filter, tokenizer application) timed SEPARATELY from the headline
+    // total so round-over-round comparability of "value" is untouched —
+    // the driver's parser reads additive keys. 2 samples, min recorded.
+    // Kill-switch: SPARK_GRAFT_PIPELINE_BENCH=false.
+    val pipelineNames =
+      if (sys.env.get("SPARK_GRAFT_PIPELINE_BENCH").contains("false")) Nil
+      else Seq("t_dsir", "t_kneser_ney3", "t_ccnet_buckets", "t_contam_frac",
+        "t_input_ids", "t_packed_ids", "t_source_kl")
+    val pipelineResults = pipelineNames.map { name =>
+      val fn = Queries.queries(name)
+      val samples = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name (pipeline) failed: ${e.getMessage}")
+        }
+        finally graft.core.CacheScope.release()
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> samples
+    }
     // headline value per query = min of samples (scheduling-noise floor);
     // all samples are recorded so a contaminated run is visible in the
     // artifact itself (VERDICT r6 #2), not just in its total.
@@ -141,9 +163,18 @@ object Bench {
           .mkString("{", ",", "}")
         f""""aqe_on_queries":$aq,"aqe_on_total":${aqeOnResults.map(_._2.min).sum}%.3f,"""
       }
+    val pipeJson =
+      if (pipelineResults.isEmpty) ""
+      else {
+        val pq = pipelineResults.map { case (k, v) =>
+          "\"" + k + "\":" + f"${v.min}%.3f"
+        }.mkString("{", ",", "}")
+        f""""pipeline_queries":$pq,"pipeline_total":${
+          pipelineResults.map(_._2.min).sum}%.3f,"""
+      }
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        f""""samples":$samplesJson,$aqeJson"calib_sec":$calib%.3f,""" +
+        f""""samples":$samplesJson,$aqeJson$pipeJson"calib_sec":$calib%.3f,""" +
         s""""calib_tries":$calibTries,"contended":$contended,""" +
         s""""aqe":$aqe,"sf":"$sfDir"}"""
     // bare stdout line (build.sbt strips sbt's [info] framing via
