@@ -296,6 +296,13 @@ object ScaleSmoke {
     time("kn3_cross_entropy")(
       graft.operators.TextRanking.trigramKneserNeyCrossEntropy(docs).count())
     graft.core.CacheScope.release()
+    // corpus diagnostics: growth curve is one pass + vocab-sized min agg;
+    // source KL is |S|^2 * k geometry after one (src, token) aggregate
+    time("vocab_growth_b10")(
+      graft.operators.TextAnalysis.vocabGrowth(docs, nBands = 10).count())
+    time("source_kl_k200")(
+      graft.operators.TextAnalysis.sourceDivergence(docs, k = 200).count())
+    graft.core.CacheScope.release()
     // tokenizer application + packing: corpus-wide segmentation explode,
     // 26+merges-row broadcast id map, per-bucket running sum, per-seq
     // aggregate — the end-to-end doc -> packed-input_ids artifact
