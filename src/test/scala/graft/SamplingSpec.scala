@@ -167,6 +167,33 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.uniformK(withNull, "doc_id", 10).count() == 2)
   }
 
+  test("cluster-keyed splits: near-duplicates always land in ONE split") {
+    // the leakage-safe pattern: split on the duplicate-CLUSTER label, not
+    // the doc id, so a train/test cut can never separate two near-dups.
+    // Build textual near-dups, resolve clusters, split on the label.
+    import graft.operators.Dedup
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = (0L until 40L).map { i =>
+      val fam = i / 4 // 10 families of 4 near-identical docs
+      (i, s"family $fam says $base variant ${i % 2}")
+    }.toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docs, k = 3, threshold = 0.5)
+    val clusters = Dedup.duplicateClusters(pairs) // (id, cluster_id, size)
+      .withColumnRenamed("id", "doc_id")
+    val keyed = docs.join(clusters, Seq("doc_id"), "left")
+      .withColumn("split_key",
+        coalesce(col("cluster_id"), col("doc_id"))) // singletons: own key
+    val split = Sampling.assignSplits(keyed, "split_key",
+      Seq("train" -> 0.8, "test" -> 0.2))
+    // every cluster is entirely inside one split
+    val perCluster = split.filter(col("cluster_id").isNotNull)
+      .groupBy("cluster_id").agg(countDistinct("split").as("nsplits"))
+      .collect().map(_.getLong(1))
+    assert(perCluster.nonEmpty && perCluster.forall(_ == 1L),
+      s"clusters straddle splits: ${perCluster.toSeq}")
+    graft.core.CacheScope.release()
+  }
+
   test("weightedSampleK: heavy rows favored, zero/null weights excluded") {
     // 200 light rows (w=1) + 10 heavy rows (w=10000): a 10-sample should be
     // dominated by heavy rows (each heavy row's key ln(u)/1e4 is ~1e4 closer
