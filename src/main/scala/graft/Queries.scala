@@ -3222,6 +3222,43 @@ object Queries {
         |ORDER BY id_a, id_b""".stripMargin),
       headline = true),
 
+    // Multi-word Hamming near-dup over 180-bit SRP fingerprints: the
+    // word-group pigeonhole (3 bands x 1 word at maxDist=2), array-keyed
+    // candidate equi-join, zip_with popcount verify. The oracle rebuilds
+    // all three 60-bit words from the per-block md5s and replays the
+    // band join + exact distance.
+    "s_srp_hamming_wide" -> Q(
+      (s, dir) =>
+        Srp.hammingPairsWide(rd(s, dir, "documents"), maxDist = 2, dims = 180)
+          .orderBy("id_a", "id_b"),
+      Some(s"""WITH $ToksCte, $StreamCte, $UniCte,
+        |hwb AS (SELECT doc_id,
+        |    CAST(round(ln(1 + "count") * 1000, 0) AS BIGINT) AS w,
+        |    b.blk AS wi,
+        |    ${sqlHash60("token || ':' || CAST(b.blk AS VARCHAR)")} AS hs
+        |  FROM uni, (SELECT unnest(range(0, 3)) AS blk) b),
+        |x AS (SELECT doc_id, wi, d.dim AS dim,
+        |    CASE WHEN (hs >> CAST(d.dim AS INTEGER)) & 1 = 1 THEN w
+        |         ELSE -w END AS c
+        |  FROM hwb, (SELECT unnest(range(0, 60)) AS dim) d),
+        |v AS (SELECT doc_id, wi, dim, sum(c) AS sv
+        |  FROM x GROUP BY doc_id, wi, dim),
+        |bitsw AS (SELECT doc_id AS id, wi,
+        |    CAST(sum(CASE WHEN sv > 0
+        |      THEN (1::BIGINT << CAST(dim AS INTEGER)) ELSE 0 END) AS BIGINT)
+        |      AS bits
+        |  FROM v GROUP BY doc_id, wi),
+        |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        |  FROM bitsw x JOIN bitsw y
+        |  ON x.wi = y.wi AND x.bits = y.bits AND x.id < y.id),
+        |hx AS (SELECT c.id_a, c.id_b,
+        |    CAST(sum(bit_count(xor(a.bits, b.bits))) AS BIGINT) AS hamming
+        |  FROM cand c JOIN bitsw a ON a.id = c.id_a
+        |  JOIN bitsw b ON b.id = c.id_b AND b.wi = a.wi
+        |  GROUP BY c.id_a, c.id_b)
+        |SELECT id_a, id_b, hamming FROM hx WHERE hamming <= 2
+        |ORDER BY id_a, id_b""".stripMargin)),
+
     // Trigram successor lookup (the reference notebooks' Markov-chain use):
     // most frequent next word for each corpus-wide bigram context.
     "t_trigram_successors" -> Q(

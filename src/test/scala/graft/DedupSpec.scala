@@ -209,6 +209,38 @@ class DedupSpec extends AnyFunSuite {
     assert(shuffled == hits)
   }
 
+  test("hammingPairsWide: exact recall vs brute force on near-dup fixtures") {
+    import graft.operators.Srp
+    // three families: identical pair, one-word-changed pair, unrelated doc
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val docs = Seq(
+      (1L, base), (2L, base), // identical -> hamming 0
+      (3L, base + " lambda"), // near: one token added
+      (4L, "completely different words nothing shared here at all " * 8))
+      .toDF("doc_id", "text")
+    val wide = Srp.hammingPairsWide(docs, maxDist = 2, dims = 180)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute force: per-doc packed words, all-pairs popcount
+    val words = Srp.srpBits(docs, dims = 180).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(1)).map(_.getLong(2)).toVector).toMap
+    def ham(a: Long, b: Long): Long =
+      words(a).zip(words(b)).map { case (x, y) =>
+        java.lang.Long.bitCount(x ^ y).toLong }.sum
+    val expect = (for {
+      a <- words.keys; b <- words.keys if a < b
+      d = ham(a, b) if d <= 2
+    } yield (a, b) -> d).toMap
+    assert(wide == expect, s"wide=$wide expect=$expect")
+    assert(wide((1L, 2L)) == 0L) // the identical pair always survives
+    assert(expect.contains((1L, 3L)) == wide.contains((1L, 3L)))
+    // pigeonhole guard: too few words for the band count fails fast
+    intercept[IllegalArgumentException] {
+      Srp.hammingPairsWide(docs, maxDist = 3, dims = 180)
+    }
+    graft.core.CacheScope.release()
+  }
+
   test("contaminationReport: fractions incl. clean docs, consistent with decontaminate") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon"),
