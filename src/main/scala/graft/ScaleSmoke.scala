@@ -296,6 +296,13 @@ object ScaleSmoke {
     time("kn3_cross_entropy")(
       graft.operators.TextRanking.trigramKneserNeyCrossEntropy(docs).count())
     graft.core.CacheScope.release()
+    // multi-word SRP Hamming: post-exact-dedup (replication makes every
+    // doc an N-way identical-fingerprint family — output-bound otherwise);
+    // the band join is word-sliced equi, never a cross product
+    time("srp_hamming_wide_180")(
+      graft.operators.Srp.hammingPairsWide(
+        Dedup.dropExactDuplicates(docs), maxDist = 2, dims = 180).count())
+    graft.core.CacheScope.release()
     // corpus diagnostics: growth curve is one pass + vocab-sized min agg;
     // source KL is |S|^2 * k geometry after one (src, token) aggregate
     time("vocab_growth_b10")(
