@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards for the round-8 operators — the properties
+  * that make them 100 TB-shaped, asserted on the physical plan so a future
+  * Spark upgrade or refactor that silently degrades them fails loudly
+  * (the IdsSpec single-shuffle assertion pattern).
+  *
+  * Deliberately coarse assertions (absence of catastrophic operators,
+  * presence of the broadcast model join) rather than exact node counts —
+  * exact plans may legitimately change across versions; a cartesian
+  * product or a corpus-sized sort-merge join of the model never should. */
+class PlanGuardSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = Queries.queries(name)(spark, dir)
+    try df.queryExecution.executedPlan.toString
+    finally graft.core.CacheScope.release()
+  }
+
+  test("DSIR scoring: model joins broadcast, no cartesian, no corpus SMJ") {
+    val p = planOf("t_dsir")
+    assert(!p.contains("CartesianProduct"), "cartesian product in t_dsir")
+    assert(!p.contains("SortMergeJoin"), "sort-merge join in t_dsir")
+    assert(p.contains("BroadcastHashJoin"), "weight model join not broadcast")
+  }
+
+  test("wide Hamming: band join is an equi-join, never a cross product") {
+    val p = planOf("s_srp_hamming_wide")
+    assert(!p.contains("CartesianProduct"), "cartesian product in wide hamming")
+    // the verify popcount is row-local: no second data shuffle after the join
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      "band candidate join missing")
+  }
+
+  test("packed input ids: the piece-id map joins broadcast") {
+    val p = planOf("t_packed_ids")
+    assert(!p.contains("CartesianProduct"), "cartesian product in packing")
+    assert(p.contains("BroadcastHashJoin"), "piece vocab join not broadcast")
+  }
+
+  test("source KL: pair grid joins stay equi (token-keyed), no cartesian on data") {
+    // the sources x topV grid is a deliberate |S| x k cross of GEOMETRY —
+    // a BroadcastNestedLoopJoin of two tiny sides is fine; what must never
+    // appear is a CartesianProduct (both sides data-sized, no broadcast)
+    val p = planOf("t_source_kl")
+    assert(!p.contains("CartesianProduct"), "data-sized cartesian in source KL")
+  }
+
+  test("perplexity buckets: the rank is range-partitioned, not a global window") {
+    val p = planOf("t_ccnet_buckets")
+    assert(p.contains("rangepartitioning"), "two-phase rank lost its range exchange")
+    // a data-sized unpartitioned window would print 'Window' with an empty
+    // partition spec over the doc table; the only windows allowed here are
+    // denseRankBy's partition-count prefix sums
+    assert(!p.contains("CartesianProduct"))
+  }
+}
