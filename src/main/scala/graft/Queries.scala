@@ -2891,6 +2891,30 @@ object Queries {
         |FROM pieces JOIN voc USING (piece)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Tokenizer fertility per source: mean BPE pieces per in-contract
+    // word — the vocabulary-fit metric. Oracle reuses the training
+    // replay's s6 segmentation state.
+    "t_fertility" -> Q(
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val merges = Bpe.train(docs, nMerges = 6)
+        Bpe.fertility(docs, merges).orderBy("source")
+      },
+      Some(s"""WITH $sqlBpeCtes,
+        |pcn AS (SELECT word,
+        |    CAST(len(string_split(trim(sym), '  ')) AS BIGINT) AS np
+        |  FROM s6),
+        |ws AS (SELECT d.source, lower(s.token) AS word
+        |  FROM stream s JOIN documents d USING (doc_id)
+        |  WHERE regexp_matches(lower(s.token), '^[a-z]+$$')),
+        |ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(np) AS BIGINT) AS n_pieces
+        |  FROM ws JOIN pcn USING (word) GROUP BY source)
+        |SELECT source, n_words, n_pieces,
+        |  CAST(round(n_pieces * 1000000.0 / n_words, 0) AS BIGINT)
+        |    AS fertility_micro
+        |FROM ag ORDER BY source""".stripMargin)),
+
     // Packed training sequences: the encodeDocuments stream laid end to
     // end in 8 hash buckets and cut every 128 pieces — per-sequence
     // concatenated ids plus doc/piece counts, the final pretraining

@@ -139,6 +139,28 @@ object Bpe {
           x => x.getField("piece_id").cast("string"))).as("ids_str"))
   }
 
+  /** Tokenizer FERTILITY per source — the standard tokenizer-quality
+    * metric (mean pieces per word; 1.0 = every word is one piece, high
+    * fertility = the vocabulary serves that source poorly). In-contract
+    * words only (the [[encode]] NULL contract skips digits/non-Latin).
+    * Output: (source, n_words, n_pieces, fertility_micro) — the ratio on
+    * the exact integer micro grid. One tokenize + row-local segmentation
+    * + one per-source aggregate; source cardinality bounds the output. */
+  def fertility(docs: DataFrame, merges: Seq[Merge],
+                sourceCol: String = "source",
+                textCol: String = "text"): DataFrame =
+    docs.select(col(sourceCol).as("source"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as("word"))
+      .select(col("source"), size(encode(col("word"), merges)).as("np"))
+      .filter(col("np").isNotNull)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum("np").cast("long").as("n_pieces"))
+      .withColumn("fertility_micro",
+        round(col("n_pieces") * lit(1000000.0) / col("n_words"), 0)
+          .cast("long"))
+
   /** PACKED TRAINING SEQUENCES — the final artifact a pretraining
     * pipeline emits: [[encodeDocuments]] output laid end to end in
     * `nBuckets` independent hash-bucketed streams (the

@@ -81,6 +81,28 @@ class BpeSpec extends AnyFunSuite {
     graft.core.CacheScope.release()
   }
 
+  test("fertility: single-piece words = 1.0; multi-piece raise the mean") {
+    val docs = Seq(
+      (1L, "aa aa aa aa", "X"), // after merges "aa" is likely one piece
+      (2L, "zq xv qz vx", "Y")) // no pair repeats: stays letter-split (2.0)
+      .toDF("doc_id", "text", "source")
+    val merges = Bpe.train(docs, nMerges = 2)
+    val f = Bpe.fertility(docs, merges).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // "aa" merges in round 1 -> every X word is exactly one piece
+    assert(f("X") == ((4L, 4L, 1000000L)))
+    // Y words are 2 letters each; at most one of them wins the second
+    // merge, so fertility stays strictly above 1.0 and X below Y
+    assert(f("Y")._1 == 4L && f("Y")._3 > 1000000L)
+    assert(f("X")._3 < f("Y")._3)
+    // fertility_micro == round(pieces*1e6/words) by construction
+    f.values.foreach { case (w, p, m) =>
+      assert(m == math.round(p * 1e6 / w))
+    }
+    graft.core.CacheScope.release()
+  }
+
   test("packedInputIds: budget-exact sequences, mass preserved, straddle allowed") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val merges = Bpe.train(docs, nMerges = 4)
