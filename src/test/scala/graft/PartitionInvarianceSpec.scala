@@ -22,7 +22,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "t_minhash_lsh", "e_ivf_pq", "t_cdc_rolling", "t_vocab_merge",
     // round-8 third pass: DSIR model (bucket aggregates + broadcast
     // weights), rank-cut perplexity buckets, severity fractions
-    "t_dsir", "t_ccnet_buckets", "t_contam_frac")
+    "t_dsir", "t_ccnet_buckets", "t_contam_frac",
+    // tokenizer chain (bucket running sums + in-doc ranks must not leak
+    // partition count into sequence contents) and the band-joined
+    // fingerprint pairs
+    "t_input_ids", "t_packed_ids", "t_fertility", "s_srp_hamming_wide")
 
   private def run(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
