@@ -4106,19 +4106,31 @@ object Queries {
     // CTEs per reference, so a norm computed as a scalar subquery over w_k
     // would reference w_k twice -> 2^k plan expansion. One reference per
     // CTE and a materialized base keeps the unrolled chain linear.
+    // Micro-grid moments (the Pca.MomentsAgg engine contract): components
+    // snapped ONCE to round(x*1e6) bigints, sums exact integers, then the
+    // covariance formed by the SAME fixed double expression the Scala
+    // driver uses — (ss/n - (sa/n)(sb/n))/1e12 — so the cell is
+    // bit-identical across engines and across any partitioning.
     val base = s"""WITH dmat AS MATERIALIZED (
       |  SELECT vec_id,
       |         unnest(range(1, ${d + 1})) AS i,
       |         unnest(list_transform(range(1, ${d + 1}),
-      |           k -> CAST(embedding[k] AS DOUBLE))) AS x
+      |           k -> CAST(embedding[k] AS DOUBLE))) AS x,
+      |         unnest(list_transform(range(1, ${d + 1}),
+      |           k -> CAST(round(CAST(embedding[k] AS DOUBLE) * 1000000, 0)
+      |                     AS BIGINT))) AS mc
       |  FROM embeddings),
       |mstat AS MATERIALIZED (
-      |  SELECT i, sum(x) AS s, count(*) AS n FROM dmat GROUP BY i),
+      |  SELECT i, CAST(sum(mc) AS BIGINT) AS s, count(*) AS n
+      |  FROM dmat GROUP BY i),
       |pmat AS MATERIALIZED (
-      |  SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS ss, count(*) AS n
+      |  SELECT a.i AS i, b.i AS j, sum(a.mc * b.mc) AS ss, count(*) AS n
       |  FROM dmat a JOIN dmat b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
       |cmat AS MATERIALIZED (
-      |  SELECT p.i, p.j, p.ss / p.n - (ma.s / ma.n) * (mb.s / mb.n) AS cov
+      |  SELECT p.i, p.j,
+      |    (CAST(p.ss AS DOUBLE) / p.n
+      |      - (CAST(ma.s AS DOUBLE) / ma.n) * (CAST(mb.s AS DOUBLE) / mb.n))
+      |      / 1000000000000.0 AS cov
       |  FROM pmat p JOIN mstat ma ON ma.i = p.i
       |  JOIN mstat mb ON mb.i = p.j),
       |v0 AS (SELECT i, 1.0 / sqrt($d) AS v FROM mstat)""".stripMargin
@@ -4199,7 +4211,7 @@ object Queries {
           .orderBy("vec_id"),
       Some(s"""${sqlPcaCtes(PcaIters)},
         |proj AS (SELECT d.vec_id,
-        |    sum((d.x - m.s / m.n) * vv.v) AS p
+        |    sum((d.x - (m.s / m.n) / 1000000.0) * vv.v) AS p
         |  FROM dmat d JOIN mstat m ON m.i = d.i
         |  JOIN v$PcaIters vv ON vv.i = d.i
         |  GROUP BY d.vec_id)

@@ -12,10 +12,12 @@ import graft.plans.{ExplicitEncoders, VectorExpressions}
   * variance-ranked coordinates).
   *
   * Scale shape: the ONLY data-sized job is the second-moment aggregate — a
-  * typed [[Aggregator]] whose buffer is `[n, sum(d), upper-tri sumprod
-  * d(d+1)/2]` doubles. Partial aggregation combines map-side, so the
-  * shuffle carries one ~2k-double buffer per partition REGARDLESS of row
-  * count; at 100 TB that is the same wire volume as at 100 MB. Everything
+  * typed [[Aggregator]] whose buffer is `[n, micro-sum(d), upper-tri int128
+  * sumprod d(d+1)/2]` longs (EXACT integer arithmetic on the 1e-6 grid, so
+  * the result is independent of partition/merge order — see [[MomentsAgg]]).
+  * Partial aggregation combines map-side, so the shuffle carries one
+  * ~4k-long buffer per partition REGARDLESS of row count; at 100 TB that
+  * is the same wire volume as at 100 MB. Everything
   * eigen (power iteration on the d x d covariance) is O(d^2 * iters)
   * driver arithmetic on that single aggregate — no second pass, no
   * collect of row data. Projection is then one broadcast-literal dot
@@ -27,52 +29,123 @@ import graft.plans.{ExplicitEncoders, VectorExpressions}
   */
 object Pca {
 
-  /** One-pass raw second moments of a d-dim float-vector column.
-    * Buffer layout: `[n, s_0..s_{d-1}, ss(0,0) ss(0,1).. ss(0,d-1)
-    * ss(1,1).. ]` — count, per-dim sums, upper-triangle sums of products. */
+  /** Micro-grid scale shared by the moments engine and the SQL oracle:
+    * every component is snapped ONCE to `round(x * 1e6)` (half away from
+    * zero, the Spark-SQL/DuckDB `round` contract) and all sums are exact
+    * integers from there on. This is the [[Similarity.labelCentroids]]
+    * engine-exact pattern: double addition is NOT associative, so raw
+    * double moment sums depend on partition/merge order and a 6-dp rounded
+    * covariance can flip between two runs of the same build; integer sums
+    * are order-free, so the covariance is a deterministic function of the
+    * data alone. */
+  private[graft] final val MicroScale = 1e6
+
+  /** `round(x * 1e6)` half-away-from-zero — bit-for-bit the value
+    * Spark SQL `round(c * 1e6, 0)` and DuckDB `round(x * 1000000, 0)`
+    * produce for the same double. */
+  @inline private def micro(x: Double): Long = {
+    val y = x * MicroScale
+    math.copySign(math.floor(math.abs(y) + 0.5), y).toLong
+  }
+
+  /** One-pass raw second moments of a d-dim float-vector column on the
+    * micro grid. Buffer layout: `[n] ++ s_0..s_{d-1} ++ int128
+    * upper-triangle product sums as (hi, lo) pairs` — count, per-dim micro
+    * sums (long: |x| <= 10^3 holds to ~9e9 rows), and 128-bit product
+    * sums (a per-row product |x_i x_j| * 1e12 fits a long for |x| < 3000;
+    * the int128 ACCUMULATOR then never overflows below ~1.7e26 rows, so
+    * the aggregate is exact at any corpus size — the same width DuckDB's
+    * `sum(BIGINT) -> HUGEINT` uses on the oracle side). Per-element and
+    * per-row adds are overflow-CHECKED (`addExact`/`multiplyExact`), so a
+    * pathological input fails loudly instead of wrapping. */
   final class MomentsAgg(dim: Int)
-      extends Aggregator[Seq[Float], Array[Double], Array[Double]] {
-    private val len = 1 + dim + dim * (dim + 1) / 2
+      extends Aggregator[Seq[Float], Array[Long], Array[Long]] {
+    private val nProd = dim * (dim + 1) / 2
+    private val len = 1 + dim + 2 * nProd
 
-    override def zero: Array[Double] = new Array[Double](len)
+    override def zero: Array[Long] = new Array[Long](len)
 
-    override def reduce(b: Array[Double], v: Seq[Float]): Array[Double] = {
+    /** 128-bit add of the signed 64-bit value `p` into the (hi, lo) pair
+      * at buffer slots (k, k+1). lo is the unsigned low word. */
+    @inline private def add128(b: Array[Long], k: Int, p: Long): Unit = {
+      val lo = b(k + 1)
+      val newLo = lo + p
+      // unsigned carry out of the low word
+      val carry = ((lo & p) | ((lo | p) & ~newLo)) >>> 63
+      b(k) += (p >> 63) + carry // sign-extend p to 128 bits
+      b(k + 1) = newLo
+    }
+
+    override def reduce(b: Array[Long], v: Seq[Float]): Array[Long] = {
       require(v != null, "null embedding row (filter nulls before PCA)")
       require(v.length == dim, s"expected dim=$dim, got ${v.length}")
-      val x = new Array[Double](dim)
+      val m = new Array[Long](dim)
       var i = 0
-      while (i < dim) { x(i) = v(i).toDouble; i += 1 }
-      b(0) += 1d
+      while (i < dim) { m(i) = micro(v(i).toDouble); i += 1 }
+      b(0) = Math.addExact(b(0), 1L)
       i = 0
       var t = 1 + dim
       while (i < dim) {
-        b(1 + i) += x(i)
-        val xi = x(i)
+        b(1 + i) = Math.addExact(b(1 + i), m(i))
+        val mi = m(i)
         var j = i
-        while (j < dim) { b(t) += xi * x(j); t += 1; j += 1 }
+        while (j < dim) {
+          add128(b, t, Math.multiplyExact(mi, m(j)))
+          t += 2
+          j += 1
+        }
         i += 1
       }
       b
     }
 
-    override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
       var i = 0
-      while (i < len) { a(i) += b(i); i += 1 }
+      while (i <= dim) { a(i) = Math.addExact(a(i), b(i)); i += 1 }
+      var t = 1 + dim
+      var p = 0
+      while (p < nProd) {
+        // 128-bit + 128-bit: add b's low word unsigned, then its high word
+        val lo = a(t + 1)
+        val blo = b(t + 1)
+        val newLo = lo + blo
+        val carry = ((lo & blo) | ((lo | blo) & ~newLo)) >>> 63
+        a(t) += b(t) + carry
+        a(t + 1) = newLo
+        t += 2
+        p += 1
+      }
       a
     }
 
-    override def finish(r: Array[Double]): Array[Double] = r
-    override def bufferEncoder: Encoder[Array[Double]] =
-      ExplicitEncoders.doubleArray
-    override def outputEncoder: Encoder[Array[Double]] =
-      ExplicitEncoders.doubleArray
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] =
+      ExplicitEncoders.longArray
+    override def outputEncoder: Encoder[Array[Long]] =
+      ExplicitEncoders.longArray
   }
 
   /** Moments collected to the driver: (n, mean[d], full population
-    * covariance matrix cov[d][d] = E[xy] - E[x]E[y], unrounded). */
+    * covariance matrix cov[d][d] = E[xy] - E[x]E[y] on the micro grid,
+    * unrounded). */
   final case class Moments(n: Long, mean: Array[Double],
                            cov: Array[Array[Double]])
 
+  /** Exact double value of the int128 (hi, unsigned lo) pair. Fast path:
+    * when hi is lo's sign extension the value IS the signed lo. */
+  @inline private def int128ToDouble(hi: Long, lo: Long): Double =
+    if (hi == (lo >> 63)) lo.toDouble
+    else {
+      val uLo = (BigInt(lo >>> 32) << 32) + BigInt(lo & 0xFFFFFFFFL)
+      ((BigInt(hi) << 64) + uLo).toDouble
+    }
+
+  /** Engine-stable moments: decodes the exact integer buffer and forms
+    * mean and covariance with ONE fixed expression per cell —
+    * `mean = (s/n)/1e6`, `cov = (ss/n - (sa/n)(sb/n))/1e12` — the exact
+    * double chain the SQL oracle replays (same operands, same order, so
+    * the IEEE result is bit-identical across engines AND across any
+    * partitioning of the input). */
   def moments(df: DataFrame, vecCol: String, dim: Int): Moments = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -82,22 +155,25 @@ object Pca {
       .head()
     val n = buf(0)
     require(n > 0, "PCA over an empty input")
-    val mean = Array.tabulate(dim)(i => buf(1 + i) / n)
+    val nD = n.toDouble
+    val sOverN = Array.tabulate(dim)(i => buf(1 + i).toDouble / nD)
+    val mean = Array.tabulate(dim)(i => sOverN(i) / MicroScale)
     val cov = Array.ofDim[Double](dim, dim)
     var t = 1 + dim
     var i = 0
     while (i < dim) {
       var j = i
       while (j < dim) {
-        val c = buf(t) / n - mean(i) * mean(j)
+        val ss = int128ToDouble(buf(t), buf(t + 1))
+        val c = (ss / nD - sOverN(i) * sOverN(j)) / (MicroScale * MicroScale)
         cov(i)(j) = c
         cov(j)(i) = c
-        t += 1
+        t += 2
         j += 1
       }
       i += 1
     }
-    Moments(n.toLong, mean, cov)
+    Moments(n, mean, cov)
   }
 
   /** The k-step power iterate of `cov` from the uniform positive start

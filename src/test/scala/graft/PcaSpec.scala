@@ -37,9 +37,12 @@ class PcaSpec extends AnyFunSuite {
         avg((element_at(col("embedding"), 1) *
           element_at(col("embedding"), 3)).cast("double")).as("e02"))
       .head()
-    assert(math.abs(m.mean(0) - ref.getDouble(0)) < 1e-9)
+    // the engine snaps components to the 1e-6 micro grid (engine-stable
+    // integer sums), so it agrees with the raw-double two-pass definition
+    // to grid resolution, not to fp noise
+    assert(math.abs(m.mean(0) - ref.getDouble(0)) < 2e-6)
     val cov02 = ref.getDouble(2) - ref.getDouble(0) * ref.getDouble(1)
-    assert(math.abs(m.cov(0)(2) - cov02) < 1e-9)
+    assert(math.abs(m.cov(0)(2) - cov02) < 2e-6)
   }
 
   test("powerIterate finds the dominant eigenpair of a known 2x2 matrix") {
@@ -85,10 +88,12 @@ class PcaSpec extends AnyFunSuite {
     val mu = p.sum / n
     val varP = p.map(x => (x - mu) * (x - mu)).sum / n
     // population variance of the centered projection = Rayleigh quotient
-    assert(math.abs(varP - lambda) / lambda < 1e-9,
+    // (projection uses RAW components against grid-moment eigenvectors, so
+    // agreement is to micro-grid resolution)
+    assert(math.abs(varP - lambda) / lambda < 1e-4,
       s"var $varP vs lambda $lambda")
     // and projections are centered (we subtract mu . v)
-    assert(math.abs(mu) < 1e-9)
+    assert(math.abs(mu) < 1e-5)
   }
 
   test("covarianceDF emits the 1-based upper triangle with PSD diagonal") {
@@ -130,15 +135,15 @@ class PcaSpec extends AnyFunSuite {
     for (c <- 0 until 3) {
       val xs = rows.map(_(c))
       val mu = xs.sum / n
-      assert(math.abs(mu) < 1e-9) // mean-centered
+      assert(math.abs(mu) < 1e-5) // mean-centered (to micro-grid noise)
       val v = xs.map(x => (x - mu) * (x - mu)).sum / n
-      assert(math.abs(v - pcs(c)._2) / pcs(c)._2 < 1e-6,
+      assert(math.abs(v - pcs(c)._2) / pcs(c)._2 < 1e-4,
         s"coord $c variance $v vs lambda ${pcs(c)._2}")
     }
     // decorrelation: off-diagonal covariance of the projected cloud ~ 0
     for (a <- 0 until 3; b <- a + 1 until 3) {
       val cab = rows.map(r => r(a) * r(b)).sum / n
-      assert(math.abs(cab) < 1e-6, s"cov($a,$b) = $cab")
+      assert(math.abs(cab) < 1e-4, s"cov($a,$b) = $cab")
     }
   }
 
@@ -150,8 +155,23 @@ class PcaSpec extends AnyFunSuite {
     for (c <- 0 until 2) {
       val xs = rows.map(_(c))
       val v = xs.map(x => x * x).sum / n - math.pow(xs.sum / n, 2)
-      assert(math.abs(v - 1.0) < 1e-6, s"whitened coord $c variance $v")
+      assert(math.abs(v - 1.0) < 1e-3, s"whitened coord $c variance $v")
     }
+  }
+
+  test("moments are BIT-identical across partition layouts") {
+    // the r8 e_covariance lesson: double moment sums depend on merge
+    // order, so "green once" is not deterministic. The integer micro-grid
+    // engine must produce the exact same unrounded doubles whether the
+    // input arrives in 2 partitions or 32.
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = Pca.moments(df.repartition(2), "embedding", 64)
+    val b = Pca.moments(df.repartition(32), "embedding", 64)
+    assert(a.n == b.n)
+    assert(a.mean.toSeq == b.mean.toSeq) // exact ==, no tolerance
+    for (i <- 0 until 64; j <- 0 until 64)
+      assert(a.cov(i)(j) == b.cov(i)(j),
+        s"cov($i,$j) differs across partition layouts")
   }
 
   test("fixed-iteration loadings are deterministic across invocations") {
