@@ -40,10 +40,19 @@ object Queries {
     * from a pre-shuffle, so other tables are left as scanned. */
   private val FanOutTables = Set("documents", "embeddings", "lineitem")
 
+  /** Test hook: forces [[rd]]'s fan-out width so invariance specs can vary
+    * the INPUT partition layout, not just `spark.sql.shuffle.partitions` —
+    * pre-shuffle aggregation buffers (typed Aggregators, map-side combine)
+    * merge in input-partition order, a dimension the shuffle knob never
+    * moves (the r8 `e_covariance` nondeterminism lived exactly there). */
+  @volatile private[graft] var fanOutOverride: Option[Int] = None
+
   private def rd(s: SparkSession, dir: String, t: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$t.parquet")
-    val target = s.sparkContext.defaultParallelism
-    if (FanOutTables(t) && df.rdd.getNumPartitions < math.min(target, 8))
+    val target = fanOutOverride.getOrElse(s.sparkContext.defaultParallelism)
+    if (FanOutTables(t) &&
+        (fanOutOverride.isDefined ||
+          df.rdd.getNumPartitions < math.min(target, 8)))
       df.repartition(target)
     else df
   }
