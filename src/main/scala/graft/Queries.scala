@@ -3260,11 +3260,37 @@ object Queries {
     // candidate equi-join, zip_with popcount verify. The oracle rebuilds
     // all three 60-bit words from the per-block md5s and replays the
     // band join + exact distance.
+    //
+    // NON-VACUOUS BY CONSTRUCTION: the natural corpus's closest pair sits
+    // at Hamming 3 (> maxDist) at sf0.01, so the row is run over the
+    // corpus augmented with 20 deterministic near-dup twins — the first 20
+    // docs by id with one extra occurrence of an existing common token
+    // (`text || ' the'`). A count bump c -> c+1 moves that token's SRP
+    // weight by round(1000*ln((2+c)/(1+c))) — a few hundred micro-units —
+    // flipping only the sign bits whose per-dim sums sit near zero:
+    // measured 6 of 20 twins land within Hamming <= 2, so the band join,
+    // zip_with popcount, and distance cut are all exercised on real
+    // matches. Both engines build the SAME augmented corpus, so the
+    // oracle match stays exact.
     "s_srp_hamming_wide" -> Q(
-      (s, dir) =>
-        Srp.hammingPairsWide(rd(s, dir, "documents"), maxDist = 2, dims = 180)
-          .orderBy("id_a", "id_b"),
-      Some(s"""WITH $ToksCte, $StreamCte, $UniCte,
+      (s, dir) => {
+        val base = rd(s, dir, "documents")
+          .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+        val twins = base.orderBy("doc_id").limit(20)
+          .select(concat(col("doc_id"), lit("~twin")).as("doc_id"),
+            concat(col("text"), lit(" the")).as("text"))
+        Srp.hammingPairsWide(base.unionAll(twins), maxDist = 2, dims = 180)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH aug AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS VARCHAR) || '~twin', text || ' the'
+        |  FROM (SELECT doc_id, text FROM documents
+        |        ORDER BY CAST(doc_id AS VARCHAR) LIMIT 20)),
+        |toks AS (SELECT doc_id, regexp_extract_all(text, '[\\p{L}]+') AS t
+        |  FROM aug),
+        |$StreamCte, $UniCte,
         |hwb AS (SELECT doc_id,
         |    CAST(round(ln(1 + "count") * 1000, 0) AS BIGINT) AS w,
         |    b.blk AS wi,
