@@ -3183,7 +3183,57 @@ object Queries {
         |      % 1000000 AS u_micro
         |  FROM sc CROSS JOIN mx)
         |SELECT doc_id, score_micro, p_micro, u_micro FROM r
-        |WHERE u_micro < p_micro ORDER BY doc_id""".stripMargin))
+        |WHERE u_micro < p_micro ORDER BY doc_id""".stripMargin)),
+
+    // The classic TWO-CORPUS DSIR composition (Xie et al. 2023's
+    // Wikipedia-vs-crawl setup): target = one source's documents, raw =
+    // every other source, composed from the building blocks —
+    // hashedFeatures on each corpus, importanceWeights (target vs raw
+    // add-one LLR in micro-nats), scoreDocuments (broadcast weight join)
+    // — unlike t_dsir's predicate-target scoreAll fast path, the raw
+    // totals here EXCLUDE the target corpus. Deterministic top-50.
+    "t_dsir_two_corpus" -> Q(
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val tf = Dsir.hashedFeatures(docs.filter(col("source") === "src0"), 4096)
+        val rf = Dsir.hashedFeatures(docs.filter(col("source") =!= "src0"), 4096)
+        val w = Dsir.importanceWeights(tf, rf, 4096)
+        Dsir.scoreDocuments(rf, w)
+          .orderBy(desc("score_micro"), col("doc_id").asc).limit(50)
+          .select(col("doc_id"), col("score_micro"),
+            round(col("score_micro") / lit(1e6), 6).as("score"))
+      },
+      Some(s"""WITH $ToksCte, $StreamCte,
+        |bg AS (SELECT doc_id,
+        |    token || ' ' || lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS f
+        |  FROM stream),
+        |feats AS (SELECT doc_id, token AS f FROM stream
+        |  UNION ALL SELECT doc_id, f FROM bg WHERE f IS NOT NULL),
+        |bf AS (SELECT doc_id, ${sqlHash60("'dsir:' || f")} % 4096 AS bucket
+        |  FROM feats),
+        |db AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM bf GROUP BY doc_id, bucket),
+        |tset AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+        |rset AS (SELECT doc_id FROM documents WHERE source <> 'src0'),
+        |ct AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS c_t
+        |  FROM db JOIN tset USING (doc_id) GROUP BY bucket),
+        |cr AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS c_r
+        |  FROM db JOIN rset USING (doc_id) GROUP BY bucket),
+        |nt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_t
+        |  FROM db JOIN tset USING (doc_id)),
+        |nr AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_r
+        |  FROM db JOIN rset USING (doc_id)),
+        |w AS (SELECT cr.bucket,
+        |    CAST(round(ln(((coalesce(ct.c_t, 0) + 1.0) * (nr.n_r + 4096))
+        |      / ((cr.c_r + 1.0) * (nt.n_t + 4096))) * 1e6, 0) AS BIGINT)
+        |      AS w_micro
+        |  FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN nt CROSS JOIN nr),
+        |sc AS (SELECT db.doc_id,
+        |    CAST(sum(db.cnt * w.w_micro) AS BIGINT) AS score_micro
+        |  FROM db JOIN rset USING (doc_id) JOIN w USING (bucket)
+        |  GROUP BY db.doc_id)
+        |SELECT doc_id, score_micro, round(score_micro / 1e6, 6) AS score
+        |FROM sc ORDER BY score_micro DESC, doc_id LIMIT 50""".stripMargin))
   )
 
   // ------------------------------------------------------------- SRP

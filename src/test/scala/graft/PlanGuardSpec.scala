@@ -29,6 +29,12 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "weight model join not broadcast")
   }
 
+  test("two-corpus DSIR: weight model joins broadcast, no cartesian on data") {
+    val p = planOf("t_dsir_two_corpus")
+    assert(!p.contains("CartesianProduct"), "cartesian product in two-corpus DSIR")
+    assert(p.contains("BroadcastHashJoin"), "weight model join not broadcast")
+  }
+
   test("wide Hamming: band join is an equi-join, never a cross product") {
     val p = planOf("s_srp_hamming_wide")
     assert(!p.contains("CartesianProduct"), "cartesian product in wide hamming")
