@@ -4258,6 +4258,45 @@ object Queries {
     (base +: steps).mkString(",\n")
   }
 
+  /** Replay of [[Pca.principalComponents]] + whitened [[Pca.projectTopK]]
+    * for k = 2: unlike the PC1/PC2 rows (uniform start for PC1),
+    * principalComponents uses the deterministic NON-uniform start
+    * `1 + 0.001*((i*31 + c*17) % 89)` for EVERY component c, so this chain
+    * runs PC1 from the c=0 start (a-chain), takes its Rayleigh lambda,
+    * deflates, runs PC2 from the c=1 start (b-chain), and whitens each
+    * projection by 1/sqrt(max(lambda, 1e-12)). */
+  private def sqlPcaTopKCtes(iters: Int, d: Int = 64): String = {
+    val base = s"""${sqlPcaCtes(0, d)},
+      |a0 AS (SELECT i, 1.0 + 0.001 * (((i - 1) * 31) % 89) AS v FROM mstat)""".stripMargin
+    val aSteps = (1 to iters).map { k =>
+      s"""wa$k AS (SELECT c.i AS i, sum(c.cov * v.v) AS w
+         |  FROM cmat c JOIN a${k - 1} v ON v.i = c.j GROUP BY c.i),
+         |a$k AS MATERIALIZED (
+         |  SELECT i, w / sqrt(sum(w * w) OVER ()) AS v FROM wa$k)""".stripMargin
+    }
+    val deflate = s"""wla AS (SELECT c.i AS i, sum(c.cov * v.v) AS w
+      |  FROM cmat c JOIN a$iters v ON v.i = c.j GROUP BY c.i),
+      |lama AS MATERIALIZED (
+      |  SELECT sum(v.v * w.w) AS l FROM a$iters v JOIN wla w ON w.i = v.i),
+      |cmatd AS MATERIALIZED (
+      |  SELECT c.i, c.j, c.cov - (SELECT l FROM lama) * va.v * vb.v AS cov
+      |  FROM cmat c JOIN a$iters va ON va.i = c.i
+      |  JOIN a$iters vb ON vb.i = c.j),
+      |b0 AS (SELECT i, 1.0 + 0.001 * (((i - 1) * 31 + 17) % 89) AS v
+      |  FROM mstat)""".stripMargin
+    val bSteps = (1 to iters).map { k =>
+      s"""xb$k AS (SELECT c.i AS i, sum(c.cov * v.v) AS w
+         |  FROM cmatd c JOIN b${k - 1} v ON v.i = c.j GROUP BY c.i),
+         |b$k AS MATERIALIZED (
+         |  SELECT i, w / sqrt(sum(w * w) OVER ()) AS v FROM xb$k)""".stripMargin
+    }
+    val lamb = s"""wlb AS (SELECT c.i AS i, sum(c.cov * v.v) AS w
+      |  FROM cmatd c JOIN b$iters v ON v.i = c.j GROUP BY c.i),
+      |lamb AS MATERIALIZED (
+      |  SELECT sum(v.v * w.w) AS l FROM b$iters v JOIN wlb w ON w.i = v.i)""".stripMargin
+    ((base +: aSteps) ++ (deflate +: bSteps) :+ lamb).mkString(",\n")
+  }
+
   private lazy val pca: Seq[(String, Q)] = Seq(
 
     // Population covariance of the embedding cloud — the single-pass
@@ -4315,6 +4354,32 @@ object Queries {
       Some(s"""${sqlPca2Ctes(PcaIters)}
         |SELECT i, round(v, 6) AS loading FROM u$PcaIters
         |ORDER BY i""".stripMargin)),
+
+    // Whitened top-k projection (k=2) — the ANN/whitening preprocessor:
+    // both components from principalComponents' deterministic non-uniform
+    // starts, Hotelling deflation between them, each coordinate scaled by
+    // 1/sqrt(lambda_c) so the projected cloud is isotropic. The oracle
+    // unrolls both 24-step chains and both Rayleigh quotients.
+    "e_pca_topk" -> Q(
+      (s, dir) =>
+        Pca.projectTopK(rd(s, dir, "embeddings"), "vec_id", "embedding", 64,
+            k = 2, iters = PcaIters, whiten = true)
+          .select(col("vec_id"),
+            round(element_at(col("pc"), 1), 6).as("p1"),
+            round(element_at(col("pc"), 2), 6).as("p2"))
+          .orderBy("vec_id"),
+      Some(s"""${sqlPcaTopKCtes(PcaIters)},
+        |proj AS (SELECT d.vec_id,
+        |    sum((d.x - (m.s / m.n) / 1000000.0) * a.v) AS p1,
+        |    sum((d.x - (m.s / m.n) / 1000000.0) * b.v) AS p2
+        |  FROM dmat d JOIN mstat m ON m.i = d.i
+        |  JOIN a$PcaIters a ON a.i = d.i
+        |  JOIN b$PcaIters b ON b.i = d.i
+        |  GROUP BY d.vec_id)
+        |SELECT vec_id,
+        |  round(p1 / sqrt(greatest((SELECT l FROM lama), 1e-12)), 6) AS p1,
+        |  round(p2 / sqrt(greatest((SELECT l FROM lamb), 1e-12)), 6) AS p2
+        |FROM proj ORDER BY vec_id""".stripMargin)),
 
     // Spectrum summary: PC1 eigenvalue, total variance (trace), explained
     // ratio — the "is one direction dominating the cloud" health check.
