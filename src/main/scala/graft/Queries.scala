@@ -121,7 +121,15 @@ object Queries {
     * round re-evaluate the whole chain 4^6 times (measured: a hang; the
     * join form runs in 0.1s). Shared by t_bpe (reads t_i) and
     * t_bpe_encode (reads s6). */
-  private lazy val sqlBpeCtes: String = {
+  private lazy val sqlBpeCtes: String =
+    s"""$ToksCte, $StreamCte,
+    |$sqlBpeChain""".stripMargin
+
+  /** The BPE train replay ALONE (wbpe..s6, t1..t6) over whatever `stream`
+    * is in scope — lets a caller (the curation pipeline) train the
+    * tokenizer on a FILTERED corpus by defining its own stream CTE first.
+    * [[sqlBpeCtes]] = the full-corpus $ToksCte/$StreamCte + this chain. */
+  private lazy val sqlBpeChain: String = {
     val rounds = (1 to 6).map { i =>
       val prev = s"s${i - 1}"
       s"""l$i AS MATERIALIZED (SELECT cnt, string_split(trim(sym), '  ') AS l FROM $prev),
@@ -134,8 +142,7 @@ object Queries {
       |      ' ' || t.a || t.b || ' ') END AS sym
       |  FROM $prev s LEFT JOIN t$i t ON TRUE)""".stripMargin
     }.mkString(",\n")
-    s"""$ToksCte, $StreamCte,
-    |wbpe AS (SELECT lower(token) AS word, CAST(count(*) AS BIGINT) AS cnt
+    s"""wbpe AS (SELECT lower(token) AS word, CAST(count(*) AS BIGINT) AS cnt
     |  FROM stream WHERE regexp_matches(lower(token), '^[a-z]+$$')
     |  GROUP BY 1),
     |s0 AS MATERIALIZED (SELECT word, cnt,
@@ -2431,6 +2438,158 @@ object Queries {
         |       ELSE 'test' END AS split,
         |  lang, count(*) AS n, CAST(sum(ntok) AS BIGINT) AS n_tokens
         |FROM b GROUP BY 1, 2 ORDER BY split, lang""".stripMargin)),
+
+    // The END-TO-END curation pipeline as ONE composed plan — the artifact
+    // a 100 TB pretraining run actually ships: clean -> DSIR importance
+    // resample (target lang='en', T=2) -> decontaminate vs the eval shard
+    // (doc_id % 31 = 0) -> exact dedup (first-wins) -> trigram-KN
+    // perplexity buckets over the survivors, keep head+middle -> BPE
+    // tokenizer TRAINED ON THE SURVIVORS -> encode the kept docs ->
+    // packed 128-piece training sequences. Every stage is oracle-checked
+    // alone (t_clean, t_dsir_resample, t_decontam, t_dedup_exact,
+    // t_ccnet_buckets, t_input_ids, t_packed_ids); this row checks their
+    // COMPOSITION stays exact — the oracle replays the entire chain over
+    // the same cleaned corpus. The only driver-side actions are the ones
+    // the leaf rows already have (BPE merge selection per round, KN3's
+    // dense-rank phase); everything else is one lazy plan.
+    "t_curation_pipeline" -> Q(
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val cleaned = docs.select(col("doc_id"),
+          TextAnalysis.cleanText(col("text")).as("text"), col("lang"))
+        val scored = Dsir.scoreAll(cleaned, col("lang") === "en",
+          numBuckets = 4096)
+        val keptIds = Dsir.importanceResample(scored, temperature = 2.0)
+          .select("doc_id")
+        val selected = cleaned.join(keptIds, Seq("doc_id"), "left_semi")
+        val train = graft.core.CacheScope.persist(
+          selected.filter(col("doc_id") % 31 =!= 0))
+        val evalDocs = cleaned.filter(col("doc_id") % 31 === 0)
+        val contaminated = Dedup.decontaminate(train, evalDocs, n = 8)
+          .select("doc_id")
+        val decon = train.join(contaminated, Seq("doc_id"), "left_anti")
+        // localCheckpoint, not just cache: the survivor table feeds KN3's
+        // five model aggregates and the BPE trainer — each reference of a
+        // merely-CACHED frame still carries the full selection lineage in
+        // the logical plan, and the composed tree grows multiplicatively
+        // (tens of thousands of nodes — planning alone exhausts the heap
+        // at sf0.1). Truncating lineage at the two hubs keeps every
+        // downstream plan the same size as its standalone row's plan.
+        val surv = Dedup.dropExactDuplicates(decon)
+          .select("doc_id", "text").localCheckpoint()
+        val keepIds = TextRanking.perplexityBuckets(surv, nBuckets = 3)
+          .filter(col("bucket_id") <= 1).select("doc_id")
+        val merges = Bpe.train(surv, nMerges = 6)
+        val finalDocs = surv.join(keepIds, Seq("doc_id"), "left_semi")
+          .localCheckpoint()
+        Bpe.packedInputIds(finalDocs, merges, budget = 128, nBuckets = 8)
+          .orderBy("bucket", "seq_id")
+      },
+      Some(s"""WITH d AS MATERIALIZED (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(text,
+        |      '<[^>]*>', ' ', 'g'),
+        |      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+        |      '\\s+', ' ', 'g')) AS text,
+        |    lang
+        |  FROM documents),
+        |toks0 AS MATERIALIZED (SELECT doc_id, regexp_extract_all(text, '[\\p{L}]+') AS t
+        |  FROM d),
+        |stream0 AS MATERIALIZED (SELECT doc_id, unnest(t) AS token,
+        |    unnest(range(1, len(t)+1)) AS pos FROM toks0),
+        |bg0 AS (SELECT doc_id,
+        |    token || ' ' || lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS f
+        |  FROM stream0),
+        |feats0 AS (SELECT doc_id, token AS f FROM stream0
+        |  UNION ALL SELECT doc_id, f FROM bg0 WHERE f IS NOT NULL),
+        |bf0 AS (SELECT doc_id, ${sqlHash60("'dsir:' || f")} % 4096 AS bucket
+        |  FROM feats0),
+        |db0 AS MATERIALIZED (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM bf0 GROUP BY doc_id, bucket),
+        |tset0 AS (SELECT doc_id FROM d WHERE lang = 'en'),
+        |ct0 AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS c_t
+        |  FROM db0 JOIN tset0 USING (doc_id) GROUP BY bucket),
+        |cr0 AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS c_r
+        |  FROM db0 GROUP BY bucket),
+        |nt0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_t
+        |  FROM db0 JOIN tset0 USING (doc_id)),
+        |nr0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_r FROM db0),
+        |wd0 AS (SELECT cr0.bucket,
+        |    CAST(round(ln(((coalesce(ct0.c_t, 0) + 1.0) * (nr0.n_r + 4096))
+        |      / ((cr0.c_r + 1.0) * (nt0.n_t + 4096))) * 1e6, 0) AS BIGINT)
+        |      AS w_micro
+        |  FROM cr0 LEFT JOIN ct0 USING (bucket) CROSS JOIN nt0 CROSS JOIN nr0),
+        |sc0 AS MATERIALIZED (SELECT db0.doc_id,
+        |    CAST(sum(db0.cnt * wd0.w_micro) AS BIGINT) AS score_micro
+        |  FROM db0 JOIN wd0 USING (bucket) GROUP BY db0.doc_id),
+        |mx0 AS (SELECT max(score_micro) AS m FROM sc0),
+        |keep AS (SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      CAST(round(exp(CAST(score_micro - mx0.m AS DOUBLE) / 2000000.0)
+        |        * 1e6, 0) AS BIGINT) AS p_micro,
+        |      ${sqlHash60("CAST(doc_id AS VARCHAR) || ':resample:dsir'")}
+        |        % 1000000 AS u_micro
+        |    FROM sc0 CROSS JOIN mx0)
+        |  WHERE u_micro < p_micro),
+        |train AS MATERIALIZED (SELECT doc_id FROM keep WHERE doc_id % 31 <> 0),
+        |sl AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+        |  FROM toks0 WHERE len(t) >= 8),
+        |shg AS MATERIALIZED (SELECT DISTINCT doc_id,
+        |    ${sqlHash60("array_to_string(t[i:i+7], ' ')")} AS sh
+        |  FROM sl),
+        |ev AS (SELECT DISTINCT sh FROM shg WHERE doc_id % 31 = 0),
+        |contam AS (SELECT DISTINCT s.doc_id
+        |  FROM shg s JOIN ev USING (sh) JOIN train tr ON tr.doc_id = s.doc_id),
+        |decon AS MATERIALIZED (SELECT doc_id FROM train
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+        |surv AS MATERIALIZED (SELECT doc_id FROM (
+        |    SELECT d.doc_id,
+        |      row_number() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id)
+        |        AS rn
+        |    FROM d JOIN decon USING (doc_id)) WHERE rn = 1),
+        |toks AS MATERIALIZED (SELECT t0.doc_id, t0.t FROM toks0 t0 JOIN surv USING (doc_id)),
+        |stream AS MATERIALIZED (SELECT doc_id, unnest(t) AS token, unnest(range(1, len(t)+1)) AS pos FROM toks),
+        |$sqlKn3Ctes,
+        |ce AS (SELECT doc_id,
+        |    -CAST(round(CAST(s AS DOUBLE) / n, 0) AS BIGINT) / 1000000.0
+        |      AS cross_entropy
+        |  FROM a),
+        |rk AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY cross_entropy, doc_id) - 1 AS rank0,
+        |    count(*) OVER () AS nn FROM ce),
+        |final AS (SELECT doc_id FROM rk WHERE (rank0 * 3) // nn <= 1),
+        |$sqlBpeChain,
+        |pc AS (SELECT word, l[x] AS piece, x AS sp
+        |  FROM (SELECT word, string_split(trim(sym), '  ') AS l FROM s6),
+        |    unnest(range(1, len(l) + 1)) AS u(x)),
+        |ws AS (SELECT s.doc_id, s.pos, lower(s.token) AS word
+        |  FROM stream s JOIN final USING (doc_id)
+        |  WHERE regexp_matches(lower(s.token), '^[a-z]+$$')),
+        |pieces AS MATERIALIZED (SELECT ws.doc_id, ws.pos, pc.sp, pc.piece
+        |  FROM ws JOIN pc ON pc.word = ws.word),
+        |voc AS (SELECT piece, row_number() OVER (ORDER BY piece) - 1 AS pid
+        |  FROM (SELECT DISTINCT piece FROM pieces)),
+        |enc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pieces
+        |  FROM pieces GROUP BY doc_id),
+        |bk AS (SELECT doc_id, n_pieces,
+        |    ${sqlHash60("CAST(doc_id AS VARCHAR) || ':pack'")} % 8 AS bucket
+        |  FROM enc),
+        |st AS (SELECT doc_id, bucket,
+        |    COALESCE(CAST(sum(n_pieces) OVER (PARTITION BY bucket
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |      0) AS start_tok
+        |  FROM bk),
+        |pp AS (SELECT p.doc_id, st.bucket,
+        |    st.start_tok + row_number()
+        |      OVER (PARTITION BY p.doc_id ORDER BY p.pos, p.sp) - 1 AS pg,
+        |    v.pid
+        |  FROM pieces p JOIN voc v USING (piece) JOIN st USING (doc_id))
+        |SELECT bucket, pg // 128 AS seq_id,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_pieces,
+        |  string_agg(CAST(pid AS VARCHAR), ' ' ORDER BY pg) AS ids_str
+        |FROM pp GROUP BY bucket, pg // 128
+        |ORDER BY bucket, seq_id""".stripMargin)),
 
     // Bloom-filter incremental dedup: a 4096-bit / 5-hash seen-set built
     // over the first shard's content hashes (doc_id < 250 = "yesterday's

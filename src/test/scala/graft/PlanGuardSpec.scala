@@ -29,6 +29,19 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "weight model join not broadcast")
   }
 
+  test("curation pipeline: lineage cuts hold — bounded exchanges, no SMJ/cartesian") {
+    // The composed clean->DSIR->decontam->dedup->KN3->BPE->pack chain cuts
+    // lineage at the survivor and final-doc hubs (localCheckpoint); without
+    // those cuts the tree grows multiplicatively (measured: 49k Exchange
+    // nodes, 1.2k SortMergeJoins, OOM at planning). Guard the cut: the
+    // final packing stage's plan must stay leaf-rooted and small.
+    val p = planOf("t_curation_pipeline")
+    val nEx = "Exchange".r.findAllIn(p).size
+    assert(nEx <= 16, s"curation pipeline final stage has $nEx exchanges — lineage cut lost")
+    assert(!p.contains("SortMergeJoin"), "sort-merge join in the packing stage")
+    assert(!p.contains("CartesianProduct"), "cartesian product in the pipeline")
+  }
+
   test("two-corpus DSIR: weight model joins broadcast, no cartesian on data") {
     val p = planOf("t_dsir_two_corpus")
     assert(!p.contains("CartesianProduct"), "cartesian product in two-corpus DSIR")
