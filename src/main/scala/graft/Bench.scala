@@ -82,46 +82,41 @@ object Bench {
     val names = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Queries.headlines)
+    // One timed materialization; `ok = false` marks a failed sample so it
+    // can never pose as a valid timing (a failed query used to record its
+    // elapsed time as a normal sample and flow into the totals with the
+    // failure visible only on stderr — the artifact itself must show it).
+    def sampleOnce(name: String, tag: String): (Double, Boolean) = {
+      val fn = Queries.queries(name)
+      val t0 = System.nanoTime()
+      var ok = true
+      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch { case e: Throwable =>
+        ok = false
+        System.err.println(s"[bench] $name$tag failed: ${e.getMessage}")
+      }
+      finally graft.core.CacheScope.release() // operator-internal persists
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
+    def runSuite(qnames: Seq[String], nSamples: Int,
+                 tag: String): Seq[(String, Seq[(Double, Boolean)])] =
+      qnames.map { name => name -> (1 to nSamples).map(_ => sampleOnce(name, tag)) }
     // min of three runs per query: the machine shares cores with the round
     // driver, and single samples carry multi-second scheduling noise —
     // round-6 measured the SAME code at 1.7s and 29s minutes apart under
     // host contention, so a third sample materially tightens the min.
-    val results = names.map { name =>
-      val fn = Queries.queries(name)
-      val samples = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        finally graft.core.CacheScope.release() // operator-internal persists
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> samples
-    }
+    val results = runSuite(names, 3, "")
     // Second recorded variant (VERDICT r7 #7): the same headline suite with
     // AQE ON — documents the cluster-default story (runtime re-planning,
     // skew splitting) that the AQE-off local default above deliberately
     // avoids. 2 samples per query (the min is what's recorded; the first
     // sample absorbs AQE's re-plan compilation). Skipped when the primary
     // run is already AQE-on, or via SPARK_GRAFT_AQE_BOTH=false.
-    val aqeOnResults: Seq[(String, Seq[Double])] =
+    val aqeOnResults: Seq[(String, Seq[(Double, Boolean)])] =
       if (aqe == "true" || sys.env.get("SPARK_GRAFT_AQE_BOTH").contains("false")) Nil
       else {
         spark.conf.set("spark.sql.adaptive.enabled", "true")
-        val r = names.map { name =>
-          val fn = Queries.queries(name)
-          val samples = (1 to 2).map { _ =>
-            val t0 = System.nanoTime()
-            try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] $name (aqe) failed: ${e.getMessage}")
-            }
-            finally graft.core.CacheScope.release()
-            (System.nanoTime() - t0) / 1e9
-          }
-          name -> samples
-        }
+        val r = runSuite(names, 2, " (aqe)")
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
         r
       }
@@ -130,51 +125,59 @@ object Bench {
     // total so round-over-round comparability of "value" is untouched —
     // the driver's parser reads additive keys. 2 samples, min recorded.
     // Kill-switch: SPARK_GRAFT_PIPELINE_BENCH=false.
+    // m_image_resize exercises the multimodal decode path (stub codec, real
+    // batched mapPartitions plumbing) and t_curation_pipeline the full
+    // composed selection chain — both added r9 so codec or composition
+    // regressions become visible round-over-round.
     val pipelineNames =
       if (sys.env.get("SPARK_GRAFT_PIPELINE_BENCH").contains("false")) Nil
       else Seq("t_dsir", "t_kneser_ney3", "t_ccnet_buckets", "t_contam_frac",
-        "t_input_ids", "t_packed_ids", "t_source_kl")
-    val pipelineResults = pipelineNames.map { name =>
-      val fn = Queries.queries(name)
-      val samples = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name (pipeline) failed: ${e.getMessage}")
-        }
-        finally graft.core.CacheScope.release()
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> samples
+        "t_input_ids", "t_packed_ids", "t_source_kl", "m_image_resize",
+        "t_curation_pipeline")
+    val pipelineResults = runSuite(pipelineNames, 2, " (pipeline)")
+    // headline value per query = min of the OK samples (scheduling-noise
+    // floor); all samples are recorded so a contaminated run is visible in
+    // the artifact itself (VERDICT r6 #2), not just in its total. A sample
+    // that FAILED records as null (never a number), a query with no OK
+    // sample records null and is excluded from its suite total, and every
+    // failed (suite, query) lands in the top-level "failed" list — the
+    // artifact shows the failure, not just stderr.
+    def minOk(v: Seq[(Double, Boolean)]): Option[Double] = {
+      val ok = v.collect { case (s, true) => s }
+      if (ok.isEmpty) None else Some(ok.min)
     }
-    // headline value per query = min of samples (scheduling-noise floor);
-    // all samples are recorded so a contaminated run is visible in the
-    // artifact itself (VERDICT r6 #2), not just in its total.
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"${v.min}%.3f" }
-      .mkString("{", ",", "}")
+    def suiteJson(rs: Seq[(String, Seq[(Double, Boolean)])]): (String, String) = {
+      val qs = rs.map { case (k, v) =>
+        "\"" + k + "\":" + minOk(v).map(m => f"$m%.3f").getOrElse("null")
+      }.mkString("{", ",", "}")
+      val tot = f"${rs.flatMap { case (_, v) => minOk(v) }.sum}%.3f"
+      (qs, tot)
+    }
+    val failedJson = (results.map(("" , _)) ++ aqeOnResults.map(("aqe:", _)) ++
+        pipelineResults.map(("pipeline:", _)))
+      .collect { case (pfx, (k, v)) if minOk(v).isEmpty => "\"" + pfx + k + "\"" }
+      .mkString("[", ",", "]")
+    val (qs, total) = suiteJson(results)
     val samplesJson = results.map { case (k, v) =>
-      "\"" + k + "\":[" + v.map(s => f"$s%.3f").mkString(",") + "]"
+      "\"" + k + "\":[" + v.map { case (s, ok) =>
+        if (ok) f"$s%.3f" else "null" }.mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val total = f"${results.map(_._2.min).sum}%.3f"
     val aqeJson =
       if (aqeOnResults.isEmpty) ""
       else {
-        val aq = aqeOnResults.map { case (k, v) => "\"" + k + "\":" + f"${v.min}%.3f" }
-          .mkString("{", ",", "}")
-        f""""aqe_on_queries":$aq,"aqe_on_total":${aqeOnResults.map(_._2.min).sum}%.3f,"""
+        val (aq, at) = suiteJson(aqeOnResults)
+        s""""aqe_on_queries":$aq,"aqe_on_total":$at,"""
       }
     val pipeJson =
       if (pipelineResults.isEmpty) ""
       else {
-        val pq = pipelineResults.map { case (k, v) =>
-          "\"" + k + "\":" + f"${v.min}%.3f"
-        }.mkString("{", ",", "}")
-        f""""pipeline_queries":$pq,"pipeline_total":${
-          pipelineResults.map(_._2.min).sum}%.3f,"""
+        val (pq, pt) = suiteJson(pipelineResults)
+        s""""pipeline_queries":$pq,"pipeline_total":$pt,"""
       }
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        f""""samples":$samplesJson,$aqeJson$pipeJson"calib_sec":$calib%.3f,""" +
+        f""""samples":$samplesJson,$aqeJson$pipeJson"failed":$failedJson,""" +
+        f""""calib_sec":$calib%.3f,""" +
         s""""calib_tries":$calibTries,"contended":$contended,""" +
         s""""aqe":$aqe,"sf":"$sfDir"}"""
     // bare stdout line (build.sbt strips sbt's [info] framing via
