@@ -2033,25 +2033,27 @@ object Queries {
         |WHERE (a + n_tokens - 1) // 2000 > (a - 1) // 2000
         |ORDER BY doc_id""".stripMargin)),
 
-    // Deterministic uniform k-sample: k smallest salted id hashes — the
-    // hash analog of a reservoir sample (prefix-stable in k). All-integer;
-    // membership replayed exactly.
+    // Deterministic uniform k-sample: k smallest salted FULL 60-bit id
+    // hashes (no bucketing — a mod-1e6 grid would collide past ~1e6 rows
+    // and bias toward low ids via the tie-break). Prefix-stable in k;
+    // all-integer; membership replayed exactly.
     "t_uniform_k" -> Q(
       (s, dir) =>
         Sampling.uniformK(
             rd(s, dir, "documents").select("doc_id", "lang"), "doc_id", 40)
           .orderBy("doc_id"),
       Some(s"""WITH h AS (SELECT doc_id, lang,
-        |    ${sqlHash60("CAST(doc_id AS VARCHAR) || ':uniform'")} % 1000000 AS hk
+        |    ${sqlHash60("CAST(doc_id AS VARCHAR) || ':uniform'")} AS hk
         |  FROM documents WHERE doc_id IS NOT NULL)
         |SELECT doc_id, lang FROM
         |  (SELECT * FROM h ORDER BY hk, doc_id LIMIT 40)
         |ORDER BY doc_id""".stripMargin)),
 
     // Efraimidis–Spirakis weighted k-sample without replacement: key =
-    // ln(u)/w on the integer micro grid, top-k keys. The one libm call per
-    // row is rounded to micro before comparison, so membership is
-    // cross-engine exact; token count is the weight.
+    // ln(u)/w on the integer NANO grid (micro degenerates once weights
+    // reach ~1e6 — see Sampling.weightedSampleK), top-k keys. The one
+    // libm call per row is rounded to nano before comparison, so
+    // membership is cross-engine exact; token count is the weight.
     "t_weighted_k" -> Q(
       (s, dir) => {
         val withW = rd(s, dir, "documents")
@@ -2066,11 +2068,11 @@ object Queries {
         |keyed AS (SELECT doc_id, n_tokens,
         |    CAST(round(ln((CAST(${sqlHash60(
                "CAST(doc_id AS VARCHAR) || ':es'")} % 1000000 AS DOUBLE)
-        |        + 0.5) / 1e6) * 1e6 / CAST(n_tokens AS DOUBLE), 0) AS BIGINT)
-        |      AS key_micro
+        |        + 0.5) / 1e6) * 1e9 / CAST(n_tokens AS DOUBLE), 0) AS BIGINT)
+        |      AS key_nano
         |  FROM base)
         |SELECT doc_id, n_tokens FROM
-        |  (SELECT * FROM keyed ORDER BY key_micro DESC, doc_id LIMIT 40)
+        |  (SELECT * FROM keyed ORDER BY key_nano DESC, doc_id LIMIT 40)
         |ORDER BY doc_id""".stripMargin)),
 
     // Stratified deterministic sampling (the training-mix knob): keep 50%

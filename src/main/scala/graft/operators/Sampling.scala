@@ -179,15 +179,19 @@ object Sampling {
     * smallest — the hash-based analog of a reservoir sample, with the
     * reservoir property (any k' < k prefix of the ordering is the k'-sample,
     * so growing/shrinking k never reshuffles membership). All-integer
-    * ordering (hash, then id as total tie-break), executed as a TakeOrdered
-    * top-k — no global sort, no RNG state, exact SQL replay.
+    * ordering over the FULL 60-bit hash (id as total tie-break) — a
+    * bucketed hash (e.g. mod 1e6) would collide heavily past ~1e6 rows and
+    * the tie-break would then bias the "uniform" sample toward low ids;
+    * at 2^60 the collision term is negligible at any corpus size.
+    * Executed as a TakeOrdered top-k — no global sort, no RNG state,
+    * exact SQL replay.
     *
     * Null-id rows are dropped ([[stratifiedSample]] contract). */
   def uniformK(df: DataFrame, idCol: String, k: Int,
                salt: String = "uniform"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     df.filter(col(idCol).isNotNull)
-      .withColumn("__h", hashBucket(col(idCol), salt, 1000000))
+      .withColumn("__h", hash60(concat(col(idCol).cast("string"), lit(":" + salt))))
       .orderBy(col("__h"), col(idCol))
       .limit(k)
       .drop("__h")
@@ -202,24 +206,33 @@ object Sampling {
     *
     * Determinism: u = (hash60(id ++ salt) mod 1e6 + 0.5) / 1e6 — exact
     * integer hash, then ONE libm call per row rounded onto an integer
-    * micro-key grid (`key_micro = round(ln(u) * 1e6 / w)`), the same
-    * micro-grid contract the TF-IDF/BM25 oracles use, with id as total
-    * tie-break. Executed as TakeOrdered top-k: no global sort.
+    * NANO-key grid (`key_nano = round(ln(u) * 1e9 / w)`), with id as total
+    * tie-break. Nano, not micro: |ln(u)| <= ~13.8, so a micro grid
+    * degenerates to a handful of distinct keys once weights reach ~1e6
+    * (every row ties, and the id tie-break — not the weights — decides
+    * the sample); the nano grid keeps ~13.8e9/w distinct key values, so
+    * ties stay rare up to ~1e9-scale weights. Executed as TakeOrdered
+    * top-k: no global sort.
     *
-    * Null-id rows are dropped; rows with null/zero/negative weight can
-    * never be selected (PPS semantics) and are filtered out. */
+    * WEIGHT CONTRACT: weights are INTEGER multiplicities. A fractional
+    * weight column is rounded half-up (never silently truncated), so
+    * w = 0.7 participates as 1 and w = 0.4 rounds to 0 and is dropped
+    * with the null/zero/negative rows (PPS semantics: non-positive
+    * rounded weight = zero inclusion mass). Callers with genuinely
+    * fractional weights should pre-scale them to integers (e.g. x1000)
+    * to keep their ratios. Null-id rows are dropped. */
   def weightedSampleK(df: DataFrame, idCol: String, weightCol: String, k: Int,
                       salt: String = "es"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val u = (hashBucket(col(idCol), salt, 1000000).cast("double") + lit(0.5)) /
       lit(1e6)
+    val wInt = round(col(weightCol).cast("double"), 0).cast("long")
     df.filter(col(idCol).isNotNull)
-      .filter(coalesce(col(weightCol).cast("long"), lit(0L)) > 0)
-      .withColumn("__key_micro",
-        round(log(u) * lit(1e6) / col(weightCol).cast("long").cast("double"), 0)
-          .cast("long"))
-      .orderBy(desc("__key_micro"), col(idCol))
+      .filter(coalesce(wInt, lit(0L)) > 0)
+      .withColumn("__key_nano",
+        round(log(u) * lit(1e9) / wInt.cast("double"), 0).cast("long"))
+      .orderBy(desc("__key_nano"), col(idCol))
       .limit(k)
-      .drop("__key_micro")
+      .drop("__key_nano")
   }
 }

@@ -333,6 +333,16 @@ object TextAnalysis {
     val cnt = graft.core.CacheScope.persist(
       grid.join(uni, Seq("src", "token"), "left").na.fill(0L, Seq("c")))
     val totals = cnt.groupBy("src").agg(sum("c").as("n"))
+    // ENFORCED int64 guard (scaladoc bound made a loud failure, not a
+    // non-ANSI wrap): the in-log product is bounded by (maxN+1)·(maxN+k)
+    // and the micro-nat accumulator by (maxN+k)·ln(maxN+k)·1e6 — one tiny
+    // action on the |sources|-row totals table proves both for every row.
+    val maxN = totals.agg(max("n")).head().getLong(0)
+    val maxLr = math.round(math.log(maxN.toDouble + k) * 1e6) + 1
+    require(BigInt(maxN + 1) * (maxN + k) <= BigInt(Long.MaxValue) &&
+        BigInt(maxLr) * (maxN + k) <= BigInt(Long.MaxValue),
+      s"sourceDivergence int64 headroom exceeded (max source tokens " +
+        s"$maxN): shard sources or reduce k")
     val aSide = cnt.join(totals, "src")
       .select(col("src").as("source_a"), col("token"),
         col("c").as("c_a"), col("n").as("n_a"))

@@ -296,6 +296,18 @@ object TextRanking {
       .agg(sum("ncont").as("nmid"), count(lit(1)).as("n1rc"))
     val nl = cont.groupBy("w2").agg(count(lit(1)).as("nl"))
     val b = cont.count() // one scalar: distinct (w1,w2) in trigram support
+    // ENFORCED overflow guard (the scaladoc bound, made a runtime failure
+    // instead of silent non-ANSI wraparound): every num/den term is bounded
+    // by 37·s01·nmid·b (num: 16 + 21 from the two addends with ncont,
+    // n1rc <= nmid, nl <= b, n1r01 <= s01), so checking the MAXES of the
+    // two model columns once — two tiny aggregates over the persisted
+    // vocab²-sized model tables, not the corpus — proves every per-row
+    // int64 product is in range. 40 leaves slack over the exact 37.
+    val maxS01 = s01.agg(max("s01")).head().getLong(0)
+    val maxNmid = mid.agg(max("nmid")).head().getLong(0)
+    require(BigInt(40) * maxS01 * maxNmid * b <= BigInt(Long.MaxValue),
+      s"trigram-KN int64 headroom exceeded (max s01=$maxS01, max nmid=" +
+        s"$maxNmid, B=$b): shard the model by w1 and renormalize")
     val num = greatest(lit(4L) * col("ctri") - lit(3L), lit(0L)) *
         (lit(4L) * col("nmid") * lit(b)) +
       lit(3L) * col("n1r01") *

@@ -33,8 +33,21 @@ object EventsStreaming {
   def readStream(spark: SparkSession, dir: String,
                  schema: Option[StructType] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The EventSchema fallback covers exactly ONE condition: a landing
+    // directory with no readable parquet yet (empty or not yet created) —
+    // Spark raises AnalysisException("...unable to infer schema..." /
+    // "...path does not exist...") for both. Any OTHER failure (corrupt
+    // footer, permission, bad files) must propagate: silently streaming a
+    // corrupt landing dir with the wrong assumed schema is worse than
+    // failing at start.
     val fileSchema = schema.getOrElse(
-      scala.util.Try(spark.read.parquet(dir).schema).getOrElse(EventSchema))
+      try spark.read.parquet(dir).schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Seq("UNABLE_TO_INFER_SCHEMA", "PATH_NOT_FOUND")
+              .exists(c => e.getCondition != null && e.getCondition.contains(c)) =>
+          EventSchema
+      })
     graft.core.Catalog.epochNanos(
         spark.readStream.schema(fileSchema).parquet(dir), "ts")
       .withColumn("event_time", timestamp_millis(expr("ts div 1000000")))

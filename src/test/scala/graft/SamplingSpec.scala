@@ -216,4 +216,40 @@ class SamplingSpec extends AnyFunSuite {
       k = 25).collect().map(_.getLong(0)).toSet
     assert(a == b)
   }
+
+  test("weightedSampleK: fractional weights round half-up, never truncate") {
+    // w=0.7 rounds to 1 (selectable); w=0.4 rounds to 0 (dropped). The old
+    // long-cast TRUNCATED both to 0 and silently excluded w=0.7 rows.
+    val df = Seq((1L, 0.7), (2L, 0.4), (3L, 0.7)).toDF("doc_id", "w")
+    val sel = Sampling.weightedSampleK(df, "doc_id", "w", k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(sel == Set(1L, 3L), s"expected rounded-weight rows, got $sel")
+  }
+
+  test("weightedSampleK: large weights keep distinct keys (nano grid)") {
+    // at w ~ 1e6 the old MICRO key grid collapsed to ~14 distinct values
+    // and the id tie-break, not the weights, decided the sample; the nano
+    // grid must keep the keys distinct enough that two disjoint-id runs
+    // over identical weights select by key, not id order
+    val heavy = (0L until 500L).map(i => (i, 1000000L + i)).toDF("doc_id", "w")
+    val keys = heavy
+      .withColumn("u", (graft.functions.TextFunctions.hash60(
+        concat($"doc_id".cast("string"), lit(":es"))) % 1000000 + lit(0.5)) / 1e6)
+      .withColumn("k", round(log($"u") * 1e9 / $"w".cast("double"), 0).cast("long"))
+      .select("k").collect().map(_.getLong(0))
+    assert(keys.distinct.length > 400,
+      s"nano keys collapsed: ${keys.distinct.length} distinct of ${keys.length}")
+  }
+
+  test("uniformK: full-hash ordering is unbiased toward low ids") {
+    // 100k sequential ids, k=1000: under the old hash60 % 1e6 ordering a
+    // collision's id tie-break favors low ids; with the full 60-bit hash
+    // the sample mean of the selected ids must sit near the population
+    // mean (binomial bound: +/- ~3 sigma ~ 2700 at n=1000)
+    val ids = spark.range(0L, 100000L).toDF("doc_id")
+    val sel = Sampling.uniformK(ids, "doc_id", 1000)
+      .collect().map(_.getLong(0))
+    val mean = sel.sum.toDouble / sel.length
+    assert(math.abs(mean - 50000.0) < 3000.0, s"biased sample mean $mean")
+  }
 }

@@ -290,9 +290,12 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable()
     ms.addData(Seq(2f, 2f), Seq(4f, 4f))
     q.processAllAvailable(); q.stop()
-    val streamed = spark.table("moments_stream").head().getSeq[Double](0)
-    // exact same fixture as PcaSpec: n=5, sums=(8,8), ss=(24,20,24)
-    assert(streamed == Seq(5.0, 8.0, 8.0, 24.0, 20.0, 24.0))
+    val streamed = spark.table("moments_stream").head().getSeq[Long](0)
+    // exact same fixture as PcaSpec on the r8 integer micro-grid buffer:
+    // [n, micro sums (8e6, 8e6), int128 (hi, lo) product sums
+    //  (24e12, 20e12, 24e12) — hi words 0 at this magnitude]
+    assert(streamed == Seq(5L, 8000000L, 8000000L,
+      0L, 24000000000000L, 0L, 20000000000000L, 0L, 24000000000000L))
   }
 
   test("bloom seen-set maintains incrementally over a stream") {
