@@ -337,7 +337,9 @@ object TextAnalysis {
     // non-ANSI wrap): the in-log product is bounded by (maxN+1)·(maxN+k)
     // and the micro-nat accumulator by (maxN+k)·ln(maxN+k)·1e6 — one tiny
     // action on the |sources|-row totals table proves both for every row.
-    val maxN = totals.agg(max("n")).head().getLong(0)
+    // NULL on an empty corpus (no sources) -> nothing to overflow
+    val maxN = Option(totals.agg(max("n")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     val maxLr = math.round(math.log(maxN.toDouble + k) * 1e6) + 1
     require(BigInt(maxN + 1) * (maxN + k) <= BigInt(Long.MaxValue) &&
         BigInt(maxLr) * (maxN + k) <= BigInt(Long.MaxValue),

@@ -303,8 +303,12 @@ object TextRanking {
     // two model columns once — two tiny aggregates over the persisted
     // vocab²-sized model tables, not the corpus — proves every per-row
     // int64 product is in range. 40 leaves slack over the exact 37.
-    val maxS01 = s01.agg(max("s01")).head().getLong(0)
-    val maxNmid = mid.agg(max("nmid")).head().getLong(0)
+    // max() over an EMPTY model table (degenerate corpus: no trigrams) is
+    // NULL — no rows means no products to overflow, so treat as 0
+    val maxS01 = Option(s01.agg(max("s01")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val maxNmid = Option(mid.agg(max("nmid")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     require(BigInt(40) * maxS01 * maxNmid * b <= BigInt(Long.MaxValue),
       s"trigram-KN int64 headroom exceeded (max s01=$maxS01, max nmid=" +
         s"$maxNmid, B=$b): shard the model by w1 and renormalize")
