@@ -125,6 +125,37 @@ object Queries {
     s"""$ToksCte, $StreamCte,
     |$sqlBpeChain""".stripMargin
 
+  /** Full-corpus packing replay (follows $sqlBpeCtes): piece split
+    * `pc`, word stream `ws`, per-(doc,pos) `pieces`, dense piece-id
+    * vocab `voc`, per-bucket running offsets `st`, and the global piece
+    * index table `pp` — shared by t_packed_ids and t_packing_stats. */
+  private lazy val sqlPackCtes: String =
+    s"""pc AS (SELECT word, l[x] AS piece, x AS sp
+        |  FROM (SELECT word, string_split(trim(sym), '  ') AS l FROM s6),
+    |    unnest(range(1, len(l) + 1)) AS u(x)),
+    |ws AS (SELECT doc_id, pos, lower(token) AS word FROM stream
+    |  WHERE regexp_matches(lower(token), '^[a-z]+$$')),
+    |pieces AS (SELECT ws.doc_id, ws.pos, pc.sp, pc.piece
+    |  FROM ws JOIN pc ON pc.word = ws.word),
+    |voc AS (SELECT piece, row_number() OVER (ORDER BY piece) - 1 AS pid
+    |  FROM (SELECT DISTINCT piece FROM pieces)),
+    |enc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pieces
+    |  FROM pieces GROUP BY doc_id),
+    |bk AS (SELECT doc_id, n_pieces,
+    |    ${sqlHash60("CAST(doc_id AS VARCHAR) || ':pack'")} % 8 AS bucket
+    |  FROM enc),
+    |st AS (SELECT doc_id, bucket,
+    |    COALESCE(CAST(sum(n_pieces) OVER (PARTITION BY bucket
+    |      ORDER BY doc_id
+    |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+    |      0) AS start_tok
+    |  FROM bk),
+    |pp AS (SELECT p.doc_id, st.bucket,
+    |    st.start_tok + row_number()
+    |      OVER (PARTITION BY p.doc_id ORDER BY p.pos, p.sp) - 1 AS pg,
+    |    v.pid
+    |  FROM pieces p JOIN voc v USING (piece) JOIN st USING (doc_id))""".stripMargin
+
   /** The BPE train replay ALONE (wbpe..s6, t1..t6) over whatever `stream`
     * is in scope — lets a caller (the curation pipeline) train the
     * tokenizer on a FILTERED corpus by defining its own stream CTE first.
@@ -1517,6 +1548,161 @@ object Queries {
     |a AS (SELECT doc_id, CAST(sum("count" * lp) AS BIGINT) AS s,
     |    CAST(sum("count") AS BIGINT) AS n FROM j GROUP BY doc_id)""".stripMargin
 
+  /** The pipeline row's oracle: the shared curation CTE prefix + the
+    * survivor-trained BPE replay + the packing tail (the t_packed_ids
+    * shape restricted to the `final` doc set). */
+  private lazy val CurationPipelineOracle: Option[String] =
+  Some(s"""WITH $sqlCurationCtes,
+        |$sqlBpeChain,
+        |pc AS (SELECT word, l[x] AS piece, x AS sp
+        |  FROM (SELECT word, string_split(trim(sym), '  ') AS l FROM s6),
+        |    unnest(range(1, len(l) + 1)) AS u(x)),
+        |ws AS (SELECT s.doc_id, s.pos, lower(s.token) AS word
+        |  FROM stream s JOIN final USING (doc_id)
+        |  WHERE regexp_matches(lower(s.token), '^[a-z]+$$')),
+        |pieces AS MATERIALIZED (SELECT ws.doc_id, ws.pos, pc.sp, pc.piece
+        |  FROM ws JOIN pc ON pc.word = ws.word),
+        |voc AS (SELECT piece, row_number() OVER (ORDER BY piece) - 1 AS pid
+        |  FROM (SELECT DISTINCT piece FROM pieces)),
+        |enc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pieces
+        |  FROM pieces GROUP BY doc_id),
+        |bk AS (SELECT doc_id, n_pieces,
+        |    ${sqlHash60("CAST(doc_id AS VARCHAR) || ':pack'")} % 8 AS bucket
+        |  FROM enc),
+        |st AS (SELECT doc_id, bucket,
+        |    COALESCE(CAST(sum(n_pieces) OVER (PARTITION BY bucket
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |      0) AS start_tok
+        |  FROM bk),
+        |pp AS (SELECT p.doc_id, st.bucket,
+        |    st.start_tok + row_number()
+        |      OVER (PARTITION BY p.doc_id ORDER BY p.pos, p.sp) - 1 AS pg,
+        |    v.pid
+        |  FROM pieces p JOIN voc v USING (piece) JOIN st USING (doc_id))
+        |SELECT bucket, pg // 128 AS seq_id,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_pieces,
+        |  string_agg(CAST(pid AS VARCHAR), ' ' ORDER BY pg) AS ids_str
+        |FROM pp GROUP BY bucket, pg // 128
+        |ORDER BY bucket, seq_id""".stripMargin)
+
+  /** Shared construction of the end-to-end curation chain (clean -> DSIR
+    * resample -> decontaminate -> exact dedup -> KN3 perplexity cut): the
+    * stage frames, so the pipeline row (packed sequences) and the funnel
+    * row (per-stage attrition) compose the SAME chain. `surv` and
+    * `finalDocs` are localCheckpoint LINEAGE CUTS — a merely-cached frame
+    * still carries its full logical lineage into KN3's five model joins
+    * and the composed tree grows multiplicatively (tens of thousands of
+    * nodes; planning alone exhausts the heap at sf0.1). With the cuts
+    * every downstream plan is the same size as its standalone row's. */
+  private final case class CurationStages(
+      cleaned: DataFrame, keptIds: DataFrame, train: DataFrame,
+      decon: DataFrame, surv: DataFrame, finalDocs: DataFrame)
+
+  private def curationStages(s: SparkSession, dir: String): CurationStages = {
+    val docs = rd(s, dir, "documents")
+    val cleaned = docs.select(col("doc_id"),
+      TextAnalysis.cleanText(col("text")).as("text"), col("lang"))
+    val scored = Dsir.scoreAll(cleaned, col("lang") === "en",
+      numBuckets = 4096)
+    val keptIds = Dsir.importanceResample(scored, temperature = 2.0)
+      .select("doc_id")
+    val selected = cleaned.join(keptIds, Seq("doc_id"), "left_semi")
+    val train = graft.core.CacheScope.persist(
+      selected.filter(col("doc_id") % 31 =!= 0))
+    val evalDocs = cleaned.filter(col("doc_id") % 31 === 0)
+    val contaminated = Dedup.decontaminate(train, evalDocs, n = 8)
+      .select("doc_id")
+    val decon = train.join(contaminated, Seq("doc_id"), "left_anti")
+    val surv = Dedup.dropExactDuplicates(decon)
+      .select("doc_id", "text").localCheckpoint()
+    val keepIds = TextRanking.perplexityBuckets(surv, nBuckets = 3)
+      .filter(col("bucket_id") <= 1).select("doc_id")
+    val finalDocs = surv.join(keepIds, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    CurationStages(cleaned, keptIds, train, decon, surv, finalDocs)
+  }
+
+  /** The curation chain's oracle CTE prefix (cleaned corpus `d`, DSIR
+    * scoring/resample `keep`, decontamination `decon`, dedup `surv`, the
+    * survivor-scoped `toks`/`stream`, KN3 + perplexity cut `final`) —
+    * shared by the pipeline and funnel oracles. Hub CTEs MATERIALIZED:
+    * DuckDB re-inlines plain CTEs per reference. */
+  private lazy val sqlCurationCtes: String =
+    s"""d AS MATERIALIZED (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(text,
+        |      '<[^>]*>', ' ', 'g'),
+        |      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+        |      '\\s+', ' ', 'g')) AS text,
+        |    lang
+        |  FROM documents),
+        |toks0 AS MATERIALIZED (SELECT doc_id, regexp_extract_all(text, '[\\p{L}]+') AS t
+        |  FROM d),
+        |stream0 AS MATERIALIZED (SELECT doc_id, unnest(t) AS token,
+        |    unnest(range(1, len(t)+1)) AS pos FROM toks0),
+        |bg0 AS (SELECT doc_id,
+        |    token || ' ' || lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS f
+        |  FROM stream0),
+        |feats0 AS (SELECT doc_id, token AS f FROM stream0
+        |  UNION ALL SELECT doc_id, f FROM bg0 WHERE f IS NOT NULL),
+        |bf0 AS (SELECT doc_id, ${sqlHash60("'dsir:' || f")} % 4096 AS bucket
+        |  FROM feats0),
+        |db0 AS MATERIALIZED (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM bf0 GROUP BY doc_id, bucket),
+        |tset0 AS (SELECT doc_id FROM d WHERE lang = 'en'),
+        |ct0 AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS c_t
+        |  FROM db0 JOIN tset0 USING (doc_id) GROUP BY bucket),
+        |cr0 AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS c_r
+        |  FROM db0 GROUP BY bucket),
+        |nt0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_t
+        |  FROM db0 JOIN tset0 USING (doc_id)),
+        |nr0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_r FROM db0),
+        |wd0 AS (SELECT cr0.bucket,
+        |    CAST(round(ln(((coalesce(ct0.c_t, 0) + 1.0) * (nr0.n_r + 4096))
+        |      / ((cr0.c_r + 1.0) * (nt0.n_t + 4096))) * 1e6, 0) AS BIGINT)
+        |      AS w_micro
+        |  FROM cr0 LEFT JOIN ct0 USING (bucket) CROSS JOIN nt0 CROSS JOIN nr0),
+        |sc0 AS MATERIALIZED (SELECT db0.doc_id,
+        |    CAST(sum(db0.cnt * wd0.w_micro) AS BIGINT) AS score_micro
+        |  FROM db0 JOIN wd0 USING (bucket) GROUP BY db0.doc_id),
+        |mx0 AS (SELECT max(score_micro) AS m FROM sc0),
+        |keep AS (SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      CAST(round(exp(CAST(score_micro - mx0.m AS DOUBLE) / 2000000.0)
+        |        * 1e6, 0) AS BIGINT) AS p_micro,
+        |      ${sqlHash60("CAST(doc_id AS VARCHAR) || ':resample:dsir'")}
+        |        % 1000000 AS u_micro
+        |    FROM sc0 CROSS JOIN mx0)
+        |  WHERE u_micro < p_micro),
+        |train AS MATERIALIZED (SELECT doc_id FROM keep WHERE doc_id % 31 <> 0),
+        |sl AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+        |  FROM toks0 WHERE len(t) >= 8),
+        |shg AS MATERIALIZED (SELECT DISTINCT doc_id,
+        |    ${sqlHash60("array_to_string(t[i:i+7], ' ')")} AS sh
+        |  FROM sl),
+        |ev AS (SELECT DISTINCT sh FROM shg WHERE doc_id % 31 = 0),
+        |contam AS (SELECT DISTINCT s.doc_id
+        |  FROM shg s JOIN ev USING (sh) JOIN train tr ON tr.doc_id = s.doc_id),
+        |decon AS MATERIALIZED (SELECT doc_id FROM train
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+        |surv AS MATERIALIZED (SELECT doc_id FROM (
+        |    SELECT d.doc_id,
+        |      row_number() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id)
+        |        AS rn
+        |    FROM d JOIN decon USING (doc_id)) WHERE rn = 1),
+        |toks AS MATERIALIZED (SELECT t0.doc_id, t0.t FROM toks0 t0 JOIN surv USING (doc_id)),
+        |stream AS MATERIALIZED (SELECT doc_id, unnest(t) AS token, unnest(range(1, len(t)+1)) AS pos FROM toks),
+        |$sqlKn3Ctes,
+        |ce AS (SELECT doc_id,
+        |    -CAST(round(CAST(s AS DOUBLE) / n, 0) AS BIGINT) / 1000000.0
+        |      AS cross_entropy
+        |  FROM a),
+        |rk AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY cross_entropy, doc_id) - 1 AS rank0,
+        |    count(*) OVER () AS nn FROM ce),
+        |final AS (SELECT doc_id FROM rk WHERE (rank0 * 3) // nn <= 1)""".stripMargin
+
   private lazy val analysis: Seq[(String, Q)] = Seq(
 
     // Trainable quality classifier: 3 batch-perceptron rounds over hashed
@@ -2456,142 +2642,64 @@ object Queries {
     // dense-rank phase); everything else is one lazy plan.
     "t_curation_pipeline" -> Q(
       (s, dir) => {
-        val docs = rd(s, dir, "documents")
-        val cleaned = docs.select(col("doc_id"),
-          TextAnalysis.cleanText(col("text")).as("text"), col("lang"))
-        val scored = Dsir.scoreAll(cleaned, col("lang") === "en",
-          numBuckets = 4096)
-        val keptIds = Dsir.importanceResample(scored, temperature = 2.0)
-          .select("doc_id")
-        val selected = cleaned.join(keptIds, Seq("doc_id"), "left_semi")
-        val train = graft.core.CacheScope.persist(
-          selected.filter(col("doc_id") % 31 =!= 0))
-        val evalDocs = cleaned.filter(col("doc_id") % 31 === 0)
-        val contaminated = Dedup.decontaminate(train, evalDocs, n = 8)
-          .select("doc_id")
-        val decon = train.join(contaminated, Seq("doc_id"), "left_anti")
-        // localCheckpoint, not just cache: the survivor table feeds KN3's
-        // five model aggregates and the BPE trainer — each reference of a
-        // merely-CACHED frame still carries the full selection lineage in
-        // the logical plan, and the composed tree grows multiplicatively
-        // (tens of thousands of nodes — planning alone exhausts the heap
-        // at sf0.1). Truncating lineage at the two hubs keeps every
-        // downstream plan the same size as its standalone row's plan.
-        val surv = Dedup.dropExactDuplicates(decon)
-          .select("doc_id", "text").localCheckpoint()
-        val keepIds = TextRanking.perplexityBuckets(surv, nBuckets = 3)
-          .filter(col("bucket_id") <= 1).select("doc_id")
-        val merges = Bpe.train(surv, nMerges = 6)
-        val finalDocs = surv.join(keepIds, Seq("doc_id"), "left_semi")
-          .localCheckpoint()
-        Bpe.packedInputIds(finalDocs, merges, budget = 128, nBuckets = 8)
+        val st = curationStages(s, dir)
+        val merges = Bpe.train(st.surv, nMerges = 6)
+        Bpe.packedInputIds(st.finalDocs, merges, budget = 128, nBuckets = 8)
           .orderBy("bucket", "seq_id")
       },
-      Some(s"""WITH d AS MATERIALIZED (SELECT doc_id,
-        |    trim(regexp_replace(regexp_replace(regexp_replace(text,
-        |      '<[^>]*>', ' ', 'g'),
-        |      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
-        |      '\\s+', ' ', 'g')) AS text,
-        |    lang
-        |  FROM documents),
-        |toks0 AS MATERIALIZED (SELECT doc_id, regexp_extract_all(text, '[\\p{L}]+') AS t
-        |  FROM d),
-        |stream0 AS MATERIALIZED (SELECT doc_id, unnest(t) AS token,
-        |    unnest(range(1, len(t)+1)) AS pos FROM toks0),
-        |bg0 AS (SELECT doc_id,
-        |    token || ' ' || lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS f
-        |  FROM stream0),
-        |feats0 AS (SELECT doc_id, token AS f FROM stream0
-        |  UNION ALL SELECT doc_id, f FROM bg0 WHERE f IS NOT NULL),
-        |bf0 AS (SELECT doc_id, ${sqlHash60("'dsir:' || f")} % 4096 AS bucket
-        |  FROM feats0),
-        |db0 AS MATERIALIZED (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
-        |  FROM bf0 GROUP BY doc_id, bucket),
-        |tset0 AS (SELECT doc_id FROM d WHERE lang = 'en'),
-        |ct0 AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS c_t
-        |  FROM db0 JOIN tset0 USING (doc_id) GROUP BY bucket),
-        |cr0 AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS c_r
-        |  FROM db0 GROUP BY bucket),
-        |nt0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_t
-        |  FROM db0 JOIN tset0 USING (doc_id)),
-        |nr0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_r FROM db0),
-        |wd0 AS (SELECT cr0.bucket,
-        |    CAST(round(ln(((coalesce(ct0.c_t, 0) + 1.0) * (nr0.n_r + 4096))
-        |      / ((cr0.c_r + 1.0) * (nt0.n_t + 4096))) * 1e6, 0) AS BIGINT)
-        |      AS w_micro
-        |  FROM cr0 LEFT JOIN ct0 USING (bucket) CROSS JOIN nt0 CROSS JOIN nr0),
-        |sc0 AS MATERIALIZED (SELECT db0.doc_id,
-        |    CAST(sum(db0.cnt * wd0.w_micro) AS BIGINT) AS score_micro
-        |  FROM db0 JOIN wd0 USING (bucket) GROUP BY db0.doc_id),
-        |mx0 AS (SELECT max(score_micro) AS m FROM sc0),
-        |keep AS (SELECT doc_id FROM (
-        |    SELECT doc_id,
-        |      CAST(round(exp(CAST(score_micro - mx0.m AS DOUBLE) / 2000000.0)
-        |        * 1e6, 0) AS BIGINT) AS p_micro,
-        |      ${sqlHash60("CAST(doc_id AS VARCHAR) || ':resample:dsir'")}
-        |        % 1000000 AS u_micro
-        |    FROM sc0 CROSS JOIN mx0)
-        |  WHERE u_micro < p_micro),
-        |train AS MATERIALIZED (SELECT doc_id FROM keep WHERE doc_id % 31 <> 0),
-        |sl AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
-        |  FROM toks0 WHERE len(t) >= 8),
-        |shg AS MATERIALIZED (SELECT DISTINCT doc_id,
-        |    ${sqlHash60("array_to_string(t[i:i+7], ' ')")} AS sh
-        |  FROM sl),
-        |ev AS (SELECT DISTINCT sh FROM shg WHERE doc_id % 31 = 0),
-        |contam AS (SELECT DISTINCT s.doc_id
-        |  FROM shg s JOIN ev USING (sh) JOIN train tr ON tr.doc_id = s.doc_id),
-        |decon AS MATERIALIZED (SELECT doc_id FROM train
-        |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
-        |surv AS MATERIALIZED (SELECT doc_id FROM (
-        |    SELECT d.doc_id,
-        |      row_number() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id)
-        |        AS rn
-        |    FROM d JOIN decon USING (doc_id)) WHERE rn = 1),
-        |toks AS MATERIALIZED (SELECT t0.doc_id, t0.t FROM toks0 t0 JOIN surv USING (doc_id)),
-        |stream AS MATERIALIZED (SELECT doc_id, unnest(t) AS token, unnest(range(1, len(t)+1)) AS pos FROM toks),
-        |$sqlKn3Ctes,
-        |ce AS (SELECT doc_id,
-        |    -CAST(round(CAST(s AS DOUBLE) / n, 0) AS BIGINT) / 1000000.0
-        |      AS cross_entropy
-        |  FROM a),
-        |rk AS (SELECT doc_id,
-        |    row_number() OVER (ORDER BY cross_entropy, doc_id) - 1 AS rank0,
-        |    count(*) OVER () AS nn FROM ce),
-        |final AS (SELECT doc_id FROM rk WHERE (rank0 * 3) // nn <= 1),
-        |$sqlBpeChain,
-        |pc AS (SELECT word, l[x] AS piece, x AS sp
-        |  FROM (SELECT word, string_split(trim(sym), '  ') AS l FROM s6),
-        |    unnest(range(1, len(l) + 1)) AS u(x)),
-        |ws AS (SELECT s.doc_id, s.pos, lower(s.token) AS word
-        |  FROM stream s JOIN final USING (doc_id)
-        |  WHERE regexp_matches(lower(s.token), '^[a-z]+$$')),
-        |pieces AS MATERIALIZED (SELECT ws.doc_id, ws.pos, pc.sp, pc.piece
-        |  FROM ws JOIN pc ON pc.word = ws.word),
-        |voc AS (SELECT piece, row_number() OVER (ORDER BY piece) - 1 AS pid
-        |  FROM (SELECT DISTINCT piece FROM pieces)),
-        |enc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pieces
-        |  FROM pieces GROUP BY doc_id),
-        |bk AS (SELECT doc_id, n_pieces,
-        |    ${sqlHash60("CAST(doc_id AS VARCHAR) || ':pack'")} % 8 AS bucket
-        |  FROM enc),
-        |st AS (SELECT doc_id, bucket,
-        |    COALESCE(CAST(sum(n_pieces) OVER (PARTITION BY bucket
-        |      ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
-        |      0) AS start_tok
-        |  FROM bk),
-        |pp AS (SELECT p.doc_id, st.bucket,
-        |    st.start_tok + row_number()
-        |      OVER (PARTITION BY p.doc_id ORDER BY p.pos, p.sp) - 1 AS pg,
-        |    v.pid
-        |  FROM pieces p JOIN voc v USING (piece) JOIN st USING (doc_id))
-        |SELECT bucket, pg // 128 AS seq_id,
-        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-        |  CAST(count(*) AS BIGINT) AS n_pieces,
-        |  string_agg(CAST(pid AS VARCHAR), ' ' ORDER BY pg) AS ids_str
-        |FROM pp GROUP BY bucket, pg // 128
-        |ORDER BY bucket, seq_id""".stripMargin)),
+      CurationPipelineOracle),
+
+    // Attrition FUNNEL over the same chain — the observability artifact a
+    // 100 TB curation run reads first: one row per stage with surviving
+    // document and token counts (tokens from the cleaned corpus, so the
+    // ratios compare like for like). Stage list: corpus -> dsir_resample
+    // (importance kept) -> train_selected (eval shard carved out) ->
+    // decontaminated -> deduped -> perplexity_filtered. Composes the
+    // SAME curationStages frames the pipeline row runs, so the funnel
+    // numbers are exactly the pipeline's own attrition, not a re-derivation
+    // that could drift.
+    "t_curation_funnel" -> Q(
+      (s, dir) => {
+        val st = curationStages(s, dir)
+        val tokCounts = graft.core.CacheScope.persist(
+          st.cleaned.select(col("doc_id"),
+            size(tokens(col("text"))).cast("long").as("ntok")))
+        def stage(i: Int, name: String, ids: DataFrame): DataFrame =
+          tokCounts.join(ids.select("doc_id"), Seq("doc_id"), "left_semi")
+            .agg(count(lit(1)).as("n_docs"),
+              coalesce(sum("ntok"), lit(0L)).as("n_tokens"))
+            .select(lit(i.toLong).as("stage"), lit(name).as("stage_name"),
+              col("n_docs"), col("n_tokens"))
+        stage(0, "corpus", tokCounts)
+          .unionAll(stage(1, "dsir_resample", st.keptIds))
+          .unionAll(stage(2, "train_selected", st.train))
+          .unionAll(stage(3, "decontaminated", st.decon))
+          .unionAll(stage(4, "deduped", st.surv))
+          .unionAll(stage(5, "perplexity_filtered", st.finalDocs))
+          .orderBy("stage")
+      },
+      Some(s"""WITH $sqlCurationCtes,
+        |tc AS MATERIALIZED (SELECT doc_id, CAST(len(t) AS BIGINT) AS ntok
+        |  FROM toks0)
+        |SELECT 0 AS stage, 'corpus' AS stage_name,
+        |  count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens FROM tc
+        |UNION ALL
+        |SELECT 1, 'dsir_resample', count(*), CAST(sum(ntok) AS BIGINT)
+        |FROM tc JOIN keep USING (doc_id)
+        |UNION ALL
+        |SELECT 2, 'train_selected', count(*), CAST(sum(ntok) AS BIGINT)
+        |FROM tc JOIN train USING (doc_id)
+        |UNION ALL
+        |SELECT 3, 'decontaminated', count(*), CAST(sum(ntok) AS BIGINT)
+        |FROM tc JOIN decon USING (doc_id)
+        |UNION ALL
+        |SELECT 4, 'deduped', count(*), CAST(sum(ntok) AS BIGINT)
+        |FROM tc JOIN surv USING (doc_id)
+        |UNION ALL
+        |SELECT 5, 'perplexity_filtered', count(*), CAST(sum(ntok) AS BIGINT)
+        |FROM tc JOIN final USING (doc_id)
+        |ORDER BY stage""".stripMargin)),
+
 
     // Bloom-filter incremental dedup: a 4096-bit / 5-hash seen-set built
     // over the first shard's content hashes (doc_id < 250 = "yesterday's
@@ -3098,37 +3206,46 @@ object Queries {
           .orderBy("bucket", "seq_id")
       },
       Some(s"""WITH $sqlBpeCtes,
-        |pc AS (SELECT word, l[x] AS piece, x AS sp
-        |  FROM (SELECT word, string_split(trim(sym), '  ') AS l FROM s6),
-        |    unnest(range(1, len(l) + 1)) AS u(x)),
-        |ws AS (SELECT doc_id, pos, lower(token) AS word FROM stream
-        |  WHERE regexp_matches(lower(token), '^[a-z]+$$')),
-        |pieces AS (SELECT ws.doc_id, ws.pos, pc.sp, pc.piece
-        |  FROM ws JOIN pc ON pc.word = ws.word),
-        |voc AS (SELECT piece, row_number() OVER (ORDER BY piece) - 1 AS pid
-        |  FROM (SELECT DISTINCT piece FROM pieces)),
-        |enc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pieces
-        |  FROM pieces GROUP BY doc_id),
-        |bk AS (SELECT doc_id, n_pieces,
-        |    ${sqlHash60("CAST(doc_id AS VARCHAR) || ':pack'")} % 8 AS bucket
-        |  FROM enc),
-        |st AS (SELECT doc_id, bucket,
-        |    COALESCE(CAST(sum(n_pieces) OVER (PARTITION BY bucket
-        |      ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
-        |      0) AS start_tok
-        |  FROM bk),
-        |pp AS (SELECT p.doc_id, st.bucket,
-        |    st.start_tok + row_number()
-        |      OVER (PARTITION BY p.doc_id ORDER BY p.pos, p.sp) - 1 AS pg,
-        |    v.pid
-        |  FROM pieces p JOIN voc v USING (piece) JOIN st USING (doc_id))
+        |$sqlPackCtes
         |SELECT bucket, pg // 128 AS seq_id,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |  CAST(count(*) AS BIGINT) AS n_pieces,
         |  string_agg(CAST(pid AS VARCHAR), ' ' ORDER BY pg) AS ids_str
         |FROM pp GROUP BY bucket, pg // 128
         |ORDER BY bucket, seq_id""".stripMargin)),
+
+    // Packing EFFICIENCY report — the artifact that tells a 100 TB run
+    // whether its sequence budget fits the corpus: per bucket, sequence
+    // count, packed pieces, doc slots (a doc straddling a cut counts once
+    // per sequence), waste = budget*n_seqs - n_pieces (only the bucket's
+    // final partial sequence can waste), and the micro fill ratio.
+    "t_packing_stats" -> Q(
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val merges = Bpe.train(docs, nMerges = 6)
+        Bpe.packedInputIds(docs, merges, budget = 128, nBuckets = 8)
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_seqs"), sum("n_pieces").as("n_pieces"),
+            sum("n_docs").as("n_doc_slots"))
+          .withColumn("waste", col("n_seqs") * lit(128L) - col("n_pieces"))
+          .withColumn("fill_micro",
+            round(col("n_pieces") * lit(1000000.0) /
+              (col("n_seqs") * lit(128L)), 0).cast("long"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH $sqlBpeCtes,
+        |$sqlPackCtes,
+        |packed AS (SELECT bucket, pg // 128 AS seq_id,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS n_pieces
+        |  FROM pp GROUP BY bucket, pg // 128)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_seqs,
+        |  CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_doc_slots,
+        |  CAST(count(*) * 128 - sum(n_pieces) AS BIGINT) AS waste,
+        |  CAST(round(sum(n_pieces) * 1000000.0 / (count(*) * 128), 0)
+        |    AS BIGINT) AS fill_micro
+        |FROM packed GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
     // OOV rate against the top-100 vocabulary — the tokenizer-coverage
     // signal: documents full of out-of-vocabulary tokens are exactly the
