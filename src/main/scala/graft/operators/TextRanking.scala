@@ -286,15 +286,40 @@ object TextRanking {
                                    textCol: String = "text"): DataFrame = {
     val tri = graft.core.CacheScope.persist(
       TextOps.ngrams(docs, 3, idCol, textCol))
-    val triTot = graft.core.CacheScope.persist(
+    kn3ScoreTrigrams(tri, kn3ModelFromTrigrams(tri), idCol)
+  }
+
+  /** A FROZEN trigram-KN model: the five count tables + the scalar B.
+    * Persisted on construction (each table feeds multiple scoring joins);
+    * tables are n-gram-TYPE-sized, never corpus-sized. */
+  final case class Kn3Model(triTot: DataFrame, s01: DataFrame,
+                            cont: DataFrame, mid: DataFrame, nl: DataFrame,
+                            b: Long)
+
+  /** Train the trigram-KN model from a per-doc trigram table (the
+    * [[TextOps.ngrams]] output) — split from scoring so the model can be
+    * FROZEN once on a reference corpus and applied to arriving batches
+    * ([[kn3CrossEntropy]]), the deployment shape of a streaming curation
+    * pipeline. Includes the enforced int64 headroom guard. */
+  def kn3ModelFromTrigrams(tri: DataFrame,
+                           tracked: Boolean = true): Kn3Model = {
+    // tracked=false gives the model tables a FROZEN lifetime: plain
+    // persist(), NOT CacheScope-registered, so a per-batch
+    // CacheScope.release() (the session-owner contract) leaves the frozen
+    // model cached across micro-batches; the owner unpersists via
+    // [[graft.streaming.CurationStream.release]].
+    def keep(df: DataFrame): DataFrame =
+      if (tracked) graft.core.CacheScope.persist(df) else df.persist()
+    val triTot = keep(
       tri.groupBy("w0", "w1", "w2").agg(sum("count").as("ctri")))
-    val s01 = triTot.groupBy("w0", "w1")
-      .agg(sum("ctri").as("s01"), count(lit(1)).as("n1r01"))
-    val cont = graft.core.CacheScope.persist(
+    val s01 = keep(triTot.groupBy("w0", "w1")
+      .agg(sum("ctri").as("s01"), count(lit(1)).as("n1r01")))
+    val cont = keep(
       triTot.groupBy("w1", "w2").agg(count(lit(1)).as("ncont")))
-    val mid = cont.groupBy("w1")
-      .agg(sum("ncont").as("nmid"), count(lit(1)).as("n1rc"))
-    val nl = cont.groupBy("w2").agg(count(lit(1)).as("nl"))
+    val mid = keep(cont.groupBy("w1")
+      .agg(sum("ncont").as("nmid"), count(lit(1)).as("n1rc")))
+    val nl = keep(
+      cont.groupBy("w2").agg(count(lit(1)).as("nl")))
     val b = cont.count() // one scalar: distinct (w1,w2) in trigram support
     // ENFORCED overflow guard (the scaladoc bound, made a runtime failure
     // instead of silent non-ANSI wraparound): every num/den term is bounded
@@ -312,17 +337,27 @@ object TextRanking {
     require(BigInt(40) * maxS01 * maxNmid * b <= BigInt(Long.MaxValue),
       s"trigram-KN int64 headroom exceeded (max s01=$maxS01, max nmid=" +
         s"$maxNmid, B=$b): shard the model by w1 and renormalize")
+    Kn3Model(triTot, s01, cont, mid, nl, b)
+  }
+
+  /** Score a per-doc trigram table under a frozen [[Kn3Model]]. Trigrams
+    * ABSENT from the model (possible when scoring a batch the model was
+    * not trained on) are skipped — the inner model joins drop them, so an
+    * out-of-support trigram contributes nothing rather than a fabricated
+    * probability; n_trigrams counts only the scored ones. */
+  def kn3ScoreTrigrams(tri: DataFrame, m: Kn3Model,
+                       idCol: String = "doc_id"): DataFrame = {
     val num = greatest(lit(4L) * col("ctri") - lit(3L), lit(0L)) *
-        (lit(4L) * col("nmid") * lit(b)) +
+        (lit(4L) * col("nmid") * lit(m.b)) +
       lit(3L) * col("n1r01") *
-        (greatest(lit(4L) * col("ncont") - lit(3L), lit(0L)) * lit(b) +
+        (greatest(lit(4L) * col("ncont") - lit(3L), lit(0L)) * lit(m.b) +
           lit(3L) * col("n1rc") * col("nl"))
-    val den = lit(16L) * col("s01") * col("nmid") * lit(b)
-    tri.join(triTot, Seq("w0", "w1", "w2"))
-      .join(s01, Seq("w0", "w1"))
-      .join(mid, Seq("w1"))
-      .join(cont, Seq("w1", "w2"))
-      .join(nl, Seq("w2"))
+    val den = lit(16L) * col("s01") * col("nmid") * lit(m.b)
+    tri.join(m.triTot, Seq("w0", "w1", "w2"))
+      .join(m.s01, Seq("w0", "w1"))
+      .join(m.mid, Seq("w1"))
+      .join(m.cont, Seq("w1", "w2"))
+      .join(m.nl, Seq("w2"))
       .withColumn("lp_scaled",
         round(log(num.cast("double") / den.cast("double")) * 1e6, 0)
           .cast("long"))
@@ -333,6 +368,13 @@ object TextRanking {
         (-round(col("s").cast("double") / col("n_trigrams"), 0).cast("long")
           / 1e6).as("cross_entropy"))
   }
+
+  /** [[kn3ScoreTrigrams]] from raw documents: tokenize the batch, score
+    * under the frozen model. */
+  def kn3CrossEntropy(docs: DataFrame, m: Kn3Model,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    kn3ScoreTrigrams(TextOps.ngrams(docs, 3, idCol, textCol), m, idCol)
 
   /** CCNet-style PERPLEXITY BUCKETS: rank every document by LM
     * cross-entropy (here the trigram-KN signal) and cut the corpus into

@@ -1,0 +1,172 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.{hash60, tokens}
+import graft.operators.{Dedup, Dsir, Sketches, TextAnalysis, TextRanking}
+
+/** FROZEN-MODEL streaming curation — the deployment shape of the batch
+  * curation chain (`t_curation_pipeline`): every corpus-derived artifact
+  * (DSIR weight table, score ceiling, eval-set shingles + Bloom, seen
+  * content hashes + Bloom, trigram-KN model, perplexity cutoff) is trained
+  * ONCE on a reference corpus, then arriving document batches are curated
+  * with per-batch work only — broadcast joins against the frozen tables,
+  * no corpus-wide aggregates, no state beyond the models.
+  *
+  * Batch-size invariance: every per-document decision depends only on the
+  * document and the frozen models, so curating a stream micro-batch by
+  * micro-batch yields EXACTLY the rows a single batch pass yields
+  * (StreamingSpec proves stream == batch on the same corpus). The one
+  * deliberate semantic difference from the batch pipeline: the perplexity
+  * cut applies the FROZEN cutoff value (trained head/middle boundary)
+  * instead of re-ranking the arriving corpus — a stream cannot know its
+  * final rank distribution, and a pinned threshold is what CCNet ships.
+  *
+  * Scale shape: the Blooms prune row-locally before the exact broadcast
+  * confirms (no false negatives, so results equal the exact joins); the
+  * weight/model tables are geometry-sized (4096 buckets, n-gram types).
+  */
+object CurationStream {
+
+  /** The frozen artifacts. All DataFrames are persisted, geometry-sized
+    * (weight buckets, shingle set, hash set, n-gram-type model tables) —
+    * broadcast-joinable at any corpus size by construction EXCEPT
+    * `evalShingles`/`seenHashes`, which are eval-/history-sized; their
+    * Blooms do the row-local pruning so the exact confirms see only
+    * candidate rows. */
+  final case class FrozenCuration(
+      weights: DataFrame, numBuckets: Int, scoreMaxMicro: Long,
+      temperature: Double,
+      evalShingles: DataFrame, evalBloom: DataFrame,
+      seenHashes: DataFrame, seenBloom: DataFrame,
+      kn3: TextRanking.Kn3Model, ceCutMicro: Long,
+      shingleN: Int, bloomBits: Int, bloomHashes: Int)
+
+  /** Train every artifact from a reference corpus:
+    *  - DSIR weights against `targetPred` + the corpus max score (the
+    *    resample ceiling), both frozen;
+    *  - the eval set's distinct shingle hashes + their Bloom;
+    *  - the reference corpus's content hashes + their Bloom (arriving
+    *    exact duplicates of ANY reference doc are dropped);
+    *  - the trigram-KN model and the FROZEN perplexity cutoff = the
+    *    cross-entropy at the head+middle / tail boundary (rank
+    *    2n/3) of the reference corpus.
+    */
+  def freeze(referenceDocs: DataFrame, evalDocs: DataFrame,
+             targetPred: Column, temperature: Double = 2.0,
+             numBuckets: Int = 4096, shingleN: Int = 8,
+             bloomBits: Int = 65536, bloomHashes: Int = 5,
+             idCol: String = "doc_id", textCol: String = "text"): FrozenCuration = {
+    val cleaned = referenceDocs.withColumn(textCol,
+      TextAnalysis.cleanText(col(textCol)))
+    val scored = graft.core.CacheScope.persist(
+      Dsir.scoreAll(cleaned, targetPred, numBuckets, idCol, textCol))
+    // rebuild the weight table the scores came from (same arithmetic), as
+    // the frozen per-batch scoring artifact
+    val feats = graft.core.CacheScope.persist(
+      Dsir.hashedFeatures(cleaned, numBuckets, idCol, textCol))
+    val tf = feats.join(
+      cleaned.filter(targetPred).select(idCol), Seq(idCol), "semi")
+    // frozen artifacts get a PLAIN persist (never CacheScope-tracked):
+    // the session owner's per-batch CacheScope.release() must not evict
+    // them; [[release]] unpersists the whole frozen set explicitly
+    val weights = Dsir.importanceWeights(tf, feats, numBuckets).persist()
+    val scoreMax = scored.agg(max("score_micro")).head().getLong(0)
+    val evalSh = Dedup.shingles(evalDocs.withColumn(textCol,
+          TextAnalysis.cleanText(col(textCol))), shingleN, idCol, textCol)
+      .select(hash60(col("shingle")).as("sh")).distinct().persist()
+    val evalBloom =
+      Sketches.bloomBuild(evalSh, "sh", bloomBits, bloomHashes).persist()
+    val seen = cleaned.select(md5(col(textCol)).as("h")).distinct().persist()
+    val seenBloom =
+      Sketches.bloomBuild(seen, "h", bloomBits, bloomHashes).persist()
+    val kn3 = TextRanking.kn3ModelFromTrigrams(
+      graft.operators.TextOps.ngrams(cleaned, 3, idCol, textCol),
+      tracked = false)
+    // frozen cutoff: the cross-entropy of the LAST KEPT reference doc at
+    // the head+middle / tail boundary (rank 2n/3 - 1 in the deterministic
+    // (ce, id) total order); curateBatch keeps ce <= cut, so boundary
+    // TIES are kept (boundary-inclusive — documented). micro grid via
+    // round(), not a truncating cast (ce*1e6 is integer-valued only up to
+    // fp representation). At freeze scale this is a TakeOrdered of the
+    // reference corpus; a >2^31-doc reference would switch to a
+    // quantile-based cut.
+    val ce = TextRanking.kn3CrossEntropy(cleaned, kn3, idCol, textCol)
+      .select(round(col("cross_entropy") * 1e6, 0).cast("long")
+        .as("ce_micro"), col(idCol))
+    val n = ce.count()
+    val cutRank = (2L * n) / 3L // docs with rank0 < cutRank are kept
+    val ceCut =
+      if (cutRank == 0) Long.MinValue
+      else ce.orderBy(col("ce_micro"), col(idCol)).limit(cutRank.toInt)
+        .orderBy(desc("ce_micro"), col(idCol)).limit(1)
+        .head().getLong(0)
+    FrozenCuration(weights, numBuckets, scoreMax, temperature, evalSh,
+      evalBloom, seen, seenBloom, kn3, ceCut, shingleN, bloomBits,
+      bloomHashes)
+  }
+
+  /** Curate ONE arriving batch under the frozen models. Stages (matching
+    * the batch pipeline's order): clean -> DSIR score + deterministic
+    * resample keep (p = exp((score − frozen max)/T)) -> decontaminate
+    * (Bloom-pruned exact shingle match vs the frozen eval set) -> dedup
+    * (Bloom-pruned exact content-hash match vs the frozen seen set) ->
+    * frozen perplexity cutoff (ce_micro < cut, strict: rank0 < cutRank
+    * kept docs on the reference corpus all satisfy it by construction).
+    * Output: the surviving (idCol, textCol) rows plus score_micro and
+    * ce_micro evidence columns. */
+  def curateBatch(batch: DataFrame, m: FrozenCuration,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val cleaned = batch.select(col(idCol),
+      TextAnalysis.cleanText(col(textCol)).as(textCol))
+    val scored = Dsir.scoreDocuments(
+      Dsir.hashedFeatures(cleaned, m.numBuckets, idCol, textCol),
+      m.weights, idCol)
+    val kept = graft.core.CacheScope.persist(cleaned
+      .join(scored, Seq(idCol))
+      .withColumn("p_micro",
+        round(exp((col("score_micro") - lit(m.scoreMaxMicro)).cast("double") /
+          lit(1e6 * m.temperature)) * lit(1e6), 0).cast("long"))
+      .withColumn("u_micro",
+        pmod(hash60(concat(col(idCol).cast("string"), lit(":resample:dsir"))),
+          lit(1000000L)))
+      .filter(col("u_micro") < col("p_micro"))
+      .drop("p_micro", "u_micro"))
+    // decontam: batch shingles, Bloom-pruned, exact-confirmed
+    val bsh = Dedup.shingles(kept, m.shingleN, idCol, textCol)
+      .select(col(idCol), hash60(col("shingle")).as("sh"))
+    val contaminated = Sketches
+      .bloomPrune(m.evalBloom, bsh, "sh", m.bloomBits, m.bloomHashes)
+      .join(m.evalShingles, Seq("sh"))
+      .select(idCol).distinct()
+    val decon = kept.join(contaminated, Seq(idCol), "left_anti")
+    // dedup vs the frozen seen set: Bloom-pruned exact hash match
+    val hashed = decon.withColumn("__h", md5(col(textCol)))
+    val dupIds = Sketches
+      .bloomPrune(m.seenBloom, hashed.select(col(idCol), col("__h")),
+        "__h", m.bloomBits, m.bloomHashes)
+      .join(m.seenHashes, col("__h") === col("h"))
+      .select(idCol).distinct()
+    val fresh = hashed.join(dupIds, Seq(idCol), "left_anti").drop("__h")
+    // frozen perplexity cut (docs with no in-model trigrams score nothing
+    // and are dropped by the inner join — the conservative policy)
+    val ce = TextRanking.kn3CrossEntropy(fresh, m.kn3, idCol, textCol)
+      .select(col(idCol),
+        round(col("cross_entropy") * 1e6, 0).cast("long").as("ce_micro"))
+    // `fresh` still carries score_micro from the resample join
+    fresh.join(ce, Seq(idCol))
+      .filter(col("ce_micro") <= lit(m.ceCutMicro))
+      .select(col(idCol), col(textCol), col("score_micro"), col("ce_micro"))
+  }
+
+
+  /** Unpersist every frozen artifact (model tables included) — the
+    * explicit end-of-stream counterpart of the plain persists in
+    * [[freeze]]. Safe at any point; unpersisted tables recompute. */
+  def release(m: FrozenCuration): Unit =
+    Seq(m.weights, m.evalShingles, m.evalBloom, m.seenHashes, m.seenBloom,
+      m.kn3.triTot, m.kn3.s01, m.kn3.cont, m.kn3.mid, m.kn3.nl)
+      .foreach(_.unpersist(blocking = false))
+}

@@ -513,6 +513,51 @@ class StreamingSpec extends AnyFunSuite {
     graft.core.CacheScope.release()
   }
 
+  test("frozen curation: stream micro-batches == one batch pass") {
+    // the t_curation_pipeline chain in its DEPLOYMENT shape: every model
+    // (DSIR weights + ceiling, eval shingles + Bloom, seen hashes + Bloom,
+    // KN3 model + frozen perplexity cutoff) trained ONCE on the even-id
+    // reference shard, then the odd-id shard arrives as a stream. Every
+    // per-doc decision depends only on the doc and the frozen models, so
+    // curating micro-batch by micro-batch must equal one batch pass over
+    // the same arriving docs — EXACTLY (ids, scores, cross-entropies).
+    import graft.streaming.CurationStream
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val reference = docs.filter(col("doc_id") % 2 === 0)
+    val evalDocs = reference.filter(col("doc_id") % 31 === 0)
+    val arriving = docs.filter(col("doc_id") % 2 === 1)
+    val frozen = CurationStream.freeze(reference, evalDocs,
+      col("lang") === "en", bloomBits = 4096)
+    val batchResult = CurationStream.curateBatch(arriving, frozen)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    graft.core.CacheScope.release() // batch-scoped persists only
+    // stage the arriving shard as TWO parquet files -> two micro-batches
+    // (maxFilesPerTrigger=1)
+    val landing = java.nio.file.Files.createTempDirectory("curation_stream")
+    arriving.filter(col("doc_id") < 250).coalesce(1)
+      .write.mode("append").parquet(landing.toString)
+    arriving.filter(col("doc_id") >= 250).coalesce(1)
+      .write.mode("append").parquet(landing.toString)
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    var batches = 0
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      .writeStream.foreachBatch {
+        (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          CurationStream.curateBatch(b, frozen).collect()
+            .foreach(r => got += ((r.getLong(0), r.getLong(2), r.getLong(3))))
+          graft.core.CacheScope.release() // must NOT evict the frozen models
+          batches += 1
+          ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    assert(batches >= 2, s"expected >=2 micro-batches, got $batches")
+    assert(batchResult.nonEmpty, "batch curation kept nothing — vacuous")
+    assert(got.toSet == batchResult,
+      s"stream kept ${got.size} rows, batch kept ${batchResult.size}")
+    CurationStream.release(frozen)
+  }
+
   test("readStream starts on an EMPTY landing dir and picks up late files") {
     // capability check: the schema probe must not throw on zero files — the
     // stream falls back to the explicit default EventSchema and consumes
