@@ -1821,6 +1821,99 @@ object Queries {
         |FROM b ORDER BY doc_id""".stripMargin
       }),
 
+    // Language-ID EVAL against the corpus's own lang labels: the
+    // (label, prediction, n) confusion table plus per-cell share of the
+    // label's docs — the router-quality report a mixing pipeline reads
+    // before trusting lang_pred. The oracle replays the full stopword
+    // argmax + priority tie-break, then the confusion aggregate.
+    "t_langid_eval" -> Q(
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val pred = TextAnalysis.languageId(docs).select("doc_id", "lang_pred")
+        docs.select(col("doc_id"), col("lang"))
+          .join(pred, Seq("doc_id"))
+          .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+          .withColumn("label_total",
+            sum("n").over(Window.partitionBy("lang")))
+          .withColumn("share_micro",
+            round(col("n") * lit(1000000.0) / col("label_total"), 0)
+              .cast("long"))
+          .orderBy("lang", "lang_pred")
+      },
+      Some {
+        val hitExprs = TextAnalysis.StopwordSets.map { case (lang, words) =>
+          val lst = words.map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(lt, x -> x IN ($lst))) AS hits_$lang"
+        }.mkString(",\n  ")
+        val langs = TextAnalysis.StopwordSets.map(_._1)
+        val bestExpr = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
+        val caseChain = langs.map(l => s"WHEN hits_$l = best AND best > 0 THEN '$l'")
+          .mkString(" ")
+        s"""WITH lt AS (SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}]+') AS lt FROM documents),
+        |sc AS (SELECT doc_id,
+        |  $hitExprs
+        |  FROM lt),
+        |b AS (SELECT *, $bestExpr AS best FROM sc),
+        |p AS (SELECT doc_id,
+        |    CASE $caseChain ELSE 'und' END AS lang_pred FROM b),
+        |cf AS (SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents d JOIN p USING (doc_id)
+        |  GROUP BY d.lang, p.lang_pred),
+        |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS label_total
+        |  FROM cf GROUP BY lang)
+        |SELECT cf.lang, cf.lang_pred, cf.n, tot.label_total,
+        |  CAST(round(cf.n * 1000000.0 / tot.label_total, 0) AS BIGINT)
+        |    AS share_micro
+        |FROM cf JOIN tot USING (lang)
+        |ORDER BY lang, lang_pred""".stripMargin
+      }),
+
+    // The Gopher rule bundle (Rae et al. 2021 §A1.1) as explicit booleans
+    // + keep: every threshold an exact integer comparison (3n <= chars <=
+    // 10n etc.), so the flags replay bit-exactly with no float contract.
+    "t_gopher_rules" -> Q(
+      (s, dir) =>
+        TextAnalysis.gopherRules(rd(s, dir, "documents")).orderBy("doc_id"),
+      Some {
+        val stop = TextAnalysis.StopwordSets.head._2.map(w => s"'$w'").mkString(", ")
+        s"""WITH g AS (SELECT doc_id,
+        |    regexp_extract_all(text, '[\\p{L}]+') AS t,
+        |    regexp_extract_all(text, '\\S+') AS ws,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_tok,
+        |    CAST(length(array_to_string(t, '')) AS BIGINT) AS tok_chars,
+        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '\\p{L}')))
+        |      AS BIGINT) AS alpha_w,
+        |    CAST(len(ws) AS BIGINT) AS n_ws,
+        |    CAST(len(list_intersect(list_distinct(list_transform(t,
+        |      x -> lower(x))), [$stop])) AS BIGINT) AS n_stops,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lines,
+        |      l -> regexp_matches(l, '^\\s*[-*•]'))) AS BIGINT) AS bullets,
+        |    CAST(len(list_filter(lines,
+        |      l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*${"$"}')))
+        |      AS BIGINT) AS ells,
+        |    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct
+        |  FROM g)
+        |SELECT doc_id, n_tok AS n_words, n_lines,
+        |  (n_tok BETWEEN 50 AND 100000) AS r_word_count,
+        |  (3 * n_tok <= tok_chars AND tok_chars <= 10 * n_tok)
+        |    AS r_mean_word_len,
+        |  (10 * alpha_w >= 8 * n_ws) AS r_alpha_words,
+        |  (n_stops >= 2) AS r_stopwords,
+        |  (10 * bullets <= n_lines) AS r_bullet_lines,
+        |  (10 * ells <= 3 * n_lines) AS r_ellipsis_lines,
+        |  (10 * n_distinct >= 4 * n_tok) AS r_dup_tokens,
+        |  ((n_tok BETWEEN 50 AND 100000)
+        |    AND (3 * n_tok <= tok_chars AND tok_chars <= 10 * n_tok)
+        |    AND (10 * alpha_w >= 8 * n_ws) AND (n_stops >= 2)
+        |    AND (10 * bullets <= n_lines) AND (10 * ells <= 3 * n_lines)
+        |    AND (10 * n_distinct >= 4 * n_tok)) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin
+      }),
+
     "t_quality" -> Q(
       (s, dir) =>
         TextAnalysis.qualityScore(rd(s, dir, "documents")).orderBy("doc_id"),

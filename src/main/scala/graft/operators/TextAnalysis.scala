@@ -94,6 +94,65 @@ object TextAnalysis {
       round(score, 6).as("quality_score"))
   }
 
+  /** Gopher-style quality RULES (Rae et al. 2021, §A1.1) as EXPLICIT
+    * per-document booleans plus the final keep decision — the
+    * rule-bundle form a curation run audits (which rule rejected how
+    * many docs), complementing the scalar [[qualityScore]].
+    *
+    * Every threshold compares exact INTEGERS (3·n ≤ chars ≤ 10·n, not a
+    * float mean), so the booleans are engine-exact with no rounding
+    * contract needed:
+    *  - word_count: minWords ≤ letter-token count ≤ maxWords
+    *  - mean_word_len in [3, 10] chars
+    *  - ≥ 80% of whitespace words contain a letter
+    *  - ≥ 2 distinct stopwords (the en stopword set)
+    *  - ≤ 10% of lines start with a bullet (-, *, •)
+    *  - ≤ 30% of lines end with an ellipsis
+    *  - duplicate-token fraction ≤ 0.6 (distinct ≥ 0.4·total — natural
+    *    prose repeats its function words heavily; 300-token English text
+    *    sits near distinct/total ~ 0.5, so 0.7 would reject nearly all
+    *    real text and the rule would never discriminate)
+    * Row-local: one select, three regex extractions per row, no joins,
+    * no shuffles — the 100 TB shape is a straight map over the scan. */
+  def gopherRules(docs: DataFrame, minWords: Long = 50,
+                  maxWords: Long = 100000, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val pre = docs.select(col(idCol),
+      tokens(col(textCol)).as("g_toks"),
+      regexp_extract_all(col(textCol), lit("\\S+"), lit(0)).as("g_ws"),
+      split(col(textCol), "\n", -1).as("g_lines"))
+    val toks = col("g_toks")
+    val ws = col("g_ws")
+    val lines = col("g_lines")
+    val nTok = size(toks).cast("long")
+    val tokChars = length(concat_ws("", toks)).cast("long")
+    val alphaWords = size(filter(ws, w => w.rlike("\\p{L}"))).cast("long")
+    val nWs = size(ws).cast("long")
+    val nStops = size(array_intersect(
+      array_distinct(transform(toks, t => lower(t))),
+      array(StopwordSets.head._2.map(lit): _*))).cast("long")
+    val nLines = size(lines).cast("long")
+    val bulletLines =
+      size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long")
+    val ellipsisLines =
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long")
+    val distinctToks = size(array_distinct(toks)).cast("long")
+    val rWordCount = nTok.between(minWords, maxWords)
+    val rMeanLen = (lit(3L) * nTok <= tokChars) && (tokChars <= lit(10L) * nTok)
+    val rAlpha = lit(10L) * alphaWords >= lit(8L) * nWs
+    val rStop = nStops >= 2L
+    val rBullet = lit(10L) * bulletLines <= nLines
+    val rEllipsis = lit(10L) * ellipsisLines <= lit(3L) * nLines
+    val rDup = lit(10L) * distinctToks >= lit(4L) * nTok
+    pre.select(col(idCol), nTok.as("n_words"), nLines.as("n_lines"),
+      rWordCount.as("r_word_count"), rMeanLen.as("r_mean_word_len"),
+      rAlpha.as("r_alpha_words"), rStop.as("r_stopwords"),
+      rBullet.as("r_bullet_lines"), rEllipsis.as("r_ellipsis_lines"),
+      rDup.as("r_dup_tokens"),
+      (rWordCount && rMeanLen && rAlpha && rStop && rBullet && rEllipsis &&
+        rDup).as("keep"))
+  }
+
   /** tokenCounts: whitespace tokens, BPE-ish regex pieces, and the
     * reference's alternate words+punct tokenizer (document.py:79-80) — the
     * standard "how many tokens will this cost" estimates. */

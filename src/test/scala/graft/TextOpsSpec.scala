@@ -403,4 +403,38 @@ class TextOpsSpec extends AnyFunSuite {
     assert(math.abs(out.getAs[Double]("intercept") -
       (pts.map(_._2).sum / 4.0 / 1e6 - slope * (sx / 4.0 / 1e6))) < 1e-4)
   }
+
+  test("gopherRules: every rule fires on a constructed violator, clean doc keeps") {
+    import graft.operators.TextAnalysis
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    // letter-only unique words ([\p{L}]+ tokens split on digits, so
+    // "word1" would collapse to 60 copies of "word" and trip the dup rule)
+    val uniq = for (c1 <- 'a' to 'j'; c2 <- 'a' to 'j')
+      yield s"word$c1$c2"
+    val clean = "the quick brown fox jumps over a lazy dog and " +
+      uniq.mkString(" ")
+    val docs = Seq(
+      (1L, clean),                                    // passes all rules
+      (2L, "too short for the corpus"),               // word count
+      (3L, ("the a of and to in is it " * 20).trim),  // mean len < 3
+      (4L, (1 to 60).map(_ => "= 12 __ 34 !!").mkString(" ") +
+        " the a of and in extraordinary vocabulary"), // alpha words < 80%
+      (5L, (1 to 60).map(i => s"zz$i yy$i xx$i").mkString(" ")), // no stopwords
+      (6L, (1 to 40).map(i => s"- bullet the a line $i").mkString("\n")),
+      (7L, (1 to 40).map(i => s"the a trailing line $i ...").mkString("\n")),
+      (8L, "the a " + ("same same same same " * 40).trim) // dup tokens
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs, minWords = 20).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getBoolean(10), "clean doc must keep")
+    assert(!r(2L).getBoolean(3), "word-count rule must fire")
+    assert(!r(3L).getBoolean(4), "mean-word-len rule must fire")
+    assert(!r(4L).getBoolean(5), "alpha-words rule must fire")
+    assert(!r(5L).getBoolean(6), "stopword rule must fire")
+    assert(!r(6L).getBoolean(7), "bullet-lines rule must fire")
+    assert(!r(7L).getBoolean(8), "ellipsis-lines rule must fire")
+    assert(!r(8L).getBoolean(9), "dup-tokens rule must fire")
+    (2L to 8L).foreach(i => assert(!r(i).getBoolean(10), s"doc $i must drop"))
+  }
 }
