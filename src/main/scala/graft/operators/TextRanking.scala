@@ -344,7 +344,23 @@ object TextRanking {
     * ABSENT from the model (possible when scoring a batch the model was
     * not trained on) are skipped — the inner model joins drop them, so an
     * out-of-support trigram contributes nothing rather than a fabricated
-    * probability; n_trigrams counts only the scored ones. */
+    * probability; n_trigrams counts only the scored ones.
+    *
+    * Join shape: the five model tables are first merged into ONE
+    * (w0,w1,w2)-keyed log-prob table — a join chain among
+    * trigram-TYPE-sized tables — and the corpus-sized per-doc table joins
+    * it ONCE. The naive alternative (per-doc table joining each model
+    * table directly) shuffles the BIG side five times on five different
+    * keys (w0w1w2, w0w1, w1, w1w2, w2); this shape shuffles it once.
+    * At sf0.1 the merge measures ~1 s SLOWER (the per-doc table is only
+    * ~260k rows there — the same order as the type tables — so the
+    * model-side reshuffles cost more than the saved doc-side shuffles),
+    * but the two sides scale differently: trigram TYPES plateau with
+    * Heaps' law while per-doc instances grow linearly with the corpus,
+    * so at production scale the merged shape wins by the ratio of
+    * instances to types. Chosen for the 100 TB design point. Every
+    * model join is inner on keys that exist by construction (each model
+    * row derives from triTot), so results are identical. */
   def kn3ScoreTrigrams(tri: DataFrame, m: Kn3Model,
                        idCol: String = "doc_id"): DataFrame = {
     val num = greatest(lit(4L) * col("ctri") - lit(3L), lit(0L)) *
@@ -353,14 +369,15 @@ object TextRanking {
         (greatest(lit(4L) * col("ncont") - lit(3L), lit(0L)) * lit(m.b) +
           lit(3L) * col("n1rc") * col("nl"))
     val den = lit(16L) * col("s01") * col("nmid") * lit(m.b)
-    tri.join(m.triTot, Seq("w0", "w1", "w2"))
+    val model = m.triTot
       .join(m.s01, Seq("w0", "w1"))
       .join(m.mid, Seq("w1"))
       .join(m.cont, Seq("w1", "w2"))
       .join(m.nl, Seq("w2"))
-      .withColumn("lp_scaled",
+      .select(col("w0"), col("w1"), col("w2"),
         round(log(num.cast("double") / den.cast("double")) * 1e6, 0)
-          .cast("long"))
+          .cast("long").as("lp_scaled"))
+    tri.join(model, Seq("w0", "w1", "w2"))
       .groupBy(col(idCol))
       .agg(sum(col("count") * col("lp_scaled")).as("s"),
         sum("count").as("n_trigrams"))
