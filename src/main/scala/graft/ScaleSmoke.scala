@@ -327,6 +327,22 @@ object ScaleSmoke {
         docs.limit(100000).select(col("doc_id")))
       graft.operators.Multimodal.imageAHash(imgs).count()
     })
+    // round-9: the Gopher rule bundle is one row-local select — must run
+    // at scan speed like quality/repetition
+    time("gopher_rules")(TextAnalysis.gopherRules(docs).count())
+    graft.core.CacheScope.release()
+    // frozen-model curation: every model trained ONCE on the un-replicated
+    // base shard (fixed cost), then the N-fold corpus curated batch-style
+    // — the arriving-data cost is broadcast model joins + row-local Bloom
+    // pruning and must track the scan linearly while the models stay put
+    time("frozen_curation_apply")({
+      val frozen = graft.streaming.CurationStream.freeze(
+        base, base.filter(col("doc_id") % 31 === 0), col("lang") === "en")
+      val kept = graft.streaming.CurationStream.curateBatch(docs, frozen).count()
+      graft.streaming.CurationStream.release(frozen)
+      kept
+    })
+    graft.core.CacheScope.release()
     spark.stop()
   }
 }
