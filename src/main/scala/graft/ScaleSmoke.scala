@@ -332,12 +332,19 @@ object ScaleSmoke {
     time("gopher_rules")(TextAnalysis.gopherRules(docs).count())
     graft.core.CacheScope.release()
     // frozen-model curation: every model trained ONCE on the un-replicated
-    // base shard (fixed cost), then the N-fold corpus curated batch-style
-    // — the arriving-data cost is broadcast model joins + row-local Bloom
-    // pruning and must track the scan linearly while the models stay put
+    // EVEN-id half of the base shard (fixed cost), then the N-fold corpus
+    // curated batch-style — the arriving-data cost is broadcast model
+    // joins + row-local Bloom pruning and must track the scan linearly
+    // while the models stay put. Freezing on the FULL base would make the
+    // run output-vacuous: every replicated doc is an exact dup of a
+    // reference doc, so the seen-set dedup (correctly) drops all of them;
+    // with the even half frozen, the odd-half replicas flow through the
+    // DSIR/decontam/perplexity stages and the kept count is real.
     time("frozen_curation_apply")({
+      val refHalf = base.filter(col("doc_id") % 2 === 0)
       val frozen = graft.streaming.CurationStream.freeze(
-        base, base.filter(col("doc_id") % 31 === 0), col("lang") === "en")
+        refHalf, refHalf.filter(col("doc_id") % 31 === 0),
+        col("lang") === "en")
       val kept = graft.streaming.CurationStream.curateBatch(docs, frozen).count()
       graft.streaming.CurationStream.release(frozen)
       kept
