@@ -1181,6 +1181,85 @@ object Queries {
       },
       headline = true),
 
+    // Approximation-QUALITY eval: the MinHash-LSH candidate pairs scored
+    // against exact Jaccard at the same threshold — the one-row
+    // precision/recall report that tells a 100 TB dedup run whether its
+    // banding geometry is losing real duplicates. Both pair sets are the
+    // oracle-checked operators above; the eval is two counts + one
+    // semi-join intersection, all linear in the pair sets.
+    "t_lsh_eval" -> Q(
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val pred = graft.core.CacheScope.persist(
+          Dedup.minhashLshPairs(docs, shingleK = 1, numPerms = 12,
+              bands = 2, threshold = 0.75)
+            .select("id_a", "id_b"))
+        val truth = graft.core.CacheScope.persist(
+          Dedup.jaccardPairs(docs, k = 1, threshold = 0.75)
+            .select("id_a", "id_b"))
+        val hits = pred.join(truth, Seq("id_a", "id_b"), "left_semi")
+        pred.agg(count(lit(1)).as("n_pred"))
+          .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+          .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+          .select(col("n_pred"), col("n_true"), col("n_hit"),
+            when(col("n_pred") > 0,
+              round(col("n_hit") * lit(1000000.0) / col("n_pred"), 0)
+                .cast("long")).otherwise(lit(0L)).as("precision_micro"),
+            when(col("n_true") > 0,
+              round(col("n_hit") * lit(1000000.0) / col("n_true"), 0)
+                .cast("long")).otherwise(lit(0L)).as("recall_micro"))
+      },
+      Some {
+        val permCols = (0 until 12).map { i =>
+          s"min((h31 * ${2L * i + 3} + ${12289L * i + 1}) % 2147483647) AS m$i"
+        }.mkString(",\n  ")
+        val bandExprs = (0 until 2).map { b =>
+          val cols = (0 until 6).map(r => s"m${b * 6 + r}")
+          s"concat_ws('-', ${cols.mkString(", ")}) AS band$b"
+        }.mkString(",\n  ")
+        val candUnion = (0 until 2).map { b =>
+          s"SELECT x.doc_id AS id_a, y.doc_id AS id_b FROM banded x JOIN banded y ON x.band$b = y.band$b AND x.doc_id < y.doc_id"
+        }.mkString("\n  UNION\n  ")
+        val simExpr = (0 until 12)
+          .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH $ToksCte,
+        |sh AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(t) AS s FROM toks),
+        |h AS (SELECT doc_id, ${sqlHash60("s")} % 2147483647 AS h31 FROM sh),
+        |sig AS MATERIALIZED (SELECT doc_id,
+        |  $permCols
+        |FROM h GROUP BY doc_id),
+        |banded AS (SELECT doc_id,
+        |  $bandExprs
+        |FROM sig),
+        |cand AS (
+        |  $candUnion
+        |),
+        |pred AS MATERIALIZED (SELECT id_a, id_b
+        |  FROM cand JOIN sig sa ON id_a = sa.doc_id
+        |  JOIN sig sb ON id_b = sb.doc_id
+        |  WHERE round(($simExpr) / 12.0, 6) >= 0.75),
+        |sz AS (SELECT doc_id AS id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY a.doc_id, b.doc_id),
+        |truth AS MATERIALIZED (SELECT id_a, id_b FROM inter
+        |  JOIN sz na ON id_a = na.id JOIN sz nb ON id_b = nb.id
+        |  WHERE round(i::DOUBLE / (na.n + nb.n - i), 6) >= 0.75),
+        |np AS (SELECT CAST(count(*) AS BIGINT) AS n_pred FROM pred),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+        |nh AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+        |  FROM pred JOIN truth USING (id_a, id_b))
+        |SELECT n_pred, n_true, n_hit,
+        |  CASE WHEN n_pred > 0
+        |    THEN CAST(round(n_hit * 1000000.0 / n_pred, 0) AS BIGINT)
+        |    ELSE 0 END AS precision_micro,
+        |  CASE WHEN n_true > 0
+        |    THEN CAST(round(n_hit * 1000000.0 / n_true, 0) AS BIGINT)
+        |    ELSE 0 END AS recall_micro
+        |FROM np CROSS JOIN nt CROSS JOIN nh""".stripMargin
+      }),
+
     // SimHash 60-bit fingerprints.
     "t_simhash" -> Q(
       (s, dir) =>
@@ -3399,6 +3478,48 @@ object Queries {
         |  string_agg(CAST(pid AS VARCHAR), ' ' ORDER BY pos, sp) AS ids_str
         |FROM pieces JOIN voc USING (piece)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Tokenizer ROUND-TRIP: encode every document to dense input ids,
+    // decode the ids back through the piece vocabulary, and assert the
+    // reassembled piece stream equals the original in-contract word
+    // stream (md5 witnesses per doc) — the end-to-end inverse proof of
+    // the id assignment, ids_str formatting, and vocab join.
+    "t_bpe_roundtrip" -> Q(
+      (s, dir) => {
+        import graft.functions.TextFunctions.tokens
+        val docs = rd(s, dir, "documents")
+        val merges = Bpe.train(docs, nMerges = 6)
+        val enc = Bpe.encodeDocuments(docs, merges)
+        val vocab = Bpe.pieceVocab(docs, merges)
+        val dec = Bpe.decodeDocuments(enc, vocab)
+          .select(col("doc_id"), md5(col("decoded_text")).as("decoded_md5"))
+        val orig = docs
+          .select(col("doc_id"),
+            posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+          .withColumn("w", lower(col("word")))
+          .filter(col("w").rlike("^[a-z]+$"))
+          .groupBy("doc_id")
+          .agg(md5(concat_ws("", transform(
+            array_sort(collect_list(struct(col("pos"), col("w")))),
+            x => x.getField("w")))).as("orig_md5"))
+        orig.join(dec, Seq("doc_id"))
+          .withColumn("roundtrip_ok", col("orig_md5") === col("decoded_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $sqlBpeCtes,
+        |$sqlPackCtes,
+        |o AS (SELECT doc_id,
+        |    md5(string_agg(word, '' ORDER BY pos)) AS orig_md5
+        |  FROM ws GROUP BY doc_id),
+        |dd AS (SELECT p.doc_id,
+        |    md5(string_agg(v2.piece, '' ORDER BY p.pos, p.sp))
+        |      AS decoded_md5
+        |  FROM pieces p JOIN voc v USING (piece)
+        |  JOIN voc v2 ON v2.pid = v.pid
+        |  GROUP BY p.doc_id)
+        |SELECT o.doc_id, o.orig_md5, dd.decoded_md5,
+        |  (o.orig_md5 = dd.decoded_md5) AS roundtrip_ok
+        |FROM o JOIN dd USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
     // Tokenizer fertility per source: mean BPE pieces per in-contract
     // word — the vocabulary-fit metric. Oracle reuses the training

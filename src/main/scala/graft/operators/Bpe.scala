@@ -139,6 +139,38 @@ object Bpe {
           x => x.getField("piece_id").cast("string"))).as("ids_str"))
   }
 
+  /** The dense piece-id vocabulary [[encodeDocuments]] assigns — exposed
+    * so ids can be DECODED back: (piece, piece_id), id = dense rank of
+    * the distinct piece strings over this corpus' segmentation (at most
+    * 26 + |merges| rows). */
+  def pieceVocab(docs: DataFrame, merges: Seq[Merge],
+                 textCol: String = "text"): DataFrame =
+    graft.core.Ids.denseRankBy(
+      docs.select(
+          explode(graft.functions.TextFunctions.tokens(col(textCol)))
+            .as("word"))
+        .select(explode(encode(col("word"), merges)).as("piece"))
+        .distinct(),
+      Seq(col("piece").asc), "piece_id")
+
+  /** DECODE [[encodeDocuments]] output back to the concatenated piece
+    * stream: parse ids_str, map ids back through the vocabulary
+    * (broadcast), re-assemble in sequence order. The result concatenates
+    * the document's in-contract words with no separator — the round-trip
+    * identity t_bpe_roundtrip asserts against the original text's word
+    * stream. Output: (idCol, decoded_text). */
+  def decodeDocuments(encoded: DataFrame, vocab: DataFrame,
+                      idCol: String = "doc_id"): DataFrame =
+    encoded
+      .select(col(idCol),
+        posexplode(split(col("ids_str"), " ")).as(Seq("seq", "pid")))
+      .withColumn("piece_id", col("pid").cast("long"))
+      .join(broadcast(vocab), Seq("piece_id"))
+      .groupBy(col(idCol))
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("seq"), col("piece")))),
+        x => x.getField("piece"))).as("decoded_text"))
+
   /** Tokenizer FERTILITY per source — the standard tokenizer-quality
     * metric (mean pieces per word; 1.0 = every word is one piece, high
     * fertility = the vocabulary serves that source poorly). In-contract
