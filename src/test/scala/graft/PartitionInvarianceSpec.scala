@@ -26,7 +26,12 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // tokenizer chain (bucket running sums + in-doc ranks must not leak
     // partition count into sequence contents) and the band-joined
     // fingerprint pairs
-    "t_input_ids", "t_packed_ids", "t_fertility", "s_srp_hamming_wide")
+    "t_input_ids", "t_packed_ids", "t_fertility", "s_srp_hamming_wide",
+    // round-9: the composed curation chain (funnel = its per-stage
+    // counts), the frozen-model apply, the LSH quality eval (pair-set
+    // intersection counts), the BPE id round trip, the rule bundle
+    "t_curation_funnel", "t_frozen_curation", "t_lsh_eval",
+    "t_bpe_roundtrip", "t_gopher_rules", "t_packing_stats")
 
   private def run(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
