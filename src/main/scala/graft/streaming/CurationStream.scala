@@ -72,7 +72,14 @@ object CurationStream {
     // the session owner's per-batch CacheScope.release() must not evict
     // them; [[release]] unpersists the whole frozen set explicitly
     val weights = Dsir.importanceWeights(tf, feats, numBuckets).persist()
-    val scoreMax = scored.agg(max("score_micro")).head().getLong(0)
+    // a degenerate reference (no tokenizable docs -> no features -> no
+    // scores) must fail LOUDLY at freeze time, not NPE or ship a model
+    // that silently drops every arriving batch
+    val scoreMax = Option(scored.agg(max("score_micro")).head().get(0))
+      .map(_.asInstanceOf[Long])
+      .getOrElse(throw new IllegalArgumentException(
+        "reference corpus produced no DSIR scores (no tokenizable text) — " +
+          "cannot freeze a curation model from it"))
     val evalSh = Dedup.shingles(evalDocs.withColumn(textCol,
           TextAnalysis.cleanText(col(textCol))), shingleN, idCol, textCol)
       .select(hash60(col("shingle")).as("sh")).distinct().persist()

@@ -262,4 +262,20 @@ class EdgeCasesSpec extends AnyFunSuite {
       col("text")), steps = 4).count() == 0L)
     graft.core.CacheScope.release()
   }
+
+  test("frozen curation: degenerate reference fails loudly at freeze") {
+    import org.apache.spark.sql.functions._
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    // no tokenizable text -> no DSIR features -> freeze must throw a
+    // clear error, never NPE or ship a model that drops every batch
+    val noText = Seq((1L, "12345 !!!", "en"), (2L, "???", "en"))
+      .toDF("doc_id", "text", "lang")
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.CurationStream.freeze(noText, noText,
+        col("lang") === "en", bloomBits = 4096)
+    }
+    assert(e.getMessage.contains("no DSIR scores"))
+    graft.core.CacheScope.release()
+  }
 }
