@@ -5016,6 +5016,39 @@ object Queries {
         |  round(p2 / sqrt(greatest((SELECT l FROM lamb), 1e-12)), 6) AS p2
         |FROM proj ORDER BY vec_id""".stripMargin)),
 
+    // Semantic near-dup pairs via PCA-GRID candidate generation — the
+    // dimensionality-reduction SemDeDup shape: whitened top-2 projection,
+    // exact-micro grid cells, per-cell candidates, exact cosine confirm
+    // on the original vectors. The oracle replays both whitened power
+    // chains, the micro cell arithmetic, and the sequential-fold cosine.
+    "e_pca_grid_dups" -> Q(
+      (s, dir) =>
+        Similarity.pcaGridDupPairs(rd(s, dir, "embeddings"),
+            threshold = 0.3, iters = PcaIters)
+          .orderBy("id_a", "id_b"),
+      Some(s"""${sqlPcaTopKCtes(PcaIters)},
+        |projc AS (SELECT d.vec_id,
+        |    sum((d.x - (m.s / m.n) / 1000000.0) * a.v) AS p1,
+        |    sum((d.x - (m.s / m.n) / 1000000.0) * b.v) AS p2
+        |  FROM dmat d JOIN mstat m ON m.i = d.i
+        |  JOIN a$PcaIters a ON a.i = d.i
+        |  JOIN b$PcaIters b ON b.i = d.i
+        |  GROUP BY d.vec_id),
+        |cells AS MATERIALIZED (SELECT vec_id,
+        |    CAST(floor(round(p1 / sqrt(greatest((SELECT l FROM lama), 1e-12))
+        |      * 1000000, 0) / 500000.0) AS BIGINT) AS cx,
+        |    CAST(floor(round(p2 / sqrt(greatest((SELECT l FROM lamb), 1e-12))
+        |      * 1000000, 0) / 500000.0) AS BIGINT) AS cy
+        |  FROM projc),
+        |vv AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+        |pairs AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+        |    round(${sqlCos("qv.v", "nv.v")}, 6) AS cos_sim
+        |  FROM cells a JOIN cells c
+        |    ON a.cx = c.cx AND a.cy = c.cy AND a.vec_id < c.vec_id
+        |  JOIN vv qv ON qv.id = a.vec_id JOIN vv nv ON nv.id = c.vec_id)
+        |SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin)),
+
     // Spectrum summary: PC1 eigenvalue, total variance (trace), explained
     // ratio — the "is one direction dominating the cloud" health check.
     "e_pca_var" -> Q(

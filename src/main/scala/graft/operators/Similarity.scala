@@ -284,6 +284,43 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Semantic near-dup pairs with PCA-GRID candidate generation — the
+    * dimensionality-reduction shape of SemDeDup: every vector is
+    * projected onto the whitened top-2 principal plane
+    * ([[Pca.projectTopK]], isotropic coordinates), snapped to the exact
+    * micro grid and bucketed into square cells of `cellMicro`
+    * micro-units; candidate pairs share a cell and are confirmed by
+    * exact cosine on the ORIGINAL vectors. Like the k-means-confined
+    * SemDeDup pairs, recall is cell-confined by design (a 2-d grid
+    * lookup instead of a d-dim LSH or clustering pass); precision is
+    * exact via the confirm. The quadratic term is per-cell; cell
+    * geometry is corpus-independent, so occupancy — and the quadratic —
+    * scales as n/cells per cell.
+    * Output: (id_a, id_b, cos_sim >= threshold). */
+  def pcaGridDupPairs(corpus: DataFrame, threshold: Double,
+                      cellMicro: Long = 500000, iters: Int = 24,
+                      dim: Int = -1, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val d = if (dim > 0) dim else sniffDim(corpus, vecCol)
+    val proj = Pca.projectTopK(corpus, idCol, vecCol, d, k = 2,
+      iters = iters, whiten = true)
+    def cell(c: Column): Column =
+      floor(round(c * lit(1e6), 0) / lit(cellMicro.toDouble)).cast("long")
+    val cells = graft.core.CacheScope.persist(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+          norm(col(vecCol)).as("vn"))
+        .join(proj.select(col(idCol).as("id"),
+          cell(element_at(col("pc"), 1)).as("cx"),
+          cell(element_at(col("pc"), 2)).as("cy")), Seq("id")))
+    cells.as("a").join(cells.as("b"),
+        col("a.cx") === col("b.cx") && col("a.cy") === col("b.cy") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.vn") * col("b.vn")), 6)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** Per-vector symmetric int8 quantization: every component is scaled by
     * 127 / max|v| and rounded — the classic 4x memory/bandwidth reduction
     * for embedding stores (the quantized corpus is what a 100TB ANN index
