@@ -3913,6 +3913,56 @@ object Queries {
 
   private lazy val srpExtra: Seq[(String, Q)] = Seq(
 
+    // ANN over the engine's OWN text embeddings — the text -> vector
+    // bridge: SRP-embed every document (60-dim slice), then brute cosine
+    // top-5 neighbors for the first 10 docs. The cosine runs in EXACT
+    // integer space: srp values are s/1000 with s an exact long, and the
+    // 1/1000 scales cancel in cosine, so the numerator and both norms are
+    // integer-derived in both engines — no float fold-order contract
+    // needed anywhere.
+    "e_srp_knn" -> Q(
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val sv = Srp.srpFlat(docs, dims = 60)
+          .select(col("doc_id"), col("dim"),
+            round(col("value") * 1000, 0).cast("long").as("sv"))
+        val dense = sv.groupBy("doc_id").agg(
+          transform(array_sort(collect_list(struct(col("dim"), col("sv")))),
+            x => x.getField("sv").cast("double")).as("v"))
+        val emb = dense.select(col("doc_id").as("vec_id"),
+          col("v").as("embedding"))
+        Similarity.knnBrute(emb, emb.filter(col("vec_id") < 10), k = 5)
+          .select("query_id", "rank", "neighbor_id", "cos_sim")
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH $ToksCte, $StreamCte, $UniCte,
+        |hw AS (SELECT doc_id, CAST(round(ln(1 + "count") * 1000, 0) AS BIGINT) AS w,
+        |         ${sqlHash60("token || ':0'")} AS hs
+        |       FROM uni),
+        |x AS (SELECT doc_id, d.dim AS dim,
+        |        CASE WHEN (hs >> CAST(d.dim AS INTEGER)) & 1 = 1 THEN w ELSE -w END AS c
+        |      FROM hw, (SELECT unnest(range(0, 60)) AS dim) d),
+        |v AS MATERIALIZED (SELECT doc_id, dim, CAST(sum(c) AS BIGINT) AS sv
+        |  FROM x GROUP BY doc_id, dim),
+        |nrm AS MATERIALIZED (SELECT doc_id, CAST(sum(sv * sv) AS BIGINT) AS n2
+        |  FROM v GROUP BY doc_id),
+        |num AS (SELECT a.doc_id AS qid, b.doc_id AS nid,
+        |    CAST(sum(a.sv * b.sv) AS BIGINT) AS num
+        |  FROM v a JOIN v b ON a.dim = b.dim
+        |  WHERE a.doc_id < 10 AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT qid, nid,
+        |    round(CAST(num AS DOUBLE)
+        |      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+        |      6) AS cos_sim
+        |  FROM num JOIN nrm na ON na.doc_id = qid
+        |  JOIN nrm nb ON nb.doc_id = nid),
+        |r AS (SELECT qid AS query_id, nid AS neighbor_id, cos_sim,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos_sim DESC, nid) AS rank FROM sc)
+        |SELECT query_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin)),
+
     // Hamming near-dup pairs over SRP sign bits: pigeonhole-banded equi-join
     // (exact recall for dist <= 3), no cross join.
     "s_srp_hamming" -> Q(
