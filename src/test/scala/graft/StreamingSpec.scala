@@ -558,6 +558,42 @@ class StreamingSpec extends AnyFunSuite {
     CurationStream.release(frozen)
   }
 
+  test("stateful near-dup stream == batch MinHash-LSH pairs across batches") {
+    // the arriving-data near-dup detector: row-local signatures, LSH band
+    // state, pairs emitted the moment a bucket gains a similar signature —
+    // including pairs whose two documents arrive in DIFFERENT
+    // micro-batches. Collected pair SET (the stream is at-least-once per
+    // shared band) must equal the batch operator's output exactly,
+    // including the 6-dp signature similarities.
+    import graft.streaming.NearDupStream
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val batchPairs = graft.operators.Dedup.minhashLshPairs(
+        docs, shingleK = 1, numPerms = 12, bands = 2, threshold = 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    graft.core.CacheScope.release()
+    assert(batchPairs.nonEmpty, "batch LSH found no pairs — vacuous")
+    val landing = java.nio.file.Files.createTempDirectory("neardup_stream")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(landing.toString)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(landing.toString)
+    val q = NearDupStream.pairsStream(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(landing.toString),
+        shingleK = 1, numPerms = 12, bands = 2, threshold = 0.75)
+      .writeStream.format("memory").queryName("neardup_pairs")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("neardup_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batchPairs,
+      s"stream found ${streamed.size} distinct pairs, batch ${batchPairs.size}")
+    // the split guarantees CROSS-batch pairs exist (even-odd id pairs):
+    // at least one collected pair must span the two micro-batches
+    assert(streamed.exists { case (a, b, _) => (a + b) % 2 == 1 },
+      "no cross-batch pair found — the state carry is untested")
+  }
+
   test("readStream starts on an EMPTY landing dir and picks up late files") {
     // capability check: the schema probe must not throw on zero files — the
     // stream falls back to the explicit default EventSchema and consumes
