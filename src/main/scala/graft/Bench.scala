@@ -133,7 +133,7 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_PIPELINE_BENCH").contains("false")) Nil
       else Seq("t_dsir", "t_kneser_ney3", "t_ccnet_buckets", "t_contam_frac",
         "t_input_ids", "t_packed_ids", "t_source_kl", "m_image_resize",
-        "t_curation_pipeline")
+        "t_curation_pipeline", "t_frozen_curation")
     val pipelineResults = runSuite(pipelineNames, 2, " (pipeline)")
     // headline value per query = min of the OK samples (scheduling-noise
     // floor); all samples are recorded so a contaminated run is visible in

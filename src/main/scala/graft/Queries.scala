@@ -2893,11 +2893,15 @@ object Queries {
           ref, ref.filter(col("doc_id") % 31 === 0), col("lang") === "en")
         val out = graft.streaming.CurationStream.curateBatch(
           docs.filter(col("doc_id") % 2 === 1), frozen).orderBy("doc_id")
-        // release the frozen persists immediately: the lazy result plan
-        // recomputes them once at materialization (cheap at these scales)
-        // instead of leaking session-lifetime cache entries across the
-        // driver's 160+-query Verify run
-        graft.streaming.CurationStream.release(frozen)
+        // adopt the frozen persists into the query's CacheScope: the
+        // session owner releases them right after materialization, so the
+        // models stay cached while the row computes (an early release
+        // re-derived every model table inside the plan — 377 printed
+        // exchanges) without leaking across the driver's Verify run
+        Seq(frozen.weights, frozen.evalShingles, frozen.evalBloom,
+          frozen.seenHashes, frozen.seenBloom, frozen.kn3.triTot,
+          frozen.kn3.s01, frozen.kn3.cont, frozen.kn3.mid, frozen.kn3.nl)
+          .foreach(graft.core.CacheScope.track)
         out
       },
       Some(s"""WITH d AS MATERIALIZED (SELECT doc_id,

@@ -27,6 +27,15 @@ object CacheScope {
     df.persist()
   }
 
+  /** Track an ALREADY-persisted frame for the next [[release]] without
+    * re-persisting it (no "already cached" warning) — adopts an
+    * independently-managed persist (e.g. a frozen-model table) into this
+    * scope's lifetime. */
+  def track(df: DataFrame): DataFrame = synchronized {
+    tracked += df
+    df
+  }
+
   /** Unpersist every tracked table (non-blocking) and clear the registry. */
   def release(): Unit = synchronized {
     tracked.foreach(_.unpersist(blocking = false))
