@@ -1993,6 +1993,113 @@ object Queries {
         |FROM m ORDER BY doc_id""".stripMargin
       }),
 
+    // Per-SOURCE quality dashboard: document counts, Gopher-rule keep
+    // rates and mean quality score per source — the table a data-mixing
+    // decision actually reads (which sources are worth their tokens).
+    // Integer-exact: keep counts are longs, the mean aggregates the 6-dp
+    // per-doc score on the micro grid (order-free integer sum).
+    "t_source_quality" -> Q(
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val g = TextAnalysis.gopherRules(docs).select(col("doc_id"), col("keep"))
+        val q = TextAnalysis.qualityScore(docs).select(col("doc_id"),
+          round(col("quality_score") * 1e6, 0).cast("long").as("q_micro"))
+        docs.select(col("doc_id"), col("source"))
+          .join(g, Seq("doc_id")).join(q, Seq("doc_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("keep"), lit(1L)).otherwise(lit(0L))).as("n_keep"),
+            round(sum("q_micro") / count(lit(1)), 0).cast("long")
+              .as("mean_quality_micro"))
+          .withColumn("keep_micro",
+            round(col("n_keep") * lit(1000000.0) / col("n_docs"), 0)
+              .cast("long"))
+          .orderBy("source")
+      },
+      Some {
+        val stop = TextAnalysis.StopwordSets.head._2.map(w => s"'$w'").mkString(", ")
+        s"""WITH qm AS (SELECT doc_id,
+        |  length(text) AS nc,
+        |  regexp_extract_all(text, '[\\p{L}]+') AS t,
+        |  len(regexp_extract_all(text, '[\\p{P}\\p{S}]')) AS np,
+        |  len(regexp_extract_all(text, '[0-9]')) AS nd,
+        |  len(list_filter(list_transform(regexp_extract_all(text, '[\\p{L}]+'), x -> lower(x)), x -> x IN ($stop))) AS nstop
+        |  FROM documents),
+        |qm2 AS (SELECT doc_id,
+        |  CASE WHEN len(t) > 0 THEN list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t) ELSE 0.0 END AS mtl,
+        |  np / greatest(nc, 1)::DOUBLE AS pr,
+        |  nd / greatest(nc, 1)::DOUBLE AS dr,
+        |  nstop / greatest(len(t), 1)::DOUBLE AS sr
+        |  FROM qm),
+        |qs AS (SELECT doc_id,
+        |  CAST(round(round(least(greatest(1.0 - pr*2 - dr*2
+        |    + (CASE WHEN mtl BETWEEN 3 AND 12 THEN 0.0 ELSE -0.25 END)
+        |    + (CASE WHEN sr > 0.01 THEN 0.0 ELSE -0.25 END), 0.0), 1.0), 6)
+        |    * 1000000, 0) AS BIGINT) AS q_micro
+        |  FROM qm2),
+        |gg AS (SELECT doc_id,
+        |    regexp_extract_all(text, '[\\p{L}]+') AS t,
+        |    regexp_extract_all(text, '\\S+') AS ws,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |gk AS (SELECT doc_id,
+        |    ((CAST(len(t) AS BIGINT) BETWEEN 50 AND 100000)
+        |     AND (3 * len(t) <= length(array_to_string(t, ''))
+        |          AND length(array_to_string(t, '')) <= 10 * len(t))
+        |     AND (10 * len(list_filter(ws, w -> regexp_matches(w, '\\p{L}')))
+        |          >= 8 * len(ws))
+        |     AND (len(list_intersect(list_distinct(list_transform(t,
+        |          x -> lower(x))), [$stop])) >= 2)
+        |     AND (10 * len(list_filter(lines,
+        |          l -> regexp_matches(l, '^\\s*[-*•]'))) <= len(lines))
+        |     AND (10 * len(list_filter(lines,
+        |          l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*${"$"}')))
+        |          <= 3 * len(lines))
+        |     AND (10 * len(list_distinct(t)) >= 4 * len(t))) AS keep
+        |  FROM gg)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN gk.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  CAST(round(CAST(sum(qs.q_micro) AS DOUBLE) / count(*), 0) AS BIGINT)
+        |    AS mean_quality_micro,
+        |  CAST(round(sum(CASE WHEN gk.keep THEN 1 ELSE 0 END) * 1000000.0
+        |    / count(*), 0) AS BIGINT) AS keep_micro
+        |FROM documents d JOIN qs USING (doc_id) JOIN gk USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin
+      }),
+
+    // OOV-vs-vocab-size CURVE: corpus out-of-vocabulary token mass at
+    // several vocab caps from ONE ranked vocabulary table (rank once,
+    // aggregate per cap) — the "how big must the vocab be" sizing curve.
+    "t_oov_curve" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = rd(s, dir, "documents")
+        val uni = graft.core.CacheScope.persist(TextOps.unigrams(docs))
+        val ranked = TextOps.vocabFromUnigrams(uni, cap = 1000000)
+        val caps = Seq(50L, 100L, 200L, 400L).toDF("cap")
+        ranked.crossJoin(caps)
+          .groupBy("cap")
+          .agg(sum("count").as("n_tokens"),
+            sum(when(col("wordid") >= col("cap"), col("count"))
+              .otherwise(lit(0L))).as("n_oov"))
+          .withColumn("oov_micro",
+            round(col("n_oov") * lit(1000000.0) / col("n_tokens"), 0)
+              .cast("long"))
+          .orderBy("cap")
+      },
+      Some(s"""WITH $ToksCte, $StreamCte,
+        |v AS (SELECT token, CAST(count(*) AS BIGINT) AS c,
+        |    row_number() OVER (ORDER BY count(*) DESC, token) - 1 AS wordid
+        |  FROM stream GROUP BY token),
+        |caps(cap) AS (VALUES (50), (100), (200), (400))
+        |SELECT CAST(cap AS BIGINT) AS cap,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN wordid >= cap THEN c ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  CAST(round(sum(CASE WHEN wordid >= cap THEN c ELSE 0 END)
+        |    * 1000000.0 / sum(c), 0) AS BIGINT) AS oov_micro
+        |FROM v CROSS JOIN caps GROUP BY cap ORDER BY cap""".stripMargin)),
+
     "t_quality" -> Q(
       (s, dir) =>
         TextAnalysis.qualityScore(rd(s, dir, "documents")).orderBy("doc_id"),

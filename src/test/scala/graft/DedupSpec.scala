@@ -416,4 +416,33 @@ class DedupSpec extends AnyFunSuite {
     assert(out(1L) == ("the quick brown fox jumps over\n--\nunique first line", 3L, 0L))
     assert(out(2L) == ("--\nits own second line", 2L, 1L))
   }
+
+  test("row-local MinHash signatures == groupBy signatures (streaming contract)") {
+    // NearDupStream computes signatures row-locally (array_min over the
+    // transformed shingle array) so the streaming query keeps to one
+    // stateful operator; the values must equal the batch explode+groupBy
+    // signatures exactly, for both shingle widths and on edge docs
+    // (empty text, fewer tokens than the shingle width, unicode).
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    val docs = spark2.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+      .unionAll(Seq((100001L, ""), (100002L, "one"),
+        (100003L, "два слова всего"), (100004L, "a b")).toDF("doc_id", "text"))
+    for (k <- Seq(1, 3)) {
+      val batch = graft.operators.Dedup
+        .minhashSignatures(docs, shingleK = k, numPerms = 12)
+        .collect()
+        .map(r => r.getLong(0) -> (1 to 12).map(i => r.getLong(i)).toVector)
+        .toMap
+      val rowLocal = graft.streaming.NearDupStream
+        .rowLocalSignatures(docs, shingleK = k, numPerms = 12)
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+      assert(rowLocal == batch, s"signature mismatch at shingleK=$k")
+      assert(batch.nonEmpty && !batch.contains(100001L),
+        "empty doc must be absent from both")
+    }
+    graft.core.CacheScope.release()
+  }
 }
