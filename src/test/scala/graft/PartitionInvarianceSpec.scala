@@ -31,7 +31,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // counts), the frozen-model apply, the LSH quality eval (pair-set
     // intersection counts), the BPE id round trip, the rule bundle
     "t_curation_funnel", "t_frozen_curation", "t_lsh_eval",
-    "t_bpe_roundtrip", "t_gopher_rules", "t_packing_stats")
+    "t_bpe_roundtrip", "t_gopher_rules", "t_packing_stats",
+    "t_source_quality", "t_oov_curve")
 
   private def run(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
