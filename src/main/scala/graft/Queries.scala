@@ -1630,8 +1630,12 @@ object Queries {
   /** The pipeline row's oracle: the shared curation CTE prefix + the
     * survivor-trained BPE replay + the packing tail (the t_packed_ids
     * shape restricted to the `final` doc set). */
-  private lazy val CurationPipelineOracle: Option[String] =
-  Some(s"""WITH $sqlCurationCtes,
+  /** The curation pipeline's packing replay THROUGH the global piece
+    * index table `pp` (shared CTE prefix + survivor-trained BPE + the
+    * final-doc-scoped pack chain) — shared by the pipeline row and its
+    * manifest row. */
+  private lazy val sqlCurationPackCtes: String =
+    s"""$sqlCurationCtes,
         |$sqlBpeChain,
         |pc AS (SELECT word, l[x] AS piece, x AS sp
         |  FROM (SELECT word, string_split(trim(sym), '  ') AS l FROM s6),
@@ -1658,13 +1662,18 @@ object Queries {
         |    st.start_tok + row_number()
         |      OVER (PARTITION BY p.doc_id ORDER BY p.pos, p.sp) - 1 AS pg,
         |    v.pid
-        |  FROM pieces p JOIN voc v USING (piece) JOIN st USING (doc_id))
+        |  FROM pieces p JOIN voc v USING (piece) JOIN st USING (doc_id))""".stripMargin
+
+  /** The pipeline row's oracle: packing tail over [[sqlCurationPackCtes]]. */
+  private lazy val CurationPipelineOracle: Option[String] =
+    Some(s"""WITH $sqlCurationPackCtes
         |SELECT bucket, pg // 128 AS seq_id,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |  CAST(count(*) AS BIGINT) AS n_pieces,
         |  string_agg(CAST(pid AS VARCHAR), ' ' ORDER BY pg) AS ids_str
         |FROM pp GROUP BY bucket, pg // 128
         |ORDER BY bucket, seq_id""".stripMargin)
+
 
   /** Shared construction of the end-to-end curation chain (clean -> DSIR
     * resample -> decontaminate -> exact dedup -> KN3 perplexity cut): the
@@ -2927,6 +2936,39 @@ object Queries {
           .orderBy("bucket", "seq_id")
       },
       CurationPipelineOracle),
+
+    // The pipeline's SHIPPING MANIFEST: per-bucket stats of the packed
+    // training sequences the composed chain emits (sequence counts,
+    // pieces, doc slots, waste, micro fill) — the audit record that rides
+    // with a 100 TB run's output shards. Composes the SAME curationStages
+    // + packing the pipeline row runs; the oracle reuses the shared
+    // packing CTE prefix with a stats tail.
+    "t_curation_manifest" -> Q(
+      (s, dir) => {
+        val st = curationStages(s, dir)
+        val merges = Bpe.train(st.surv, nMerges = 6)
+        Bpe.packedInputIds(st.finalDocs, merges, budget = 128, nBuckets = 8)
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_seqs"), sum("n_pieces").as("n_pieces"),
+            sum("n_docs").as("n_doc_slots"))
+          .withColumn("waste", col("n_seqs") * lit(128L) - col("n_pieces"))
+          .withColumn("fill_micro",
+            round(col("n_pieces") * lit(1000000.0) /
+              (col("n_seqs") * lit(128L)), 0).cast("long"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH $sqlCurationPackCtes,
+        |packed AS (SELECT bucket, pg // 128 AS seq_id,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS n_pieces
+        |  FROM pp GROUP BY bucket, pg // 128)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_seqs,
+        |  CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_doc_slots,
+        |  CAST(count(*) * 128 - sum(n_pieces) AS BIGINT) AS waste,
+        |  CAST(round(sum(n_pieces) * 1000000.0 / (count(*) * 128), 0)
+        |    AS BIGINT) AS fill_micro
+        |FROM packed GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
     // Attrition FUNNEL over the same chain — the observability artifact a
     // 100 TB curation run reads first: one row per stage with surviving
