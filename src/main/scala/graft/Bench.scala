@@ -133,8 +133,65 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_PIPELINE_BENCH").contains("false")) Nil
       else Seq("t_dsir", "t_kneser_ney3", "t_ccnet_buckets", "t_contam_frac",
         "t_input_ids", "t_packed_ids", "t_source_kl", "m_image_resize",
-        "t_curation_pipeline", "t_frozen_curation")
-    val pipelineResults = runSuite(pipelineNames, 2, " (pipeline)")
+        "t_curation_pipeline")
+    // Frozen curation timed in TWO phases (VERDICT r9 #3): the single
+    // t_frozen_curation number bundled the one-time freeze (training DSIR
+    // weights, Blooms, KN3, the perplexity cutoff) with the per-batch
+    // apply, so the 23.6s row read as if apply were slow. The design's
+    // claim is cheap per-batch apply against warm frozen artifacts —
+    // price each phase separately. Freeze timing INCLUDES materializing
+    // every frozen artifact (train once, ship warm); apply then measures
+    // only curateBatch against them.
+    val frozenResults: Seq[(String, Seq[(Double, Boolean)])] =
+      if (pipelineNames.isEmpty) Nil
+      else {
+        import org.apache.spark.sql.functions.col
+        def onePass(): ((Double, Boolean), (Double, Boolean)) = {
+          val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          val ref = docs.filter(col("doc_id") % 2 === 0)
+          var okF = true
+          var okA = true
+          val t0 = System.nanoTime()
+          val frozenOpt =
+            try {
+              val f = graft.streaming.CurationStream.freeze(
+                ref, ref.filter(col("doc_id") % 31 === 0),
+                col("lang") === "en")
+              Seq(f.weights, f.evalShingles, f.evalBloom, f.seenHashes,
+                  f.seenBloom, f.kn3.triTot, f.kn3.s01, f.kn3.cont,
+                  f.kn3.mid, f.kn3.nl)
+                .foreach { df => graft.core.CacheScope.track(df); df.count() }
+              Some(f)
+            } catch { case e: Throwable =>
+              okF = false
+              System.err.println(
+                s"[bench] t_frozen_curation_freeze failed: ${e.getMessage}")
+              None
+            }
+          val tF = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          frozenOpt match {
+            case Some(f) =>
+              try graft.streaming.CurationStream.curateBatch(
+                  docs.filter(col("doc_id") % 2 === 1), f)
+                .write.mode("overwrite").format("noop").save()
+              catch { case e: Throwable =>
+                okA = false
+                System.err.println(
+                  s"[bench] t_frozen_curation_apply failed: ${e.getMessage}")
+              }
+            case None => okA = false
+          }
+          val tA = (System.nanoTime() - t1) / 1e9
+          graft.core.CacheScope.release()
+          ((tF, okF), (tA, okA))
+        }
+        val passes = (1 to 2).map(_ => onePass())
+        Seq("t_frozen_curation_freeze" -> passes.map(_._1),
+          "t_frozen_curation_apply" -> passes.map(_._2))
+      }
+    val pipelineResults = runSuite(pipelineNames, 2, " (pipeline)") ++
+      frozenResults
     // headline value per query = min of the OK samples (scheduling-noise
     // floor); all samples are recorded so a contaminated run is visible in
     // the artifact itself (VERDICT r6 #2), not just in its total. A sample

@@ -2084,7 +2084,12 @@ object Queries {
         import s.implicits._
         val docs = rd(s, dir, "documents")
         val uni = graft.core.CacheScope.persist(TextOps.unigrams(docs))
-        val ranked = TextOps.vocabFromUnigrams(uni, cap = 1000000)
+        // UNCAPPED rank: the curve measures total OOV mass, so dropping
+        // tokens ranked past any cap would silently undercount n_tokens
+        // AND n_oov once the corpus has more distinct tokens than the cap
+        // (the oracle ranks the full vocabulary). The rank itself is the
+        // two-phase distributed scheme, so no cap is needed for scale.
+        val ranked = TextOps.vocabFromUnigrams(uni, cap = Int.MaxValue)
         val caps = Seq(50L, 100L, 200L, 400L).toDF("cap")
         ranked.crossJoin(caps)
           .groupBy("cap")
@@ -2148,6 +2153,22 @@ object Queries {
         TextAnalysis.compressionSignals(rd(s, dir, "documents"))
           .orderBy("doc_id"),
       None),
+
+    // Cross-engine audit of the DEFLATE signal (VERDICT r9 #5): the
+    // compressed bytes are implementation-defined, but raw length,
+    // losslessness, and the stored-block worst-case bound are not. The
+    // Spark side VERIFIES round-trip + bound in-engine and emits the
+    // booleans; the oracle pins them TRUE — any lossy or out-of-bound
+    // deflate hash-fails at the driver. Upgrades t_compression's family
+    // from rows-only to a real (if partial) value check.
+    "t_compression_audit" -> Q(
+      (s, dir) =>
+        TextAnalysis.compressionAudit(rd(s, dir, "documents"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+        |  CASE WHEN text IS NULL THEN NULL ELSE TRUE END AS z_bounded,
+        |  CASE WHEN text IS NULL THEN NULL ELSE TRUE END AS roundtrip_ok
+        |FROM documents ORDER BY doc_id""".stripMargin)),
 
     "t_token_counts" -> Q(
       (s, dir) =>
@@ -5146,7 +5167,7 @@ object Queries {
           .select(col("i").cast("long"), col("j").cast("long"), col("cov"))
           .orderBy("i", "j"),
       Some(s"""${sqlPcaCtes(0)}
-        |SELECT i, j, round(cov, 6) AS cov FROM cmat
+        |SELECT i, j, round(cov, 6) + 0 AS cov FROM cmat
         |WHERE i <= j ORDER BY i, j""".stripMargin)),
 
     // PC1 loadings after a fixed 24-step power iteration (driver-side on

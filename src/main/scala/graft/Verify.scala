@@ -23,6 +23,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // crashed queries are recorded in the OUTPUT DIR (failed.json), not
+    // just stderr — so a missing <name>/ parquet is distinguishable from
+    // a query that threw (the artifact carries its own honesty)
+    val failed = scala.collection.mutable.ListBuffer.empty[(String, String)]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -30,6 +34,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name -> String.valueOf(e.getMessage).take(500)
       }
       finally graft.core.CacheScope.release() // operator-internal persists
     }
@@ -48,6 +53,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failedJson = failed
+      .map { case (k, msg) => s"${q(k)}: ${q(msg)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failed.json"), failedJson)
     spark.stop()
   }
 }

@@ -41,11 +41,19 @@ object Pca {
   private[graft] final val MicroScale = 1e6
 
   /** `round(x * 1e6)` half-away-from-zero — bit-for-bit the value
-    * Spark SQL `round(c * 1e6, 0)` and DuckDB `round(x * 1000000, 0)`
-    * produce for the same double. */
-  @inline private def micro(x: Double): Long = {
+    * Spark SQL `round(c * 1e6, 0)` (BigDecimal HALF_UP) and DuckDB
+    * `round(x * 1000000, 0)` produce for the same double. NOT
+    * `floor(abs + 0.5)`: for y = 0.49999999999999994 the fp addition
+    * ties UP to 1.0 while both SQL engines round the exact value to 0.
+    * Instead compare the fractional part directly — `a - floor(a)` is
+    * EXACT for any finite double (Sterbenz for a >= 1, trivially for
+    * a < 1), so the comparison sees the true fraction. */
+  @inline private[graft] def micro(x: Double): Long = {
     val y = x * MicroScale
-    math.copySign(math.floor(math.abs(y) + 0.5), y).toLong
+    val a = math.abs(y)
+    val f = math.floor(a)
+    val r = if (a - f >= 0.5) f + 1.0 else f
+    math.copySign(r, y).toLong
   }
 
   /** One-pass raw second moments of a d-dim float-vector column on the

@@ -304,6 +304,18 @@ object Similarity {
     val d = if (dim > 0) dim else sniffDim(corpus, vecCol)
     val proj = Pca.projectTopK(corpus, idCol, vecCol, d, k = 2,
       iters = iters, whiten = true)
+    // RESIDUAL FP DEPENDENCE (unlike this file's other integer-grid
+    // contracts): the whitened projection is a double chain whose
+    // evaluation order differs between this engine (x.v − mu.v via the
+    // codegen'd DotProduct fold) and the SQL oracle (sum over (x−mu).v in
+    // the oracle's aggregation order), so the micro snap below is only
+    // engine-stable to projection ULPs — a 1-ulp difference at an exact
+    // cellMicro boundary would flip a vector's cell and change the
+    // candidate set. Cell assignment is a RECALL heuristic (precision is
+    // exact via the cosine confirm), so a boundary flip alters which
+    // near-dups are FOUND, not whether reported pairs are real; the
+    // oracle match is empirically green at all tested SFs but not
+    // guaranteed by construction.
     def cell(c: Column): Column =
       floor(round(c * lit(1e6), 0) / lit(cellMicro.toDouble)).cast("long")
     val cells = graft.core.CacheScope.persist(

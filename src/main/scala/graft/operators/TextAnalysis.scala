@@ -307,6 +307,31 @@ object TextAnalysis {
           round(col("z_bytes") * lit(1000000.0) / col("n_bytes"), 0)
             .cast("long")))
 
+  /** Cross-engine-checkable audit of the compression signal (VERDICT r9
+    * #5): the DEFLATE byte stream is implementation-defined, but three
+    * things about it are NOT and an independent engine can assert them —
+    * the raw byte length, losslessness (deflate-then-inflate returns the
+    * input bit-for-bit), and the worst-case size bound (DEFLATE stored
+    * blocks cost <= 5 bytes per 16383-byte block + a small constant, so
+    * z_bytes can never exceed n + 5*(n/16383 + 1) + 10; it is also always
+    * >= 1, even for empty input, which emits a final empty block). This
+    * row emits exactly the oracle-computable columns: doc_id, n_bytes,
+    * and the two in-engine-verified booleans the oracle pins to TRUE — a
+    * violated bound or a lossy round trip hash-fails at the driver.
+    * Null text propagates null (no bytes, no claim), matching the
+    * oracle's CASE. */
+  def compressionAudit(docs: DataFrame, level: Int = 6,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val n = octet_length(col(textCol)).cast("long")
+    val z = graft.plans.CompressExpressions.deflatedSize(col(textCol), level)
+    docs.select(col(idCol), n.as("n_bytes"),
+      (z >= 1L && z <= n + lit(5L) * (n / 16383L + 1L) + 10L)
+        .as("z_bounded"),
+      graft.plans.CompressExpressions.deflateRoundTripOk(col(textCol), level)
+        .as("roundtrip_ok"))
+  }
+
   /** Blocklist filtering — the word-boundary-correct "badwords" gate every
     * corpus-curation pipeline runs (substring LIKE matching flags
     * "class(ic)" for "ass"; matching on TOKENS does not). Per document:

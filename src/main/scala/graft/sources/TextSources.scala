@@ -18,7 +18,18 @@ object TextSources {
     * `wholetext` gives one row per file; `input_file_name()` recovers the id
     * (the reference's sorted-walk order is irrelevant here — see Ids).
     */
-  def folder(spark: SparkSession, dir: String, format: String = "txt"): DataFrame = {
+  /** Memo of the empty-file recovery listing, keyed by (dir, format).
+    * The recursive status scan is driver-side and runs on top of Spark's
+    * own InMemoryFileIndex listing; for a corpus of millions of files
+    * re-walking the tree on EVERY folder() call doubles the driver's
+    * listing cost, so the result (bounded by the number of EMPTY files,
+    * never the corpus size) is cached for the JVM's lifetime. A corpus
+    * dir that changes mid-session should pass `refreshEmptyScan = true`. */
+  private val emptyScanCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[String]]()
+
+  def folder(spark: SparkSession, dir: String, format: String = "txt",
+             refreshEmptyScan: Boolean = false): DataFrame = {
     def idFromPath(c: org.apache.spark.sql.Column) =
       regexp_replace(regexp_extract(c, "([^/]+)$", 1), s"\\.$format(\\.gz)?$$", "")
     val raw = spark.read.option("wholetext", "true")
@@ -29,18 +40,21 @@ object TextSources {
     // Spark's scan planning silently drops 0-byte files for every file
     // source (createReadRDD keeps only length > 0), but the reference's
     // contract includes empty documents (empty-doc fixture). Recover ONLY
-    // the zero-length files from a Hadoop FS recursive listing — the same
-    // driver-side status scan Spark's own InMemoryFileIndex already runs —
-    // and union them in: driver memory is bounded by the number of EMPTY
-    // files, never the corpus size.
+    // the zero-length files from a Hadoop FS recursive listing (cached —
+    // see emptyScanCache) and union them in.
     import org.apache.hadoop.fs.Path
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val suffix = raw"\.$format(\.gz)?$$".r
-    val it = fs.listFiles(new Path(dir), true)
-    val emptyIds = Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
-      .filter(_.getLen == 0)
-      .map(_.getPath.getName).filter(n => suffix.findFirstIn(n).isDefined)
-      .map(n => suffix.replaceAllIn(n, "")).toSeq
+    def scan(): Seq[String] = {
+      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val suffix = raw"\.$format(\.gz)?$$".r
+      val it = fs.listFiles(new Path(dir), true)
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+        .filter(_.getLen == 0)
+        .map(_.getPath.getName).filter(n => suffix.findFirstIn(n).isDefined)
+        .map(n => suffix.replaceAllIn(n, "")).toSeq
+    }
+    val key = (dir, format)
+    if (refreshEmptyScan) emptyScanCache.remove(key)
+    val emptyIds = emptyScanCache.computeIfAbsent(key, _ => scan())
     import spark.implicits._
     if (emptyIds.isEmpty) raw
     else raw.unionByName(

@@ -104,6 +104,14 @@ object CurationStream {
         .as("ce_micro"), col(idCol))
     val n = ce.count()
     val cutRank = (2L * n) / 3L // docs with rank0 < cutRank are kept
+    // limit() takes an Int: beyond 2^31 the 2^31..2^32 range would throw
+    // in limit but anything larger wraps toInt SILENTLY to a small
+    // positive rank — enforce the boundary loudly instead of relying on
+    // the partial overflow check downstream.
+    require(cutRank <= Int.MaxValue,
+      s"reference corpus too large to freeze via rank-$cutRank limit " +
+        "(cutRank > Int.MaxValue) — use a quantile-based cut " +
+        "(approx_percentile on ce_micro) for multi-billion-doc references")
     val ceCut =
       if (cutRank == 0) Long.MinValue
       else ce.orderBy(col("ce_micro"), col(idCol)).limit(cutRank.toInt)
@@ -119,8 +127,10 @@ object CurationStream {
     * resample keep (p = exp((score − frozen max)/T)) -> decontaminate
     * (Bloom-pruned exact shingle match vs the frozen eval set) -> dedup
     * (Bloom-pruned exact content-hash match vs the frozen seen set) ->
-    * frozen perplexity cutoff (ce_micro < cut, strict: rank0 < cutRank
-    * kept docs on the reference corpus all satisfy it by construction).
+    * frozen perplexity cutoff (ce_micro <= cut, boundary-INCLUSIVE: ties
+    * at the cut value are kept, matching [[freeze]]'s documented
+    * semantics — the cut is the ce of the last kept reference doc, so
+    * every rank0 < cutRank reference doc satisfies it by construction).
     * Output: the surviving (idCol, textCol) rows plus score_micro and
     * ce_micro evidence columns. */
   def curateBatch(batch: DataFrame, m: FrozenCuration,

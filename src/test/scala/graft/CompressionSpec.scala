@@ -78,6 +78,31 @@ class CompressionSpec extends AnyFunSuite {
     assert(byId(499L) == ((258L, 131L, 507752L)))
   }
 
+  test("round-trip + bound audit: lossless on every shape, null propagates") {
+    import graft.plans.Zlib
+    val rnd = new scala.util.Random(7)
+    val inputs = Seq(
+      "", "a", "abc" * 10000, "tab\tnl\nmix é中😀",
+      new String(Array.fill(50000)((rnd.nextInt(94) + 33).toChar)))
+    for (s <- inputs; level <- Seq(1, 6, 9)) {
+      val bytes = s.getBytes("UTF-8")
+      assert(Zlib.roundTripOk(bytes, level), s"level=$level len=${bytes.length}")
+      val z = Zlib.deflatedSize(bytes, level)
+      val n = bytes.length.toLong
+      assert(z >= 1 && z <= n + 5L * (n / 16383L + 1L) + 10L,
+        s"bound violated: n=$n z=$z level=$level")
+    }
+    // the audit operator over a frame with a null: booleans null there,
+    // TRUE elsewhere — the exact contract the t_compression_audit oracle
+    // pins cross-engine
+    val docs = Seq((1L, Option("hello world")), (2L, None))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.compressionAudit(docs).orderBy("doc_id").collect()
+    assert(rows(0).getLong(1) == 11L && rows(0).getBoolean(2)
+      && rows(0).getBoolean(3))
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2) && rows(1).isNullAt(3))
+  }
+
   test("deterministic within the engine and exposed in SQL via extensions") {
     val docs = Seq((1L, "abcabcabc " * 100)).toDF("doc_id", "text")
     val a = TextAnalysis.compressionSignals(docs).collect().toSeq

@@ -174,6 +174,28 @@ class PcaSpec extends AnyFunSuite {
         s"cov($i,$j) differs across partition layouts")
   }
 
+  test("micro() matches BigDecimal HALF_UP bit-for-bit (the SQL round contract)") {
+    // the r9-advice counterexample: 0.49999999999999994 * 1 — fp
+    // floor(abs+0.5) ties UP to 1 while HALF_UP on the exact double
+    // value rounds to 0. micro() must agree with the SQL engines.
+    def sqlRound(x: Double): Long = {
+      val y = x * 1e6
+      BigDecimal(y).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val tricky = Seq(
+      0.49999999999999994e-6, -0.49999999999999994e-6, // the tie-up trap
+      0.5e-6, -0.5e-6, 1.5e-6, -1.5e-6, 2.5e-6, -2.5e-6, // exact ties
+      0.0, -0.0, 1e-7, -1e-7, 0.123456789, -0.987654321,
+      999.9999995, -999.9999995)
+    for (x <- tricky)
+      assert(Pca.micro(x) == sqlRound(x), s"micro($x)")
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 20000) {
+      val x = (rnd.nextDouble() - 0.5) * 2000.0
+      assert(Pca.micro(x) == sqlRound(x), s"micro($x)")
+    }
+  }
+
   test("fixed-iteration loadings are deterministic across invocations") {
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val a = Pca.pc1LoadingsDF(df, "embedding", 64).collect()

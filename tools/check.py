@@ -4,7 +4,29 @@ oracle and compare values exactly (sorted columns + rows), mirroring the
 round harness. Usage: tools/check.py <verify_out_dir> <sf_dir> [names...]"""
 import json, sys, glob, os
 import duckdb
+import numpy as np
 import pandas as pd
+
+
+def float_byte_mismatches(g: "pd.DataFrame", e: "pd.DataFrame"):
+    """Columns whose float values differ at the BIT level (the driver's
+    hash is byte-based, so -0.0 vs 0.0 or a NaN-payload difference fails
+    there even though pandas numeric equality passes). Returns
+    [(col, row_idx, got_bits, exp_bits)] for the first differing row of
+    each bad column."""
+    bad = []
+    for c in g.columns:
+        if g[c].dtype.kind != "f":
+            continue
+        ga = np.ascontiguousarray(g[c].to_numpy(dtype="float64"))
+        ea = np.ascontiguousarray(e[c].to_numpy(dtype="float64"))
+        gi, ei = ga.view("int64"), ea.view("int64")
+        neq = gi != ei
+        if neq.any():
+            i = int(np.argmax(neq))
+            bad.append((c, i, hex(int(gi[i]) & (2**64 - 1)),
+                        hex(int(ei[i]) & (2**64 - 1))))
+    return bad
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -46,7 +68,11 @@ def main(out_dir, sf_dir, only):
             continue
         try:
             pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
-            results[name] = f"OK ({len(g)} rows)"
+            fb = float_byte_mismatches(g, e)
+            if fb:
+                results[name] = f"FLOAT-BYTES-MISMATCH {fb[:3]}"
+            else:
+                results[name] = f"OK ({len(g)} rows)"
         except AssertionError as ex:
             # retry with tolerance to distinguish float-noise from real bugs
             try:
