@@ -1684,12 +1684,18 @@ object Queries {
     * and the composed tree grows multiplicatively (tens of thousands of
     * nodes; planning alone exhausts the heap at sf0.1). With the cuts
     * every downstream plan is the same size as its standalone row's. */
-  private final case class CurationStages(
+  private[graft] final case class CurationStages(
       cleaned: DataFrame, keptIds: DataFrame, train: DataFrame,
       decon: DataFrame, surv: DataFrame, finalDocs: DataFrame)
 
-  private def curationStages(s: SparkSession, dir: String): CurationStages = {
-    val docs = rd(s, dir, "documents")
+  private def curationStages(s: SparkSession, dir: String): CurationStages =
+    curationStagesFrom(rd(s, dir, "documents"))
+
+  /** The chain over an arbitrary (doc_id, text, lang) corpus — exposed
+    * package-private so ScaleSmoke can run the COMPOSED pipeline (not
+    * just its stages) on a replicated corpus and confirm the lineage-cut
+    * plan size is corpus-independent. */
+  private[graft] def curationStagesFrom(docs: DataFrame): CurationStages = {
     val cleaned = docs.select(col("doc_id"),
       TextAnalysis.cleanText(col("text")).as("text"), col("lang"))
     val scored = Dsir.scoreAll(cleaned, col("lang") === "en",

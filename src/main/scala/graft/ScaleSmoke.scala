@@ -13,6 +13,12 @@ import graft.operators.{Dedup, Similarity, Sketches, Srp, TextAnalysis, TextOps}
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 20
+    // optional name filters after the factor: run only entries whose name
+    // starts with one of them (`sbt "runMain graft.ScaleSmoke 200
+    // curation"`) — lets a single heavy composition be probed at a factor
+    // the full suite would take hours at. All entry bodies are by-name,
+    // so skipped entries cost nothing.
+    val only = args.drop(1).toSet
     val spark = SparkSession.builder().master("local[32]")
       // size(null) = null, matching DuckDB len() (default -1 would desync
       // any size() over a null text from the oracles)
@@ -32,6 +38,7 @@ object ScaleSmoke {
       .persist()
     println(s"[scale] docs=${docs.count()} (${factor}x)")
     def time(name: String)(f: => Long): Unit = {
+      if (only.nonEmpty && !only.exists(name.startsWith)) return
       val t0 = System.nanoTime()
       val rows = f
       println(f"[scale] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$rows")
@@ -139,7 +146,7 @@ object ScaleSmoke {
     time("pq_adc_10q")(
       Similarity.pqAdcSearch(pqModel,
         bigEmb.filter(col("vec_id") < 10), topk = 5, m = 4, dim = 64).count())
-    pqModel.codes.unpersist(blocking = false)
+    if (pqModel != null) pqModel.codes.unpersist(blocking = false)
     graft.core.CacheScope.release()
     // IVF-PQ: the composed index. Coarse cells use the sqrt(n) rule, so
     // the per-query candidate list (own cell) stays ~sqrt(n); fit cost is
@@ -154,7 +161,7 @@ object ScaleSmoke {
     time("ivfpq_adc_10q")(
       Similarity.ivfPqSearch(ivfpq,
         bigEmb.filter(col("vec_id") < 10), topk = 5, m = 4, dim = 64).count())
-    ivfpq.pq.codes.unpersist(blocking = false)
+    if (ivfpq != null) ivfpq.pq.codes.unpersist(blocking = false)
     graft.core.CacheScope.release()
     // BM25: two vocabulary-sized aggregates + two equi-joins — must track
     // the unigram table linearly; ranked retrieval adds one TakeOrdered
@@ -348,6 +355,43 @@ object ScaleSmoke {
       val kept = graft.streaming.CurationStream.curateBatch(docs, frozen).count()
       graft.streaming.CurationStream.release(frozen)
       kept
+    })
+    graft.core.CacheScope.release()
+    // round-10 (VERDICT r9 #6): the FULL COMPOSED curation chain — clean
+    // -> DSIR resample -> decontaminate -> exact dedup -> KN3 perplexity
+    // cut -> BPE train on survivors -> packed sequences — at replication
+    // factor, not just its stages. The 49k-Exchange planning blowup
+    // (without the localCheckpoint lineage cuts) was found at sf0.1;
+    // this proves the CUT plan's exchange count is corpus-independent at
+    // factor x the data and that wall time tracks the scan. The final
+    // plan's Exchange count is printed for the README scale table.
+    time("curation_pipeline_full")({
+      val n0 = base.count()
+      // TOKEN-SALTED replication, letters-only (the word tokenizer is
+      // [\p{L}]+, so a digit salt would be stripped right back off):
+      // plain replication makes every text an N-way exact duplicate
+      // whose every 8-shingle also appears in the eval shard's replicas,
+      // and the chain CORRECTLY curates such a corpus to zero — leaving
+      // the back half (KN3, BPE, packing) measuring nothing. With every
+      // word suffixed by the replica id the corpus behaves like
+      // factor-x DISTINCT documents: dedup keeps ~everything,
+      // decontamination removes only real eval overlap, and every stage
+      // does factor-x type AND instance work.
+      val salted = base.crossJoin(
+          spark.range(factor).withColumnRenamed("id", "rep"))
+        .withColumn("doc_id", col("doc_id") + col("rep") * n0)
+        .withColumn("text", regexp_replace(col("text"), lit("(\\p{L}+)"),
+          concat(lit("$1q"), translate(col("rep").cast("string"),
+            "0123456789", "abcdefghij"))))
+        .drop("rep").repartition(64)
+      val st = Queries.curationStagesFrom(salted)
+      val merges = graft.operators.Bpe.train(st.surv, nMerges = 6)
+      val packed = graft.operators.Bpe.packedInputIds(
+        st.finalDocs, merges, budget = 128, nBuckets = 8)
+      val nEx =
+        "Exchange".r.findAllIn(packed.queryExecution.executedPlan.toString).size
+      println(s"[scale] curation_pipeline_full exchanges=$nEx")
+      packed.count()
     })
     graft.core.CacheScope.release()
     spark.stop()

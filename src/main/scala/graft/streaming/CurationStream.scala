@@ -96,27 +96,27 @@ object CurationStream {
     // (ce, id) total order); curateBatch keeps ce <= cut, so boundary
     // TIES are kept (boundary-inclusive — documented). micro grid via
     // round(), not a truncating cast (ce*1e6 is integer-valued only up to
-    // fp representation). At freeze scale this is a TakeOrdered of the
-    // reference corpus; a >2^31-doc reference would switch to a
-    // quantile-based cut.
+    // fp representation). The cut is selected by distributed rank (see
+    // below), so the freeze holds for a reference corpus of any size.
     val ce = TextRanking.kn3CrossEntropy(cleaned, kn3, idCol, textCol)
       .select(round(col("cross_entropy") * 1e6, 0).cast("long")
         .as("ce_micro"), col(idCol))
     val n = ce.count()
     val cutRank = (2L * n) / 3L // docs with rank0 < cutRank are kept
-    // limit() takes an Int: beyond 2^31 the 2^31..2^32 range would throw
-    // in limit but anything larger wraps toInt SILENTLY to a small
-    // positive rank — enforce the boundary loudly instead of relying on
-    // the partial overflow check downstream.
-    require(cutRank <= Int.MaxValue,
-      s"reference corpus too large to freeze via rank-$cutRank limit " +
-        "(cutRank > Int.MaxValue) — use a quantile-based cut " +
-        "(approx_percentile on ce_micro) for multi-billion-doc references")
+    // RANK-based cut, not limit-based: `limit(cutRank.toInt)` capped the
+    // reference at 2^31 docs (2^31..2^32 threw; beyond that toInt wrapped
+    // SILENTLY to a small positive rank — the r9-advice trap) and its
+    // TakeOrdered holds cutRank rows on the driver. The two-phase
+    // distributed rank ([[graft.core.Ids.denseRankBy]], no
+    // single-partition window, 1-row collect) selects the (ce, id) pair
+    // at rank0 = cutRank - 1 in the same deterministic total order for
+    // ANY reference size — the overflow class is gone, not guarded.
     val ceCut =
       if (cutRank == 0) Long.MinValue
-      else ce.orderBy(col("ce_micro"), col(idCol)).limit(cutRank.toInt)
-        .orderBy(desc("ce_micro"), col(idCol)).limit(1)
-        .head().getLong(0)
+      else graft.core.Ids
+        .denseRankBy(ce, Seq(col("ce_micro").asc, col(idCol).asc), "rank0")
+        .filter(col("rank0") === cutRank - 1L)
+        .select("ce_micro").head().getLong(0)
     FrozenCuration(weights, numBuckets, scoreMax, temperature, evalSh,
       evalBloom, seen, seenBloom, kn3, ceCut, shingleN, bloomBits,
       bloomHashes)
