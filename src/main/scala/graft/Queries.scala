@@ -2291,6 +2291,32 @@ object Queries {
         |    AS cross_entropy
         |FROM a ORDER BY doc_id""".stripMargin)),
 
+    // INCREMENTAL KN3 (round 10, same maintenance theme as
+    // t_dsir_incremental): the model's sufficient statistics are trigram
+    // TYPE counts, which are additive — per-shard statistics (even/odd
+    // doc halves) unioned and re-aggregated give EXACTLY the monolithic
+    // model. The whole corpus is then scored under the merged model; the
+    // oracle is t_kneser_ney3's monolithic chain verbatim. Equality
+    // proves a sharded corpus maintains its LM filter without ever
+    // re-reading old shards — only type-sized tables move.
+    "t_kn3_incremental" -> Q(
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val tri = graft.core.CacheScope.persist(TextOps.ngrams(docs, 3))
+        val merged = TextRanking
+          .kn3Statistics(tri.filter(col("doc_id") % 2 === 0))
+          .unionByName(
+            TextRanking.kn3Statistics(tri.filter(col("doc_id") % 2 === 1)))
+        TextRanking.kn3ScoreTrigrams(tri,
+            TextRanking.kn3ModelFromTrigrams(merged))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $ToksCte, $StreamCte, $sqlKn3Ctes
+        |SELECT doc_id, n AS n_trigrams,
+        |  -CAST(round(CAST(s AS DOUBLE) / n, 0) AS BIGINT) / 1000000.0
+        |    AS cross_entropy
+        |FROM a ORDER BY doc_id""".stripMargin)),
+
     // CCNet perplexity buckets: equal-population head/middle/tail cut of
     // the trigram-KN cross-entropy ranking — floor(rank*3/n) over the
     // total order (ce asc, id asc). Rank is the two-phase scheme on the
@@ -3223,6 +3249,48 @@ object Queries {
         |FROM pp LEFT JOIN bloom b ON b.word = pp.p // 32
         |GROUP BY pp.doc_id, pp.h ORDER BY pp.doc_id""".stripMargin)),
 
+    // INCREMENTAL Bloom maintenance (round 10, third member of the
+    // shard-statistics family with t_dsir_incremental /
+    // t_kn3_incremental): a Bloom filter's statistic is its bit words,
+    // and bit_or is associative — per-shard filters of the SAME geometry
+    // merge into exactly the filter of the unioned key set. The Spark
+    // side builds the seen-set filter from two disjoint halves via
+    // bloomMerge and probes the full corpus; the oracle replays the
+    // MONOLITHIC filter. Byte-equal membership proves per-shard /
+    // per-day seen-sets compose losslessly — how a streaming dedup
+    // frontier is actually maintained at 100 TB.
+    "t_bloom_merge" -> Q(
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        def half(p: Column) = Sketches.bloomBuild(
+          docs.filter(col("doc_id") < 250 && p)
+            .select(md5(col("text")).as("h")),
+          "h", numBits = 4096, numHashes = 5)
+        val merged = Sketches.bloomMerge(Seq(
+          half(col("doc_id") % 2 === 0), half(col("doc_id") % 2 === 1)))
+        val probes = docs.select(col("doc_id"), md5(col("text")).as("h"))
+        Sketches.bloomMightContain(merged, probes, "h",
+            numBits = 4096, numHashes = 5)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH hh(i) AS (VALUES (0), (1), (2), (3), (4)),
+        |seen AS (SELECT md5(text) AS h FROM documents WHERE doc_id < 250),
+        |pos AS (SELECT ${sqlHash60("'b' || hh.i || chr(1) || h")} % 4096 AS p
+        |  FROM seen, hh),
+        |bloom AS (SELECT p // 32 AS word,
+        |    bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+        |  FROM pos GROUP BY 1),
+        |probes AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |pp AS (SELECT doc_id, h,
+        |    ${sqlHash60("'b' || hh.i || chr(1) || h")} % 4096 AS p
+        |  FROM probes, hh)
+        |SELECT pp.doc_id, pp.h,
+        |  (CAST(min(CASE WHEN b.bits IS NOT NULL
+        |      AND (b.bits & (1::BIGINT << CAST(pp.p % 32 AS INT))) <> 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) = 1) AS might_contain
+        |FROM pp LEFT JOIN bloom b ON b.word = pp.p // 32
+        |GROUP BY pp.doc_id, pp.h ORDER BY pp.doc_id""".stripMargin)),
+
     // HyperLogLog distinct-count sketch (p=8, 256 registers) over the order
     // keys, next to the exact count it approximates. Registers are engine-
     // exact integers; the estimator denominator is integer-scaled (every
@@ -3994,6 +4062,36 @@ object Queries {
         |  FROM sc CROSS JOIN mx)
         |SELECT doc_id, score_micro, p_micro, u_micro FROM r
         |WHERE u_micro < p_micro ORDER BY doc_id""".stripMargin)),
+
+    // INCREMENTAL model maintenance (round 10): the DSIR model's
+    // sufficient statistics are per-bucket counts, which are ADDITIVE —
+    // so per-shard statistics (here the even-id and odd-id halves, each
+    // with its own target slice) merge into EXACTLY the monolithic
+    // model. The Spark side never touches a combined corpus: it builds
+    // two shard feature tables, folds their (bucket, c) statistics with
+    // mergeCounts, and derives weights from the merged counts; the
+    // oracle computes the full-corpus weights directly. Equality proves
+    // the incremental path bit-for-bit — the shape under which a 100 TB
+    // model absorbs a new day's data without re-reading old shards.
+    "t_dsir_incremental" -> Q(
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val even = graft.core.CacheScope.persist(
+          Dsir.hashedFeatures(docs.filter(col("doc_id") % 2 === 0), 4096))
+        val odd = graft.core.CacheScope.persist(
+          Dsir.hashedFeatures(docs.filter(col("doc_id") % 2 === 1), 4096))
+        val tgtIds = docs.filter(col("lang") === "en").select("doc_id")
+        def tgtCounts(f: DataFrame) =
+          Dsir.bucketCounts(f.join(tgtIds, Seq("doc_id"), "left_semi"))
+        Dsir.weightsFromCounts(
+            Dsir.mergeCounts(Seq(tgtCounts(even), tgtCounts(odd))),
+            Dsir.mergeCounts(Seq(Dsir.bucketCounts(even),
+              Dsir.bucketCounts(odd))),
+            numBuckets = 4096)
+          .orderBy("bucket")
+      },
+      Some(s"""WITH $ToksCte, $StreamCte, $sqlDsirCtes
+        |SELECT bucket, w_micro FROM w ORDER BY bucket""".stripMargin)),
 
     // The classic TWO-CORPUS DSIR composition (Xie et al. 2023's
     // Wikipedia-vs-crawl setup): target = one source's documents, raw =

@@ -78,14 +78,44 @@ object Dsir {
     * ≤ min(numBuckets, distinct-features) rows. Output: (bucket, w_micro).
     */
   def importanceWeights(targetFeats: DataFrame, rawFeats: DataFrame,
+                        numBuckets: Int): DataFrame =
+    weightsFromCounts(bucketCounts(targetFeats), bucketCounts(rawFeats),
+      numBuckets)
+
+  /** The model's SUFFICIENT STATISTICS for one corpus (shard): per-bucket
+    * total counts `(bucket, c)` of a [[hashedFeatures]] table — at most
+    * `numBuckets` rows however large the shard. Counts are ADDITIVE, so
+    * statistics of disjoint shards merge exactly (see [[mergeCounts]]):
+    * the incremental-maintenance property a 100 TB pipeline needs — new
+    * data updates the model without re-reading old data. */
+  def bucketCounts(feats: DataFrame): DataFrame =
+    feats.groupBy("bucket").agg(sum("cnt").as("c"))
+
+  /** EXACT merge of per-shard bucket-count statistics: additive union.
+    * `weightsFromCounts(mergeCounts(shards))` is value-identical to the
+    * weights of the concatenated corpus — the DSIR analog of the
+    * vocabulary's `mergeVocab` (per-shard daily stats fold into the
+    * running model; nothing is recomputed). Shuffle volume: shards x
+    * numBuckets rows, corpus-size-independent. */
+  def mergeCounts(shards: Seq[DataFrame]): DataFrame = {
+    require(shards.nonEmpty, "need at least one statistics shard")
+    shards.reduce(_ unionByName _).groupBy("bucket").agg(sum("c").as("c"))
+  }
+
+  /** [[importanceWeights]] in its model-maintenance form: weights from
+    * bucket-count STATISTICS tables rather than doc-level feature tables.
+    * Same arithmetic to the bit (one fixed double chain per bucket);
+    * scalar totals now come from the numBuckets-row statistics (a
+    * geometry-sized aggregate) instead of a second corpus-sized pass —
+    * the cheaper plan for free. An EMPTY target yields n_t = 0 (all-raw
+    * smoothing), not a null-poisoned table. */
+  def weightsFromCounts(targetCounts: DataFrame, rawCounts: DataFrame,
                         numBuckets: Int): DataFrame = {
-    val ct = targetFeats.groupBy("bucket").agg(sum("cnt").as("c_t"))
-    val cr = rawFeats.groupBy("bucket").agg(sum("cnt").as("c_r"))
-    // scalar totals: one-row aggregates, composed via crossJoin (broadcast
-    // of a single row — the established scalar-compose pattern here)
-    val totT = targetFeats.agg(sum("cnt").as("n_t"))
-    val totR = rawFeats.agg(sum("cnt").as("n_r"))
-    cr.join(ct, Seq("bucket"), "left")
+    val totT = targetCounts.agg(coalesce(sum("c"), lit(0L)).as("n_t"))
+    val totR = rawCounts.agg(coalesce(sum("c"), lit(0L)).as("n_r"))
+    rawCounts.select(col("bucket"), col("c").as("c_r"))
+      .join(targetCounts.select(col("bucket"), col("c").as("c_t")),
+        Seq("bucket"), "left")
       .na.fill(0L, Seq("c_t"))
       .crossJoin(broadcast(totT)).crossJoin(broadcast(totR))
       .select(col("bucket"),

@@ -301,6 +301,20 @@ object TextRanking {
     * FROZEN once on a reference corpus and applied to arriving batches
     * ([[kn3CrossEntropy]]), the deployment shape of a streaming curation
     * pipeline. Includes the enforced int64 headroom guard. */
+  /** KN3's SUFFICIENT STATISTICS for one corpus shard: trigram TYPE
+    * counts `(w0, w1, w2, count)` — the table every model quantity
+    * derives from (s01/cont/mid/nl are all aggregates of it). Counts are
+    * ADDITIVE, so statistics of disjoint shards merge by plain union:
+    * [[kn3ModelFromTrigrams]] re-aggregates per type, making a model
+    * built on unioned shard statistics value-identical to one built on
+    * the whole corpus in one pass. This is the incremental-maintenance
+    * shape for a sharded 100 TB corpus — per-shard type tables (n-gram-
+    * TYPE-sized, not corpus-sized) are the only thing shipped or kept;
+    * `t_kn3_incremental` proves the equality against the monolithic
+    * oracle. */
+  def kn3Statistics(tri: DataFrame): DataFrame =
+    tri.groupBy("w0", "w1", "w2").agg(sum("count").as("count"))
+
   def kn3ModelFromTrigrams(tri: DataFrame,
                            tracked: Boolean = true): Kn3Model = {
     // tracked=false gives the model tables a FROZEN lifetime: plain

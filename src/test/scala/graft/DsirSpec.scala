@@ -105,6 +105,58 @@ class DsirSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental statistics merge == monolithic model, bit-for-bit") {
+    // shard by parity; target slice (lang=en) within each shard. The
+    // merged per-shard (bucket, c) statistics must reproduce EXACTLY the
+    // weights importanceWeights derives from the whole corpus at once —
+    // additive counts make incremental maintenance exact, not approximate.
+    val b = 64
+    val tgt = docs.filter(col("lang") === "en").select("doc_id")
+    val even = Dsir.hashedFeatures(docs.filter(col("doc_id") % 2 === 0), b)
+    val odd = Dsir.hashedFeatures(docs.filter(col("doc_id") % 2 === 1), b)
+    def tc(f: org.apache.spark.sql.DataFrame) =
+      Dsir.bucketCounts(f.join(tgt, Seq("doc_id"), "left_semi"))
+    val incremental = Dsir.weightsFromCounts(
+        Dsir.mergeCounts(Seq(tc(even), tc(odd))),
+        Dsir.mergeCounts(Seq(Dsir.bucketCounts(even),
+          Dsir.bucketCounts(odd))), b)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val monolithic = Dsir.importanceWeights(
+        Dsir.hashedFeatures(docs, b)
+          .join(tgt, Seq("doc_id"), "left_semi"),
+        Dsir.hashedFeatures(docs, b), b)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incremental == monolithic)
+    assert(incremental.nonEmpty)
+    // a single-shard merge is the identity
+    val one = Dsir.weightsFromCounts(
+        Dsir.mergeCounts(Seq(tc(even))),
+        Dsir.mergeCounts(Seq(Dsir.bucketCounts(even))), b)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = Dsir.weightsFromCounts(tc(even),
+        Dsir.bucketCounts(even), b)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == direct)
+  }
+
+  test("weightsFromCounts: empty target gives all-raw smoothing, not nulls") {
+    val b = 64
+    val raw = Dsir.bucketCounts(Dsir.hashedFeatures(docs, b))
+    val emptyT = Dsir.bucketCounts(
+      Dsir.hashedFeatures(docs.filter(col("doc_id") < 0), b))
+    val w = Dsir.weightsFromCounts(emptyT, raw, b).collect()
+    assert(w.nonEmpty)
+    assert(w.forall(!_.isNullAt(1)), "no null-poisoned weights")
+    // c_t = 0 everywhere: weight = ln((1 * (n_r + B)) / ((c_r + 1) * B))
+    val nR = raw.agg(sum("c")).head().getLong(0)
+    val cByBucket = raw.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    w.foreach { r =>
+      val expect = math.round(math.log(
+        1.0 * (nR + b) / ((cByBucket(r.getLong(0)) + 1.0) * b)) * 1e6)
+      assert(r.getLong(1) == expect)
+    }
+  }
+
   test("bucket collisions stay in-range at tiny bucket counts") {
     val f = Dsir.hashedFeatures(docs, numBuckets = 4)
     val bks = f.select("bucket").distinct().collect().map(_.getLong(0))

@@ -139,6 +139,27 @@ class TextRankingSpec extends AnyFunSuite {
     assert(ce.values.forall(_ > 0)) // cross-entropy is positive
   }
 
+  test("kn3 shard-statistics merge == monolithic model, exact scores") {
+    val d = Seq(
+      (1L, "the cat sat on the mat and the cat sat again"),
+      (2L, "the dog sat on the mat and slept on the mat"),
+      (3L, "a cat and a dog sat on a mat together"),
+      (4L, "zebra quantum flux sat on the mat yesterday evening")
+    ).toDF("doc_id", "text")
+    val tri = graft.operators.TextOps.ngrams(d, 3)
+    // statistics per parity shard, merged by union; model re-aggregates
+    val merged = TextRanking.kn3Statistics(tri.filter(col("doc_id") % 2 === 0))
+      .unionByName(TextRanking.kn3Statistics(tri.filter(col("doc_id") % 2 === 1)))
+    val inc = TextRanking.kn3ScoreTrigrams(tri,
+        TextRanking.kn3ModelFromTrigrams(merged))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val mono = TextRanking.trigramKneserNeyCrossEntropy(d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(inc == mono) // exact ==, no tolerance: counts are additive
+    assert(inc.nonEmpty)
+    graft.core.CacheScope.release()
+  }
+
   test("keywords: top-k per doc, rank dense from 1, tie-break by token") {
     val kw = TextRanking.keywords(docs, k = 2).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
