@@ -2886,6 +2886,50 @@ object Queries {
     // deliberately small so collisions occur and the CMS over-count
     // semantics (estimate >= exact, min over depth rows) are actually
     // exercised; the oracle replays every cell from the same md5 hashes.
+    // INCREMENTAL CMS (round 10, mergeable-statistics family): count-min
+    // cells are additive sums, so per-shard sketches of the same
+    // (depth, width) geometry merge into exactly the monolithic sketch.
+    // Spark builds one sketch per doc-parity shard and merges; the
+    // oracle replays the MONOLITHIC sketch over the full stream. Equal
+    // estimates prove per-shard frequency sketches compose losslessly —
+    // the sketch analog of t_dsir_incremental's count merge.
+    "t_cms_merge" -> Q(
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        def shard(p: Column) = {
+          val counts = docs.filter(p)
+            .select(explode(tokens(col("text"))).as("token"))
+            .groupBy("token").agg(count(lit(1)).as("exact_count"))
+          Sketches.cmsBuild(counts, "token", "exact_count",
+            depth = 3, width = 16)
+        }
+        val merged = Sketches.merge(Seq(
+          shard(col("doc_id") % 2 === 0), shard(col("doc_id") % 2 === 1)))
+        val counts = graft.core.CacheScope.persist(docs
+          .select(explode(tokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("exact_count")))
+        val top = counts.orderBy(desc("exact_count"), asc("token")).limit(20)
+        Sketches.cmsEstimate(merged, top, "token", depth = 3, width = 16)
+          .orderBy("token")
+      },
+      Some(s"""WITH $ToksCte, $StreamCte,
+        |tc AS (SELECT token, count(*) AS exact_count FROM stream GROUP BY token),
+        |dd(d) AS (VALUES (0), (1), (2)),
+        |cms AS (SELECT dd.d AS d,
+        |    ${sqlHash60("CAST(dd.d AS VARCHAR) || chr(1) || token")} % 16 AS bucket,
+        |    CAST(sum(exact_count) AS BIGINT) AS total
+        |  FROM tc, dd GROUP BY 1, 2),
+        |top AS (SELECT token, exact_count FROM tc
+        |        ORDER BY exact_count DESC, token LIMIT 20),
+        |probes AS (SELECT t.token, t.exact_count, dd.d AS d,
+        |    ${sqlHash60("CAST(dd.d AS VARCHAR) || chr(1) || t.token")} % 16 AS bucket
+        |  FROM top t, dd)
+        |SELECT p.token, p.exact_count,
+        |  CAST(min(coalesce(c.total, 0)) AS BIGINT) AS est_count
+        |FROM probes p LEFT JOIN cms c ON c.d = p.d AND c.bucket = p.bucket
+        |GROUP BY p.token, p.exact_count
+        |ORDER BY p.token""".stripMargin)),
+
     "t_cms_topk" -> Q(
       (s, dir) => {
         // persisted: the counts aggregate feeds BOTH the sketch and the
@@ -3303,6 +3347,43 @@ object Queries {
           li.select(col("l_orderkey").cast("string").as("k")), "k", p = 8)
         Sketches.hllEstimate(regs, p = 8)
           .crossJoin(li.agg(countDistinct(col("l_orderkey")).as("exact_distinct")))
+      },
+      Some(s"""WITH h AS (SELECT ${sqlHash60("CAST(l_orderkey AS VARCHAR)")} AS h
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL),
+        |rr AS (SELECT h % 256 AS register,
+        |    CASE WHEN h // 256 = 0 THEN 53 ELSE 53 - length(bin(h // 256)) END AS rank
+        |  FROM h),
+        |regs AS (SELECT register, max(rank) AS r FROM rr GROUP BY register),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_registers_hit,
+        |    CAST(sum(1::BIGINT << CAST(54 - r AS INT))
+        |      + (256 - count(*)) * (1::BIGINT << 54) AS BIGINT) AS denom_scaled
+        |  FROM regs)
+        |SELECT n_registers_hit, denom_scaled,
+        |  round(${"%.17g".format(Sketches.hllNumerator(8))} / denom_scaled, 2)
+        |    AS est_distinct,
+        |  (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem)
+        |    AS exact_distinct
+        |FROM agg""".stripMargin)),
+
+    // INCREMENTAL HLL (round 10, mergeable-statistics family): register
+    // tables merge by register-wise MAX — exact sketch algebra, the
+    // merged table IS the sketch of the concatenated keys. Spark builds
+    // one sketch per orderkey-parity shard and hllMerges; the oracle
+    // replays the MONOLITHIC sketch. Identical registers (and therefore
+    // the identical estimate) prove per-shard cardinality state composes
+    // losslessly.
+    "t_hll_merge" -> Q(
+      (s, dir) => {
+        val li = rd(s, dir, "lineitem")
+        def shard(p: Column) = Sketches.hllRegisters(
+          li.filter(p).select(col("l_orderkey").cast("string").as("k")),
+          "k", p = 8)
+        val merged = Sketches.hllMerge(Seq(
+          shard(col("l_orderkey") % 2 === 0),
+          shard(col("l_orderkey") % 2 === 1)))
+        Sketches.hllEstimate(merged, p = 8)
+          .crossJoin(li.agg(countDistinct(col("l_orderkey"))
+            .as("exact_distinct")))
       },
       Some(s"""WITH h AS (SELECT ${sqlHash60("CAST(l_orderkey AS VARCHAR)")} AS h
         |  FROM lineitem WHERE l_orderkey IS NOT NULL),
