@@ -162,8 +162,7 @@ object Bench {
                 ref, ref.filter(col("doc_id") % 31 === 0),
                 col("lang") === "en")
               Seq(f.weights, f.evalShingles, f.evalBloom, f.seenHashes,
-                  f.seenBloom, f.kn3.triTot, f.kn3.s01, f.kn3.cont,
-                  f.kn3.mid, f.kn3.nl)
+                  f.seenBloom, f.kn3LogProbs)
                 .foreach { df => graft.core.CacheScope.track(df); df.count() }
               Some(f)
             } catch { case e: Throwable =>

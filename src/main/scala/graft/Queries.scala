@@ -3145,8 +3145,7 @@ object Queries {
         // re-derived every model table inside the plan — 377 printed
         // exchanges) without leaking across the driver's Verify run
         Seq(frozen.weights, frozen.evalShingles, frozen.evalBloom,
-          frozen.seenHashes, frozen.seenBloom, frozen.kn3.triTot,
-          frozen.kn3.s01, frozen.kn3.cont, frozen.kn3.mid, frozen.kn3.nl)
+          frozen.seenHashes, frozen.seenBloom, frozen.kn3LogProbs)
           .foreach(graft.core.CacheScope.track)
         out
       },

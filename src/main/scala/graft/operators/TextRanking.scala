@@ -376,14 +376,25 @@ object TextRanking {
     * model join is inner on keys that exist by construction (each model
     * row derives from triTot), so results are identical. */
   def kn3ScoreTrigrams(tri: DataFrame, m: Kn3Model,
-                       idCol: String = "doc_id"): DataFrame = {
+                       idCol: String = "doc_id"): DataFrame =
+    kn3ScoreTrigramsMerged(tri, kn3LogProbs(m), idCol)
+
+  /** The model COLLAPSED to its scoring form: ONE (w0, w1, w2,
+    * lp_scaled) table, the five type-sized tables joined and the per-
+    * trigram micro-nat log-prob precomputed. This is the table a frozen
+    * deployment should persist and ship: [[kn3ScoreTrigramsMerged]] then
+    * joins the corpus side against it directly, and per-batch work never
+    * re-derives the model join chain ([[graft.streaming.CurationStream]]
+    * freezes exactly this). Trigram-TYPE-sized, like every model
+    * table. */
+  def kn3LogProbs(m: Kn3Model): DataFrame = {
     val num = greatest(lit(4L) * col("ctri") - lit(3L), lit(0L)) *
         (lit(4L) * col("nmid") * lit(m.b)) +
       lit(3L) * col("n1r01") *
         (greatest(lit(4L) * col("ncont") - lit(3L), lit(0L)) * lit(m.b) +
           lit(3L) * col("n1rc") * col("nl"))
     val den = lit(16L) * col("s01") * col("nmid") * lit(m.b)
-    val model = m.triTot
+    m.triTot
       .join(m.s01, Seq("w0", "w1"))
       .join(m.mid, Seq("w1"))
       .join(m.cont, Seq("w1", "w2"))
@@ -391,14 +402,22 @@ object TextRanking {
       .select(col("w0"), col("w1"), col("w2"),
         round(log(num.cast("double") / den.cast("double")) * 1e6, 0)
           .cast("long").as("lp_scaled"))
-    tri.join(model, Seq("w0", "w1", "w2"))
+  }
+
+  /** Score a per-doc trigram table against a precomputed [[kn3LogProbs]]
+    * table — the per-batch half of the split: one equi-join of the
+    * corpus side against the type-sized log-prob table + one per-doc
+    * aggregate. Out-of-support trigrams drop via the inner join, exactly
+    * as [[kn3ScoreTrigrams]] documents. */
+  def kn3ScoreTrigramsMerged(tri: DataFrame, logProbs: DataFrame,
+                             idCol: String = "doc_id"): DataFrame =
+    tri.join(logProbs, Seq("w0", "w1", "w2"))
       .groupBy(col(idCol))
       .agg(sum(col("count") * col("lp_scaled")).as("s"),
         sum("count").as("n_trigrams"))
       .select(col(idCol), col("n_trigrams"),
         (-round(col("s").cast("double") / col("n_trigrams"), 0).cast("long")
           / 1e6).as("cross_entropy"))
-  }
 
   /** [[kn3ScoreTrigrams]] from raw documents: tokenize the batch, score
     * under the frozen model. */

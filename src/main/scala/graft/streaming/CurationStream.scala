@@ -40,7 +40,7 @@ object CurationStream {
       temperature: Double,
       evalShingles: DataFrame, evalBloom: DataFrame,
       seenHashes: DataFrame, seenBloom: DataFrame,
-      kn3: TextRanking.Kn3Model, ceCutMicro: Long,
+      kn3LogProbs: DataFrame, ceCutMicro: Long,
       shingleN: Int, bloomBits: Int, bloomHashes: Int)
 
   /** Train every artifact from a reference corpus:
@@ -91,6 +91,14 @@ object CurationStream {
     val kn3 = TextRanking.kn3ModelFromTrigrams(
       graft.operators.TextOps.ngrams(cleaned, 3, idCol, textCol),
       tracked = false)
+    // The frozen LM artifact is the model COLLAPSED to its scoring form:
+    // one (w0,w1,w2,lp_scaled) table (TextRanking.kn3LogProbs),
+    // materialized here ONCE. Per-batch scoring then joins the arriving
+    // side against this single persisted table — the five-table model
+    // join chain runs at freeze time only, never per batch. The interim
+    // model tables are unpersisted after materialization: a frozen
+    // deployment ships the log-prob table, not the factors.
+    val kn3Lp = TextRanking.kn3LogProbs(kn3).persist()
     // frozen cutoff: the cross-entropy of the LAST KEPT reference doc at
     // the head+middle / tail boundary (rank 2n/3 - 1 in the deterministic
     // (ce, id) total order); curateBatch keeps ce <= cut, so boundary
@@ -98,7 +106,9 @@ object CurationStream {
     // round(), not a truncating cast (ce*1e6 is integer-valued only up to
     // fp representation). The cut is selected by distributed rank (see
     // below), so the freeze holds for a reference corpus of any size.
-    val ce = TextRanking.kn3CrossEntropy(cleaned, kn3, idCol, textCol)
+    val ce = TextRanking.kn3ScoreTrigramsMerged(
+        graft.operators.TextOps.ngrams(cleaned, 3, idCol, textCol),
+        kn3Lp, idCol)
       .select(round(col("cross_entropy") * 1e6, 0).cast("long")
         .as("ce_micro"), col(idCol))
     val n = ce.count()
@@ -117,8 +127,13 @@ object CurationStream {
         .denseRankBy(ce, Seq(col("ce_micro").asc, col(idCol).asc), "rank0")
         .filter(col("rank0") === cutRank - 1L)
         .select("ce_micro").head().getLong(0)
+    // the cut computation above materialized kn3Lp; the factor tables
+    // have served their purpose — release them so the frozen footprint
+    // is the log-prob table alone
+    Seq(kn3.triTot, kn3.s01, kn3.cont, kn3.mid, kn3.nl)
+      .foreach(_.unpersist(blocking = false))
     FrozenCuration(weights, numBuckets, scoreMax, temperature, evalSh,
-      evalBloom, seen, seenBloom, kn3, ceCut, shingleN, bloomBits,
+      evalBloom, seen, seenBloom, kn3Lp, ceCut, shingleN, bloomBits,
       bloomHashes)
   }
 
@@ -169,7 +184,9 @@ object CurationStream {
     val fresh = hashed.join(dupIds, Seq(idCol), "left_anti").drop("__h")
     // frozen perplexity cut (docs with no in-model trigrams score nothing
     // and are dropped by the inner join — the conservative policy)
-    val ce = TextRanking.kn3CrossEntropy(fresh, m.kn3, idCol, textCol)
+    val ce = TextRanking.kn3ScoreTrigramsMerged(
+        graft.operators.TextOps.ngrams(fresh, 3, idCol, textCol),
+        m.kn3LogProbs, idCol)
       .select(col(idCol),
         round(col("cross_entropy") * 1e6, 0).cast("long").as("ce_micro"))
     // `fresh` still carries score_micro from the resample join
@@ -184,6 +201,6 @@ object CurationStream {
     * [[freeze]]. Safe at any point; unpersisted tables recompute. */
   def release(m: FrozenCuration): Unit =
     Seq(m.weights, m.evalShingles, m.evalBloom, m.seenHashes, m.seenBloom,
-      m.kn3.triTot, m.kn3.s01, m.kn3.cont, m.kn3.mid, m.kn3.nl)
+      m.kn3LogProbs)
       .foreach(_.unpersist(blocking = false))
 }
