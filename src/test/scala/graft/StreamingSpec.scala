@@ -478,6 +478,61 @@ class StreamingSpec extends AnyFunSuite {
     graft.core.CacheScope.release()
   }
 
+  test("DSIR statistics fold over a stream == monolithic weights, bit-exact") {
+    // the ONLINE half of the incremental-maintenance family
+    // (t_dsir_incremental proves the batch merge; this proves the same
+    // statistics fold one micro-batch at a time): per-batch bucket
+    // counts are merged into running target/raw statistics tables in
+    // foreachBatch, and the weights derived from the FINAL running state
+    // must equal importanceWeights over the whole corpus read at once —
+    // the model a stream maintains is the model a batch job would build.
+    import spark.implicits._
+    import graft.operators.Dsir
+    val b = 64
+    val sdir = java.nio.file.Files.createTempDirectory("dsir_stream").toString
+    Seq((1L, "alpha beta gamma alpha", "en"), (2L, "beta gamma beta", "xx"))
+      .toDF("doc_id", "text", "lang").coalesce(1)
+      .write.mode("append").parquet(sdir)
+    Seq((3L, "alpha delta gamma", "en"), (4L, "zork quux blarg", "xx"))
+      .toDF("doc_id", "text", "lang").coalesce(1)
+      .write.mode("append").parquet(sdir)
+    val schema = spark.read.parquet(sdir).schema
+    var tgtStats = Seq.empty[(Long, Long)].toDF("bucket", "c")
+    var rawStats = Seq.empty[(Long, Long)].toDF("bucket", "c")
+    var batches = 0
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(sdir)
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val feats = Dsir.hashedFeatures(df, b)
+        val tgtIds = df.filter(col("lang") === "en").select("doc_id")
+        val tc = Dsir.bucketCounts(
+          feats.join(tgtIds, Seq("doc_id"), "left_semi"))
+        val rc = Dsir.bucketCounts(feats)
+        // fold + materialize (the source frames are batch-scoped)
+        tgtStats = Dsir.mergeCounts(Seq(tgtStats, tc)).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq.toDF("bucket", "c")
+        rawStats = Dsir.mergeCounts(Seq(rawStats, rc)).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq.toDF("bucket", "c")
+        batches += 1
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    assert(batches == 2)
+    val streamed = Dsir.weightsFromCounts(tgtStats, rawStats, b)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val all = spark.read.parquet(sdir)
+    val mono = Dsir.importanceWeights(
+        Dsir.hashedFeatures(all, b).join(
+          all.filter(col("lang") === "en").select("doc_id"),
+          Seq("doc_id"), "left_semi"),
+        Dsir.hashedFeatures(all, b), b)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == mono)
+    assert(streamed.nonEmpty)
+    graft.core.CacheScope.release()
+  }
+
   test("frozen DSIR model scores a document stream identically to batch") {
     // the production deployment shape: the importance model is TRAINED on
     // a reference corpus once (static weight table), then arriving
