@@ -203,4 +203,52 @@ object CurationStream {
     Seq(m.weights, m.evalShingles, m.evalBloom, m.seenHashes, m.seenBloom,
       m.kn3LogProbs)
       .foreach(_.unpersist(blocking = false))
+
+  /** Persist a frozen model to `dir` as files: six parquet tables + a
+    * one-row `meta` parquet carrying the scalars. This is what makes the
+    * freeze/apply split a real DEPLOYMENT: train once in one job, ship
+    * the artifact directory, [[load]] and [[curateBatch]] in any number
+    * of downstream jobs/JVMs without the reference corpus. Artifact
+    * size is geometry + eval/history-sized — the corpus never ships. */
+  def save(m: FrozenCuration, dir: String): Unit = {
+    m.weights.write.mode("overwrite").parquet(s"$dir/weights")
+    m.evalShingles.write.mode("overwrite").parquet(s"$dir/eval_shingles")
+    m.evalBloom.write.mode("overwrite").parquet(s"$dir/eval_bloom")
+    m.seenHashes.write.mode("overwrite").parquet(s"$dir/seen_hashes")
+    m.seenBloom.write.mode("overwrite").parquet(s"$dir/seen_bloom")
+    m.kn3LogProbs.write.mode("overwrite").parquet(s"$dir/kn3_logprobs")
+    val spark = m.weights.sparkSession
+    import spark.implicits._
+    Seq((m.numBuckets, m.scoreMaxMicro, m.temperature, m.ceCutMicro,
+        m.shingleN, m.bloomBits, m.bloomHashes))
+      .toDF("num_buckets", "score_max_micro", "temperature",
+        "ce_cut_micro", "shingle_n", "bloom_bits", "bloom_hashes")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a [[save]]d frozen model. Tables come back persisted with the
+    * same frozen lifetime the in-memory freeze gives them ([[release]]
+    * when done); scalars from the one-row meta table. curateBatch over a
+    * loaded model is value-identical to one over the original — the
+    * artifact IS the model, spec-proven cross-JVM-shaped. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+           dir: String): FrozenCuration = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    def t(name: String): DataFrame =
+      spark.read.parquet(s"$dir/$name").persist()
+    FrozenCuration(
+      weights = t("weights"),
+      numBuckets = meta.getAs[Int]("num_buckets"),
+      scoreMaxMicro = meta.getAs[Long]("score_max_micro"),
+      temperature = meta.getAs[Double]("temperature"),
+      evalShingles = t("eval_shingles"),
+      evalBloom = t("eval_bloom"),
+      seenHashes = t("seen_hashes"),
+      seenBloom = t("seen_bloom"),
+      kn3LogProbs = t("kn3_logprobs"),
+      ceCutMicro = meta.getAs[Long]("ce_cut_micro"),
+      shingleN = meta.getAs[Int]("shingle_n"),
+      bloomBits = meta.getAs[Int]("bloom_bits"),
+      bloomHashes = meta.getAs[Int]("bloom_hashes"))
+  }
 }

@@ -478,6 +478,40 @@ class StreamingSpec extends AnyFunSuite {
     graft.core.CacheScope.release()
   }
 
+  test("frozen curation save/load round-trips: loaded model curates identically") {
+    // the deployment artifact: freeze in one job, ship the directory,
+    // load + apply elsewhere. The loaded model must curate a batch
+    // value-identically to the in-memory original — the artifact IS the
+    // model, including every scalar (cutoff, ceiling, geometry).
+    import graft.streaming.CurationStream
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val frozen = CurationStream.freeze(
+      ref, ref.filter(col("doc_id") % 31 === 0), col("lang") === "en")
+    val dir = java.nio.file.Files.createTempDirectory("frozen_cur").toString
+    CurationStream.save(frozen, dir)
+    val loaded = CurationStream.load(spark, dir)
+    assert(loaded.numBuckets == frozen.numBuckets)
+    assert(loaded.scoreMaxMicro == frozen.scoreMaxMicro)
+    assert(loaded.temperature == frozen.temperature)
+    assert(loaded.ceCutMicro == frozen.ceCutMicro)
+    assert((loaded.shingleN, loaded.bloomBits, loaded.bloomHashes) ==
+      ((frozen.shingleN, frozen.bloomBits, frozen.bloomHashes)))
+    val arriving = docs.filter(col("doc_id") % 2 === 1)
+    def rows(m: CurationStream.FrozenCuration) =
+      CurationStream.curateBatch(arriving, m).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    val a = rows(frozen)
+    val b = rows(loaded)
+    assert(a == b)
+    assert(a.nonEmpty)
+    CurationStream.release(frozen)
+    CurationStream.release(loaded)
+    graft.core.CacheScope.release()
+  }
+
   test("DSIR statistics fold over a stream == monolithic weights, bit-exact") {
     // the ONLINE half of the incremental-maintenance family
     // (t_dsir_incremental proves the batch merge; this proves the same
