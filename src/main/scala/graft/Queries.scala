@@ -1084,6 +1084,53 @@ object Queries {
       Some("""SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
         |  count(*) - count(DISTINCT md5(text)) AS n_dups FROM documents""".stripMargin)),
 
+    // Cross-SOURCE duplication matrix (round 10): per unordered source
+    // pair, the number of exact-duplicate document pairs with members in
+    // those sources — the provenance dashboard that surfaces syndicated
+    // mirrors before mixing weights are chosen. The pair counts are
+    // combinatorial on per-(content, source) group sizes (n*m across,
+    // k*(k-1)/2 within), so a million-way dup group costs one row per
+    // source it touches, never a member self-join.
+    // The natural corpus has no exact duplicates below sf0.1 (and only 8
+    // there), so — per the repo's no-vacuous-rows rule, the
+    // s_srp_hamming_wide precedent — the row runs over the corpus plus
+    // deterministic twins: the first 8 docs mirrored into '<src>_mirror'
+    // sources (the syndication shape) and docs 8-11 duplicated
+    // within-source. Both engines apply the identical augmentation.
+    "t_dup_source_matrix" -> Q(
+      (s, dir) => {
+        val docs = rd(s, dir, "documents").select("doc_id", "text", "source")
+        val mirrors = docs.filter(col("doc_id") < 8)
+          .select(col("text"),
+            concat(col("source"), lit("_mirror")).as("source"))
+        val withinTwins = docs
+          .filter(col("doc_id") >= 8 && col("doc_id") < 12)
+          .select(col("text"), col("source"))
+        Dedup.duplicateSourceMatrix(
+            docs.select("text", "source").unionByName(mirrors)
+              .unionByName(withinTwins))
+          .orderBy("source_a", "source_b")
+      },
+      Some("""WITH aug AS (SELECT text, source FROM documents
+        |  UNION ALL SELECT text, source || '_mirror' FROM documents
+        |    WHERE doc_id < 8
+        |  UNION ALL SELECT text, source FROM documents
+        |    WHERE doc_id >= 8 AND doc_id < 12),
+        |g AS (SELECT md5(text) AS h, source AS src,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM aug GROUP BY 1, 2),
+        |t AS (SELECT h, sum(k) AS tot FROM g GROUP BY h),
+        |gg AS (SELECT g.h, g.src, g.k FROM g JOIN t USING (h)
+        |  WHERE t.tot > 1),
+        |cx AS (SELECT a.src AS source_a, b.src AS source_b,
+        |    a.k * b.k AS pairs
+        |  FROM gg a JOIN gg b ON a.h = b.h AND a.src < b.src),
+        |wi AS (SELECT src AS source_a, src AS source_b,
+        |    k * (k - 1) // 2 AS pairs FROM gg WHERE k > 1)
+        |SELECT source_a, source_b, CAST(sum(pairs) AS BIGINT) AS n_dup_pairs
+        |FROM (SELECT * FROM cx UNION ALL SELECT * FROM wi)
+        |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin)),
+
     // Exact token-set Jaccard pairs (shingle k=1): the small-scale oracle
     // baseline for near-dup detection.
     "t_jaccard_pairs" -> Q(

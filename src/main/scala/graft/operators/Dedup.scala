@@ -29,6 +29,43 @@ object Dedup {
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"))
       .filter(col("n_dups") > 1)
 
+  /** Cross-SOURCE duplication matrix — the provenance dashboard a
+    * multi-source corpus reads before choosing mixing weights: for every
+    * unordered source pair (a <= b), the number of exact-duplicate
+    * document PAIRS whose members come from those sources (a == b counts
+    * within-source duplication). Mirror-heavy source pairs (the same
+    * crawl syndicated twice) light up immediately.
+    *
+    * Shape: one content-hash aggregate collapses each duplicate group to
+    * its per-source member counts, and the pair counts are COMBINATORIAL
+    * on those counts (n·m across sources, k·(k−1)/2 within) — the
+    * quadratic is arithmetic on group-size integers, never a self-join
+    * of members, so a million-way duplicate group costs one row per
+    * source it touches. Output: (source_a, source_b, n_dup_pairs),
+    * sources ordered lexicographically within the pair. */
+  def duplicateSourceMatrix(docs: DataFrame, textCol: String = "text",
+                            srcCol: String = "source"): DataFrame = {
+    // per (content, source) member counts — duplicate groups only
+    val perSrc = docs
+      .groupBy(md5(col(textCol)).as("__h"), col(srcCol).as("src"))
+      .agg(count(lit(1)).as("k"))
+      .withColumn("tot",
+        sum("k").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("__h")))
+      .filter(col("tot") > 1)
+    // cross-source pairs: k_a * k_b per group; within-source: k*(k-1)/2
+    val cross = perSrc.as("a").join(perSrc.as("b"),
+        col("a.__h") === col("b.__h") && col("a.src") < col("b.src"))
+      .select(col("a.src").as("source_a"), col("b.src").as("source_b"),
+        (col("a.k") * col("b.k")).as("pairs"))
+    val within = perSrc.filter(col("k") > 1)
+      .select(col("src").as("source_a"), col("src").as("source_b"),
+        (col("k") * (col("k") - 1) / 2).cast("long").as("pairs"))
+    cross.unionByName(within)
+      .groupBy("source_a", "source_b")
+      .agg(sum("pairs").cast("long").as("n_dup_pairs"))
+  }
+
   /** Exact-dedup SURVIVORS: one document per distinct content, the
     * min-id occupant winning — the same "first wins" choice
     * [[exactDuplicates]] reports as keep_id, as a reusable pipeline stage

@@ -23,6 +23,27 @@ class DedupSpec extends AnyFunSuite {
     assert(dups(0).getAs[Long]("keep_id") == 1L)
   }
 
+  test("duplicateSourceMatrix: combinatorial pair counts, unordered source pairs") {
+    // one content shared 2x in A, 3x in B, 1x in C; a second content 2x in
+    // A only; a unique doc contributes nothing. Expected pairs:
+    //   (A,A): C(2,2) + C(2,2) = 1 + 1 = 2
+    //   (B,B): C(3,2) = 3
+    //   (A,B): 2*3 = 6,  (A,C): 2*1 = 2,  (B,C): 3*1 = 3
+    val d = Seq(
+      (1L, "same text one", "A"), (2L, "same text one", "A"),
+      (3L, "same text one", "B"), (4L, "same text one", "B"),
+      (5L, "same text one", "B"), (6L, "same text one", "C"),
+      (7L, "other dup", "A"), (8L, "other dup", "A"),
+      (9L, "unique snowflake", "C")
+    ).toDF("doc_id", "text", "source")
+    val m = graft.operators.Dedup.duplicateSourceMatrix(d)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(m == Map(
+      ("A", "A") -> 2L, ("B", "B") -> 3L,
+      ("A", "B") -> 6L, ("A", "C") -> 2L, ("B", "C") -> 3L))
+  }
+
   test("jaccard: identical docs = 1.0, near-dups high, unrelated absent") {
     val pairs = Dedup.jaccardPairs(docs, k = 1, threshold = 0.5).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

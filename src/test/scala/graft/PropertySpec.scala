@@ -254,6 +254,37 @@ object DsirProps extends Properties("Dsir.importanceResample") {
     }
   }
 
+  property("statistics merge: any sharding, any merge order == monolithic") = {
+    // the incremental-maintenance invariant generalized: random docs
+    // split into 1..4 shards by a random assignment, statistics merged
+    // in shard order AND reversed — every path must equal the weights of
+    // the unsharded corpus (additivity + commutativity, checked end to
+    // end through the hash/bucket pipeline).
+    import spark.implicits._
+    import graft.operators.Dsir
+    val docsGen = Gen.listOfN(6,
+      Gen.listOf(Gen.oneOf("a", "bb", "ccc", "dd"))
+        .map(_.mkString(" ")))
+    forAll(docsGen, Gen.listOfN(6, Gen.choose(0, 3))) { (texts, assign) =>
+      val b = 32
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = rows.toDF("doc_id", "text")
+      val shards = (0 to 3).map { s =>
+        val ids = rows.indices.filter(i => assign(i) == s).map(_.toLong).toSet
+        Dsir.bucketCounts(Dsir.hashedFeatures(
+          df.filter(col("doc_id").isin(ids.toSeq: _*)), b))
+      }
+      def weights(raw: org.apache.spark.sql.DataFrame) =
+        Dsir.weightsFromCounts(
+          Dsir.bucketCounts(Dsir.hashedFeatures(df.limit(0), b)), raw, b)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fwd = weights(Dsir.mergeCounts(shards))
+      val rev = weights(Dsir.mergeCounts(shards.reverse))
+      val mono = weights(Dsir.bucketCounts(Dsir.hashedFeatures(df, b)))
+      Prop(fwd == mono && rev == mono) :| s"fwd=$fwd mono=$mono"
+    }
+  }
+
   property("max-score doc always kept; keep rule matches exp formula") = {
     import spark.implicits._
     forAll(scoresGen) { rows =>
