@@ -3165,6 +3165,60 @@ object Queries {
         |FROM tc JOIN final USING (doc_id)
         |ORDER BY stage""".stripMargin)),
 
+    // Per-SOURCE attrition through the same chain (round 10): which
+    // sources survive each curation stage — the mixing diagnostic that
+    // shows WHERE each source's mass goes before weights are chosen (a
+    // source the perplexity cut hates is a different decision than one
+    // full of eval contamination). Same stage frames, grouped by the
+    // catalog's source column; a source with zero survivors at a stage
+    // simply has no row there (inner-join semantics in both engines).
+    "t_curation_funnel_by_source" -> Q(
+      (s, dir) => {
+        val st = curationStages(s, dir)
+        val tokCounts = graft.core.CacheScope.persist(
+          st.cleaned.select(col("doc_id"),
+              size(tokens(col("text"))).cast("long").as("ntok"))
+            .join(rd(s, dir, "documents").select("doc_id", "source"),
+              Seq("doc_id")))
+        def stage(i: Int, name: String, ids: DataFrame): DataFrame =
+          tokCounts.join(ids.select("doc_id"), Seq("doc_id"), "left_semi")
+            .groupBy("source")
+            .agg(count(lit(1)).as("n_docs"),
+              coalesce(sum("ntok"), lit(0L)).as("n_tokens"))
+            .select(lit(i.toLong).as("stage"), lit(name).as("stage_name"),
+              col("source"), col("n_docs"), col("n_tokens"))
+        stage(0, "corpus", tokCounts)
+          .unionAll(stage(1, "dsir_resample", st.keptIds))
+          .unionAll(stage(2, "train_selected", st.train))
+          .unionAll(stage(3, "decontaminated", st.decon))
+          .unionAll(stage(4, "deduped", st.surv))
+          .unionAll(stage(5, "perplexity_filtered", st.finalDocs))
+          .orderBy("stage", "source")
+      },
+      Some(s"""WITH $sqlCurationCtes,
+        |tc AS MATERIALIZED (SELECT toks0.doc_id,
+        |    CAST(len(t) AS BIGINT) AS ntok, documents.source AS source
+        |  FROM toks0 JOIN documents USING (doc_id))
+        |SELECT 0 AS stage, 'corpus' AS stage_name, source,
+        |  count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
+        |FROM tc GROUP BY source
+        |UNION ALL
+        |SELECT 1, 'dsir_resample', source, count(*), CAST(sum(ntok) AS BIGINT)
+        |FROM tc JOIN keep USING (doc_id) GROUP BY source
+        |UNION ALL
+        |SELECT 2, 'train_selected', source, count(*), CAST(sum(ntok) AS BIGINT)
+        |FROM tc JOIN train USING (doc_id) GROUP BY source
+        |UNION ALL
+        |SELECT 3, 'decontaminated', source, count(*), CAST(sum(ntok) AS BIGINT)
+        |FROM tc JOIN decon USING (doc_id) GROUP BY source
+        |UNION ALL
+        |SELECT 4, 'deduped', source, count(*), CAST(sum(ntok) AS BIGINT)
+        |FROM tc JOIN surv USING (doc_id) GROUP BY source
+        |UNION ALL
+        |SELECT 5, 'perplexity_filtered', source, count(*), CAST(sum(ntok) AS BIGINT)
+        |FROM tc JOIN final USING (doc_id) GROUP BY source
+        |ORDER BY stage, source""".stripMargin)),
+
     // The FROZEN-MODEL curation apply (CurationStream) as an oracle row —
     // the deployment shape proven against an independent engine, not just
     // Spark-vs-Spark: every artifact (DSIR weights + score ceiling, eval
