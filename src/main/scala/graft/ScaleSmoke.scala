@@ -357,6 +357,14 @@ object ScaleSmoke {
       kept
     })
     graft.core.CacheScope.release()
+    // round-10: the duplication provenance matrix under EXTREME grouping
+    // — N-fold replication makes every document an N-way duplicate
+    // group, the worst case for any member-pair approach; the
+    // combinatorial counting (one row per (content, source), pair counts
+    // as k*m arithmetic) must stay flat-per-group no matter the factor.
+    time("dup_source_matrix")(
+      graft.operators.Dedup.duplicateSourceMatrix(docs).count())
+    graft.core.CacheScope.release()
     // round-10 (VERDICT r9 #6): the FULL COMPOSED curation chain — clean
     // -> DSIR resample -> decontaminate -> exact dedup -> KN3 perplexity
     // cut -> BPE train on survivors -> packed sequences — at replication
