@@ -278,4 +278,36 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no DSIR scores"))
     graft.core.CacheScope.release()
   }
+
+  test("round-10 operators survive empty and degenerate inputs") {
+    import org.apache.spark.sql.functions._
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    import graft.operators.{Dedup, Dsir, TextRanking}
+    // dup matrix: no duplicates -> empty matrix, not an error; null text
+    // groups by its (null-keyed) hash like any content
+    val uniq = Seq((1L, "aa", "A"), (2L, "bb", "B"),
+      (3L, null.asInstanceOf[String], "C")).toDF("doc_id", "text", "source")
+    assert(Dedup.duplicateSourceMatrix(uniq).count() == 0)
+    val empty = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    assert(Dedup.duplicateSourceMatrix(empty).count() == 0)
+    // statistics merge of all-empty shards -> empty counts -> empty
+    // weight table (no raw buckets to weigh), never a crash
+    val es = Dsir.bucketCounts(Dsir.hashedFeatures(
+      empty.select("doc_id", "text"), 16))
+    assert(Dsir.weightsFromCounts(
+      Dsir.mergeCounts(Seq(es, es)), Dsir.mergeCounts(Seq(es, es)), 16)
+      .count() == 0)
+    // kn3 statistics of an empty trigram table build an empty (usable)
+    // model: scoring anything under it returns no rows (out-of-support)
+    val emptyTri = graft.operators.TextOps.ngrams(
+      empty.select("doc_id", "text"), 3)
+    val m = TextRanking.kn3ModelFromTrigrams(
+      TextRanking.kn3Statistics(emptyTri))
+    val someTri = graft.operators.TextOps.ngrams(
+      Seq((1L, "a b c d")).toDF("doc_id", "text"), 3)
+    assert(TextRanking.kn3ScoreTrigrams(someTri, m).count() == 0)
+    graft.core.CacheScope.release()
+  }
 }
