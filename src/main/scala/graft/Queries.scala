@@ -1890,6 +1890,83 @@ object Queries {
         |ORDER BY doc_id""".stripMargin
       }),
 
+    // Quality-classifier DISTILLATION (round 10) — the FineWeb-Edu /
+    // weak-supervision shape: the expensive-but-rule-based Gopher bundle
+    // labels the corpus, and the cheap hashed-feature perceptron is
+    // trained on those labels so the RULES' judgment can be applied as
+    // one broadcast dot product per document downstream (or to text the
+    // rules were never run on). Pure composition of two oracle-checked
+    // operators; the oracle chains the Gopher keep CTEs into the
+    // perceptron's exact-integer training replay as the label relation.
+    "t_distilled_quality" -> Q(
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val keep = TextAnalysis.gopherRules(docs)
+          .select(col("doc_id"), col("keep"))
+        Classifier.qualityScores(docs.join(keep, Seq("doc_id")),
+            positive = col("keep"), nBuckets = 64, rounds = 3)
+          .orderBy("doc_id")
+      },
+      Some {
+        val stop = TextAnalysis.StopwordSets.head._2.map(w => s"'$w'").mkString(", ")
+        def round(i: Int): String = {
+          val (w, wn) = (s"w$i", s"w${i + 1}")
+          s"""s$i AS (SELECT f.doc_id, CAST(sum(f.cnt * coalesce(w.w, 0)) AS BIGINT) AS sc
+          |  FROM fx f LEFT JOIN $w w ON f.b = w.b GROUP BY f.doc_id),
+          |m$i AS (SELECT s.doc_id, l.y FROM s$i s JOIN lab l USING (doc_id)
+          |  WHERE l.y * s.sc <= 0),
+          |d$i AS (SELECT f.b, CAST(sum(m.y * f.cnt) AS BIGINT) AS d
+          |  FROM fx f JOIN m$i m USING (doc_id) GROUP BY f.b),
+          |$wn AS (SELECT coalesce(w.b, d.b) AS b, coalesce(w.w, 0) + coalesce(d.d, 0) AS w
+          |  FROM $w w FULL JOIN d$i d ON w.b = d.b)""".stripMargin
+        }
+        s"""WITH $ToksCte, $StreamCte, $UniCte,
+        |gg AS (SELECT doc_id,
+        |    regexp_extract_all(text, '[\\p{L}]+') AS t,
+        |    regexp_extract_all(text, '\\S+') AS ws,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |gm AS (SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_tok,
+        |    CAST(length(array_to_string(t, '')) AS BIGINT) AS tok_chars,
+        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '\\p{L}')))
+        |      AS BIGINT) AS alpha_w,
+        |    CAST(len(ws) AS BIGINT) AS n_ws,
+        |    CAST(len(list_intersect(list_distinct(list_transform(t,
+        |      x -> lower(x))), [$stop])) AS BIGINT) AS n_stops,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lines,
+        |      l -> regexp_matches(l, '^\\s*[-*•]'))) AS BIGINT) AS bullets,
+        |    CAST(len(list_filter(lines,
+        |      l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*${"$"}')))
+        |      AS BIGINT) AS ells,
+        |    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct
+        |  FROM gg),
+        |lab AS (SELECT doc_id, CASE WHEN
+        |    (n_tok BETWEEN 50 AND 100000)
+        |    AND (3 * n_tok <= tok_chars AND tok_chars <= 10 * n_tok)
+        |    AND (10 * alpha_w >= 8 * n_ws) AND (n_stops >= 2)
+        |    AND (10 * bullets <= n_lines) AND (10 * ells <= 3 * n_lines)
+        |    AND (10 * n_distinct >= 4 * n_tok)
+        |  THEN 1 ELSE -1 END AS y FROM gm),
+        |fx AS (
+        |  SELECT doc_id, ${sqlHash60("token")} % 64 AS b,
+        |    CAST(sum("count") AS BIGINT) AS cnt
+        |  FROM uni GROUP BY 1, 2
+        |  UNION ALL SELECT doc_id, 64, 1 FROM documents),
+        |w1 AS (SELECT f.b, CAST(sum(l.y * f.cnt) AS BIGINT) AS w
+        |  FROM fx f JOIN lab l USING (doc_id) GROUP BY f.b),
+        |${round(1)},
+        |${round(2)},
+        |sf AS (SELECT f.doc_id, CAST(sum(f.cnt * coalesce(w.w, 0)) AS BIGINT) AS score
+        |  FROM fx f LEFT JOIN w3 w ON f.b = w.b GROUP BY f.doc_id)
+        |SELECT s.doc_id, l.y, s.score,
+        |  CASE WHEN s.score > 0 THEN CAST(1 AS BIGINT)
+        |       ELSE CAST(-1 AS BIGINT) END AS pred
+        |FROM sf s JOIN lab l USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+      }),
+
     // Multinomial Naive Bayes lang routing — generative counterpart to
     // t_perceptron; every log term is a micro-nat long of an exact-integer
     // ratio so the oracle replays the identical integer sums.
