@@ -32,7 +32,12 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // intersection counts), the BPE id round trip, the rule bundle
     "t_curation_funnel", "t_frozen_curation", "t_lsh_eval",
     "t_bpe_roundtrip", "t_gopher_rules", "t_packing_stats",
-    "t_source_quality", "t_oov_curve")
+    "t_source_quality", "t_oov_curve",
+    // round-10: incremental-statistics models (merge must not leak
+    // partitioning into weights/scores), the provenance composites, the
+    // distilled classifier (mistake-set iteration over hash aggregates)
+    "t_dsir_incremental", "t_kn3_incremental", "t_dup_source_matrix",
+    "t_curation_funnel_by_source", "t_distilled_quality")
 
   private def run(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
