@@ -683,6 +683,62 @@ class StreamingSpec extends AnyFunSuite {
       "no cross-batch pair found — the state carry is untested")
   }
 
+  test("near-dup state survives a query RESTART from checkpoint") {
+    // the production property none of the single-query tests exercise:
+    // flatMapGroupsWithState band state must be rebuilt from the
+    // checkpoint when the stream restarts (process death, deploy). Phase
+    // 1 processes the even-id half and STOPS; phase 2 is a brand-new
+    // query object on the same checkpoint that sees ONLY the odd-id file
+    // (source offsets prove the first file is not reprocessed), so every
+    // cross-half pair it emits can exist only if phase 1's state was
+    // restored. The union of both phases must equal the batch operator.
+    import graft.streaming.NearDupStream
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val batchPairs = graft.operators.Dedup.minhashLshPairs(
+        docs, shingleK = 1, numPerms = 12, bands = 2, threshold = 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    graft.core.CacheScope.release()
+    assert(batchPairs.nonEmpty)
+    val landing = java.nio.file.Files.createTempDirectory("ndr_land").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ndr_ckpt").toString
+    val collected = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+    var phase2Batches = 0
+    def run(countBatches: Boolean): Unit = {
+      val q = NearDupStream.pairsStream(
+          spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1").parquet(landing),
+          shingleK = 1, numPerms = 12, bands = 2, threshold = 0.75)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (ds: org.apache.spark.sql.Dataset[
+             graft.streaming.NearDupStream.DupPair], _: Long) =>
+          collected.synchronized {
+            ds.collect().foreach(p =>
+              collected += ((p.id_a, p.id_b, p.sig_sim)))
+          }
+          if (countBatches) phase2Batches += 1
+          ()
+        }.start()
+      q.processAllAvailable(); q.stop()
+    }
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(landing)
+    run(countBatches = false)
+    val afterPhase1 = collected.toSet
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(landing)
+    run(countBatches = true) // NEW query, same checkpoint
+    assert(phase2Batches == 1,
+      s"restart reprocessed old files ($phase2Batches batches, expected 1)")
+    assert(collected.toSet == batchPairs,
+      s"restarted stream: ${collected.size} pairs vs batch ${batchPairs.size}")
+    val crossRestart = (collected.toSet -- afterPhase1)
+      .exists { case (a, b, _) => (a + b) % 2 == 1 }
+    assert(crossRestart,
+      "no even-odd pair emitted after restart — state restore untested")
+  }
+
   test("readStream starts on an EMPTY landing dir and picks up late files") {
     // capability check: the schema probe must not throw on zero files — the
     // stream falls back to the explicit default EventSchema and consumes
