@@ -794,6 +794,45 @@ object Similarity {
                            pq: Pq.Model)
   }
 
+  /** Persist a fitted IVF-PQ index to `dir` as four parquet tables —
+    * cell assignments, PQ codes (the two corpus-sized halves), coarse
+    * centroids and PQ codebooks (the two geometry-sized driver halves,
+    * written as (idx, values) rows). An index that must be refit on
+    * every JVM is not an index: fit once where the corpus lives, ship
+    * the directory, [[loadIvfPq]] + search anywhere. Doubles round-trip
+    * parquet bit-exactly, so a loaded index searches value-identically
+    * (spec-proven). */
+  def saveIvfPq(model: IvfPq.Model, dir: String): Unit = {
+    val spark = model.cells.sparkSession
+    import spark.implicits._
+    model.cells.write.mode("overwrite").parquet(s"$dir/cells")
+    model.pq.codes.write.mode("overwrite").parquet(s"$dir/codes")
+    model.centroids.map { case (ci, v) => (ci, v.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    model.pq.codebooks.map { case (sub, code, v) => (sub, code, v.toSeq) }
+      .toDF("sub", "code", "codeword")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  /** Load a [[saveIvfPq]]-persisted index. The driver-side halves are
+    * collected back (bounded by nlist x dim and m x k x dsub — index
+    * geometry, never corpus size); the corpus-sized tables stay lazy
+    * parquet scans until a search touches them. */
+  def loadIvfPq(spark: org.apache.spark.sql.SparkSession,
+                dir: String): IvfPq.Model = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    val codebooks = spark.read.parquet(s"$dir/codebooks")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .sortBy(t => (t._1, t._2)).toSeq
+    IvfPq.Model(spark.read.parquet(s"$dir/cells"), centroids,
+      Pq.Model(spark.read.parquet(s"$dir/codes"), codebooks))
+  }
+
   /** Cells ranked by exact integer squared-L2 to literal micro-int
     * centroids, nearest first (ties to the lowest index) — the ONE
     * definition of coarse-cell order, shared by fit-side assignment

@@ -132,6 +132,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r2 >= 0.30, s"ivf-pq recall@5 at nprobe=2 collapsed: $r2")
   }
 
+  test("IVF-PQ save/load: the persisted index searches value-identically") {
+    // fit once, ship the directory, search anywhere — a loaded index
+    // must return the EXACT result rows (ids, ranks, ADC distances) the
+    // in-memory model returns, at both nprobe settings.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val m = 16
+    val model = Similarity.ivfPqFit(emb, nlist = 4, m = m, k = 32, dim = 64,
+      coarseIters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    Similarity.saveIvfPq(model, dir)
+    val loaded = Similarity.loadIvfPq(spark, dir)
+    assert(loaded.centroids.map(c => (c._1, c._2.toSeq)) ==
+      model.centroids.map(c => (c._1, c._2.toSeq)))
+    assert(loaded.pq.codebooks.map(c => (c._1, c._2, c._3.toSeq)) ==
+      model.pq.codebooks.map(c => (c._1, c._2, c._3.toSeq)))
+    for (nprobe <- Seq(1, 2)) {
+      def res(mm: Similarity.IvfPq.Model) =
+        Similarity.ivfPqSearch(mm, emb.filter($"vec_id" < 20),
+            topk = 5, m = m, dim = 64, nprobe = nprobe)
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getLong(2), r.getLong(3))).toSet
+      assert(res(loaded) == res(model), s"nprobe=$nprobe differs")
+    }
+    graft.core.CacheScope.release()
+  }
+
   test("IVF-PQ refine: exact re-rank lifts recall@5 vs the L2 baseline") {
     // VERDICT r7 #4: the unrefined index's recall was honest but low. The
     // standard fix is the FAISS refine step — fetch topk*refine ADC
