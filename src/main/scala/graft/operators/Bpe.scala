@@ -119,6 +119,27 @@ object Bpe {
     * piece vocabulary is ≤ 26+|merges| rows (broadcast); sequence
     * re-assembly is collect_list + row-local array_sort per document —
     * no window, no global sort; one per-doc aggregate shuffle. */
+  /** Persist a trained merge list to `dir` as one parquet table —
+    * the TOKENIZER artifact (the merge sequence IS the tokenizer: encode
+    * replays it in step order). Train once on the curated corpus, ship
+    * the directory, [[loadMerges]] + encode in every downstream job; the
+    * artifact is nMerges rows however large the training corpus. */
+  def saveMerges(merges: Seq[Merge], dir: String,
+                 spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    merges.toDF("step", "lhs", "rhs", "n")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a [[saveMerges]]-persisted tokenizer, in step order. Encoding
+    * under a loaded merge list is value-identical to the original
+    * (spec-proven: same input_ids, same packed sequences). */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+                 dir: String): Seq[Merge] = {
+    import spark.implicits._
+    spark.read.parquet(dir).as[Merge].collect().sortBy(_.step).toSeq
+  }
+
   def encodeDocuments(docs: DataFrame, merges: Seq[Merge],
                       idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {

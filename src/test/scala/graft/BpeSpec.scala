@@ -81,6 +81,20 @@ class BpeSpec extends AnyFunSuite {
     graft.core.CacheScope.release()
   }
 
+  test("saveMerges/loadMerges: the persisted tokenizer encodes identically") {
+    val merges = Bpe.train(docs, nMerges = 6)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_tok").toString
+    Bpe.saveMerges(merges, dir, spark)
+    val loaded = Bpe.loadMerges(spark, dir)
+    assert(loaded == merges) // step order + counts round-trip exactly
+    def ids(m: Seq[Bpe.Merge]) =
+      Bpe.encodeDocuments(docs, m).collect()
+        .map(r => r.getLong(0) ->
+          (r.getAs[Long]("n_pieces"), r.getAs[String]("ids_str"))).toMap
+    assert(ids(loaded) == ids(merges))
+    graft.core.CacheScope.release()
+  }
+
   test("fertility: single-piece words = 1.0; multi-piece raise the mean") {
     val docs = Seq(
       (1L, "aa aa aa aa", "X"), // after merges "aa" is likely one piece
