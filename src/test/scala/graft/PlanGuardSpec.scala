@@ -78,4 +78,36 @@ class PlanGuardSpec extends AnyFunSuite {
     // denseRankBy's partition-count prefix sums
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("incremental DSIR: merged statistics stay a broadcast model, no cartesian") {
+    // the merge path must not lose the monolithic row's shape: the merged
+    // (<= numBuckets)-row weight table still broadcasts onto the corpus
+    // side, and nothing in the shard union introduces a cartesian or a
+    // corpus-sized sort-merge join
+    val p = planOf("t_dsir_incremental")
+    assert(!p.contains("CartesianProduct"), "cartesian in t_dsir_incremental")
+    assert(!p.contains("SortMergeJoin"), "sort-merge join in t_dsir_incremental")
+    assert(p.contains("BroadcastHashJoin"), "merged weight join not broadcast")
+  }
+
+  test("incremental KN3: scoring joins the merged type tables, no cartesian") {
+    val p = planOf("t_kn3_incremental")
+    assert(!p.contains("CartesianProduct"), "cartesian in t_kn3_incremental")
+  }
+
+  test("dup source matrix: group-level self-join is an equi hash join") {
+    // the per-(content, source) table self-joins on the content hash —
+    // an equi join of group rows; a cartesian (or a theta-join fallback)
+    // would mean the combinatorial-counting contract was lost
+    val p = planOf("t_dup_source_matrix")
+    assert(!p.contains("CartesianProduct"), "cartesian in dup source matrix")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "theta join in dup source matrix — equi key lost")
+  }
+
+  test("distilled quality: label join and weight scoring broadcast, no cartesian") {
+    val p = planOf("t_distilled_quality")
+    assert(!p.contains("CartesianProduct"), "cartesian in t_distilled_quality")
+    assert(p.contains("BroadcastHashJoin"), "no broadcast join in distillation")
+  }
 }
