@@ -917,6 +917,53 @@ object Similarity {
     IvfPq.Model(assigned.select(col("id"), col("cell")), cents, pq)
   }
 
+  /** Incremental ADD to a fitted index — the standard serving operation a
+    * growing corpus needs: new vectors coarse-assign against the FROZEN
+    * centroids and PQ-encode their residuals under the FROZEN codebooks
+    * (both literal geometry — the add is two row-local projections, no
+    * aggregate, no driver state, no retraining), then append to the
+    * cells/codes tables. Deterministic: re-adding a vector the index was
+    * fit on reproduces its original code rows exactly (spec-pinned), and
+    * searches immediately see the additions. Codebook drift is the
+    * caller's policy: after enough additions, refit — the add path never
+    * silently retrains. */
+  def ivfPqAdd(model: IvfPq.Model, newVectors: DataFrame, m: Int = 4,
+               dim: Int = -1, idCol: String = "vec_id",
+               vecCol: String = "embedding"): IvfPq.Model = {
+    require(model.centroids.nonEmpty, "cannot add to an empty index")
+    require(model.pq.codebooks.nonEmpty, "cannot add to an untrained index")
+    val d = if (dim > 0) dim else sniffDim(newVectors, vecCol)
+    require(d % m == 0, s"dim $d not divisible by m subspaces $m")
+    val dsub = d / m
+    val vm = transform(col(vecCol), x => round(x.cast("double") * lit(1e6), 0))
+    val base = newVectors
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), vm.as("vm"))
+      .withColumn("vm2", dot(col("vm"), col("vm")))
+    val cents = model.centroids
+    val centLit = array(cents.map(c => typedlit(c._2.toSeq)): _*)
+    val assigned = graft.core.CacheScope.persist(
+      nearestCell(base, cents)
+        .withColumn("res",
+          zip_with(col("vm"), element_at(centLit, col("cell") + 1),
+            (a, b) => a - b))
+        .select(col("id"), col("cell"), col("res")))
+    val subbed = assigned.select(col("id"),
+      explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"),
+          slice(col("res"), s * dsub + 1, dsub).as("sv"))): _*)).as("e"))
+      .select(col("id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+    val cb: IndexedSeq[IndexedSeq[(Int, Array[Double])]] =
+      (0 until m).map(s => model.pq.codebooks
+        .filter(_._1 == s).map(t => (t._2, t._3)).toIndexedSeq)
+    val newCodes = assignSubCodes(subbed, cb, m)
+      .select(col("id"), col("sub"), col("code"), col("dist_sq"))
+    IvfPq.Model(
+      model.cells.unionByName(assigned.select("id", "cell")),
+      cents,
+      Pq.Model(model.pq.codes.unionByName(newCodes), model.pq.codebooks))
+  }
+
   /** Search: each query coarse-assigns to its nearest cell, residualizes
     * against THAT centroid, builds its m x k partial-distance table (one
     * broadcast — k*m rows per query), and ADC-scores ONLY the vectors

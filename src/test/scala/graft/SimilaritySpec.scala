@@ -158,6 +158,52 @@ class SimilaritySpec extends AnyFunSuite {
     graft.core.CacheScope.release()
   }
 
+  test("IVF-PQ add: frozen-geometry encode is self-consistent and searchable") {
+    // fit on the even-id half, add the odd half under the FROZEN
+    // centroids/codebooks. Three contracts: (1) re-adding vectors the
+    // index was fit on reproduces their original code rows exactly
+    // (the add path IS the fit's final assignment, just frozen);
+    // (2) added vectors appear in the extended cells/codes tables;
+    // (3) a search from an added vector's own position finds it (it is
+    // its own nearest neighbor by ADC distance 0 in its cell).
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val m = 16
+    val even = emb.filter($"vec_id" % 2 === 0)
+    val odd = emb.filter($"vec_id" % 2 === 1)
+    val model = Similarity.ivfPqFit(even, nlist = 4, m = m, k = 32, dim = 64,
+      coarseIters = 2)
+    // (1) self-consistency: re-add the fit corpus, codes must reproduce
+    val readd = Similarity.ivfPqAdd(model, even, m = m, dim = 64)
+    def codesOf(mm: Similarity.IvfPq.Model) =
+      mm.pq.codes.collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getLong(3)))
+        .toMap
+    val orig = codesOf(model)
+    val re = readd.pq.codes.collect()
+      .groupBy(r => (r.getLong(0), r.getInt(1)))
+    assert(re.forall { case (key, rows) =>
+      val vals = rows.map(r => (r.getInt(2), r.getLong(3))).distinct
+      vals.length == 1 && vals.head == orig(key)
+    }, "re-added codes differ from the fit's codes")
+    // (2)+(3): extend with the odd half; additions join the index tables
+    // and COMPETE in searches (search excludes self-matches, so the
+    // proof is added ids surfacing as neighbors of existing queries)
+    val extended = Similarity.ivfPqAdd(model, odd, m = m, dim = 64)
+    val nOdd = odd.count()
+    assert(extended.cells.count() == model.cells.count() + nOdd)
+    assert(extended.pq.codes.count() == model.pq.codes.count() + nOdd * m)
+    val extNeighbors = Similarity.ivfPqSearch(extended,
+        even.filter($"vec_id" < 40), topk = 5, m = m, dim = 64)
+      .collect().map(_.getLong(1)).toSet
+    assert(extNeighbors.exists(_ % 2 == 1),
+      "no added vector ever surfaces as a neighbor")
+    // odd-side queries search the extended index without error, full topk
+    val oddHits = Similarity.ivfPqSearch(extended,
+        odd.filter($"vec_id" < 20), topk = 3, m = m, dim = 64)
+    assert(oddHits.count() > 0)
+    graft.core.CacheScope.release()
+  }
+
   test("IVF-PQ refine: exact re-rank lifts recall@5 vs the L2 baseline") {
     // VERDICT r7 #4: the unrefined index's recall was honest but low. The
     // standard fix is the FAISS refine step — fetch topk*refine ADC
