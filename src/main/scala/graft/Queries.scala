@@ -2274,23 +2274,19 @@ object Queries {
       },
       headline = true),
 
-    // Compression-ratio quality signal — DEFLATE bytes / raw bytes at
-    // integer micro. No DuckDB oracle (DEFLATE output is implementation-
-    // defined); in-engine determinism + signal semantics are spec-tested,
-    // the driver records its rows-only check.
-    "t_compression" -> Q(
-      (s, dir) =>
-        TextAnalysis.compressionSignals(rd(s, dir, "documents"))
-          .orderBy("doc_id"),
-      None),
-
-    // Cross-engine audit of the DEFLATE signal (VERDICT r9 #5): the
-    // compressed bytes are implementation-defined, but raw length,
-    // losslessness, and the stored-block worst-case bound are not. The
-    // Spark side VERIFIES round-trip + bound in-engine and emits the
-    // booleans; the oracle pins them TRUE — any lossy or out-of-bound
-    // deflate hash-fails at the driver. Upgrades t_compression's family
-    // from rows-only to a real (if partial) value check.
+    // Cross-engine audit of the DEFLATE compression-ratio signal
+    // (VERDICT r9 #5, r10 #1): the compressed byte count itself is
+    // implementation-defined — no DuckDB oracle can reproduce it — but
+    // raw length, losslessness, and the stored-block worst-case size
+    // bound are not. The Spark side VERIFIES round-trip + bound
+    // in-engine and emits the booleans; the oracle pins them TRUE — any
+    // lossy or out-of-bound deflate hash-fails at the driver. This row
+    // SUPERSEDES the retired oracle-less `t_compression` registry row
+    // (VERDICT r10 task 1: zero no_oracle rows); the raw
+    // `ratio_micro` signal remains available via
+    // [[TextAnalysis.compressionSignals]], whose determinism is pinned
+    // in CompressionSpec against an independent JDK code path and
+    // golden literals.
     "t_compression_audit" -> Q(
       (s, dir) =>
         TextAnalysis.compressionAudit(rd(s, dir, "documents"))
@@ -5605,27 +5601,32 @@ object Queries {
     // Semantic near-dup pairs via PCA-GRID candidate generation — the
     // dimensionality-reduction SemDeDup shape: whitened top-2 projection,
     // exact-micro grid cells, per-cell candidates, exact cosine confirm
-    // on the original vectors. The oracle replays both whitened power
-    // chains, the micro cell arithmetic, and the sequential-fold cosine.
+    // on the original vectors. Cell assignment is integer-exact by
+    // construction (VERDICT r10 #4): components, mean and eigenvectors
+    // are all snapped to the micro grid BEFORE the centered dot product,
+    // so the per-row sum is order-free integer arithmetic under 2^53 and
+    // the oracle replays it term-for-term (round(s/n) mean, round(v*1e6)
+    // loadings, one divide by 1e6*sqrt(lambda), one round, one floor-div).
     "e_pca_grid_dups" -> Q(
       (s, dir) =>
         Similarity.pcaGridDupPairs(rd(s, dir, "embeddings"),
             threshold = 0.3, iters = PcaIters)
           .orderBy("id_a", "id_b"),
       Some(s"""${sqlPcaTopKCtes(PcaIters)},
-        |projc AS (SELECT d.vec_id,
-        |    sum((d.x - (m.s / m.n) / 1000000.0) * a.v) AS p1,
-        |    sum((d.x - (m.s / m.n) / 1000000.0) * b.v) AS p2
-        |  FROM dmat d JOIN mstat m ON m.i = d.i
-        |  JOIN a$PcaIters a ON a.i = d.i
-        |  JOIN b$PcaIters b ON b.i = d.i
+        |musnap AS (SELECT i, round(CAST(s AS DOUBLE) / n, 0) AS mu
+        |  FROM mstat),
+        |vsa AS (SELECT i, round(v * 1000000, 0) AS vm FROM a$PcaIters),
+        |vsb AS (SELECT i, round(v * 1000000, 0) AS vm FROM b$PcaIters),
+        |cells AS MATERIALIZED (SELECT d.vec_id,
+        |    CAST(floor(round(sum((d.mc - m.mu) * a.vm)
+        |      / (1000000 * sqrt(greatest((SELECT l FROM lama), 1e-12))), 0)
+        |      / 500000.0) AS BIGINT) AS cx,
+        |    CAST(floor(round(sum((d.mc - m.mu) * b.vm)
+        |      / (1000000 * sqrt(greatest((SELECT l FROM lamb), 1e-12))), 0)
+        |      / 500000.0) AS BIGINT) AS cy
+        |  FROM dmat d JOIN musnap m ON m.i = d.i
+        |  JOIN vsa a ON a.i = d.i JOIN vsb b ON b.i = d.i
         |  GROUP BY d.vec_id),
-        |cells AS MATERIALIZED (SELECT vec_id,
-        |    CAST(floor(round(p1 / sqrt(greatest((SELECT l FROM lama), 1e-12))
-        |      * 1000000, 0) / 500000.0) AS BIGINT) AS cx,
-        |    CAST(floor(round(p2 / sqrt(greatest((SELECT l FROM lamb), 1e-12))
-        |      * 1000000, 0) / 500000.0) AS BIGINT) AS cy
-        |  FROM projc),
         |vv AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
         |pairs AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
         |    round(${sqlCos("qv.v", "nv.v")}, 6) AS cos_sim

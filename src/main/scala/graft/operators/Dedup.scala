@@ -53,17 +53,47 @@ object Dedup {
         sum("k").over(org.apache.spark.sql.expressions.Window
           .partitionBy("__h")))
       .filter(col("tot") > 1)
-    // cross-source pairs: k_a * k_b per group; within-source: k*(k-1)/2
+    sourcePairCounts(perSrc)
+  }
+
+  /** Pair-count arithmetic of [[duplicateSourceMatrix]], split out so the
+    * overflow guard is testable without materializing overflow-scale
+    * groups. Input: (__h, src, k) per-(content, source) member counts.
+    *
+    * The combinatorics are OVERFLOW-LOUD (the Pca/KN3 standard — fail,
+    * never wrap or round): every product runs in decimal(38,0), where
+    * k_a·k_b and k·(k−1) of int64 inputs are exact (≤ 8.6e37 < 1e38);
+    * k·(k−1)/2 halves the EVEN factor first via `shiftright` (exact long
+    * integer division — never Column./'s double path, whose 53-bit
+    * mantissa silently rounds above k ≈ 9.5e7 while the DuckDB oracle's
+    * `//` stays exact); and the final per-pair sum is checked back into
+    * int64 with `raise_error` on either a > Long.Max total or a
+    * NULL-from-decimal-overflow sum (groups are never empty and pair
+    * counts never null, so a null sum can only mean > 1e38 pairs). */
+  private[graft] def sourcePairCounts(perSrc: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    // cross-source pairs: k_a * k_b per group (exact in decimal)
     val cross = perSrc.as("a").join(perSrc.as("b"),
         col("a.__h") === col("b.__h") && col("a.src") < col("b.src"))
       .select(col("a.src").as("source_a"), col("b.src").as("source_b"),
-        (col("a.k") * col("b.k")).as("pairs"))
+        (col("a.k").cast(dec) * col("b.k").cast(dec)).cast(dec).as("pairs"))
+    // within-source: k*(k-1)/2 — halve the even factor in long first
+    val halfProd = when(col("k") % 2 === 0,
+        shiftright(col("k"), 1).cast(dec) * (col("k") - 1).cast(dec))
+      .otherwise(col("k").cast(dec) * shiftright(col("k") - 1, 1).cast(dec))
     val within = perSrc.filter(col("k") > 1)
       .select(col("src").as("source_a"), col("src").as("source_b"),
-        (col("k") * (col("k") - 1) / 2).cast("long").as("pairs"))
+        halfProd.cast(dec).as("pairs"))
+    val total = sum("pairs")
+    val loud = when(total.isNull || total > lit(Long.MaxValue).cast(dec),
+        raise_error(concat(
+          lit("duplicateSourceMatrix: pair count overflows int64 for ("),
+          col("source_a"), lit(", "), col("source_b"),
+          lit("): "), coalesce(total.cast("string"), lit("> 1e38")))))
+      .otherwise(total.cast("long"))
     cross.unionByName(within)
       .groupBy("source_a", "source_b")
-      .agg(sum("pairs").cast("long").as("n_dup_pairs"))
+      .agg(loud.as("n_dup_pairs"))
   }
 
   /** Exact-dedup SURVIVORS: one document per distinct content, the

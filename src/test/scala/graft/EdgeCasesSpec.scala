@@ -310,4 +310,50 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(TextRanking.kn3ScoreTrigrams(someTri, m).count() == 0)
     graft.core.CacheScope.release()
   }
+
+  test("duplicateSourceMatrix pair arithmetic: exact past double precision, " +
+       "LOUD on int64 overflow (VERDICT r10 #5 / ADVICE r10)") {
+    import org.apache.spark.sql.functions._
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    import graft.operators.Dedup
+    def perSrc(rows: (String, String, Long)*) =
+      rows.toDF("__h", "src", "k")
+    // 1) exact where double division would round: k just past 2^53/2 —
+    //    k*(k-1)/2 has no exact double representation, the old
+    //    Column./ path returned the rounded neighbor. Pin the exact value.
+    val k = 194906266L // k*(k-1) = 37988452331156490 > 2^53
+    val exact = (BigInt(k) * (k - 1) / 2).toLong
+    val viaDouble = ((k * (k - 1)).toDouble / 2).toLong
+    assert(viaDouble != exact, "test premise: double path must round here")
+    val got = Dedup.sourcePairCounts(perSrc(("h", "A", k)))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("A", "A", exact)))
+    // 2) within-source overflow: k*(k-1)/2 > Long.Max -> raise_error,
+    //    never a wrapped/rounded count
+    val big = 5000000000L // 5e9: pairs ~1.25e19 > 9.2e18
+    val e1 = intercept[Exception] {
+      Dedup.sourcePairCounts(perSrc(("h", "A", big))).collect()
+    }
+    assert(e1.getMessage.contains("overflows int64"))
+    // 3) cross-source overflow: k_a*k_b > Long.Max -> loud
+    val e2 = intercept[Exception] {
+      Dedup.sourcePairCounts(
+        perSrc(("h", "A", 4000000000L), ("h", "B", 4000000000L))).collect()
+    }
+    assert(e2.getMessage.contains("overflows int64"))
+    // 4) per-group products fit int64 but their SUM does not -> loud at
+    //    the aggregate, not a silent wrap
+    val e3 = intercept[Exception] {
+      Dedup.sourcePairCounts(
+        perSrc(("h1", "A", 4000000000L), ("h2", "A", 4000000000L))).collect()
+    }
+    assert(e3.getMessage.contains("overflows int64"))
+    // 5) in-range sums still exact: two groups, mixed cross+within
+    val ok = Dedup.sourcePairCounts(
+      perSrc(("h1", "A", 3L), ("h1", "B", 2L), ("h2", "A", 2L)))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(ok == Set(("A", "A", 3L + 1L), ("A", "B", 6L), ("B", "B", 1L)))
+  }
 }

@@ -160,31 +160,44 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("IVF-PQ add: frozen-geometry encode is self-consistent and searchable") {
     // fit on the even-id half, add the odd half under the FROZEN
-    // centroids/codebooks. Three contracts: (1) re-adding vectors the
-    // index was fit on reproduces their original code rows exactly
-    // (the add path IS the fit's final assignment, just frozen);
-    // (2) added vectors appear in the extended cells/codes tables;
-    // (3) a search from an added vector's own position finds it (it is
-    // its own nearest neighbor by ADC distance 0 in its cell).
+    // centroids/codebooks. Contracts: (1) adding an id the index already
+    // holds is a NO-OP (idempotent — a replayed batch never duplicates
+    // index rows, ADVICE r10); (1b) the frozen-geometry encode is
+    // deterministic: the fit corpus re-shipped under FRESH ids encodes to
+    // exactly the code rows the original fit produced; (2) added vectors
+    // appear in the extended cells/codes tables; (3) searches against the
+    // extended index see the additions.
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val m = 16
     val even = emb.filter($"vec_id" % 2 === 0)
     val odd = emb.filter($"vec_id" % 2 === 1)
     val model = Similarity.ivfPqFit(even, nlist = 4, m = m, k = 32, dim = 64,
       coarseIters = 2)
-    // (1) self-consistency: re-add the fit corpus, codes must reproduce
+    // (1) idempotence: re-adding the fit corpus changes NOTHING
     val readd = Similarity.ivfPqAdd(model, even, m = m, dim = 64)
+    assert(readd.cells.count() == model.cells.count())
+    assert(readd.pq.codes.count() == model.pq.codes.count())
     def codesOf(mm: Similarity.IvfPq.Model) =
       mm.pq.codes.collect()
         .map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getLong(3)))
         .toMap
     val orig = codesOf(model)
-    val re = readd.pq.codes.collect()
-      .groupBy(r => (r.getLong(0), r.getInt(1)))
-    assert(re.forall { case (key, rows) =>
-      val vals = rows.map(r => (r.getInt(2), r.getLong(3))).distinct
-      vals.length == 1 && vals.head == orig(key)
-    }, "re-added codes differ from the fit's codes")
+    assert(codesOf(readd) == orig, "idempotent re-add mutated code rows")
+    // (1b) frozen-geometry determinism: same vectors under fresh ids
+    // reproduce the fit's codes keyed back to the original ids
+    val shifted = even.select(($"vec_id" + 1000000L).as("vec_id"),
+      $"embedding")
+    val reenc = Similarity.ivfPqAdd(model, shifted)
+    val reencCodes = reenc.pq.codes.filter($"id" >= 1000000L).collect()
+      .map(r => (r.getLong(0) - 1000000L, r.getInt(1)) ->
+        (r.getInt(2), r.getLong(3))).toMap
+    assert(reencCodes == orig, "frozen re-encode differs from fit codes")
+    // geometry guard: a caller m contradicting the frozen index fails
+    // loudly instead of mis-slicing (ADVICE r10 medium)
+    val eGeom = intercept[IllegalArgumentException] {
+      Similarity.ivfPqAdd(model, odd, m = 4)
+    }
+    assert(eGeom.getMessage.contains("contradicts the frozen index"))
     // (2)+(3): extend with the odd half; additions join the index tables
     // and COMPETE in searches (search excludes self-matches, so the
     // proof is added ids surfacing as neighbors of existing queries)
@@ -568,5 +581,32 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
     assert(out == ((1L to 7L).map(_ -> false) ++
       Seq(8L -> true, 9L -> false)).toMap)
+  }
+
+  test("pca-grid cells are partition-invariant integers (VERDICT r10 #4)") {
+    // Cell assignment is a deterministic function of the data by
+    // construction: snapped integer operands, per-row sums under 2^53.
+    // Repartitioning the corpus (different moments merge order,
+    // different row order into the codegen'd fold) must reproduce the
+    // IDENTICAL (cx, cy) per id — not just the same pair set.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def cellMap(df: org.apache.spark.sql.DataFrame) =
+      Similarity.pcaGridCells(df, iters = 24).select("id", "cx", "cy")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    val one = cellMap(emb.repartition(1))
+    val many = cellMap(emb.repartition(13, $"vec_id" % 7))
+    assert(one.nonEmpty && one == many,
+      "cell ids changed under repartitioning")
+    // occupancy sanity: the grid actually separates the cloud (no
+    // single-cell degeneracy that would make the invariance vacuous)
+    assert(one.values.toSet.size > 1, "all vectors fell into one cell")
+    // and the pair output is identical too, including confirm scores
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      Similarity.pcaGridDupPairs(df, threshold = 0.3, iters = 24)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    assert(pairs(emb.repartition(1)) == pairs(emb.repartition(17)))
+    graft.core.CacheScope.release()
   }
 }
