@@ -102,6 +102,30 @@ object Sketches {
     * engine-stable md5 positions, so the whole filter is SQL-replayable.
     * No false negatives ever; false-positive rate ~ (1 - e^{-kn/m})^k.
     * Null keys contribute no bits (and probe as not-contained). */
+  /** Bloom geometry from MEASURED cardinality (VERDICT r10 #2): bits =
+    * `bitsPerKey * n` rounded up to a word multiple — at the default 10
+    * bits/key with k = 5 hashes the FP rate is (1 - e^{-1/2})^5 ≈ 0.9%,
+    * the ~1% design point. A fixed default (the old 65536) saturates for
+    * any real corpus and turns the row-local prune vacuous; sizing from
+    * the distinct count keeps the prune meaningful at every history size.
+    * The result is clamped to [minBits, maxBits] — maxBits bounds the
+    * broadcast map (2^27 bits = 4M words ≈ 64 MB) and a clamp is LOUD
+    * (stderr, no-silent-caps rule) because a capped filter degrades
+    * toward prune-nothing as n grows past maxBits/bitsPerKey. */
+  def adaptiveBloomBits(n: Long, bitsPerKey: Int = 10,
+                        maxBits: Int = 1 << 27, minBits: Int = 4096,
+                        label: String = "bloom"): Int = {
+    require(bitsPerKey >= 1 && minBits >= 32 && maxBits >= minBits)
+    val ideal = math.max(minBits.toLong, n * bitsPerKey.toLong)
+    val words = (math.min(ideal, maxBits.toLong) + 31) / 32
+    val bits = math.min(words * 32, (maxBits / 32).toLong * 32).toInt
+    if (ideal > maxBits)
+      System.err.println(s"[$label] Bloom capped at $bits bits for n=$n " +
+        s"keys (~${bitsPerKey}x would need $ideal): FP rate degrades " +
+        "beyond the 1% design point — raise maxBits or shard the filter")
+    bits
+  }
+
   def bloomBuild(items: DataFrame, keyCol: String, numBits: Int = 4096,
                  numHashes: Int = 5): DataFrame = {
     require(numBits % 32 == 0 && numBits >= 32, "numBits must be a multiple of 32")

@@ -41,7 +41,8 @@ object CurationStream {
       evalShingles: DataFrame, evalBloom: DataFrame,
       seenHashes: DataFrame, seenBloom: DataFrame,
       kn3LogProbs: DataFrame, ceCutMicro: Long,
-      shingleN: Int, bloomBits: Int, bloomHashes: Int)
+      shingleN: Int, evalBloomBits: Int, seenBloomBits: Int,
+      bloomHashes: Int)
 
   /** Train every artifact from a reference corpus:
     *  - DSIR weights against `targetPred` + the corpus max score (the
@@ -52,11 +53,20 @@ object CurationStream {
     *  - the trigram-KN model and the FROZEN perplexity cutoff = the
     *    cross-entropy at the head+middle / tail boundary (rank
     *    2n/3) of the reference corpus.
-    */
+    *
+    * Bloom geometry is sized from MEASURED cardinality at freeze time
+    * (VERDICT r10 #2): the eval-shingle and seen-hash sets are already
+    * materialized, so each Bloom gets `bitsPerKey` bits per distinct key
+    * (~1% FP at the default 10 bits / 5 hashes), independently per set —
+    * a fixed default saturates for any real reference corpus and makes
+    * the row-local prune vacuous. Pass `bloomBits > 0` to pin BOTH
+    * filters to a fixed size instead (tests / replay). A size cap logs
+    * loudly ([[Sketches.adaptiveBloomBits]]). */
   def freeze(referenceDocs: DataFrame, evalDocs: DataFrame,
              targetPred: Column, temperature: Double = 2.0,
              numBuckets: Int = 4096, shingleN: Int = 8,
-             bloomBits: Int = 65536, bloomHashes: Int = 5,
+             bloomBits: Int = -1, bloomHashes: Int = 5,
+             bitsPerKey: Int = 10, maxBloomBits: Int = 1 << 27,
              idCol: String = "doc_id", textCol: String = "text"): FrozenCuration = {
     val cleaned = referenceDocs.withColumn(textCol,
       TextAnalysis.cleanText(col(textCol)))
@@ -83,11 +93,17 @@ object CurationStream {
     val evalSh = Dedup.shingles(evalDocs.withColumn(textCol,
           TextAnalysis.cleanText(col(textCol))), shingleN, idCol, textCol)
       .select(hash60(col("shingle")).as("sh")).distinct().persist()
+    val evalBits = if (bloomBits > 0) bloomBits
+      else Sketches.adaptiveBloomBits(evalSh.count(), bitsPerKey,
+        maxBloomBits, label = "freeze/eval")
     val evalBloom =
-      Sketches.bloomBuild(evalSh, "sh", bloomBits, bloomHashes).persist()
+      Sketches.bloomBuild(evalSh, "sh", evalBits, bloomHashes).persist()
     val seen = cleaned.select(md5(col(textCol)).as("h")).distinct().persist()
+    val seenBits = if (bloomBits > 0) bloomBits
+      else Sketches.adaptiveBloomBits(seen.count(), bitsPerKey,
+        maxBloomBits, label = "freeze/seen")
     val seenBloom =
-      Sketches.bloomBuild(seen, "h", bloomBits, bloomHashes).persist()
+      Sketches.bloomBuild(seen, "h", seenBits, bloomHashes).persist()
     val kn3 = TextRanking.kn3ModelFromTrigrams(
       graft.operators.TextOps.ngrams(cleaned, 3, idCol, textCol),
       tracked = false)
@@ -133,8 +149,8 @@ object CurationStream {
     Seq(kn3.triTot, kn3.s01, kn3.cont, kn3.mid, kn3.nl)
       .foreach(_.unpersist(blocking = false))
     FrozenCuration(weights, numBuckets, scoreMax, temperature, evalSh,
-      evalBloom, seen, seenBloom, kn3Lp, ceCut, shingleN, bloomBits,
-      bloomHashes)
+      evalBloom, seen, seenBloom, kn3Lp, ceCut, shingleN, evalBits,
+      seenBits, bloomHashes)
   }
 
   /** Curate ONE arriving batch under the frozen models. Stages (matching
@@ -170,7 +186,7 @@ object CurationStream {
     val bsh = Dedup.shingles(kept, m.shingleN, idCol, textCol)
       .select(col(idCol), hash60(col("shingle")).as("sh"))
     val contaminated = Sketches
-      .bloomPrune(m.evalBloom, bsh, "sh", m.bloomBits, m.bloomHashes)
+      .bloomPrune(m.evalBloom, bsh, "sh", m.evalBloomBits, m.bloomHashes)
       .join(m.evalShingles, Seq("sh"))
       .select(idCol).distinct()
     val decon = kept.join(contaminated, Seq(idCol), "left_anti")
@@ -178,7 +194,7 @@ object CurationStream {
     val hashed = decon.withColumn("__h", md5(col(textCol)))
     val dupIds = Sketches
       .bloomPrune(m.seenBloom, hashed.select(col(idCol), col("__h")),
-        "__h", m.bloomBits, m.bloomHashes)
+        "__h", m.seenBloomBits, m.bloomHashes)
       .join(m.seenHashes, col("__h") === col("h"))
       .select(idCol).distinct()
     val fresh = hashed.join(dupIds, Seq(idCol), "left_anti").drop("__h")
@@ -204,51 +220,92 @@ object CurationStream {
       m.kn3LogProbs)
       .foreach(_.unpersist(blocking = false))
 
+  /** Stable catalog table name for a bucketed confirm table of the
+    * artifact at `dir` (bucketed reads go through the catalog — a plain
+    * parquet read would not know the bucketing). */
+  private def confirmTable(dir: String, suffix: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"graft_frozen_${digest.take(12)}_$suffix"
+  }
+
   /** Persist a frozen model to `dir` as files: six parquet tables + a
     * one-row `meta` parquet carrying the scalars. This is what makes the
     * freeze/apply split a real DEPLOYMENT: train once in one job, ship
     * the artifact directory, [[load]] and [[curateBatch]] in any number
     * of downstream jobs/JVMs without the reference corpus. Artifact
-    * size is geometry + eval/history-sized — the corpus never ships. */
-  def save(m: FrozenCuration, dir: String): Unit = {
+    * size is geometry + eval/history-sized — the corpus never ships.
+    *
+    * The two EXACT-CONFIRM tables (`eval_shingles`, `seen_hashes`) are
+    * written BUCKETED + sorted on their join key (VERDICT r10 #3): they
+    * are the only history-sized tables the per-batch confirms join, and
+    * a plain-parquet frozen side re-shuffles that history on EVERY
+    * curateBatch. Bucketed, the loaded scan reports hash partitioning on
+    * the key, so each confirm join exchanges only the (Bloom-pruned,
+    * batch-sized) arriving side — plan-pinned in StreamingSpec. Size
+    * `confirmBuckets` so one bucket of the seen-hash history fits an
+    * executor core comfortably (32 covers testdata; think 32k at 100TB). */
+  def save(m: FrozenCuration, dir: String, confirmBuckets: Int = 32): Unit = {
     m.weights.write.mode("overwrite").parquet(s"$dir/weights")
-    m.evalShingles.write.mode("overwrite").parquet(s"$dir/eval_shingles")
+    graft.core.Bucketing.writeBucketed(m.evalShingles,
+      confirmTable(dir, "eval"), s"$dir/eval_shingles", "sh", confirmBuckets)
     m.evalBloom.write.mode("overwrite").parquet(s"$dir/eval_bloom")
-    m.seenHashes.write.mode("overwrite").parquet(s"$dir/seen_hashes")
+    graft.core.Bucketing.writeBucketed(m.seenHashes,
+      confirmTable(dir, "seen"), s"$dir/seen_hashes", "h", confirmBuckets)
     m.seenBloom.write.mode("overwrite").parquet(s"$dir/seen_bloom")
     m.kn3LogProbs.write.mode("overwrite").parquet(s"$dir/kn3_logprobs")
     val spark = m.weights.sparkSession
     import spark.implicits._
     Seq((m.numBuckets, m.scoreMaxMicro, m.temperature, m.ceCutMicro,
-        m.shingleN, m.bloomBits, m.bloomHashes))
+        m.shingleN, m.evalBloomBits, m.seenBloomBits, m.bloomHashes,
+        confirmBuckets))
       .toDF("num_buckets", "score_max_micro", "temperature",
-        "ce_cut_micro", "shingle_n", "bloom_bits", "bloom_hashes")
+        "ce_cut_micro", "shingle_n", "eval_bloom_bits", "seen_bloom_bits",
+        "bloom_hashes", "confirm_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
-  /** Load a [[save]]d frozen model. Tables come back persisted with the
-    * same frozen lifetime the in-memory freeze gives them ([[release]]
-    * when done); scalars from the one-row meta table. curateBatch over a
-    * loaded model is value-identical to one over the original — the
-    * artifact IS the model, spec-proven cross-JVM-shaped. */
+  /** Load a [[save]]d frozen model. Geometry-sized tables come back
+    * persisted with the same frozen lifetime the in-memory freeze gives
+    * them ([[release]] when done); scalars from the one-row meta table.
+    * The two bucketed confirm tables are NOT memory-persisted — they are
+    * history-sized, and reading them through the catalog keeps the
+    * bucketed hash partitioning that makes per-batch confirm joins
+    * exchange-free on the frozen side (caching at 100TB history scale
+    * would evict, and an InMemory scan is no cheaper than a co-located
+    * bucket read). In a fresh session/JVM the catalog entry is recreated
+    * as an external bucketed table over the shipped files. curateBatch
+    * over a loaded model is value-identical to one over the original —
+    * the artifact IS the model, spec-proven cross-JVM-shaped. */
   def load(spark: org.apache.spark.sql.SparkSession,
            dir: String): FrozenCuration = {
     val meta = spark.read.parquet(s"$dir/meta").head()
     def t(name: String): DataFrame =
       spark.read.parquet(s"$dir/$name").persist()
+    val nb = meta.getAs[Int]("confirm_buckets")
+    def bucketed(suffix: String, name: String, ddl: String,
+                 key: String): DataFrame = {
+      val table = confirmTable(dir, suffix)
+      if (!spark.catalog.tableExists(table))
+        spark.sql(s"CREATE TABLE $table ($ddl) USING PARQUET " +
+          s"CLUSTERED BY ($key) SORTED BY ($key) INTO $nb BUCKETS " +
+          s"LOCATION '$dir/$name'")
+      spark.table(table)
+    }
     FrozenCuration(
       weights = t("weights"),
       numBuckets = meta.getAs[Int]("num_buckets"),
       scoreMaxMicro = meta.getAs[Long]("score_max_micro"),
       temperature = meta.getAs[Double]("temperature"),
-      evalShingles = t("eval_shingles"),
+      evalShingles = bucketed("eval", "eval_shingles", "sh BIGINT", "sh"),
       evalBloom = t("eval_bloom"),
-      seenHashes = t("seen_hashes"),
+      seenHashes = bucketed("seen", "seen_hashes", "h STRING", "h"),
       seenBloom = t("seen_bloom"),
       kn3LogProbs = t("kn3_logprobs"),
       ceCutMicro = meta.getAs[Long]("ce_cut_micro"),
       shingleN = meta.getAs[Int]("shingle_n"),
-      bloomBits = meta.getAs[Int]("bloom_bits"),
+      evalBloomBits = meta.getAs[Int]("eval_bloom_bits"),
+      seenBloomBits = meta.getAs[Int]("seen_bloom_bits"),
       bloomHashes = meta.getAs[Int]("bloom_hashes"))
   }
 }

@@ -496,8 +496,10 @@ class StreamingSpec extends AnyFunSuite {
     assert(loaded.scoreMaxMicro == frozen.scoreMaxMicro)
     assert(loaded.temperature == frozen.temperature)
     assert(loaded.ceCutMicro == frozen.ceCutMicro)
-    assert((loaded.shingleN, loaded.bloomBits, loaded.bloomHashes) ==
-      ((frozen.shingleN, frozen.bloomBits, frozen.bloomHashes)))
+    assert((loaded.shingleN, loaded.evalBloomBits, loaded.seenBloomBits,
+        loaded.bloomHashes) ==
+      ((frozen.shingleN, frozen.evalBloomBits, frozen.seenBloomBits,
+        frozen.bloomHashes)))
     val arriving = docs.filter(col("doc_id") % 2 === 1)
     def rows(m: CurationStream.FrozenCuration) =
       CurationStream.curateBatch(arriving, m).collect()
@@ -510,6 +512,68 @@ class StreamingSpec extends AnyFunSuite {
     CurationStream.release(frozen)
     CurationStream.release(loaded)
     graft.core.CacheScope.release()
+  }
+
+  test("loaded frozen confirm tables join with NO Exchange on the frozen " +
+       "side (VERDICT r10 #3)") {
+    // the one repeated shuffle in the deployment path: every curateBatch
+    // confirm-joins its Bloom survivors against the history-sized
+    // seen-hash / eval-shingle tables. save() writes those two bucketed
+    // on the join key, so a LOADED model's confirm joins must exchange
+    // only the batch side — the frozen history is read co-located.
+    import graft.streaming.CurationStream
+    import graft.operators.Sketches
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val frozen = CurationStream.freeze(
+      ref, ref.filter(col("doc_id") % 31 === 0), col("lang") === "en")
+    val dir = java.nio.file.Files.createTempDirectory("frozen_bkt").toString
+    CurationStream.save(frozen, dir)
+    CurationStream.release(frozen)
+    val m = CurationStream.load(spark, dir)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // force the shuffle-join strategy the 100TB history would force
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // the two confirm joins exactly as curateBatch builds them
+      val bsh = graft.operators.Dedup
+        .shingles(batch, m.shingleN, "doc_id", "text")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.hash60(col("shingle")).as("sh"))
+      val evalConfirm = Sketches
+        .bloomPrune(m.evalBloom, bsh, "sh", m.evalBloomBits, m.bloomHashes)
+        .join(m.evalShingles, Seq("sh"))
+      val hashed = batch.withColumn("__h", md5(col("text")))
+      val seenConfirm = Sketches
+        .bloomPrune(m.seenBloom, hashed.select(col("doc_id"), col("__h")),
+          "__h", m.seenBloomBits, m.bloomHashes)
+        .join(m.seenHashes, col("__h") === col("h"))
+      for ((df, what) <- Seq((evalConfirm, "eval"), (seenConfirm, "seen"))) {
+        df.count() // materialize so the plan below is the executed one
+        val plan = df.queryExecution.executedPlan
+        val s = plan.toString
+        assert(s.contains("graft_frozen"),
+          s"$what confirm no longer reads the bucketed catalog table:\n$s")
+        assert(s.contains("Bucketed: true"),
+          s"$what confirm scan is not bucketed:\n$s")
+        val shuffledFrozen = plan.collect {
+          case e: Exchange if e.toString.contains("graft_frozen") => e
+        }
+        assert(shuffledFrozen.isEmpty,
+          s"$what confirm still shuffles the frozen side:\n$s")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      CurationStream.release(m)
+      graft.core.CacheScope.release()
+    }
   }
 
   test("DSIR statistics fold over a stream == monolithic weights, bit-exact") {
