@@ -12,12 +12,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    // AQE stays the library/cluster default (runtime re-planning, skew
-    // splitting), but in a single-JVM local[n] bench at sub-second query
-    // sizes its per-query-stage materialization turns each tiny exchange
-    // into an extra scheduled job — pure fixed overhead the cluster never
-    // sees proportionally. Benchable either way; default off HERE only.
-    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "false")
+    // AQE ON is the recorded headline mode (VERDICT r10 #7): it is the
+    // library/cluster default (runtime re-planning, skew splitting) and —
+    // measured at 3 samples since r10 — beats AQE-off on this suite
+    // (15.72s vs 18.41s at sf0.1). The AQE-off suite is still recorded as
+    // the secondary section (the fixed-plan baseline without per-stage
+    // materialization overheads), so both stories stay in the artifact.
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       // size(null) = null, matching DuckDB len() (default -1 would desync
@@ -106,21 +107,20 @@ object Bench {
     // round-6 measured the SAME code at 1.7s and 29s minutes apart under
     // host contention, so a third sample materially tightens the min.
     val results = runSuite(names, 3, "")
-    // Second recorded variant (VERDICT r7 #7): the same headline suite with
-    // AQE ON — documents the cluster-default story (runtime re-planning,
-    // skew splitting) that the AQE-off local default above deliberately
-    // avoids. 3 samples per query (min recorded): the r9 artifact's 2
-    // samples let one contended/warm-up sample read as a 2.7x "AQE
-    // regression" on s_srp_hamming/e_knn_ivf/e_knn_brute — re-measured
-    // idle at 3 samples, AQE-on mins match AQE-off mins within noise
-    // (both modes pay the same ~2.5x first-sample JIT warm-up). Skipped
-    // when the primary run is already AQE-on, or via
-    // SPARK_GRAFT_AQE_BOTH=false.
-    val aqeOnResults: Seq[(String, Seq[(Double, Boolean)])] =
-      if (aqe == "true" || sys.env.get("SPARK_GRAFT_AQE_BOTH").contains("false")) Nil
+    // Second recorded variant (VERDICT r7 #7, flipped r11 per r10 #7):
+    // the same headline suite in the OPPOSITE AQE mode — with the
+    // headline now AQE-on, this records the fixed-plan AQE-off baseline
+    // (and vice versa if the env overrides the primary to off). 3 samples
+    // per query (min + median recorded): the r9 artifact's 2 samples let
+    // one contended/warm-up sample read as a 2.7x "AQE regression" —
+    // re-measured idle at 3 samples the modes agree within noise.
+    // Skipped via SPARK_GRAFT_AQE_BOTH=false.
+    val altAqe = if (aqe == "true") "false" else "true"
+    val altResults: Seq[(String, Seq[(Double, Boolean)])] =
+      if (sys.env.get("SPARK_GRAFT_AQE_BOTH").contains("false")) Nil
       else {
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
-        val r = runSuite(names, 3, " (aqe)")
+        spark.conf.set("spark.sql.adaptive.enabled", altAqe)
+        val r = runSuite(names, 3, s" (aqe=$altAqe)")
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
         r
       }
@@ -206,36 +206,52 @@ object Bench {
       val ok = v.collect { case (s, true) => s }
       if (ok.isEmpty) None else Some(ok.min)
     }
-    def suiteJson(rs: Seq[(String, Seq[(Double, Boolean)])]): (String, String) = {
-      val qs = rs.map { case (k, v) =>
-        "\"" + k + "\":" + minOk(v).map(m => f"$m%.3f").getOrElse("null")
-      }.mkString("{", ",", "}")
-      val tot = f"${rs.flatMap { case (_, v) => minOk(v) }.sum}%.3f"
-      (qs, tot)
+    // median of the OK samples (VERDICT r10 #7): min is the
+    // scheduling-noise floor, but the ±35% drift seen on ~1s rows is only
+    // diagnosable when the artifact also shows the TYPICAL sample — a
+    // noisy query has median >> min, a genuinely slow one moves both.
+    def medianOk(v: Seq[(Double, Boolean)]): Option[Double] = {
+      val ok = v.collect { case (s, true) => s }.sorted
+      if (ok.isEmpty) None
+      else if (ok.length % 2 == 1) Some(ok(ok.length / 2))
+      else Some((ok(ok.length / 2 - 1) + ok(ok.length / 2)) / 2)
     }
-    val failedJson = (results.map(("" , _)) ++ aqeOnResults.map(("aqe:", _)) ++
+    def qmap(rs: Seq[(String, Seq[(Double, Boolean)])],
+             stat: Seq[(Double, Boolean)] => Option[Double]): String =
+      rs.map { case (k, v) =>
+        "\"" + k + "\":" + stat(v).map(m => f"$m%.3f").getOrElse("null")
+      }.mkString("{", ",", "}")
+    def suiteJson(rs: Seq[(String, Seq[(Double, Boolean)])]): (String, String, String) = {
+      val tot = f"${rs.flatMap { case (_, v) => minOk(v) }.sum}%.3f"
+      (qmap(rs, minOk), tot, qmap(rs, medianOk))
+    }
+    val failedJson = (results.map(("" , _)) ++ altResults.map(("aqe_alt:", _)) ++
         pipelineResults.map(("pipeline:", _)))
       .collect { case (pfx, (k, v)) if minOk(v).isEmpty => "\"" + pfx + k + "\"" }
       .mkString("[", ",", "]")
-    val (qs, total) = suiteJson(results)
+    val (qs, total, qMed) = suiteJson(results)
     val samplesJson = results.map { case (k, v) =>
       "\"" + k + "\":[" + v.map { case (s, ok) =>
         if (ok) f"$s%.3f" else "null" }.mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val altName = if (altAqe == "true") "aqe_on" else "aqe_off"
     val aqeJson =
-      if (aqeOnResults.isEmpty) ""
+      if (altResults.isEmpty) ""
       else {
-        val (aq, at) = suiteJson(aqeOnResults)
-        s""""aqe_on_queries":$aq,"aqe_on_total":$at,"""
+        val (aq, at, am) = suiteJson(altResults)
+        s""""${altName}_queries":$aq,"${altName}_total":$at,""" +
+          s""""${altName}_medians":$am,"""
       }
     val pipeJson =
       if (pipelineResults.isEmpty) ""
       else {
-        val (pq, pt) = suiteJson(pipelineResults)
-        s""""pipeline_queries":$pq,"pipeline_total":$pt,"""
+        val (pq, pt, pm) = suiteJson(pipelineResults)
+        s""""pipeline_queries":$pq,"pipeline_total":$pt,""" +
+          s""""pipeline_medians":$pm,"""
       }
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""query_medians":$qMed,""" +
         f""""samples":$samplesJson,$aqeJson$pipeJson"failed":$failedJson,""" +
         f""""calib_sec":$calib%.3f,""" +
         s""""calib_tries":$calibTries,"contended":$contended,""" +

@@ -402,6 +402,62 @@ object ScaleSmoke {
       packed.count()
     })
     graft.core.CacheScope.release()
+    // round-11 (VERDICT r10 #6): the round-10 PERSISTENCE paths at
+    // factor — the specs prove value-identity at fixture scale; these
+    // rows prove the load-and-serve path HOLDS at the 200x notch
+    // (1M docs / 400k vectors). IVF-PQ: fit on a third of the corpus
+    // (untimed — fit cost is priced by ivfpq_refined above), then time
+    // the deployment motion: save -> load -> ivfPqAdd of TWICE the fit
+    // corpus (the frozen-geometry encode is two row-local projections —
+    // must track the scan) -> search the extended index.
+    if (only.isEmpty ||
+        only.exists(o => "ivfpq_persist_add_search".startsWith(o))) {
+      val fitHalf = bigEmb.filter(col("vec_id") % 3 === 0)
+      val newVecs = bigEmb.filter(col("vec_id") % 3 =!= 0) // 2x the fit set
+      val mdl = Similarity.ivfPqFit(fitHalf, nlist = ivfCells, m = 4,
+        k = 16, dim = 64)
+      // materialize the fit outside the timed block
+      mdl.cells.count(); mdl.pq.codes.count()
+      val dir = java.nio.file.Files
+        .createTempDirectory("scale_ivfpq").toString
+      time("ivfpq_persist_add_search")({
+        Similarity.saveIvfPq(mdl, dir)
+        val loaded = Similarity.loadIvfPq(spark, dir)
+        val ext = Similarity.ivfPqAdd(loaded, newVecs)
+        Similarity.ivfPqSearch(ext, bigEmb.filter(col("vec_id") < 10),
+          topk = 5, m = 4, dim = 64).count()
+      })
+      graft.core.CacheScope.release()
+    }
+    // Frozen curation: freeze on the un-replicated base half + save
+    // (untimed — freeze cost is priced by frozen_curation_apply above),
+    // DROP the catalog entries to force load's fresh-session DDL attach
+    // over the shipped files (the cross-JVM path), then time
+    // load -> curateBatch over the full factor-x corpus. The apply
+    // number must track frozen_curation_apply: the bucketed confirm
+    // tables shuffle nothing on the frozen side.
+    if (only.isEmpty ||
+        only.exists(o => "frozen_curation_load_apply".startsWith(o))) {
+      val refHalf = base.filter(col("doc_id") % 2 === 0)
+      val frozen = graft.streaming.CurationStream.freeze(
+        refHalf, refHalf.filter(col("doc_id") % 31 === 0),
+        col("lang") === "en")
+      val fdir = java.nio.file.Files
+        .createTempDirectory("scale_frozen").toString
+      graft.streaming.CurationStream.save(frozen, fdir)
+      graft.streaming.CurationStream.release(frozen)
+      for (sfx <- Seq("eval", "seen"))
+        spark.sql("DROP TABLE IF EXISTS " +
+          graft.streaming.CurationStream.confirmTable(fdir, sfx))
+      time("frozen_curation_load_apply")({
+        val loaded = graft.streaming.CurationStream.load(spark, fdir)
+        val kept = graft.streaming.CurationStream
+          .curateBatch(docs, loaded).count()
+        graft.streaming.CurationStream.release(loaded)
+        kept
+      })
+      graft.core.CacheScope.release()
+    }
     spark.stop()
   }
 }

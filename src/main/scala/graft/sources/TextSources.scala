@@ -18,15 +18,25 @@ object TextSources {
     * `wholetext` gives one row per file; `input_file_name()` recovers the id
     * (the reference's sorted-walk order is irrelevant here — see Ids).
     */
-  /** Memo of the empty-file recovery listing, keyed by (dir, format).
-    * The recursive status scan is driver-side and runs on top of Spark's
-    * own InMemoryFileIndex listing; for a corpus of millions of files
-    * re-walking the tree on EVERY folder() call doubles the driver's
-    * listing cost, so the result (bounded by the number of EMPTY files,
-    * never the corpus size) is cached for the JVM's lifetime. A corpus
-    * dir that changes mid-session should pass `refreshEmptyScan = true`. */
-  private val emptyScanCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[String]]()
+  /** Memo of the empty-file recovery listing, keyed by (dir, format,
+    * fingerprint). The recursive status scan is driver-side and runs on
+    * top of Spark's own InMemoryFileIndex listing; for a corpus of
+    * millions of files re-walking + name-processing the tree on EVERY
+    * folder() call doubles the driver's listing cost, so the result
+    * (bounded by the number of EMPTY files, never the corpus size) is
+    * memoized. The key carries a CONTENT-SUMMARY FINGERPRINT
+    * (fileCount, directoryCount, total length — one metadata-only pass,
+    * no name regexing, no status object retention) so the cache
+    * SELF-INVALIDATES when the tree changes (ADVICE r10): a
+    * late-arriving or deleted empty file changes fileCount, a filled or
+    * emptied file changes length — the main scan and the empty-file
+    * recovery can no longer desync mid-session. `refreshEmptyScan =
+    * true` still forces a re-walk (belt: a same-name same-size swap of
+    * one empty file for another is fingerprint-invisible). Stale
+    * fingerprints' entries are dropped on replacement, so the map holds
+    * one entry per (dir, format). */
+  private val emptyScanCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), ((Long, Long, Long), Seq[String])]()
 
   def folder(spark: SparkSession, dir: String, format: String = "txt",
              refreshEmptyScan: Boolean = false): DataFrame = {
@@ -43,8 +53,8 @@ object TextSources {
     // the zero-length files from a Hadoop FS recursive listing (cached —
     // see emptyScanCache) and union them in.
     import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     def scan(): Seq[String] = {
-      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
       val suffix = raw"\.$format(\.gz)?$$".r
       val it = fs.listFiles(new Path(dir), true)
       Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
@@ -54,7 +64,10 @@ object TextSources {
     }
     val key = (dir, format)
     if (refreshEmptyScan) emptyScanCache.remove(key)
-    val emptyIds = emptyScanCache.computeIfAbsent(key, _ => scan())
+    val cs = fs.getContentSummary(new Path(dir))
+    val fp = (cs.getFileCount, cs.getDirectoryCount, cs.getLength)
+    val emptyIds = emptyScanCache.compute(key, (_, prev) =>
+      if (prev != null && prev._1 == fp) prev else (fp, scan()))._2
     import spark.implicits._
     if (emptyIds.isEmpty) raw
     else raw.unionByName(

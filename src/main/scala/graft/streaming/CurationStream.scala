@@ -223,7 +223,7 @@ object CurationStream {
   /** Stable catalog table name for a bucketed confirm table of the
     * artifact at `dir` (bucketed reads go through the catalog — a plain
     * parquet read would not know the bucketing). */
-  private def confirmTable(dir: String, suffix: String): String = {
+  private[graft] def confirmTable(dir: String, suffix: String): String = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
     s"graft_frozen_${digest.take(12)}_$suffix"

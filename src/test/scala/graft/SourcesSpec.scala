@@ -63,4 +63,36 @@ class SourcesSpec extends AnyFunSuite {
     val text = TextSources.bookstackText(stacks)
     assert(text.filter($"@id" === "p1").select("text").as[String].head() == "the cat sat")
   }
+
+  test("folder empty-file recovery self-invalidates on tree changes " +
+       "(ADVICE r10)") {
+    // the empty-file listing is memoized per (dir, format) with a
+    // content-summary fingerprint: a late-arriving empty file, a deleted
+    // empty file, or an empty file gaining content must all be picked up
+    // WITHOUT the manual refreshEmptyScan flag — the main scan re-lists
+    // per action, and the recovery path may not desync from it.
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("folder_inval").toString
+    Files.writeString(Paths.get(s"$dir/full.txt"), "some text")
+    Files.writeString(Paths.get(s"$dir/e1.txt"), "")
+    def ids() = TextSources.folder(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ids().keySet == Set("full", "e1"))
+    // late-arriving empty file (in a SUBDIR: the fingerprint must see
+    // nested changes, not just the top level)
+    Files.createDirectory(Paths.get(s"$dir/sub"))
+    Files.writeString(Paths.get(s"$dir/sub/e2.txt"), "")
+    assert(ids().keySet == Set("full", "e1", "e2"),
+      "late-arriving empty file was served from a stale cache")
+    // an empty file gains content: must move from recovery to main scan
+    // (exactly one row, with the text)
+    Files.writeString(Paths.get(s"$dir/e1.txt"), "now full")
+    val after = ids()
+    assert(after.keySet == Set("full", "e1", "e2"))
+    assert(after("e1") == "now full", "filled file still resurrected empty")
+    // deleted empty file: must not be resurrected
+    Files.delete(Paths.get(s"$dir/sub/e2.txt"))
+    assert(ids().keySet == Set("full", "e1"),
+      "deleted empty file resurrected from a stale cache")
+  }
 }
