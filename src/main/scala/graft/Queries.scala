@@ -3433,6 +3433,59 @@ object Queries {
         |CROSS JOIN cut WHERE cea.ce_micro <= cut.c
         |ORDER BY f.doc_id""".stripMargin)),
 
+    // Day-2 history advance (round 11): extendSeen folds a batch of
+    // accepted documents into the frozen seen-set — content-hash union
+    // plus a same-geometry Bloom merge (sketch algebra, no rebuild) — so
+    // tomorrow's batches dedup against everything accepted so far. The
+    // row runs the REAL operator chain (freeze -> extendSeen -> the
+    // curateBatch dedup stage: Bloom prune + exact confirm) over the
+    // day-2 arrivals (all odd ids; the %4==1 half replays day-1's
+    // accepted content, the %4==3 half is fresh) and emits a
+    // per-arriving-doc verdict. The oracle replays the hash-set union
+    // exactly: the Bloom is a no-false-negative prefilter, so the engine
+    // result equals the exact membership test.
+    "t_curation_advance" -> Q(
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val ref = docs.filter(col("doc_id") % 2 === 0)
+        val frozen = graft.streaming.CurationStream.freeze(
+          ref, ref.filter(col("doc_id") % 31 === 0), col("lang") === "en")
+        val cleaned = docs.select(col("doc_id"),
+          TextAnalysis.cleanText(col("text")).as("text"))
+        val day1 = cleaned.filter(col("doc_id") % 4 === 1)
+        val advanced =
+          graft.streaming.CurationStream.extendSeen(frozen, day1)
+        Seq(frozen.weights, frozen.evalShingles, frozen.evalBloom,
+          frozen.seenHashes, frozen.seenBloom, frozen.kn3LogProbs,
+          advanced.seenHashes, advanced.seenBloom)
+          .foreach(graft.core.CacheScope.track)
+        val day2 = cleaned.filter(col("doc_id") % 2 === 1)
+        val hashed = day2.withColumn("__h", md5(col("text")))
+        val dup = Sketches.bloomPrune(advanced.seenBloom,
+            hashed.select(col("doc_id"), col("__h")), "__h",
+            advanced.seenBloomBits, advanced.bloomHashes)
+          .join(advanced.seenHashes, col("__h") === col("h"))
+          .select("doc_id").distinct()
+          .withColumn("is_dup", lit(true))
+        day2.select("doc_id").join(dup, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("is_dup"), lit(false)).as("is_dup"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS MATERIALIZED (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(text,
+        |      '<[^>]*>', ' ', 'g'),
+        |      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+        |      '\\s+', ' ', 'g')) AS text
+        |  FROM documents),
+        |seen AS (SELECT md5(text) AS h FROM d
+        |    WHERE doc_id % 2 = 0 AND text IS NOT NULL
+        |  UNION SELECT md5(text) FROM d
+        |    WHERE doc_id % 4 = 1 AND text IS NOT NULL)
+        |SELECT doc_id,
+        |  coalesce(md5(text) IN (SELECT h FROM seen), FALSE) AS is_dup
+        |FROM d WHERE doc_id % 2 = 1 ORDER BY doc_id""".stripMargin)),
+
 
     // Bloom-filter incremental dedup: a 4096-bit / 5-hash seen-set built
     // over the first shard's content hashes (doc_id < 250 = "yesterday's

@@ -212,6 +212,46 @@ object CurationStream {
   }
 
 
+  /** Advance the frozen seen-set with a batch of ACCEPTED documents —
+    * the day-2 deployment operation: after curating a batch, fold its
+    * survivors' content hashes into the history so TOMORROW's batches
+    * dedup against everything accepted so far, not just the original
+    * reference corpus. Replaying an already-accepted document through
+    * [[curateBatch]] under the advanced model is then dropped at the
+    * dedup stage (spec-pinned; oracle row `t_curation_advance`).
+    *
+    * Scale shape: the hash union is one distinct over history ∪ batch
+    * (the batch side is batch-sized; the history side is the persisted
+    * table — no corpus rescan), and the Bloom advance is a word-wise
+    * [[Sketches.bloomMerge]] of the frozen filter with the batch's own
+    * filter at the SAME geometry — sketch algebra, no rebuild. Only the
+    * two seen-side artifacts change; every other frozen model is shared
+    * with the input (do not [[release]] both models — release the
+    * advanced one, which covers the shared tables).
+    *
+    * The Bloom geometry stays FROZEN at the size [[freeze]] measured, so
+    * its FP rate degrades as the accepted history outgrows the original
+    * sizing budget (bits / 10 keys): that crossing is detected from the
+    * MATERIALIZED new history count and logged loudly (no-silent-caps),
+    * the cue to re-freeze (which re-measures) — correctness never
+    * drifts, because the exact confirm join decides membership either
+    * way. */
+  def extendSeen(m: FrozenCuration, accepted: DataFrame,
+                 textCol: String = "text"): FrozenCuration = {
+    val newHashes = accepted.select(md5(col(textCol)).as("h"))
+      .filter(col("h").isNotNull).distinct()
+    val seen2 = m.seenHashes.unionByName(newHashes).distinct().persist()
+    val n2 = seen2.count() // materialize the advanced history once
+    if (n2 * 10L > m.seenBloomBits.toLong)
+      System.err.println(s"[extendSeen] seen history ($n2 keys) has " +
+        s"outgrown the frozen Bloom (${m.seenBloomBits} bits < 10/key): " +
+        "FP prune rate degrades — re-freeze to re-measure geometry")
+    val seenBloom2 = Sketches.bloomMerge(Seq(m.seenBloom,
+        Sketches.bloomBuild(newHashes, "h", m.seenBloomBits, m.bloomHashes)))
+      .persist()
+    m.copy(seenHashes = seen2, seenBloom = seenBloom2)
+  }
+
   /** Unpersist every frozen artifact (model tables included) — the
     * explicit end-of-stream counterpart of the plain persists in
     * [[freeze]]. Safe at any point; unpersisted tables recompute. */

@@ -576,6 +576,55 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("extendSeen advances the history: replayed accepted docs drop, " +
+       "fresh docs unaffected (round 11)") {
+    import graft.streaming.CurationStream
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val frozen = CurationStream.freeze(
+      ref, ref.filter(col("doc_id") % 31 === 0), col("lang") === "en")
+    // day 1: curate the %4==1 shard, accept its survivors into history
+    val day1 = CurationStream
+      .curateBatch(docs.filter(col("doc_id") % 4 === 1), frozen)
+      .select(col("doc_id"), col("text")).persist()
+    val day1Ids = day1.collect().map(_.getLong(0)).toSet
+    assert(day1Ids.nonEmpty, "day-1 batch accepted nothing — vacuous test")
+    val advanced = CurationStream.extendSeen(frozen, day1)
+    // geometry is frozen: same bits/hashes, merged filter stays in-bounds
+    assert(advanced.seenBloomBits == frozen.seenBloomBits)
+    assert(advanced.seenBloom.count() <= advanced.seenBloomBits / 32)
+    // replaying day-1's accepted docs under the ADVANCED model: all
+    // dropped at the dedup stage (their content is now history)
+    val replay = CurationStream.curateBatch(day1, advanced)
+    assert(replay.count() == 0, "accepted content re-accepted on replay")
+    // ...but under the ORIGINAL model they'd still pass (the advance is
+    // in the model, not the data)
+    assert(CurationStream.curateBatch(day1, frozen).count() ==
+      day1Ids.size)
+    // fresh day-2 docs (%4==3): identical verdicts under both models
+    // except docs whose text equals some day-1 accepted text
+    val fresh = docs.filter(col("doc_id") % 4 === 3)
+    val underFrozen = CurationStream.curateBatch(fresh, frozen)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val underAdvanced = CurationStream.curateBatch(fresh, advanced)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(underAdvanced.subsetOf(underFrozen))
+    val day1Texts = day1.collect().map(_.getString(1)).toSet
+    val removed = underFrozen -- underAdvanced
+    val removedTexts = fresh
+      .withColumn("ct", graft.operators.TextAnalysis.cleanText(col("text")))
+      .filter(col("doc_id").isInCollection(
+        if (removed.isEmpty) Set(-1L) else removed))
+      .collect().map(_.getAs[String]("ct")).toSet
+    assert(removedTexts.subsetOf(day1Texts),
+      "advance changed a verdict for content NOT in the accepted history")
+    day1.unpersist(blocking = false)
+    CurationStream.release(advanced)
+    CurationStream.release(frozen)
+    graft.core.CacheScope.release()
+  }
+
   test("DSIR statistics fold over a stream == monolithic weights, bit-exact") {
     // the ONLINE half of the incremental-maintenance family
     // (t_dsir_incremental proves the batch merge; this proves the same
