@@ -252,6 +252,49 @@ object CurationStream {
     m.copy(seenHashes = seen2, seenBloom = seenBloom2)
   }
 
+  /** Persist an [[extendSeen]]-style history advance INTO a [[save]]d
+    * artifact directory as a batch-sized APPEND — the day-2 counterpart
+    * of save(): re-running save() on an advanced model rewrites the
+    * whole history-sized seen table, but a 100TB deployment's daily
+    * delta is batch-sized, so this appends only the NEW hashes (an
+    * anti-join against the stored table keeps the append idempotent and
+    * the stored set distinct) into the SAME bucketed table — Spark
+    * bucket-appends new per-bucket files, so the co-located confirm-join
+    * property of [[save]] survives every delta — and overwrites the
+    * (word-count-bounded) seen Bloom with the merged filter. A model
+    * [[load]]ed afterwards is value-identical to extendSeen applied
+    * in-memory: the artifact advances with the history. */
+  def saveSeenDelta(m: FrozenCuration, dir: String,
+                    accepted: DataFrame,
+                    textCol: String = "text"): Unit = {
+    val spark = accepted.sparkSession
+    val table = confirmTable(dir, "seen")
+    require(spark.catalog.tableExists(table),
+      s"no saved artifact at $dir (run save() once before deltas)")
+    // EAGER lineage cut, not a persist: the delta's anti-join reads the
+    // very table the append below mutates, so a lazily re-evaluated plan
+    // (cache eviction, a second action) after the append would see its
+    // own rows as already-stored and build an EMPTY Bloom delta — the
+    // checkpoint freezes the pre-append row set for both consumers
+    val newHashes = accepted.select(md5(col(textCol)).as("h"))
+      .filter(col("h").isNotNull).distinct()
+      .join(spark.table(table), Seq("h"), "left_anti")
+      .localCheckpoint(true)
+    if (newHashes.count() > 0) {
+      // insertInto appends bucket-encoded files under the table's own
+      // bucketing spec — the frozen side stays exchange-free
+      newHashes.write.mode("append").insertInto(table)
+      Sketches.bloomMerge(Seq(
+          spark.read.parquet(s"$dir/seen_bloom"),
+          Sketches.bloomBuild(newHashes, "h", m.seenBloomBits,
+            m.bloomHashes)))
+        // the merged filter must be fully materialized before the
+        // overwrite deletes its own input files
+        .localCheckpoint(true)
+        .write.mode("overwrite").parquet(s"$dir/seen_bloom")
+    }
+  }
+
   /** Unpersist every frozen artifact (model tables included) — the
     * explicit end-of-stream counterpart of the plain persists in
     * [[freeze]]. Safe at any point; unpersisted tables recompute. */

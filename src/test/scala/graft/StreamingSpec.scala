@@ -625,6 +625,65 @@ class StreamingSpec extends AnyFunSuite {
     graft.core.CacheScope.release()
   }
 
+  test("saveSeenDelta: batch-sized artifact advance == in-memory " +
+       "extendSeen; bucketing survives the append (round 11)") {
+    import graft.streaming.CurationStream
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val frozen = CurationStream.freeze(
+      ref, ref.filter(col("doc_id") % 31 === 0), col("lang") === "en")
+    val dir = java.nio.file.Files.createTempDirectory("frozen_delta").toString
+    CurationStream.save(frozen, dir)
+    // day 1: accept the cleaned %4==1 shard, advance the ARTIFACT
+    val day1 = docs.filter(col("doc_id") % 4 === 1)
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.cleanText(col("text")).as("text"))
+    CurationStream.saveSeenDelta(frozen, dir, day1)
+    // idempotence: replaying the same delta appends nothing
+    val before = spark.table(
+      CurationStream.confirmTable(dir, "seen")).count()
+    CurationStream.saveSeenDelta(frozen, dir, day1)
+    assert(spark.table(CurationStream.confirmTable(dir, "seen")).count()
+      == before, "replayed delta duplicated stored hashes")
+    // a loaded model equals extendSeen applied in-memory
+    val advanced = CurationStream.extendSeen(frozen, day1)
+    val loaded = CurationStream.load(spark, dir)
+    assert(loaded.seenHashes.collect().map(_.getString(0)).sorted.toSeq ==
+      advanced.seenHashes.collect().map(_.getString(0)).sorted.toSeq)
+    assert(loaded.seenBloom.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      advanced.seenBloom.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // and curates identically: day-1 replays drop under the loaded model
+    assert(CurationStream.curateBatch(day1, loaded).count() == 0)
+    // the appended table still reads BUCKETED (co-located confirm joins)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val probe = docs.select(md5(col("text")).as("__h"), col("doc_id"))
+        .join(loaded.seenHashes, col("__h") === col("h"))
+      probe.count()
+      val plan = probe.queryExecution.executedPlan
+      assert(plan.toString.contains("Bucketed: true"),
+        "appended seen table lost its bucketed scan")
+      val shuffledFrozen = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange
+          if e.toString.contains("graft_frozen") => e
+      }
+      assert(shuffledFrozen.isEmpty, "appended seen table got re-shuffled")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+    CurationStream.release(advanced)
+    CurationStream.release(frozen)
+    CurationStream.release(loaded)
+    graft.core.CacheScope.release()
+  }
+
   test("DSIR statistics fold over a stream == monolithic weights, bit-exact") {
     // the ONLINE half of the incremental-maintenance family
     // (t_dsir_incremental proves the batch merge; this proves the same
