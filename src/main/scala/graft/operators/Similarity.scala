@@ -974,6 +974,22 @@ object Similarity {
   def ivfPqAdd(model: IvfPq.Model, newVectors: DataFrame, m: Int = -1,
                dim: Int = -1, idCol: String = "vec_id",
                vecCol: String = "embedding"): IvfPq.Model = {
+    val (cellsDelta, codesDelta) =
+      ivfPqEncodeDelta(model, newVectors, m, dim, idCol, vecCol)
+    IvfPq.Model(
+      model.cells.unionByName(cellsDelta),
+      model.centroids,
+      Pq.Model(model.pq.codes.unionByName(codesDelta), model.pq.codebooks))
+  }
+
+  /** The encode stage of [[ivfPqAdd]], exposed as the DELTA rows alone —
+    * what an incremental artifact update appends ([[addToSavedIvfPq]]).
+    * Returns ((id, cell), (id, sub, code, dist_sq)) for exactly the
+    * not-yet-indexed input ids. */
+  private[graft] def ivfPqEncodeDelta(model: IvfPq.Model,
+      newVectors: DataFrame, m: Int = -1, dim: Int = -1,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): (DataFrame, DataFrame) = {
     require(model.centroids.nonEmpty, "cannot add to an empty index")
     require(model.pq.codebooks.nonEmpty, "cannot add to an untrained index")
     val modelM = model.pq.codebooks.map(_._1).max + 1
@@ -1017,10 +1033,33 @@ object Similarity {
         .filter(_._1 == s).map(t => (t._2, t._3)).toIndexedSeq)
     val newCodes = assignSubCodes(subbed, cb, modelM)
       .select(col("id"), col("sub"), col("code"), col("dist_sq"))
-    IvfPq.Model(
-      model.cells.unionByName(assigned.select("id", "cell")),
-      cents,
-      Pq.Model(model.pq.codes.unionByName(newCodes), model.pq.codebooks))
+    (assigned.select("id", "cell"), newCodes)
+  }
+
+  /** Persist an index ADD into a [[saveIvfPq]] directory as a
+    * batch-sized APPEND — the [[graft.streaming.CurationStream.saveSeenDelta]]
+    * pattern for the ANN artifact: re-running saveIvfPq after every add
+    * rewrites the corpus-sized cells/codes tables, but the daily growth
+    * is batch-sized, so this encodes the new vectors under the STORED
+    * frozen geometry and appends only their delta rows. The anti-join
+    * inside the encode keeps replayed batches idempotent, and the eager
+    * checkpoint freezes the delta before the append mutates the very
+    * files its anti-join read. Returns the reloaded extended index
+    * (value-identical to [[ivfPqAdd]] on the loaded model, spec-pinned). */
+  def addToSavedIvfPq(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, newVectors: DataFrame,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): IvfPq.Model = {
+    val model = loadIvfPq(spark, dir)
+    val (cellsDelta, codesDelta) =
+      ivfPqEncodeDelta(model, newVectors, idCol = idCol, vecCol = vecCol)
+    val cd = cellsDelta.localCheckpoint(true)
+    val kd = codesDelta.localCheckpoint(true)
+    if (cd.count() > 0) {
+      cd.write.mode("append").parquet(s"$dir/cells")
+      kd.write.mode("append").parquet(s"$dir/codes")
+    }
+    loadIvfPq(spark, dir)
   }
 
   /** Search: each query coarse-assigns to its nearest cell, residualizes

@@ -583,6 +583,38 @@ class SimilaritySpec extends AnyFunSuite {
       Seq(8L -> true, 9L -> false)).toMap)
   }
 
+  test("addToSavedIvfPq: batch-sized artifact growth == in-memory add, " +
+       "idempotent on replay (round 11)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val m = 16
+    val even = emb.filter($"vec_id" % 2 === 0)
+    val odd = emb.filter($"vec_id" % 2 === 1)
+    val model = Similarity.ivfPqFit(even, nlist = 4, m = m, k = 32,
+      dim = 64, coarseIters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_delta").toString
+    Similarity.saveIvfPq(model, dir)
+    val inMem = Similarity.ivfPqAdd(model, odd)
+    val viaDelta = Similarity.addToSavedIvfPq(spark, dir, odd)
+    def cellsOf(mm: Similarity.IvfPq.Model) = mm.cells.collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    def codesOf(mm: Similarity.IvfPq.Model) = mm.pq.codes.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(cellsOf(viaDelta) == cellsOf(inMem))
+    assert(codesOf(viaDelta) == codesOf(inMem))
+    // replayed delta appends nothing (the stored cells anti-join the ids)
+    val replay = Similarity.addToSavedIvfPq(spark, dir, odd)
+    assert(replay.cells.count() == viaDelta.cells.count())
+    assert(replay.pq.codes.count() == viaDelta.pq.codes.count())
+    // and the grown artifact searches identically to the in-memory add
+    def res(mm: Similarity.IvfPq.Model) =
+      Similarity.ivfPqSearch(mm, emb.filter($"vec_id" < 20),
+          topk = 5, m = m, dim = 64, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))).toSet
+    assert(res(replay) == res(inMem))
+    graft.core.CacheScope.release()
+  }
+
   test("pca-grid cells are partition-invariant integers (VERDICT r10 #4)") {
     // Cell assignment is a deterministic function of the data by
     // construction: snapped integer operands, per-row sums under 2^53.
