@@ -252,6 +252,14 @@ object CurationStream {
     m.copy(seenHashes = seen2, seenBloom = seenBloom2)
   }
 
+  /** Unpersist ONLY the seen-side artifacts of a model — what a daily
+    * [[extendSeen]] loop calls on each SUPERSEDED model once the advanced
+    * one is in service (the other frozen tables are shared between the
+    * two, so a full [[release]] of the old model would evict the new
+    * one's weights/eval/KN3 artifacts out from under it). */
+  def releaseSeenSide(m: FrozenCuration): Unit =
+    Seq(m.seenHashes, m.seenBloom).foreach(_.unpersist(blocking = false))
+
   /** Persist an [[extendSeen]]-style history advance INTO a [[save]]d
     * artifact directory as a batch-sized APPEND — the day-2 counterpart
     * of save(): re-running save() on an advanced model rewrites the
@@ -268,9 +276,16 @@ object CurationStream {
                     accepted: DataFrame,
                     textCol: String = "text"): Unit = {
     val spark = accepted.sparkSession
-    val table = confirmTable(dir, "seen")
-    require(spark.catalog.tableExists(table),
+    // fresh-session friendly: attach the stored bucketed table if this
+    // JVM never ran save()/load() — a day-2 delta job must not require
+    // the day-1 session's catalog
+    require(new java.io.File(s"$dir/meta").exists(),
       s"no saved artifact at $dir (run save() once before deltas)")
+    val nb = spark.read.parquet(s"$dir/meta").head()
+      .getAs[Int]("confirm_buckets")
+    attachConfirmTable(spark, dir, "seen", "seen_hashes", "h STRING",
+      "h", nb)
+    val table = confirmTable(dir, "seen")
     // EAGER lineage cut, not a persist: the delta's anti-join reads the
     // very table the append below mutates, so a lazily re-evaluated plan
     // (cache eviction, a second action) after the append would see its
@@ -310,6 +325,24 @@ object CurationStream {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
     s"graft_frozen_${digest.take(12)}_$suffix"
+  }
+
+  /** Catalog-attach one bucketed confirm table of the artifact at `dir`
+    * — shared by [[load]] and [[saveSeenDelta]] so a FRESH session can
+    * run either without the other. The path literal is quote-escaped
+    * (a directory name with a `'` must not break — or inject into — the
+    * DDL). */
+  private def attachConfirmTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String, suffix: String, name: String, ddl: String, key: String,
+      buckets: Int): DataFrame = {
+    val table = confirmTable(dir, suffix)
+    if (!spark.catalog.tableExists(table)) {
+      val loc = s"$dir/$name".replace("'", "''")
+      spark.sql(s"CREATE TABLE $table ($ddl) USING PARQUET " +
+        s"CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS " +
+        s"LOCATION '$loc'")
+    }
+    spark.table(table)
   }
 
   /** Persist a frozen model to `dir` as files: six parquet tables + a
@@ -367,14 +400,8 @@ object CurationStream {
       spark.read.parquet(s"$dir/$name").persist()
     val nb = meta.getAs[Int]("confirm_buckets")
     def bucketed(suffix: String, name: String, ddl: String,
-                 key: String): DataFrame = {
-      val table = confirmTable(dir, suffix)
-      if (!spark.catalog.tableExists(table))
-        spark.sql(s"CREATE TABLE $table ($ddl) USING PARQUET " +
-          s"CLUSTERED BY ($key) SORTED BY ($key) INTO $nb BUCKETS " +
-          s"LOCATION '$dir/$name'")
-      spark.table(table)
-    }
+                 key: String): DataFrame =
+      attachConfirmTable(spark, dir, suffix, name, ddl, key, nb)
     FrozenCuration(
       weights = t("weights"),
       numBuckets = meta.getAs[Int]("num_buckets"),

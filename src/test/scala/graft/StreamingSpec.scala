@@ -635,6 +635,12 @@ class StreamingSpec extends AnyFunSuite {
       ref, ref.filter(col("doc_id") % 31 === 0), col("lang") === "en")
     val dir = java.nio.file.Files.createTempDirectory("frozen_delta").toString
     CurationStream.save(frozen, dir)
+    // FRESH-SESSION shape: drop the save-session catalog entries so the
+    // delta job must attach the stored bucketed table from disk itself
+    // (a day-2 job in a new JVM has no day-1 catalog)
+    for (sfx <- Seq("eval", "seen"))
+      spark.sql("DROP TABLE IF EXISTS " +
+        CurationStream.confirmTable(dir, sfx))
     // day 1: accept the cleaned %4==1 shard, advance the ARTIFACT
     val day1 = docs.filter(col("doc_id") % 4 === 1)
       .select(col("doc_id"),
@@ -726,9 +732,14 @@ class StreamingSpec extends AnyFunSuite {
           // frame: the batch frame dies with the micro-batch)
           if (rows.nonEmpty) {
             import spark.implicits._
-            model = CurationStream.extendSeen(model,
+            val next = CurationStream.extendSeen(model,
               rows.map(r => (r.getLong(0), r.getString(1))).toSeq
                 .toDF("doc_id", "text"))
+            // the superseded model's seen-side persists are dead weight
+            // once the advance is in service — but never the FROZEN
+            // model's own (the non-vacuity contrast below still needs it)
+            if (model ne frozen) CurationStream.releaseSeenSide(model)
+            model = next
           }
           graft.core.CacheScope.release() // not the frozen/advanced models
           batches += 1
