@@ -456,6 +456,23 @@ object ScaleSmoke {
         graft.streaming.CurationStream.release(loaded)
         kept
       })
+      // the day-2 advance at factor: fold a 100k-doc accepted batch
+      // (distinct token-salted content, so the delta is genuinely new)
+      // into the SAVED artifact — one anti-join + bucket-append + Bloom
+      // merge; must be batch-cost, nowhere near the freeze/apply numbers
+      time("curation_advance_delta")({
+        val accepted = docs.filter(col("doc_id") % 10 === 3)
+          .limit(100000)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" zz"),
+              col("doc_id").cast("string")).as("text"))
+        val loaded = graft.streaming.CurationStream.load(spark, fdir)
+        graft.streaming.CurationStream.saveSeenDelta(loaded, fdir, accepted)
+        val n = spark.table(graft.streaming.CurationStream
+          .confirmTable(fdir, "seen")).count()
+        graft.streaming.CurationStream.release(loaded)
+        n
+      })
       graft.core.CacheScope.release()
     }
     spark.stop()
