@@ -296,9 +296,14 @@ object CurationStream {
       .join(spark.table(table), Seq("h"), "left_anti")
       .localCheckpoint(true)
     if (newHashes.count() > 0) {
-      // insertInto appends bucket-encoded files under the table's own
-      // bucketing spec — the frozen side stays exchange-free
-      newHashes.write.mode("append").insertInto(table)
+      // CRASH ORDERING: Bloom FIRST, hashes second. A failure between
+      // the two then leaves a filter with bits for hashes not yet
+      // stored — false POSITIVES only, which the exact confirm kills —
+      // and a re-run of the same delta repairs it (the anti-join still
+      // sees the hashes missing and re-appends; the Bloom re-merge is
+      // idempotent). The reverse order would leave stored hashes the
+      // filter doesn't know — false NEGATIVES, i.e. accepted duplicates,
+      // with nothing downstream to catch them.
       Sketches.bloomMerge(Seq(
           spark.read.parquet(s"$dir/seen_bloom"),
           Sketches.bloomBuild(newHashes, "h", m.seenBloomBits,
@@ -307,6 +312,9 @@ object CurationStream {
         // overwrite deletes its own input files
         .localCheckpoint(true)
         .write.mode("overwrite").parquet(s"$dir/seen_bloom")
+      // insertInto appends bucket-encoded files under the table's own
+      // bucketing spec — the frozen side stays exchange-free
+      newHashes.write.mode("append").insertInto(table)
     }
   }
 
