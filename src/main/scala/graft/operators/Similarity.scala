@@ -836,23 +836,63 @@ object Similarity {
     * the directory, [[loadIvfPq]] + search anywhere. Doubles round-trip
     * parquet bit-exactly, so a loaded index searches value-identically
     * (spec-proven). */
-  def saveIvfPq(model: IvfPq.Model, dir: String): Unit = {
+  /** Stable catalog name for a bucketed index table of the artifact at
+    * `dir` (bucketed reads go through the catalog). */
+  private[graft] def ivfPqTable(dir: String, suffix: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"graft_ivfpq_${digest.take(12)}_$suffix"
+  }
+
+  /** Persist an index. The two CORPUS-SIZED tables (`cells`, `codes`)
+    * are written BUCKETED + sorted on `id` (the curation confirm-table
+    * pattern): every [[ivfPqSearch]] starts with the inverted-file read
+    * `codes JOIN cells ON id` — with both sides co-bucketed that join
+    * plans with NO Exchange on either corpus-sized side for a LOADED
+    * index, and [[ivfPqEncodeDelta]]'s already-indexed anti-join stops
+    * re-shuffling the stored cells per add. Geometry tables
+    * (centroids/codebooks) and a one-row meta (bucket count) ship as
+    * plain parquet. Size `buckets` so one bucket of codes fits an
+    * executor core (32 covers testdata; think 32k at 10^10 vectors). */
+  def saveIvfPq(model: IvfPq.Model, dir: String, buckets: Int = 32): Unit = {
     val spark = model.cells.sparkSession
     import spark.implicits._
-    model.cells.write.mode("overwrite").parquet(s"$dir/cells")
-    model.pq.codes.write.mode("overwrite").parquet(s"$dir/codes")
+    graft.core.Bucketing.writeBucketed(model.cells,
+      ivfPqTable(dir, "cells"), s"$dir/cells", "id", buckets)
+    graft.core.Bucketing.writeBucketed(model.pq.codes,
+      ivfPqTable(dir, "codes"), s"$dir/codes", "id", buckets)
     model.centroids.map { case (ci, v) => (ci, v.toSeq) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     model.pq.codebooks.map { case (sub, code, v) => (sub, code, v.toSeq) }
       .toDF("sub", "code", "codeword")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    Seq(buckets).toDF("buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Catalog-attach one bucketed index table in a fresh session; the
+    * column DDL comes from the parquet footer itself, so string-id and
+    * long-id indexes both round-trip (the id-type-agnostic contract). */
+  private def attachIvfPqTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String, suffix: String, buckets: Int): DataFrame = {
+    val table = ivfPqTable(dir, suffix)
+    if (!spark.catalog.tableExists(table)) {
+      val ddl = spark.read.parquet(s"$dir/$suffix").schema.toDDL
+      val loc = s"$dir/$suffix".replace("'", "''")
+      spark.sql(s"CREATE TABLE $table ($ddl) USING PARQUET " +
+        s"CLUSTERED BY (id) SORTED BY (id) INTO $buckets BUCKETS " +
+        s"LOCATION '$loc'")
+    }
+    spark.table(table)
   }
 
   /** Load a [[saveIvfPq]]-persisted index. The driver-side halves are
     * collected back (bounded by nlist x dim and m x k x dsub — index
-    * geometry, never corpus size); the corpus-sized tables stay lazy
-    * parquet scans until a search touches them. */
+    * geometry, never corpus size); the corpus-sized tables come back as
+    * BUCKETED catalog scans (attached via DDL in a fresh session), kept
+    * lazy until a search touches them. Pre-round-11 artifacts (no meta
+    * file) load as plain parquet. */
   def loadIvfPq(spark: org.apache.spark.sql.SparkSession,
                 dir: String): IvfPq.Model = {
     val centroids = spark.read.parquet(s"$dir/centroids")
@@ -863,8 +903,15 @@ object Similarity {
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
       .sortBy(t => (t._1, t._2)).toSeq
-    IvfPq.Model(spark.read.parquet(s"$dir/cells"), centroids,
-      Pq.Model(spark.read.parquet(s"$dir/codes"), codebooks))
+    val (cells, codes) =
+      if (new java.io.File(s"$dir/meta").exists()) {
+        val nb = spark.read.parquet(s"$dir/meta").head().getInt(0)
+        (attachIvfPqTable(spark, dir, "cells", nb),
+          attachIvfPqTable(spark, dir, "codes", nb))
+      } else
+        (spark.read.parquet(s"$dir/cells"),
+          spark.read.parquet(s"$dir/codes"))
+    IvfPq.Model(cells, centroids, Pq.Model(codes, codebooks))
   }
 
   /** Cells ranked by exact integer squared-L2 to literal micro-int
@@ -1050,14 +1097,21 @@ object Similarity {
                       dir: String, newVectors: DataFrame,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): IvfPq.Model = {
-    val model = loadIvfPq(spark, dir)
+    val model = loadIvfPq(spark, dir) // attaches bucketed tables if needed
     val (cellsDelta, codesDelta) =
       ivfPqEncodeDelta(model, newVectors, idCol = idCol, vecCol = vecCol)
     val cd = cellsDelta.localCheckpoint(true)
     val kd = codesDelta.localCheckpoint(true)
     if (cd.count() > 0) {
-      cd.write.mode("append").parquet(s"$dir/cells")
-      kd.write.mode("append").parquet(s"$dir/codes")
+      if (new java.io.File(s"$dir/meta").exists()) {
+        // bucket-encoded append: the grown table keeps its co-located
+        // join property (each delta adds per-bucket files, no rewrite)
+        cd.write.mode("append").insertInto(ivfPqTable(dir, "cells"))
+        kd.write.mode("append").insertInto(ivfPqTable(dir, "codes"))
+      } else { // pre-round-11 plain-parquet artifact
+        cd.write.mode("append").parquet(s"$dir/cells")
+        kd.write.mode("append").parquet(s"$dir/codes")
+      }
     }
     loadIvfPq(spark, dir)
   }

@@ -615,6 +615,54 @@ class SimilaritySpec extends AnyFunSuite {
     graft.core.CacheScope.release()
   }
 
+  test("loaded IVF-PQ index: codes-cells inverted-file join plans with " +
+       "NO Exchange on either corpus-sized side (round 11)") {
+    // every search starts with codes JOIN cells ON id over the two
+    // corpus-sized tables; save() co-buckets them on id so a LOADED
+    // index reads that join co-located — only geometry (broadcast dtab)
+    // and the output-sized per-query aggregate shuffle.
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val m = 16
+    val model = Similarity.ivfPqFit(emb, nlist = 4, m = m, k = 32,
+      dim = 64, coarseIters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_bkt").toString
+    Similarity.saveIvfPq(model, dir)
+    // fresh-session shape: drop the save-session catalog entries so
+    // load must attach from disk (schema from the parquet footer)
+    for (sfx <- Seq("cells", "codes"))
+      spark.sql("DROP TABLE IF EXISTS " + Similarity.ivfPqTable(dir, sfx))
+    val loaded = Similarity.loadIvfPq(spark, dir)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val joined = loaded.pq.codes.join(loaded.cells, Seq("id"))
+      joined.count()
+      val plan = joined.queryExecution.executedPlan
+      assert(plan.toString.contains("Bucketed: true"),
+        s"loaded index tables not bucketed:\n$plan")
+      val shuffled = plan.collect {
+        case e: Exchange if e.toString.contains("graft_ivfpq") => e
+      }
+      assert(shuffled.isEmpty,
+        s"inverted-file join still shuffles a corpus-sized side:\n$plan")
+      // and the full search over the loaded index returns the in-memory
+      // model's exact rows (value-identity under the bucketed layout)
+      def res(mm: Similarity.IvfPq.Model) =
+        Similarity.ivfPqSearch(mm, emb.filter($"vec_id" < 20),
+            topk = 5, m = m, dim = 64, nprobe = 2)
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getLong(2), r.getLong(3))).toSet
+      assert(res(loaded) == res(model))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+    graft.core.CacheScope.release()
+  }
+
   test("pca-grid cells are partition-invariant integers (VERDICT r10 #4)") {
     // Cell assignment is a deterministic function of the data by
     // construction: snapped integer operands, per-row sums under 2^53.
