@@ -252,6 +252,25 @@ object CurationStream {
     m.copy(seenHashes = seen2, seenBloom = seenBloom2)
   }
 
+  /** Rebuild the stored seen Bloom from the stored hash table — the
+    * recovery path for the one non-atomic step in [[saveSeenDelta]]
+    * (the filter overwrite): the Bloom is DERIVED state, so a torn or
+    * lost `seen_bloom` directory is repaired by one pass over the
+    * bucketed hash table at the artifact's frozen geometry. Also the
+    * honest answer to filter saturation without a full re-freeze: the
+    * geometry stays what the meta records (re-freeze to re-measure). */
+  def rebuildSeenBloom(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): Unit = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val nb = meta.getAs[Int]("confirm_buckets")
+    val seen = attachConfirmTable(spark, dir, "seen", "seen_hashes",
+      "h STRING", "h", nb)
+    Sketches.bloomBuild(seen, "h", meta.getAs[Int]("seen_bloom_bits"),
+        meta.getAs[Int]("bloom_hashes"))
+      .localCheckpoint(true)
+      .write.mode("overwrite").parquet(s"$dir/seen_bloom")
+  }
+
   /** Unpersist ONLY the seen-side artifacts of a model — what a daily
     * [[extendSeen]] loop calls on each SUPERSEDED model once the advanced
     * one is in service (the other frozen tables are shared between the

@@ -774,6 +774,40 @@ class StreamingSpec extends AnyFunSuite {
     graft.core.CacheScope.release()
   }
 
+  test("rebuildSeenBloom recovers a destroyed filter from the hash table " +
+       "(round 11)") {
+    // the Bloom is derived state: wipe seen_bloom entirely (the torn-
+    // overwrite worst case) and rebuild it from the bucketed hash table
+    // at the meta's frozen geometry — the filter must come back
+    // word-for-word (bloomBuild is deterministic in the hashes).
+    import graft.streaming.CurationStream
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val frozen = CurationStream.freeze(
+      ref, ref.filter(col("doc_id") % 31 === 0), col("lang") === "en")
+    val dir = java.nio.file.Files.createTempDirectory("bloom_rec").toString
+    CurationStream.save(frozen, dir)
+    val day1 = docs.filter(col("doc_id") % 4 === 1)
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.cleanText(col("text")).as("text"))
+    CurationStream.saveSeenDelta(frozen, dir, day1)
+    def words() = spark.read.parquet(s"$dir/seen_bloom").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = words()
+    // destroy the filter
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(s"$dir/seen_bloom")).deleteRecursively()
+    CurationStream.rebuildSeenBloom(spark, dir)
+    assert(words() == expected, "rebuilt Bloom differs from the original")
+    // and a model loaded after recovery still curates: day-1 replays drop
+    val loaded = CurationStream.load(spark, dir)
+    assert(CurationStream.curateBatch(day1, loaded).count() == 0)
+    CurationStream.release(loaded)
+    CurationStream.release(frozen)
+    graft.core.CacheScope.release()
+  }
+
   test("DSIR statistics fold over a stream == monolithic weights, bit-exact") {
     // the ONLINE half of the incremental-maintenance family
     // (t_dsir_incremental proves the batch merge; this proves the same
