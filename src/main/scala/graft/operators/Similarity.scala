@@ -1097,7 +1097,15 @@ object Similarity {
                       dir: String, newVectors: DataFrame,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): IvfPq.Model = {
-    val model = loadIvfPq(spark, dir) // attaches bucketed tables if needed
+    // resolve the catalog tables through the BATCH's own session, not
+    // the caller's: inside foreachBatch the batch frame lives in a
+    // CLONED SparkSession, and a table relation cached by the outer
+    // session is not invalidated by the clone's insertInto — the next
+    // delta's anti-join (and the returned model) would read a stale file
+    // listing and silently re-append or miss rows (found by the
+    // streaming ANN-growth spec: codes froze at the fit size).
+    val ss = newVectors.sparkSession
+    val model = loadIvfPq(ss, dir) // attaches bucketed tables if needed
     val (cellsDelta, codesDelta) =
       ivfPqEncodeDelta(model, newVectors, idCol = idCol, vecCol = vecCol)
     val cd = cellsDelta.localCheckpoint(true)
@@ -1113,7 +1121,7 @@ object Similarity {
         kd.write.mode("append").parquet(s"$dir/codes")
       }
     }
-    loadIvfPq(spark, dir)
+    loadIvfPq(ss, dir)
   }
 
   /** Search: each query coarse-assigns to its nearest cell, residualizes

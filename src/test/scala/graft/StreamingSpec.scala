@@ -774,6 +774,61 @@ class StreamingSpec extends AnyFunSuite {
     graft.core.CacheScope.release()
   }
 
+  test("streaming ANN growth: addToSavedIvfPq per micro-batch == one " +
+       "batch add (round 11)") {
+    // the ANN day-loop: vectors arrive as a stream, each micro-batch is
+    // encoded under the SAVED frozen geometry and appended to the index
+    // artifact. The final stored index must equal the single-batch
+    // ivfPqAdd of all arrivals — cells, codes, and search results.
+    import graft.operators.Similarity
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val fitHalf = emb.filter(col("vec_id") % 3 === 0)
+    val arriving = emb.filter(col("vec_id") % 3 =!= 0)
+    val m = 16
+    val model = Similarity.ivfPqFit(fitHalf, nlist = 4, m = m, k = 32,
+      dim = 64, coarseIters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_stream").toString
+    Similarity.saveIvfPq(model, dir)
+    def cellsOf(mm: Similarity.IvfPq.Model) = mm.cells.collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    def codesOf(mm: Similarity.IvfPq.Model) = mm.pq.codes.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    def res(mm: Similarity.IvfPq.Model) =
+      Similarity.ivfPqSearch(mm, emb.filter(col("vec_id") < 20),
+          topk = 5, m = m, dim = 64, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))).toSet
+    // materialize the expected sets BEFORE the stream: foreachBatch
+    // releases the CacheScope, so a lazily-collected expected would
+    // recompute over evicted frames
+    val expected = Similarity.ivfPqAdd(model, arriving)
+    val (expCells, expCodes, expRes) =
+      (cellsOf(expected), codesOf(expected), res(expected))
+    val landing = java.nio.file.Files.createTempDirectory("vec_landing")
+    arriving.filter(col("vec_id") % 3 === 1).coalesce(1)
+      .write.mode("append").parquet(landing.toString)
+    arriving.filter(col("vec_id") % 3 === 2).coalesce(1)
+      .write.mode("append").parquet(landing.toString)
+    var batches = 0
+    val q = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      .writeStream.foreachBatch {
+        (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          Similarity.addToSavedIvfPq(spark, dir, b)
+          graft.core.CacheScope.release()
+          batches += 1
+          ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    assert(batches >= 2, s"expected >=2 micro-batches, got $batches")
+    val grown = Similarity.loadIvfPq(spark, dir)
+    assert(cellsOf(grown) == expCells)
+    assert(codesOf(grown) == expCodes)
+    assert(res(grown) == expRes)
+    graft.core.CacheScope.release()
+  }
+
   test("rebuildSeenBloom recovers a destroyed filter from the hash table " +
        "(round 11)") {
     // the Bloom is derived state: wipe seen_bloom entirely (the torn-
