@@ -883,7 +883,11 @@ object Similarity {
       spark.sql(s"CREATE TABLE $table ($ddl) USING PARQUET " +
         s"CLUSTERED BY (id) SORTED BY (id) INTO $buckets BUCKETS " +
         s"LOCATION '$loc'")
-    }
+    } else
+      // another session (a foreachBatch clone, a sibling job) may have
+      // appended deltas since THIS session cached the relation — a load
+      // must never serve a stale file listing (see addToSavedIvfPq)
+      spark.catalog.refreshTable(table)
     spark.table(table)
   }
 

@@ -368,7 +368,11 @@ object CurationStream {
       spark.sql(s"CREATE TABLE $table ($ddl) USING PARQUET " +
         s"CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS " +
         s"LOCATION '$loc'")
-    }
+    } else
+      // another session (a foreachBatch clone, a sibling day-2 job) may
+      // have bucket-appended deltas since THIS session cached the
+      // relation — an attach must never serve a stale file listing
+      spark.catalog.refreshTable(table)
     spark.table(table)
   }
 
