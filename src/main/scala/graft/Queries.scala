@@ -3486,6 +3486,39 @@ object Queries {
         |  coalesce(md5(text) IN (SELECT h FROM seen), FALSE) AS is_dup
         |FROM d WHERE doc_id % 2 = 1 ORDER BY doc_id""".stripMargin)),
 
+    // Token-budget mixture sampling (round 11) — the per-source
+    // re-weighting step before packing: uniform target proportions over
+    // the observed sources, rate_s = min(1, budget/|S|/avail_s) at exact
+    // integer micro, per-doc verdict from the id-keyed hash lottery (the
+    // DSIR resample convention). The oracle replays the token counts,
+    // the per-source availability, the identical double chain for the
+    // rate, and the md5 lottery — both keep AND drop verdicts are
+    // value-checked per document.
+    "t_mixture_sample" -> Q(
+      (s, dir) =>
+        TextAnalysis.mixtureSample(rd(s, dir, "documents"),
+            budgetTokens = 20000)
+          .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, source,
+        |    (CASE WHEN text IS NULL THEN 0
+        |      ELSE len(regexp_extract_all(text, '[\\p{L}]+')) END)::BIGINT
+        |      AS n_tokens
+        |  FROM documents),
+        |av AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS avail
+        |  FROM t GROUP BY source),
+        |sw AS (SELECT CAST(count(*) AS DOUBLE) AS s FROM av),
+        |r AS (SELECT source,
+        |    CASE WHEN avail = 0 THEN 0
+        |      ELSE least(1000000, CAST(round(
+        |        CAST(20000 AS DOUBLE) * 1.0 / (SELECT s FROM sw)
+        |          / CAST(avail AS DOUBLE) * 1000000.0, 0) AS BIGINT))
+        |    END AS rate_micro
+        |  FROM av)
+        |SELECT t.doc_id, t.source, t.n_tokens, r.rate_micro,
+        |  (${sqlHash60("CAST(t.doc_id AS VARCHAR) || ':mixture:sample'")}
+        |    % 1000000) < r.rate_micro AS kept
+        |FROM t JOIN r USING (source) ORDER BY t.doc_id""".stripMargin)),
+
 
     // Bloom-filter incremental dedup: a 4096-bit / 5-hash seen-set built
     // over the first shard's content hashes (doc_id < 250 = "yesterday's

@@ -533,4 +533,64 @@ object TextAnalysis {
         round((col("sy").cast("double") - slopeRaw * col("sx").cast("double")) /
           nD / lit(1e6), 6)).as("intercept"))
   }
+
+  /** Token-budget MIXTURE SAMPLING — the per-source re-weighting step a
+    * pretraining pipeline runs before packing: given a global token
+    * budget and target source proportions, each source gets a
+    * deterministic sampling rate `min(1, budget * prop_s / avail_s)`
+    * (in exact integer micro), and every document draws its keep verdict
+    * from the id-keyed hash lottery (the [[Dsir]] resample convention —
+    * reproducible, engine-stable, no RNG). Sources whose share of the
+    * budget exceeds their available tokens saturate at rate 1 (the
+    * under-filled-source caveat every mixture spec documents — take all
+    * of it, the shortfall is visible as rate_micro = 1e6).
+    *
+    * `weights`: target proportions by source name, normalized over the
+    * sources PRESENT (a listed-but-absent source changes nothing; an
+    * unlisted source gets weight 0 and is dropped). Empty map = uniform
+    * over observed sources ("balance the mixture"), the common default.
+    *
+    * Scale shape: one map-side-combined per-source token aggregate
+    * (|S| rows — hundreds, never corpus-sized), a window-total over
+    * those |S| rows, and one broadcast join back; the verdict is
+    * row-local. Output: (idCol, srcCol, n_tokens, rate_micro, kept) per
+    * document — callers filter `kept` for the sampled corpus; emitting
+    * the verdict keeps both sides oracle-checkable. */
+  def mixtureSample(docs: DataFrame, budgetTokens: Long,
+                    weights: Map[String, Double] = Map.empty,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    srcCol: String = "source"): DataFrame = {
+    require(budgetTokens >= 0, "need a non-negative token budget")
+    require(weights.values.forall(_ >= 0), "weights must be non-negative")
+    val tok = docs.select(col(idCol), col(srcCol),
+      coalesce(size(tokens(col(textCol))), lit(0)).cast("long")
+        .as("n_tokens"))
+    val w =
+      if (weights.isEmpty) lit(1.0)
+      else coalesce(element_at(
+        typedlit(weights), col(srcCol).cast("string")), lit(0.0))
+    val av = tok.groupBy(col(srcCol))
+      .agg(sum("n_tokens").as("avail"))
+      .withColumn("w", w)
+      // |S| rows total: the single-partition window is over the per-
+      // source aggregate, never the corpus
+      .withColumn("sumw", sum(col("w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+    val rate = when(col("avail") === 0L || col("w") === 0.0 ||
+        col("sumw") === 0.0, lit(0L))
+      .otherwise(least(lit(1000000L),
+        round(lit(budgetTokens).cast("double") * col("w") / col("sumw") /
+          col("avail").cast("double") * lit(1000000.0), 0).cast("long")))
+    val rates = av.select(col(srcCol), rate.as("rate_micro"))
+    tok.join(broadcast(rates), Seq(srcCol))
+      .withColumn("u_micro",
+        pmod(graft.functions.TextFunctions.hash60(
+            concat(col(idCol).cast("string"), lit(":mixture:sample"))),
+          lit(1000000L)))
+      .select(col(idCol), col(srcCol), col("n_tokens"), col("rate_micro"),
+        (col("u_micro") < col("rate_micro")).as("kept"))
+  }
 }

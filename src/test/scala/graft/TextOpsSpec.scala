@@ -437,4 +437,42 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!r(8L).getBoolean(9), "dup-tokens rule must fire")
     (2L to 8L).foreach(i => assert(!r(i).getBoolean(10), s"doc $i must drop"))
   }
+
+  test("mixtureSample: rates saturate for scarce sources, scale down rich " +
+       "ones, honor explicit weights, and sample to the budget (round 11)") {
+    import graft.operators.TextAnalysis
+    // source A: 100 docs x 10 tokens = 1000 available
+    // source B: 10 docs x 10 tokens  = 100 available (scarce)
+    val docs = ((0 until 100).map(i => (i.toLong, "w " * 10, "A")) ++
+      (100 until 110).map(i => (i.toLong, "w " * 10, "B")))
+      .toDF("doc_id", "text", "source")
+    // uniform over {A, B}, budget 400 -> 200 tokens per source:
+    // A rate = 200/1000 = 0.2; B rate = min(1, 200/100) saturates at 1
+    val out = TextAnalysis.mixtureSample(docs, budgetTokens = 400)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(out.values.filter(_._1 == "B").forall(v => v._3 == 1000000L && v._4),
+      "scarce source must saturate at rate 1 and keep everything")
+    val aRate = out.values.find(_._1 == "A").get._3
+    assert(aRate == 200000L, s"rich-source rate: got $aRate")
+    // the lottery realizes ~rate: 100 A-docs at p=0.2 -> binomial(100,.2),
+    // a 5-sigma band is [0, 40]
+    val aKept = out.values.count(v => v._1 == "A" && v._4)
+    assert(aKept > 0 && aKept <= 40, s"A kept $aKept of 100 at p=0.2")
+    // explicit weights: all budget to B -> A rate 0, nothing kept from A
+    val wOut = TextAnalysis.mixtureSample(docs, budgetTokens = 50,
+        weights = Map("B" -> 1.0))
+      .collect().map(r => (r.getString(1), r.getLong(3), r.getBoolean(4)))
+    assert(wOut.filter(_._1 == "A").forall(v => v._2 == 0L && !v._3))
+    assert(wOut.filter(_._1 == "B").forall(_._2 == 500000L)) // 50/100
+    // zero-token source: rate 0, never kept, no divide-by-zero
+    val empty = Seq((1L, "", "E"), (2L, "w w", "F")).toDF("doc_id", "text", "source")
+    val eOut = TextAnalysis.mixtureSample(empty, budgetTokens = 10)
+      .collect().map(r => r.getString(1) -> r.getLong(3)).toMap
+    assert(eOut("E") == 0L && eOut("F") == 1000000L)
+    // determinism: same inputs, same verdicts, any partitioning
+    val re = TextAnalysis.mixtureSample(docs.repartition(7), 400)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(re == out.map { case (k, v) => k -> v._4 })
+  }
 }
