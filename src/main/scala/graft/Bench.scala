@@ -249,18 +249,46 @@ object Bench {
         s""""pipeline_queries":$pq,"pipeline_total":$pt,""" +
           s""""pipeline_medians":$pm,"""
       }
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""query_medians":$qMed,""" +
-        f""""samples":$samplesJson,$aqeJson$pipeJson"failed":$failedJson,""" +
+    val commonTail =
+      s""""failed":$failedJson,""" +
         f""""calib_sec":$calib%.3f,""" +
         s""""calib_tries":$calibTries,"contended":$contended,""" +
         s""""aqe":$aqe,"sf":"$sfDir"}"""
-    // bare stdout line (build.sbt strips sbt's [info] framing via
-    // OutputStrategy) + a file copy, so the driver's parser always finds it.
-    println(json)
+    val detailJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""query_medians":$qMed,""" +
+        s""""samples":$samplesJson,$aqeJson$pipeJson""" + commonTail
+    // COMPACT driver line (VERDICT r11 #1/#7): the driver records only the
+    // last ~2000 chars of stdout, and round-11's single detail line grew to
+    // 3003 chars — its head (the {"metric"... prefix) fell off the capture
+    // and the round's official record parsed as null. The driver-parsed
+    // line must stay comfortably under that budget: per-sample arrays and
+    // the per-query alt-AQE/median detail move to BENCH_LAST.json (and the
+    // detail line below, printed FIRST so the compact line is always the
+    // last — fully captured — line). Scalar totals for the alt-AQE and
+    // pipeline suites stay in the compact record so round-over-round
+    // comparability survives in the driver artifact itself.
+    val altTotalJson =
+      if (altResults.isEmpty) ""
+      else s""""${altName}_total":${suiteJson(altResults)._2},"""
+    val pipeCompactJson =
+      if (pipelineResults.isEmpty) ""
+      else {
+        val (pq, pt, _) = suiteJson(pipelineResults)
+        s""""pipeline_queries":$pq,"pipeline_total":$pt,"""
+      }
+    val compactJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""query_medians":$qMed,""" + altTotalJson + pipeCompactJson +
+        commonTail
+    // bare stdout lines (build.sbt strips sbt's [info] framing via
+    // OutputStrategy): detail first, compact LAST so the tail capture
+    // always holds one complete parseable record; the file copy keeps the
+    // full detail either way.
+    println(detailJson)
+    println(compactJson)
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LAST.json"), json + "\n")
+      java.nio.file.Paths.get("BENCH_LAST.json"), detailJson + "\n")
     spark.stop()
   }
 }

@@ -3461,9 +3461,10 @@ object Queries {
           .foreach(graft.core.CacheScope.track)
         val day2 = cleaned.filter(col("doc_id") % 2 === 1)
         val hashed = day2.withColumn("__h", md5(col("text")))
-        val dup = Sketches.bloomPrune(advanced.seenBloom,
+        val dup = Sketches.bloomPruneSharded(advanced.seenBloom,
             hashed.select(col("doc_id"), col("__h")), "__h",
-            advanced.seenBloomBits, advanced.bloomHashes)
+            advanced.seenShards, advanced.seenBloomBits,
+            advanced.bloomHashes)
           .join(advanced.seenHashes, col("__h") === col("h"))
           .select("doc_id").distinct()
           .withColumn("is_dup", lit(true))
@@ -3593,6 +3594,51 @@ object Queries {
         |      THEN 1 ELSE 0 END) AS BIGINT) = 1) AS might_contain
         |FROM pp LEFT JOIN bloom b ON b.word = pp.p // 32
         |GROUP BY pp.doc_id, pp.h ORDER BY pp.doc_id""".stripMargin)),
+
+    // SHARDED Bloom prune (round 12, VERDICT r11 #3): past the single-
+    // filter broadcast budget the filter PARTITIONS by key hash into
+    // independent same-geometry shards (a 10^10-key history is ~750
+    // 16 MB shards, not one impossible 12.5 GB broadcast). The Spark side
+    // builds a 4-shard filter over the seen set and prunes every document
+    // row-locally; the oracle replays every shard's every bit in SQL —
+    // shard choice, per-shard bit positions, and the all-bits-set test.
+    // Survivors = true members + ~FP-rate false positives, identically in
+    // both engines (the exact-confirm composition downstream is what
+    // makes prune-then-join result-identical to the plain join).
+    "t_bloom_sharded" -> Q(
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val seen = docs.filter(col("doc_id") < 250)
+          .select(md5(col("text")).as("h"))
+        val bloom = Sketches.bloomBuildSharded(seen, "h", nShards = 4,
+          shardBits = 2048, numHashes = 5)
+        val probes = docs.select(col("doc_id"), md5(col("text")).as("h"))
+        Sketches.bloomPruneSharded(bloom, probes, "h", nShards = 4,
+            shardBits = 2048, numHashes = 5)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH hh(i) AS (VALUES (0), (1), (2), (3), (4)),
+        |seen AS (SELECT md5(text) AS h FROM documents WHERE doc_id < 250),
+        |sp AS (SELECT ${sqlHash60("'shard' || chr(1) || h")} % 4 AS shard,
+        |    ${sqlHash60("'b' || hh.i || chr(1) || h")} % 2048 AS p
+        |  FROM seen, hh),
+        |bloom AS (SELECT shard, p // 32 AS word,
+        |    bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+        |  FROM sp GROUP BY 1, 2),
+        |probes AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |pp AS (SELECT doc_id, h,
+        |    ${sqlHash60("'shard' || chr(1) || h")} % 4 AS shard,
+        |    ${sqlHash60("'b' || hh.i || chr(1) || h")} % 2048 AS p
+        |  FROM probes, hh),
+        |hits AS (SELECT doc_id, h,
+        |    CAST(min(CASE WHEN b.bits IS NOT NULL
+        |        AND (b.bits & (1::BIGINT << CAST(pp.p % 32 AS INT))) <> 0
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS all_set
+        |  FROM pp LEFT JOIN bloom b
+        |    ON b.shard = pp.shard AND b.word = pp.p // 32
+        |  GROUP BY doc_id, h)
+        |SELECT doc_id, h FROM hits WHERE all_set = 1
+        |ORDER BY doc_id""".stripMargin)),
 
     // HyperLogLog distinct-count sketch (p=8, 256 registers) over the order
     // keys, next to the exact count it approximates. Registers are engine-

@@ -84,6 +84,33 @@ object ScaleSmoke {
     time("decontaminate_n8")(
       Dedup.decontaminate(docs, base.filter(col("doc_id") % 31 === 0), n = 8)
         .count())
+    // round-12 (VERDICT r11 #3): sharded Bloom PRUNE SELECTIVITY at a
+    // key count the old 2^27 clamp could not hold (factor x 75k keys:
+    // 30M at 400x, 60M at 800x — 2.2x/4.5x the clamp's ~13.4M-key
+    // saturation point). Build the sharded filter at 10 bits/key, probe
+    // 2M DISJOINT keys: every survivor is a false positive, so the
+    // printed fp fraction IS the prune selectivity (design point ~0.9%,
+    // vs the capped filter drifting toward prune-nothing).
+    time("bloom_sharded_prune")({
+      val nKeys = factor.toLong * 75000L
+      val shards = Sketches.bloomShards(nKeys, 10)
+      val bits = Sketches.adaptiveBloomBits((nKeys + shards - 1) / shards, 10)
+      val keys = spark.range(nKeys)
+        .select(concat(lit("in_"), col("id")).as("k"))
+      val bloom = Sketches.bloomBuildSharded(keys, "k", shards, bits, 5)
+        .persist()
+      bloom.count()
+      val nProbe = 2000000L
+      val probes = spark.range(nProbe)
+        .select(concat(lit("out_"), col("id")).as("k"))
+      val fp = Sketches
+        .bloomPruneSharded(bloom, probes, "k", shards, bits, 5).count()
+      println(s"[scale] bloom_sharded_prune n=$nKeys shards=$shards " +
+        f"fp=$fp/$nProbe (${fp.toDouble / nProbe}%.4f)")
+      bloom.unpersist(blocking = false)
+      fp
+    })
+    graft.core.CacheScope.release()
     // fixed-size sketch: one map-side-combined groupBy; output cell count
     // is depth*width regardless of corpus size
     time("cms_build_3x4096")({

@@ -495,11 +495,21 @@ object Dedup {
       shingles(evalDocs.withColumn("__eid", lit(0)), n, "__eid", textCol)
         .select(hash60(col("shingle")).as("sh"))
         .distinct())
-    val bits = if (numBits > 0) numBits
-      else Sketches.adaptiveBloomBits(evalSh.count(),
-        label = "decontaminateBloom")
-    val bloom = Sketches.bloomBuild(evalSh, "sh", bits, numHashes)
-    Sketches.bloomPrune(bloom, trainSh, "sh", bits, numHashes)
+    // past the per-filter budget the filter SHARDS by key hash instead
+    // of clamping (VERDICT r11 #3) — an eval suite of any size keeps the
+    // ~1% FP design point; numBits > 0 pins one fixed-size shard
+    val (shards, bits) =
+      if (numBits > 0) (1, numBits)
+      else {
+        val n = evalSh.count()
+        val s = Sketches.bloomShards(n)
+        (s, Sketches.adaptiveBloomBits((n + s - 1) / s,
+          label = "decontaminateBloom"))
+      }
+    val bloom = Sketches.bloomBuildSharded(evalSh, "sh", shards, bits,
+      numHashes)
+    Sketches.bloomPruneSharded(bloom, trainSh, "sh", shards, bits,
+        numHashes)
       .join(evalSh, "sh") // exact confirm: false positives die here
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("shared_ngrams"))

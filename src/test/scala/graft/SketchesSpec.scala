@@ -2,6 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.Sketches
 
 class SketchesSpec extends AnyFunSuite {
@@ -233,5 +235,117 @@ class SketchesSpec extends AnyFunSuite {
       // and the filter is not vacuous either: it prunes almost everything
       assert(fp < n / 2, s"Bloom at n=$n prunes nothing")
     }
+  }
+
+  test("bloomShards splits only past the per-filter budget") {
+    assert(Sketches.bloomShards(0) == 1)
+    assert(Sketches.bloomShards(13_000_000L) == 1) // 130M bits < 2^27
+    assert(Sketches.bloomShards(13_421_772L) == 1) // 134,217,720 <= 2^27
+    assert(Sketches.bloomShards(13_421_773L) == 2) // 2 bits over the budget
+    assert(Sketches.bloomShards(100_000_000L) == 8)
+    assert(Sketches.bloomShards(10_000_000_000L) == 746) // the 10^10 story
+    assert(Sketches.bloomShards(1000, bitsPerKey = 16, maxBits = 4096) == 4)
+  }
+
+  test("sharded bloom with 1 shard is the unsharded filter plus a zero " +
+       "shard column; prune delegates bit-identically") {
+    import spark.implicits._
+    val keys = (0 until 500).map(i => s"k_$i").toDF("k")
+    val flat = Sketches.bloomBuild(keys, "k", 4096, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sharded = Sketches.bloomBuildSharded(keys, "k", 1, 4096, 5)
+    assert(sharded.collect().map(r =>
+        (r.getAs[Int]("shard"), r.getAs[Long]("word")) -> r.getAs[Long]("bits"))
+      .toMap == flat.map { case (w, b) => (0, w) -> b })
+    val probes = (0 until 1000).map(i => s"k_$i").toDF("k")
+    val a = Sketches.bloomPrune(
+        Sketches.bloomBuild(keys, "k", 4096, 5), probes, "k", 4096, 5)
+      .collect().map(_.getString(0)).sorted.toSeq
+    val b = Sketches.bloomPruneSharded(sharded, probes, "k", 1, 4096, 5)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("sharded bloom: no false negatives across shards; merge across " +
+       "batches == whole-set filter; empty shards prune their probes") {
+    import spark.implicits._
+    val n = 20000
+    val keys = (0 until n).map(i => s"in_$i").toDF("k")
+    val shards = 7
+    val bloom = Sketches.bloomBuildSharded(keys, "k", shards, 8192, 5)
+    // every shard under its budget
+    val perShard = bloom.groupBy("shard").count().collect()
+      .map(r => r.getAs[Int]("shard") -> r.getAs[Long]("count")).toMap
+    assert(perShard.keys.forall(s => s >= 0 && s < shards))
+    assert(perShard.values.forall(_ <= 8192 / 32))
+    // membership: probing the build set keeps EVERY row (no false
+    // negatives, the property the exact-confirm composition relies on)
+    assert(Sketches.bloomPruneSharded(bloom, keys, "k", shards, 8192, 5)
+      .count() == n)
+    // batch merges compose: two halves merged == whole set, shard-exact
+    val h1 = keys.filter(expr("substring(k, 4) % 2 = 0"))
+    val h2 = keys.filter(expr("substring(k, 4) % 2 = 1"))
+    val merged = Sketches.bloomMergeSharded(Seq(
+      Sketches.bloomBuildSharded(h1, "k", shards, 8192, 5),
+      Sketches.bloomBuildSharded(h2, "k", shards, 8192, 5)))
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Int]("shard"), r.getAs[Long]("word")) ->
+        r.getAs[Long]("bits")).toMap
+    assert(m(merged) == m(bloom))
+    // a filter over few keys leaves some shards empty: probes landing in
+    // an empty shard are definitely-new and must be dropped, not error
+    val tiny = Seq(Tuple1("one")).toDF("k")
+    val tinyBloom = Sketches.bloomBuildSharded(tiny, "k", 64, 4096, 5)
+    val kept = Sketches
+      .bloomPruneSharded(tinyBloom, keys, "k", 64, 4096, 5).count()
+    assert(kept < 100, s"near-empty sharded filter barely prunes: $kept")
+    assert(Sketches.bloomPruneSharded(tinyBloom, tiny, "k", 64, 4096, 5)
+      .count() == 1)
+  }
+
+  test("sharding preserves the ~1% FP design point past the per-filter " +
+       "cap (VERDICT r11 #3)") {
+    // The clamp scenario at suite scale: 200k keys at 10 bits/key is 2M
+    // ideal bits against a 2^19-bit per-filter budget — a CAPPED single
+    // filter (the old behavior) sits ~4x past its design point and its
+    // FP rate collapses; SHARDED, the same budget yields 4 independent
+    // in-budget filters and the design point holds. Nothing in the bit
+    // math reads absolute sizes, so this is the same arithmetic that
+    // splits a 10^10-key history into ~750 shards of 2^27 bits — the
+    // MEASURED >>13M-key run (30M keys, 3 shards, 2M disjoint probes,
+    // fp at the design point) lives in ScaleSmoke's bloom_sharded_prune
+    // row at local[32], where 200M md5s are a scale row, not a unit test.
+    val n = 200_000
+    val bpk = 10
+    val budget = 1 << 19
+    val shards = Sketches.bloomShards(n.toLong, bpk, maxBits = budget)
+    assert(shards == 4)
+    val bits = Sketches.adaptiveBloomBits(
+      (n.toLong + shards - 1) / shards, bpk, maxBits = budget)
+    assert(bits <= budget, "per-shard geometry exceeds the budget")
+    val keys = spark.range(n.toLong)
+      .select(concat(lit("in_"), col("id")).as("k"))
+    val bloom = Sketches.bloomBuildSharded(keys, "k", shards, bits, 5)
+      .persist()
+    assert(bloom.count() <= shards.toLong * (bits / 32))
+    // probe n DISJOINT keys: every survivor is a false positive
+    val probes = spark.range(n.toLong)
+      .select(concat(lit("out_"), col("id")).as("k"))
+    val fp = Sketches
+      .bloomPruneSharded(bloom, probes, "k", shards, bits, 5).count()
+    assert(fp <= (0.02 * n).toLong,
+      s"FP rate ${fp.toDouble / n} above 2% at n=$n (sharded)")
+    assert(fp > 0, "suspiciously perfect — is the probe actually running?")
+    // the capped SINGLE filter at the same budget is measurably past its
+    // design point — the failure mode sharding removes
+    val capped = Sketches.bloomBuild(keys, "k", budget, 5)
+    val fpCapped = Sketches.bloomPrune(capped, probes, "k", budget, 5)
+      .count()
+    assert(fpCapped > 5L * fp,
+      s"capped filter FP ($fpCapped) should be far above sharded ($fp)")
+    // and no false negatives across shards at this size either
+    assert(Sketches.bloomPruneSharded(bloom, keys, "k", shards, bits, 5)
+      .count() == n)
+    bloom.unpersist(blocking = false)
   }
 }
