@@ -256,39 +256,83 @@ object Sketches {
 
   /** Row-level prune against a SHARDED filter — [[bloomPrune]] semantics
     * (keeps probe multiplicity/schema, no false negatives, nulls never
-    * pass) at any filter size. nShards == 1 delegates to the broadcast-map
-    * fast path verbatim. For nShards > 1 each shard's words collapse to
-    * one map row and the probe joins on its key's shard: while the whole
-    * filter fits `broadcastBits` the join is a broadcast (row-local, plan
-    * shape preserved); past that the probe side shuffles ONCE by shard —
-    * each task then holds exactly one <= maxBits shard map, which is the
-    * only way a 12.5 GB filter fits executors at all. */
+    * pass) at any filter size. Two physical paths, chosen by total filter
+    * size (`mapBits`):
+    *
+    *  - **Row-local broadcast map** (totalBits <= mapBits): each shard's
+    *    words collapse to one map row, broadcast, and every probe row
+    *    tests its k bits in place — zero probe-side shuffle, the
+    *    [[bloomPrune]] plan shape. The cap exists because Spark's
+    *    `element_at` on a map column is a LINEAR scan of the entries
+    *    (measured: 0.5 s -> 10.8 s for the same 200k probes as the map
+    *    grows 4k -> 1M entries), so per-probe cost grows with filter
+    *    size — fine at the confirm-filter sizes this path serves
+    *    (<= 2^24 bits = 512k words), pathological at history scale.
+    *  - **Equi-join on (shard, word)** (bigger): each probe's k
+    *    positions explode to k rows that hash-join the filter TABLE
+    *    directly — O(1) per lookup at any filter size, the filter
+    *    shuffles ONCE, and membership (all k distinct probes hit) is
+    *    re-assembled by one count per distinct key; a final semi-join
+    *    restores the probe rows untouched (multiplicity and schema
+    *    preserved — membership is a function of the key alone). This is
+    *    the only shape a 12.5 GB / 10^10-key filter admits at all: no
+    *    single map, no broadcast, executor memory bounded by join
+    *    partitions. */
   def bloomPruneSharded(bloom: DataFrame, probes: DataFrame, keyCol: String,
                         nShards: Int, shardBits: Int, numHashes: Int = 5,
-                        broadcastBits: Long = 1L << 29): DataFrame = {
+                        mapBits: Long = 1L << 24): DataFrame = {
     require(nShards >= 1, "need nShards >= 1")
-    if (nShards == 1)
+    val total = nShards.toLong * shardBits
+    if (nShards == 1 && total <= mapBits)
       return bloomPrune(bloom.select("word", "bits"), probes, keyCol,
         shardBits, numHashes)
-    val perShard = bloom.groupBy(col("shard").as("__bshard"))
-      .agg(map_from_entries(collect_list(struct(col("word"), col("bits"))))
-        .as("__bw"))
-    val hits = (0 until numHashes).map { i =>
-      val p = bloomPos(col(keyCol), i, shardBits)
-      coalesce(element_at(col("__bw"), (p / lit(32L)).cast("long")), lit(0L))
-        .bitwiseAND(call_function("shiftleft", lit(1L),
-          (p % lit(32L)).cast("int"))) =!= lit(0L)
+    if (total <= mapBits) {
+      val perShard = bloom.groupBy(col("shard").as("__bshard"))
+        .agg(map_from_entries(collect_list(struct(col("word"), col("bits"))))
+          .as("__bw"))
+      val hits = (0 until numHashes).map { i =>
+        val p = bloomPos(col(keyCol), i, shardBits)
+        coalesce(element_at(col("__bw"), (p / lit(32L)).cast("long")),
+            lit(0L))
+          .bitwiseAND(call_function("shiftleft", lit(1L),
+            (p % lit(32L)).cast("int"))) =!= lit(0L)
+      }
+      probes.withColumn("__pshard", bloomShardOf(col(keyCol), nShards))
+        // left join: a shard with no filter rows holds no keys, so its
+        // probes are definitely-new — the null map yields no hit and the
+        // row is (correctly) dropped by the all-bits test
+        .join(broadcast(perShard), col("__pshard") === col("__bshard"),
+          "left")
+        .filter(hits.reduce(_ && _))
+        .drop("__bw", "__pshard", "__bshard")
+    } else {
+      // one verdict per DISTINCT key, then semi-join back: k exploded
+      // rows per key, inner-join the filter on (shard, word) — a missing
+      // word is a miss (inner join drops it), a present word still needs
+      // its bit set; all k hash functions must hit (positions can
+      // collide on a word, so count DISTINCT hash indexes, not rows)
+      val pos = array((0 until numHashes).map { i =>
+        val p = bloomPos(col(keyCol), i, shardBits)
+        struct(lit(i).as("i"), (p / lit(32L)).cast("long").as("__w"),
+          call_function("shiftleft", lit(1L), (p % lit(32L)).cast("int"))
+            .as("__m"))
+      }: _*)
+      val exploded = probes.select(col(keyCol)).filter(col(keyCol).isNotNull)
+        .distinct()
+        .select(col(keyCol), bloomShardOf(col(keyCol), nShards).as("__s"),
+          explode(pos).as("__p"))
+        .select(col(keyCol), col("__s"), col("__p.i").as("__i"),
+          col("__p.__w").as("__w"), col("__p.__m").as("__m"))
+      val members = exploded
+        .join(bloom, exploded("__s") === bloom("shard") &&
+          exploded("__w") === bloom("word"))
+        .filter(col("bits").bitwiseAND(col("__m")) =!= 0)
+        .groupBy(col(keyCol))
+        .agg(count_distinct(col("__i")).as("__nhit"))
+        .filter(col("__nhit") === numHashes)
+        .select(col(keyCol))
+      probes.join(members, Seq(keyCol), "left_semi")
     }
-    val filterSide =
-      if (nShards.toLong * shardBits <= broadcastBits) broadcast(perShard)
-      else perShard
-    probes.withColumn("__pshard", bloomShardOf(col(keyCol), nShards))
-      // left join: a shard with no filter rows holds no keys, so its
-      // probes are definitely-new — the null map yields no hit and the
-      // row is (correctly) dropped by the all-bits test
-      .join(filterSide, col("__pshard") === col("__bshard"), "left")
-      .filter(hits.reduce(_ && _))
-      .drop("__bw", "__pshard", "__bshard")
   }
 
   // -------------------------------------------------------------------- hll

@@ -346,6 +346,21 @@ class SketchesSpec extends AnyFunSuite {
     // and no false negatives across shards at this size either
     assert(Sketches.bloomPruneSharded(bloom, keys, "k", shards, bits, 5)
       .count() == n)
+    // the JOIN-based path (what history-sized filters route to: per-probe
+    // element_at is a LINEAR scan of the map, so big filters must probe
+    // by equi-join) is verdict-identical to the broadcast-map path on
+    // the same filter — forced here via a tiny mapBits threshold
+    val viaJoin = Sketches.bloomPruneSharded(bloom, probes, "k", shards,
+      bits, 5, mapBits = 1L)
+    assert(viaJoin.count() == fp)
+    assert(viaJoin.collect().map(_.getString(0)).sorted.toSeq ==
+      Sketches.bloomPruneSharded(bloom, probes, "k", shards, bits, 5)
+        .collect().map(_.getString(0)).sorted.toSeq)
+    // multiplicity preserved by the semi-join back (duplicate probe rows
+    // stay duplicated)
+    val dupProbes = keys.limit(3).unionAll(keys.limit(3))
+    assert(Sketches.bloomPruneSharded(bloom, dupProbes, "k", shards, bits,
+      5, mapBits = 1L).count() == 6)
     bloom.unpersist(blocking = false)
   }
 }
