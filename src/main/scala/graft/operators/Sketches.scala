@@ -161,10 +161,16 @@ object Sketches {
     val ps = array((0 until numHashes).map(i => bloomPos(col(keyCol), i, numBits)): _*)
     val hit = when(col("bits").isNotNull &&
       col("bits").bitwiseAND(col("mask")) =!= 0, 1L).otherwise(0L)
+    // broadcast only while the filter's word table is broadcast-sized
+    // (<= 2^24 bits = 512k rows); a history-scale filter (10^10 keys is
+    // a multi-GB word table) joins by shuffle instead — same verdicts,
+    // executor memory bounded by join partitions
+    val filterSide =
+      if (numBits <= (1 << 24)) broadcast(bloom) else bloom
     probes.select(col("*"), explode(ps).as("p"))
       .select(col("*"), (col("p") / lit(32L)).cast("long").as("pword"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").as("mask"))
-      .join(broadcast(bloom), col("pword") === bloom("word"), "left")
+      .join(filterSide, col("pword") === bloom("word"), "left")
       .groupBy(probes.columns.toIndexedSeq.map(col): _*)
       .agg((min(hit) === 1L).as("might_contain"))
   }
