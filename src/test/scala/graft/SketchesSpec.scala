@@ -237,6 +237,33 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("bloomMightContain drops the broadcast hint past 2^24 bits: same " +
+       "verdicts, no multi-GB filter broadcast") {
+    import spark.implicits._
+    val keys = (0 until 500).map(i => s"in_$i").toDF("k")
+    val probes = (0 until 1000).map(i => s"in_$i").toDF("k")
+    def verdicts(bits: Int) = {
+      val bloom = Sketches.bloomBuild(keys, "k", bits, 5)
+      val got = Sketches.bloomMightContain(bloom, probes, "k", bits, 5)
+      (got, got.collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap)
+    }
+    val (_, small) = verdicts(1 << 13)
+    val (bigDf, big) = verdicts(1 << 25) // past the broadcast budget
+    // both geometries: every build key answers true (no false negatives)
+    for (m <- Seq(small, big); i <- 0 until 500)
+      assert(m(s"in_$i"), s"false negative at in_$i")
+    // the wide-geometry filter is sparse enough that non-members miss
+    assert((500 until 1000).count(i => big(s"in_$i")) == 0)
+    // and the big path really did avoid broadcasting the filter
+    bigDf.count()
+    val broadcasts = bigDf.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.exchange
+            .BroadcastExchangeExec => b
+    }
+    assert(broadcasts.isEmpty,
+      s"2^25-bit filter still broadcast:\n${bigDf.queryExecution.executedPlan}")
+  }
+
   test("bloomShards splits only past the per-filter budget") {
     assert(Sketches.bloomShards(0) == 1)
     assert(Sketches.bloomShards(13_000_000L) == 1) // 130M bits < 2^27
