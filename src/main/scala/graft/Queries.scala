@@ -3640,6 +3640,50 @@ object Queries {
         |SELECT doc_id, h FROM hits WHERE all_set = 1
         |ORDER BY doc_id""".stripMargin)),
 
+    // The SAME sharded prune FORCED down the equi-join physical path
+    // (mapBits = 0: what a history-scale filter actually runs — probe
+    // positions explode to k rows that hash-join the filter table on
+    // (shard, word), O(1) per lookup, no broadcast map; VERDICT r12 #3:
+    // t_bloom_sharded exercises only the broadcast-map path, so the path
+    // a 10^10-key deployment uses was spec-pinned but never oracle-
+    // checked). Identical oracle SQL semantics: the physical path choice
+    // must be invisible in the result, and now BOTH paths hash-match
+    // DuckDB at every SF.
+    "t_bloom_sharded_join" -> Q(
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val seen = docs.filter(col("doc_id") < 250)
+          .select(md5(col("text")).as("h"))
+        val bloom = Sketches.bloomBuildSharded(seen, "h", nShards = 4,
+          shardBits = 2048, numHashes = 5)
+        Sketches.bloomPruneSharded(bloom,
+            docs.select(col("doc_id"), md5(col("text")).as("h")), "h",
+            nShards = 4, shardBits = 2048, numHashes = 5, mapBits = 0L)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH hh(i) AS (VALUES (0), (1), (2), (3), (4)),
+        |seen AS (SELECT md5(text) AS h FROM documents WHERE doc_id < 250),
+        |sp AS (SELECT ${sqlHash60("'shard' || chr(1) || h")} % 4 AS shard,
+        |    ${sqlHash60("'b' || hh.i || chr(1) || h")} % 2048 AS p
+        |  FROM seen, hh),
+        |bloom AS (SELECT shard, p // 32 AS word,
+        |    bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+        |  FROM sp GROUP BY 1, 2),
+        |probes AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |pp AS (SELECT doc_id, h,
+        |    ${sqlHash60("'shard' || chr(1) || h")} % 4 AS shard,
+        |    ${sqlHash60("'b' || hh.i || chr(1) || h")} % 2048 AS p
+        |  FROM probes, hh),
+        |hits AS (SELECT doc_id, h,
+        |    CAST(min(CASE WHEN b.bits IS NOT NULL
+        |        AND (b.bits & (1::BIGINT << CAST(pp.p % 32 AS INT))) <> 0
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS all_set
+        |  FROM pp LEFT JOIN bloom b
+        |    ON b.shard = pp.shard AND b.word = pp.p // 32
+        |  GROUP BY doc_id, h)
+        |SELECT doc_id, h FROM hits WHERE all_set = 1
+        |ORDER BY doc_id""".stripMargin)),
+
     // HyperLogLog distinct-count sketch (p=8, 256 registers) over the order
     // keys, next to the exact count it approximates. Registers are engine-
     // exact integers; the estimator denominator is integer-scaled (every

@@ -473,9 +473,10 @@ object ScaleSmoke {
         .createTempDirectory("scale_frozen").toString
       graft.streaming.CurationStream.save(frozen, fdir)
       graft.streaming.CurationStream.release(frozen)
-      for (sfx <- Seq("eval", "seen"))
-        spark.sql("DROP TABLE IF EXISTS " +
-          graft.streaming.CurationStream.confirmTable(fdir, sfx))
+      spark.sql("DROP TABLE IF EXISTS " +
+        graft.streaming.CurationStream.confirmTable(fdir, "eval"))
+      spark.sql("DROP TABLE IF EXISTS " +
+        graft.streaming.CurationStream.seenTableName(spark, fdir))
       time("frozen_curation_load_apply")({
         val loaded = graft.streaming.CurationStream.load(spark, fdir)
         val kept = graft.streaming.CurationStream
@@ -496,7 +497,7 @@ object ScaleSmoke {
         val loaded = graft.streaming.CurationStream.load(spark, fdir)
         graft.streaming.CurationStream.saveSeenDelta(loaded, fdir, accepted)
         val n = spark.table(graft.streaming.CurationStream
-          .confirmTable(fdir, "seen")).count()
+          .seenTableName(spark, fdir)).count()
         graft.streaming.CurationStream.release(loaded)
         n
       })

@@ -17,23 +17,67 @@ object Fs {
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
+  /** Is `path` on a local filesystem (where `java.nio` gives guarantees
+    * Hadoop's RawLocalFileSystem does not — see [[tryCreateLock]] and
+    * [[renameOverwrite]])? */
+  private def localNioPath(f: org.apache.hadoop.fs.FileSystem,
+                           p: org.apache.hadoop.fs.Path) =
+    if (f.getScheme == "file")
+      Some(java.nio.file.Paths.get(f.makeQualified(p).toUri))
+    else None
+
   /** Does `path` exist on its own filesystem? */
   def exists(spark: SparkSession, path: String): Boolean = {
     val (f, p) = fs(spark, path)
     f.exists(p)
   }
 
-  /** Atomically create an empty lock file; false if it already exists.
-    * HDFS/local `create(overwrite = false)` is atomic; object stores
-    * without atomic create (plain S3) make this best-effort — the lock
-    * then narrows, not closes, the concurrent-writer window (documented
-    * at the call sites; the loud-failure contract is unchanged). */
-  def tryCreateLock(spark: SparkSession, path: String): Boolean = {
+  /** Create the lock file with `payload`, exclusively; false if it already
+    * exists. Atomicity is per-filesystem (ADVICE r12):
+    *  - file:// — `java.nio` CREATE_NEW, which IS atomic; Hadoop's own
+    *    RawLocalFileSystem implements non-overwrite create as exists()
+    *    -then-create (a TOCTOU window), so it is not used here;
+    *  - hdfs:// — `create(overwrite = false)` is atomic at the NameNode;
+    *  - object stores without atomic create (plain S3) — best-effort: the
+    *    lock narrows, not closes, the concurrent-writer window (documented
+    *    at the call sites; the loud-failure contract is unchanged). */
+  def tryCreateLock(spark: SparkSession, path: String,
+                    payload: String = ""): Boolean = {
     val (f, p) = fs(spark, path)
-    try { f.create(p, false).close(); true }
-    catch {
-      case _: java.io.IOException => false // exists (or raced the create)
+    val bytes = payload.getBytes("UTF-8")
+    localNioPath(f, p) match {
+      case Some(np) =>
+        try {
+          java.nio.file.Files.write(np, bytes,
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: java.io.IOException => false
+        }
+      case None =>
+        try { val out = f.create(p, false); out.write(bytes); out.close(); true }
+        catch {
+          case _: java.io.IOException => false // exists (or raced the create)
+        }
     }
+  }
+
+  /** Read a small text file fully (lock payloads, version pointers);
+    * None if it does not exist or vanished mid-read (a lock released
+    * between the exists-check and the open). */
+  def readSmall(spark: SparkSession, path: String): Option[String] = {
+    val (f, p) = fs(spark, path)
+    try {
+      val in = f.open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(out.toByteArray, "UTF-8"))
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
   }
 
   /** Remove a lock file created by [[tryCreateLock]]. */
@@ -42,21 +86,132 @@ object Fs {
     f.delete(p, false)
   }
 
+  /** Delete a path (recursively) if it exists. */
+  def delete(spark: SparkSession, path: String): Unit = {
+    val (f, p) = fs(spark, path)
+    f.delete(p, true)
+  }
+
+  /** Rename `src` over `dst`, REPLACING dst if present — the atomic
+    * pointer flip for versioned artifact state ([[writePointer]]):
+    *  - file:// — `java.nio` ATOMIC_MOVE (guaranteed atomic on POSIX);
+    *  - everything else — `FileContext.rename(OVERWRITE)`, atomic on
+    *    HDFS; object stores emulate rename (copy+delete) so the flip is
+    *    best-effort there, the same caveat as the lock. */
+  def renameOverwrite(spark: SparkSession, src: String, dst: String): Unit = {
+    val (f, sp) = fs(spark, src)
+    val dp = new org.apache.hadoop.fs.Path(dst)
+    (localNioPath(f, sp), localNioPath(f, dp)) match {
+      case (Some(s), Some(d)) =>
+        java.nio.file.Files.move(s, d,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      case _ =>
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          f.makeQualified(sp).toUri, spark.sessionState.newHadoopConf())
+        fc.rename(f.makeQualified(sp), f.makeQualified(dp),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+  }
+
+  // ------------------------------------------------------- version pointer
+  //
+  // Versioned artifact state (VERDICT r12 #1): mutable scalar/filter state
+  // is written to NEW `<name>_v<N>` paths and published by atomically
+  // renaming a one-line pointer file over `$dir/CURRENT`. Readers resolve
+  // the pointer first, so they only ever see a version whose files were
+  // FULLY written before the flip — no torn meta, no partially-overwritten
+  // Bloom. The previous version stays on disk for in-flight readers (the
+  // writer prunes versions two generations back).
+
+  /** Read the artifact's current state version; None for a pre-round-13
+    * artifact (unversioned `meta`/`seen_bloom` paths). */
+  def readPointer(spark: SparkSession, dir: String): Option[Long] =
+    readSmall(spark, s"$dir/CURRENT").map(_.trim.toLong)
+
+  /** Atomically publish state version `v`: write `$dir/CURRENT.tmp` then
+    * rename it over `$dir/CURRENT`. Callers must have fully written every
+    * `_v<v>` file BEFORE flipping. */
+  def writePointer(spark: SparkSession, dir: String, v: Long): Unit = {
+    val tmp = s"$dir/CURRENT.tmp"
+    val (f, p) = fs(spark, tmp)
+    val out = f.create(p, true)
+    out.write(v.toString.getBytes("UTF-8"))
+    out.close()
+    renameOverwrite(spark, tmp, s"$dir/CURRENT")
+  }
+
+  // ------------------------------------------------------------------ lock
+
+  /** Default lock lease: effectively infinite — a lock is NEVER taken over
+    * unless the caller configures a lease, because only the deployment
+    * knows how long its deltas legitimately run. */
+  val NoLease: Long = Long.MaxValue
+
+  private def lockPayload(): String = {
+    val host = try java.net.InetAddress.getLocalHost.getHostName
+               catch { case _: Exception => "unknown-host" }
+    s"owner=$host/pid-${ProcessHandle.current.pid} ts=${System.currentTimeMillis}"
+  }
+
+  private def payloadTs(payload: String): Option[Long] =
+    payload.split("\\s+").collectFirst {
+      case s if s.startsWith("ts=") => s.drop(3).toLong
+    }
+
   /** Run `f` holding an exclusive artifact lock, failing LOUDLY if another
     * writer holds it (VERDICT r11 #4: concurrent artifact deltas are
     * last-writer-wins on derived state — the losing delta's Bloom bits
     * vanish while both hash appends land, i.e. false negatives at the
     * prune with nothing downstream to catch them; the only safe contract
     * is single-writer, enforced rather than assumed). `recovery` names the
-    * repair path for a stale lock left by a crashed writer. */
-  def withLock[T](spark: SparkSession, lockPath: String,
-                  recovery: String)(f: => T): T = {
-    if (!tryCreateLock(spark, lockPath))
+    * repair path for a stale lock left by a crashed writer.
+    *
+    * LEASE-style staleness (VERDICT r12 #4): the lock file carries its
+    * holder's identity and acquisition timestamp. If the caller passes a
+    * finite `leaseMs` and the held lock is OLDER than the lease, this
+    * writer re-reads the payload, deletes the stale lock only if it is
+    * unchanged since the first read (a live holder that re-acquired in
+    * between keeps its lock), and retries the exclusive create — losing
+    * that race still fails loudly, now NAMING the holder. The failure
+    * message always reports the holder and lock age, so an operator
+    * adjudicates a crashed writer from data instead of a judgment call. */
+  def withLock[T](spark: SparkSession, lockPath: String, recovery: String,
+                  leaseMs: Long = NoLease)(f: => T): T = {
+    def fail(payload: String): Nothing = {
+      val age = payloadTs(payload)
+        .map(ts => s"${(System.currentTimeMillis - ts) / 1000}s old")
+        .getOrElse("age unknown")
       throw new IllegalStateException(
-        s"artifact delta lock held: $lockPath exists. Deltas are " +
-          "single-writer (concurrent writers would silently lose filter " +
-          s"bits). If a previous writer crashed, delete the lock and " +
-          s"$recovery, then retry.")
+        s"artifact delta lock held: $lockPath exists " +
+          s"[${payload.trim}; $age]. Deltas are single-writer (concurrent " +
+          "writers would silently lose filter bits). If the holder " +
+          s"crashed, delete the lock and $recovery, then retry" +
+          (if (leaseMs == NoLease)
+             "; or pass a finite leaseMs to take over locks older than " +
+               "the lease automatically."
+           else s" (takeover lease: ${leaseMs}ms)."))
+    }
+    var acquired = tryCreateLock(spark, lockPath, lockPayload())
+    if (!acquired) {
+      val seen = readSmall(spark, lockPath).getOrElse("")
+      val stale = payloadTs(seen).exists(ts =>
+        leaseMs != NoLease && System.currentTimeMillis - ts > leaseMs)
+      if (stale) {
+        // re-check-then-delete: only remove the exact lock we judged stale
+        // (a holder that released+re-acquired in the window has a NEW
+        // payload and keeps its lock); the create retry races any sibling
+        // takeover — exactly one wins, the loser fails loudly with the
+        // winner's payload.
+        if (readSmall(spark, lockPath).contains(seen)) {
+          System.err.println(s"[Fs.withLock] taking over stale lock " +
+            s"$lockPath [${seen.trim}] older than lease ${leaseMs}ms")
+          removeLock(spark, lockPath)
+        }
+        acquired = tryCreateLock(spark, lockPath, lockPayload())
+      }
+      if (!acquired) fail(readSmall(spark, lockPath).getOrElse(seen))
+    }
     try f finally removeLock(spark, lockPath)
   }
 }

@@ -859,6 +859,93 @@ object Similarity {
     * cluster parallelism, 32, codeRows / 2^20), logged — ~2^20 code rows
     * per bucket keeps one bucket a few MB, and a 10^10-vector index at
     * m=4 auto-sizes to ~38k buckets. Pass an explicit count to pin. */
+  /** The index's scalar state, one row at the pointer-resolved meta path
+    * (three generations: pre-r11 = no meta; r11/r12 = one `buckets`
+    * column at `$dir/meta`; r13 = versioned `meta_v<N>` + `CURRENT`
+    * pointer, adding the live table version and fragmentation stats —
+    * the curation artifact's scheme, VERDICT r12 #1/#2). */
+  private[graft] final case class IvfPqMeta(
+      buckets: Int, tableV: Long = -1L, deltas: Long = -1L,
+      files: Long = -1L)
+
+  private def ivfPqMetaPath(dir: String, v: Long): String =
+    if (v >= 0) s"$dir/meta_v$v" else s"$dir/meta"
+
+  /** (cells subdir, codes subdir) of the live index tables. */
+  private def ivfPqTableDirs(m: IvfPqMeta): (String, String) =
+    if (m.tableV >= 0) (s"cells_v${m.tableV}", s"codes_v${m.tableV}")
+    else ("cells", "codes")
+
+  private[graft] def readIvfPqMeta(
+      spark: org.apache.spark.sql.SparkSession, dir: String): IvfPqMeta = {
+    val v = graft.core.Fs.readPointer(spark, dir).getOrElse(-1L)
+    val df = spark.read.parquet(ivfPqMetaPath(dir, v))
+    val cols = df.columns.toSet
+    val r = df.head()
+    def l(name: String): Long = if (cols(name)) r.getAs[Long](name) else -1L
+    IvfPqMeta(r.getAs[Int]("buckets"), l("table_v"), l("deltas"),
+      l("files"))
+  }
+
+  /** Write meta at version `v` (published by the caller's pointer flip —
+    * the live meta is never overwritten in place). */
+  private def writeIvfPqMeta(spark: org.apache.spark.sql.SparkSession,
+      dir: String, m: IvfPqMeta, v: Long): Unit = {
+    import spark.implicits._
+    Seq((m.buckets, m.tableV, m.deltas, m.files))
+      .toDF("buckets", "table_v", "deltas", "files")
+      .coalesce(1).write.mode("overwrite").parquet(ivfPqMetaPath(dir, v))
+  }
+
+  private def parquetFileCount(spark: org.apache.spark.sql.SparkSession,
+                               path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+      .listStatus(p).count(st => st.getPath.getName.endsWith(".parquet"))
+      .toLong
+  }
+
+  /** Delete index state versions older than the previous generation (the
+    * reader grace window — the curation artifact's retention rule), plus
+    * the legacy unversioned paths once both kept metas are versioned. */
+  private def pruneIvfPqVersions(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String): Unit = {
+    val cur = graft.core.Fs.readPointer(spark, dir).getOrElse(-1L)
+    if (cur < 0) return
+    def tableVAt(v: Long): Long = {
+      val df = spark.read.parquet(ivfPqMetaPath(dir, v))
+      if (df.columns.contains("table_v")) df.head().getAs[Long]("table_v")
+      else -1L
+    }
+    val keep = Seq(cur, cur - 1)
+      .filter(v => v >= 0 &&
+        graft.core.Fs.exists(spark, ivfPqMetaPath(dir, v)))
+      .map(tableVAt).toSet
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    val f = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!f.exists(hp)) return
+    val Versioned = """(meta|cells|codes)_v(\d+)""".r
+    f.listStatus(hp).foreach { st =>
+      st.getPath.getName match {
+        case Versioned("meta", v) if v.toLong < cur - 1 =>
+          f.delete(st.getPath, true)
+        case Versioned(t @ ("cells" | "codes"), v)
+            if v.toLong < cur && !keep(v.toLong) =>
+          f.delete(st.getPath, true)
+          spark.sql(
+            s"DROP TABLE IF EXISTS ${ivfPqTable(dir, s"${t}_v$v")}")
+        case _ => ()
+      }
+    }
+    if (cur >= 1) {
+      graft.core.Fs.delete(spark, s"$dir/meta")
+      if (!keep(-1L)) for (t <- Seq("cells", "codes")) {
+        graft.core.Fs.delete(spark, s"$dir/$t")
+        spark.sql(s"DROP TABLE IF EXISTS ${ivfPqTable(dir, t)}")
+      }
+    }
+  }
+
   def saveIvfPq(model: IvfPq.Model, dir: String, buckets: Int = -1): Unit = {
     val spark = model.cells.sparkSession
     import spark.implicits._
@@ -873,18 +960,22 @@ object Similarity {
           s"($codeRows code rows, target ${1L << 20} rows/bucket)")
         b
       }
+    val next = graft.core.Fs.readPointer(spark, dir).getOrElse(-1L) + 1
     graft.core.Bucketing.writeBucketed(model.cells,
-      ivfPqTable(dir, "cells"), s"$dir/cells", "id", nb)
+      ivfPqTable(dir, s"cells_v$next"), s"$dir/cells_v$next", "id", nb)
     graft.core.Bucketing.writeBucketed(model.pq.codes,
-      ivfPqTable(dir, "codes"), s"$dir/codes", "id", nb)
+      ivfPqTable(dir, s"codes_v$next"), s"$dir/codes_v$next", "id", nb)
     model.centroids.map { case (ci, v) => (ci, v.toSeq) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     model.pq.codebooks.map { case (sub, code, v) => (sub, code, v.toSeq) }
       .toDF("sub", "code", "codeword")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
-    Seq(nb).toDF("buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    writeIvfPqMeta(spark, dir, IvfPqMeta(nb, tableV = next, deltas = 0L,
+      files = parquetFileCount(spark, s"$dir/cells_v$next") +
+        parquetFileCount(spark, s"$dir/codes_v$next")), next)
+    graft.core.Fs.writePointer(spark, dir, next)
+    pruneIvfPqVersions(spark, dir)
   }
 
   /** Catalog-attach one bucketed index table in a fresh session; the
@@ -927,10 +1018,16 @@ object Similarity {
     // always-false on hdfs:///s3a:// paths, which silently demoted every
     // remote artifact to the pre-round-11 plain-parquet branch (ADVICE r11)
     val (cells, codes) =
-      if (graft.core.Fs.exists(spark, s"$dir/meta")) {
-        val nb = spark.read.parquet(s"$dir/meta").head().getInt(0)
-        (attachIvfPqTable(spark, dir, "cells", nb),
-          attachIvfPqTable(spark, dir, "codes", nb))
+      if (graft.core.Fs.exists(spark, s"$dir/CURRENT") ||
+          graft.core.Fs.exists(spark, s"$dir/meta")) {
+        val m = readIvfPqMeta(spark, dir)
+        if (m.deltas > 32L)
+          System.err.println(s"[loadIvfPq] index at $dir has ${m.deltas} " +
+            "bucket-appended deltas since its last full write: listing/" +
+            "footer reads degrade — run compactIvfPq(spark, dir)")
+        val (cd, kd) = ivfPqTableDirs(m)
+        (attachIvfPqTable(spark, dir, cd, m.buckets),
+          attachIvfPqTable(spark, dir, kd, m.buckets))
       } else
         (spark.read.parquet(s"$dir/cells"),
           spark.read.parquet(s"$dir/codes"))
@@ -1128,7 +1225,9 @@ object Similarity {
   def addToSavedIvfPq(spark: org.apache.spark.sql.SparkSession,
                       dir: String, newVectors: DataFrame,
                       idCol: String = "vec_id",
-                      vecCol: String = "embedding"): IvfPq.Model = {
+                      vecCol: String = "embedding",
+                      compactEvery: Int = 64,
+                      leaseMs: Long = graft.core.Fs.NoLease): IvfPq.Model = {
     // resolve the catalog tables through the BATCH's own session, not
     // the caller's: inside foreachBatch the batch frame lives in a
     // CLONED SparkSession, and a table relation cached by the outer
@@ -1138,18 +1237,47 @@ object Similarity {
     // streaming ANN-growth spec: codes froze at the fit size).
     val ss = newVectors.sparkSession
     graft.core.Fs.withLock(ss, s"$dir/_delta_lock",
-      "re-run the interrupted add (the encode-append is idempotent)") {
+      "re-run the interrupted add (the encode-append is idempotent)",
+      leaseMs = leaseMs) {
       val model = loadIvfPq(ss, dir) // attaches bucketed tables if needed
       val (cellsDelta, codesDelta) =
         ivfPqEncodeDelta(model, newVectors, idCol = idCol, vecCol = vecCol)
       val cd = cellsDelta.localCheckpoint(true)
       val kd = codesDelta.localCheckpoint(true)
       if (cd.count() > 0) {
-        if (graft.core.Fs.exists(ss, s"$dir/meta")) {
+        if (graft.core.Fs.exists(ss, s"$dir/CURRENT") ||
+            graft.core.Fs.exists(ss, s"$dir/meta")) {
+          val m = readIvfPqMeta(ss, dir)
+          val (cdir, kdir) = ivfPqTableDirs(m)
           // bucket-encoded append: the grown table keeps its co-located
-          // join property (each delta adds per-bucket files, no rewrite)
-          cd.write.mode("append").insertInto(ivfPqTable(dir, "cells"))
-          kd.write.mode("append").insertInto(ivfPqTable(dir, "codes"))
+          // join property (each delta adds per-bucket files, no rewrite).
+          // CRASH ORDERING between the two appends: codes FIRST, each
+          // id's codes anti-joined against the stored codes table. A
+          // crash between the appends leaves orphan codes rows — ids the
+          // search's `codes JOIN cells` inner join simply drops (absent,
+          // never wrong) — and the re-run repairs them: the encode
+          // anti-join (vs cells) re-derives those ids, the codes anti
+          // skips their already-stored rows, and the cells append
+          // completes the pair. Cells-first would instead leave ids the
+          // encode anti-join skips FOREVER with no codes — silently
+          // unsearchable.
+          val kdFresh = kd.join(
+            ss.table(ivfPqTable(dir, kdir)).select(col("id")),
+            Seq("id"), "left_anti")
+          kdFresh.write.mode("append").insertInto(ivfPqTable(dir, kdir))
+          cd.write.mode("append").insertInto(ivfPqTable(dir, cdir))
+          // publish the bumped fragmentation counter as a new meta
+          // version (never an in-place overwrite), then auto-compact
+          // once the append count crosses the threshold — amortized:
+          // one rewrite per compactEvery batch-sized deltas
+          val next = graft.core.Fs.readPointer(ss, dir).getOrElse(-1L) + 1
+          writeIvfPqMeta(ss, dir,
+            m.copy(deltas = math.max(0L, m.deltas) + 1L), next)
+          graft.core.Fs.writePointer(ss, dir, next)
+          pruneIvfPqVersions(ss, dir)
+          if (compactEvery > 0 &&
+              math.max(0L, m.deltas) + 1L >= compactEvery)
+            compactIvfPq0(ss, dir)
         } else { // pre-round-11 plain-parquet artifact
           cd.write.mode("append").parquet(s"$dir/cells")
           kd.write.mode("append").parquet(s"$dir/codes")
@@ -1157,6 +1285,47 @@ object Similarity {
       }
       loadIvfPq(ss, dir)
     }
+  }
+
+  /** Rewrite the index's bucketed cells/codes tables into FRESH versioned
+    * directories and publish them behind the pointer — the IVF-PQ twin of
+    * [[graft.streaming.CurationStream.compactSeenTable]] (VERDICT r12 #2:
+    * unbounded delta-appends are a small-file scale-killer). Row-identical
+    * by construction (one bucketed rewrite of the same rows), keeps the
+    * co-located `codes JOIN cells ON id` search property, collapses each
+    * bucket's delta fragments to one sorted file; the old directories
+    * survive one more state change (reader grace window). */
+  def compactIvfPq(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   leaseMs: Long = graft.core.Fs.NoLease): Unit =
+    graft.core.Fs.withLock(spark, s"$dir/_delta_lock",
+      "re-run the interrupted compaction (the old tables are still the " +
+        "published ones until the pointer flips)", leaseMs = leaseMs) {
+      compactIvfPq0(spark, dir)
+    }
+
+  private def compactIvfPq0(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Unit = {
+    val m = readIvfPqMeta(spark, dir)
+    val (cdir, kdir) = ivfPqTableDirs(m)
+    attachIvfPqTable(spark, dir, cdir, m.buckets)
+    attachIvfPqTable(spark, dir, kdir, m.buckets)
+    val next = graft.core.Fs.readPointer(spark, dir).getOrElse(-1L) + 1
+    graft.core.Bucketing.writeBucketed(
+      spark.table(ivfPqTable(dir, cdir)),
+      ivfPqTable(dir, s"cells_v$next"), s"$dir/cells_v$next", "id",
+      m.buckets)
+    graft.core.Bucketing.writeBucketed(
+      spark.table(ivfPqTable(dir, kdir)),
+      ivfPqTable(dir, s"codes_v$next"), s"$dir/codes_v$next", "id",
+      m.buckets)
+    val files = parquetFileCount(spark, s"$dir/cells_v$next") +
+      parquetFileCount(spark, s"$dir/codes_v$next")
+    writeIvfPqMeta(spark, dir, IvfPqMeta(m.buckets, tableV = next,
+      deltas = 0L, files = files), next)
+    graft.core.Fs.writePointer(spark, dir, next)
+    System.err.println(s"[compactIvfPq] $dir compacted to version $next " +
+      s"($files files, ${m.buckets} buckets)")
+    pruneIvfPqVersions(spark, dir)
   }
 
   /** Search: each query coarse-assigns to its nearest cell, residualizes

@@ -218,11 +218,20 @@ object Sketches {
 
   /** Shard count that keeps each shard's filter under `maxBits` for `n`
     * keys at `bitsPerKey` — 1 until the single-filter budget is actually
-    * exceeded, then the minimal split. */
+    * exceeded, then the minimal split. "Keeps under" is checked against
+    * the CEILED per-shard key count the sizing downstream actually uses
+    * (ADVICE r12: `ceil(n/shards) * bitsPerKey` can overshoot `maxBits`
+    * by up to ~bitsPerKey at exact-boundary cardinalities, which fired
+    * the loud "shard the filter" clamp warning on an already-sharded
+    * filter), so the clamp inside [[adaptiveBloomBits]] is structurally
+    * unreachable for sharded geometry — except the degenerate
+    * bitsPerKey > maxBits config, where one key alone exceeds the budget. */
   def bloomShards(n: Long, bitsPerKey: Int = 10,
                   maxBits: Int = 1 << 27): Int = {
     require(n >= 0 && bitsPerKey >= 1 && maxBits >= 32)
-    math.max(1L, (n * bitsPerKey + maxBits - 1) / maxBits).toInt
+    var s = math.max(1L, (n * bitsPerKey + maxBits - 1) / maxBits)
+    while (s < n && ((n + s - 1) / s) * bitsPerKey > maxBits) s += 1
+    s.toInt
   }
 
   /** Deterministic shard of a key. Salted independently of the per-hash
@@ -316,14 +325,24 @@ object Sketches {
       // rows per key, inner-join the filter on (shard, word) — a missing
       // word is a miss (inner join drops it), a present word still needs
       // its bit set; all k hash functions must hit (positions can
-      // collide on a word, so count DISTINCT hash indexes, not rows)
+      // collide on a word, so count DISTINCT hash indexes, not rows).
+      //
+      // The probe lineage feeds TWO branches of this one plan — the
+      // distinct-key explode and the final semi-join's left side — so an
+      // unpersisted upstream (extendSeen's md5-distinct of the batch,
+      // decontaminateBloom's shingle pipeline) would be SCANNED TWICE
+      // per prune (VERDICT r12 #5). One tracked persist evaluates it
+      // once: the membership aggregate's stage populates the cache and
+      // the final semi-join reads it back (spec-pinned by an
+      // evaluation-counting source in SketchesSpec).
+      val p1 = graft.core.CacheScope.persist(probes)
       val pos = array((0 until numHashes).map { i =>
         val p = bloomPos(col(keyCol), i, shardBits)
         struct(lit(i).as("i"), (p / lit(32L)).cast("long").as("__w"),
           call_function("shiftleft", lit(1L), (p % lit(32L)).cast("int"))
             .as("__m"))
       }: _*)
-      val exploded = probes.select(col(keyCol)).filter(col(keyCol).isNotNull)
+      val exploded = p1.select(col(keyCol)).filter(col(keyCol).isNotNull)
         .distinct()
         .select(col(keyCol), bloomShardOf(col(keyCol), nShards).as("__s"),
           explode(pos).as("__p"))
@@ -337,7 +356,7 @@ object Sketches {
         .agg(count_distinct(col("__i")).as("__nhit"))
         .filter(col("__nhit") === numHashes)
         .select(col(keyCol))
-      probes.join(members, Seq(keyCol), "left_semi")
+      p1.join(members, Seq(keyCol), "left_semi")
     }
   }
 

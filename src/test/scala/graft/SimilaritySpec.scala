@@ -629,8 +629,9 @@ class SimilaritySpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_bkt").toString
     Similarity.saveIvfPq(model, dir)
     // fresh-session shape: drop the save-session catalog entries so
-    // load must attach from disk (schema from the parquet footer)
-    for (sfx <- Seq("cells", "codes"))
+    // load must attach from disk (schema from the parquet footer);
+    // save() writes versioned table dirs (round 13), first save = v0
+    for (sfx <- Seq("cells_v0", "codes_v0"))
       spark.sql("DROP TABLE IF EXISTS " + Similarity.ivfPqTable(dir, sfx))
     val loaded = Similarity.loadIvfPq(spark, dir)
     val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

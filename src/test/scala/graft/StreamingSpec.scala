@@ -642,9 +642,10 @@ class StreamingSpec extends AnyFunSuite {
     // FRESH-SESSION shape: drop the save-session catalog entries so the
     // delta job must attach the stored bucketed table from disk itself
     // (a day-2 job in a new JVM has no day-1 catalog)
-    for (sfx <- Seq("eval", "seen"))
-      spark.sql("DROP TABLE IF EXISTS " +
-        CurationStream.confirmTable(dir, sfx))
+    spark.sql("DROP TABLE IF EXISTS " +
+      CurationStream.confirmTable(dir, "eval"))
+    spark.sql("DROP TABLE IF EXISTS " +
+      CurationStream.seenTableName(spark, dir))
     // day 1: accept the cleaned %4==1 shard, advance the ARTIFACT
     val day1 = docs.filter(col("doc_id") % 4 === 1)
       .select(col("doc_id"),
@@ -652,9 +653,9 @@ class StreamingSpec extends AnyFunSuite {
     CurationStream.saveSeenDelta(frozen, dir, day1)
     // idempotence: replaying the same delta appends nothing
     val before = spark.table(
-      CurationStream.confirmTable(dir, "seen")).count()
+      CurationStream.seenTableName(spark, dir)).count()
     CurationStream.saveSeenDelta(frozen, dir, day1)
-    assert(spark.table(CurationStream.confirmTable(dir, "seen")).count()
+    assert(spark.table(CurationStream.seenTableName(spark, dir)).count()
       == before, "replayed delta duplicated stored hashes")
     // a loaded model equals extendSeen applied in-memory
     val advanced = CurationStream.extendSeen(frozen, day1)
@@ -851,13 +852,17 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("doc_id"),
         graft.operators.TextAnalysis.cleanText(col("text")).as("text"))
     CurationStream.saveSeenDelta(frozen, dir, day1)
-    def words() = spark.read.parquet(s"$dir/seen_bloom").collect()
+    // resolve the CURRENT versioned filter path per call — the rebuild
+    // publishes a NEW version behind the pointer (round 13)
+    def words() = spark.read
+      .parquet(CurationStream.seenBloomPath(spark, dir)).collect()
       .map(r => (r.getAs[Int]("shard"), r.getAs[Long]("word")) ->
         r.getAs[Long]("bits")).toMap
     val expected = words()
     // destroy the filter
     import scala.reflect.io.Directory
-    new Directory(new java.io.File(s"$dir/seen_bloom")).deleteRecursively()
+    new Directory(new java.io.File(
+      CurationStream.seenBloomPath(spark, dir))).deleteRecursively()
     CurationStream.rebuildSeenBloom(spark, dir)
     assert(words() == expected, "rebuilt Bloom differs from the original")
     // and a model loaded after recovery still curates: day-1 replays drop
@@ -1133,9 +1138,10 @@ class StreamingSpec extends AnyFunSuite {
       ref, ref.filter(col("doc_id") % 31 === 0), col("lang") === "en")
     val adir = java.nio.file.Files.createTempDirectory("frozen_r12").toString
     CurationStream.save(frozen, adir)
-    for (sfx <- Seq("eval", "seen"))
-      spark.sql("DROP TABLE IF EXISTS " +
-        CurationStream.confirmTable(adir, sfx))
+    spark.sql("DROP TABLE IF EXISTS " +
+      CurationStream.confirmTable(adir, "eval"))
+    spark.sql("DROP TABLE IF EXISTS " +
+      CurationStream.seenTableName(spark, adir))
     (frozen, adir, docs)
   }
 
@@ -1152,16 +1158,19 @@ class StreamingSpec extends AnyFunSuite {
       CurationStream.saveSeenDelta(frozen, adir, day1)
     }
     assert(e.getMessage.contains("_delta_lock"))
-    assert(e.getMessage.contains("rebuildSeenBloom"),
+    assert(e.getMessage.contains("re-run the interrupted delta"),
       "failure message must name the recovery path")
     // the failed writer must not have touched the artifact (plain-read
     // the bucketed files: the catalog attach happens under the lock, so
     // the refused writer never created the table entry)
-    val storedBefore = spark.read.parquet(s"$adir/seen_hashes").count()
+    val storedBefore = spark.read
+      .parquet(CurationStream.seenTableDir(spark, adir)).count()
     // lock released (stale-lock recovery) -> the same delta succeeds
     graft.core.Fs.removeLock(spark, s"$adir/_delta_lock")
     CurationStream.saveSeenDelta(frozen, adir, day1)
-    assert(spark.read.parquet(s"$adir/seen_hashes").count() > storedBefore)
+    assert(spark.read
+      .parquet(CurationStream.seenTableDir(spark, adir)).count()
+      > storedBefore)
     // and the lock is gone after a successful delta (no leak)
     assert(!graft.core.Fs.exists(spark, s"$adir/_delta_lock"))
     CurationStream.release(frozen)
@@ -1278,20 +1287,22 @@ class StreamingSpec extends AnyFunSuite {
     // dropping the shard column fabricates a faithful r11 filter
     assert(frozen.evalShards == 1 && frozen.seenShards == 1)
     // ---- fabricate a ROUND-11 artifact: 9-column meta, unsharded blooms
-    val m12 = spark.read.parquet(s"$adir/meta").collect()(0)
+    val m12 = spark.read
+      .parquet(CurationStream.currentMetaPath(spark, adir)).collect()(0)
     import spark.implicits._
     val r11dir = java.nio.file.Files.createTempDirectory("frozen_r11").toString
     for (t <- Seq("weights", "kn3_logprobs"))
       spark.read.parquet(s"$adir/$t").write.parquet(s"$r11dir/$t")
-    for (b <- Seq("eval_bloom", "seen_bloom")) // r11 filters: (word, bits)
-      spark.read.parquet(s"$adir/$b").select("word", "bits")
-        .write.parquet(s"$r11dir/$b")
+    spark.read.parquet(s"$adir/eval_bloom").select("word", "bits")
+      .write.parquet(s"$r11dir/eval_bloom") // r11 filters: (word, bits)
+    spark.read.parquet(CurationStream.seenBloomPath(spark, adir))
+      .select("word", "bits").write.parquet(s"$r11dir/seen_bloom")
     graft.core.Bucketing.writeBucketed(
       spark.read.parquet(s"$adir/eval_shingles"),
       CurationStream.confirmTable(r11dir, "eval"),
       s"$r11dir/eval_shingles", "sh", 8)
     graft.core.Bucketing.writeBucketed(
-      spark.read.parquet(s"$adir/seen_hashes"),
+      spark.read.parquet(CurationStream.seenTableDir(spark, adir)),
       CurationStream.confirmTable(r11dir, "seen"),
       s"$r11dir/seen_hashes", "h", 8)
     Seq((m12.getAs[Int]("num_buckets"), m12.getAs[Long]("score_max_micro"),
@@ -1312,7 +1323,8 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("doc_id"),
         graft.operators.TextAnalysis.cleanText(col("text")).as("text"))
     CurationStream.saveSeenDelta(l11, r11dir, day1)
-    assert(spark.read.parquet(s"$r11dir/seen_bloom").columns
+    assert(spark.read
+      .parquet(CurationStream.seenBloomPath(spark, r11dir)).columns
       .contains("shard"))
     assert(CurationStream
       .curateBatch(day1, CurationStream.load(spark, r11dir)).count() == 0)
@@ -1321,12 +1333,13 @@ class StreamingSpec extends AnyFunSuite {
     val r10dir = java.nio.file.Files.createTempDirectory("frozen_r10").toString
     for (t <- Seq("weights", "kn3_logprobs"))
       spark.read.parquet(s"$adir/$t").write.parquet(s"$r10dir/$t")
-    for (b <- Seq("eval_bloom", "seen_bloom"))
-      spark.read.parquet(s"$adir/$b").select("word", "bits")
-        .write.parquet(s"$r10dir/$b")
+    spark.read.parquet(s"$adir/eval_bloom").select("word", "bits")
+      .write.parquet(s"$r10dir/eval_bloom")
+    spark.read.parquet(CurationStream.seenBloomPath(spark, adir))
+      .select("word", "bits").write.parquet(s"$r10dir/seen_bloom")
     spark.read.parquet(s"$adir/eval_shingles")
       .write.parquet(s"$r10dir/eval_shingles")
-    spark.read.parquet(s"$adir/seen_hashes")
+    spark.read.parquet(CurationStream.seenTableDir(spark, adir))
       .write.parquet(s"$r10dir/seen_hashes")
     // pre-r11 froze both filters at ONE size; the r12 freeze sized them
     // separately, so a faithful single-bloom_bits fabrication needs them
@@ -1378,12 +1391,13 @@ class StreamingSpec extends AnyFunSuite {
     // history outgrew shards*bits/bitsPerKey): fabricate by meta rewrite
     val sat = java.nio.file.Files.createTempDirectory("frozen_sat").toString
     CurationStream.save(frozen, sat, confirmBuckets = 8)
-    val satDf = spark.read.parquet(s"$sat/meta")
+    val satMeta = CurationStream.currentMetaPath(spark, sat)
+    val satDf = spark.read.parquet(satMeta)
       .withColumn("seen_keys", lit(Long.MaxValue / 20))
     val satRows = satDf.collect() // materialize BEFORE overwriting input
     spark.createDataFrame(
         spark.sparkContext.parallelize(satRows.toIndexedSeq), satDf.schema)
-      .coalesce(1).write.mode("overwrite").parquet(s"$sat/meta")
+      .coalesce(1).write.mode("overwrite").parquet(satMeta)
     val errBuf = new java.io.ByteArrayOutputStream()
     val prevErr = System.err
     System.setErr(new java.io.PrintStream(errBuf, true))
