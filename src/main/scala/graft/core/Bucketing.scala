@@ -29,4 +29,18 @@ object Bucketing {
     * a plain `spark.read.parquet(path)` would NOT know the bucketing). */
   def readBucketed(spark: org.apache.spark.sql.SparkSession,
                    table: String): DataFrame = spark.table(table)
+
+  /** Run `f` with auto-disabling of bucketed scans turned OFF — Spark
+    * silently demotes a bucketed scan to size-packed file splits when no
+    * join/aggregate "needs" the distribution, which breaks bucket-aligned
+    * rewrites (compaction wants one task per bucket so the bucketBy write
+    * emits one file per bucket with no shuffle). Session-scoped conf flip,
+    * restored on exit. */
+  def withForcedBucketedScan[T](spark: org.apache.spark.sql.SparkSession)
+                               (f: => T): T = {
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try f finally spark.conf.set(key, prev)
+  }
 }

@@ -1310,14 +1310,18 @@ object Similarity {
     attachIvfPqTable(spark, dir, cdir, m.buckets)
     attachIvfPqTable(spark, dir, kdir, m.buckets)
     val next = graft.core.Fs.readPointer(spark, dir).getOrElse(-1L) + 1
-    graft.core.Bucketing.writeBucketed(
-      spark.table(ivfPqTable(dir, cdir)),
-      ivfPqTable(dir, s"cells_v$next"), s"$dir/cells_v$next", "id",
-      m.buckets)
-    graft.core.Bucketing.writeBucketed(
-      spark.table(ivfPqTable(dir, kdir)),
-      ivfPqTable(dir, s"codes_v$next"), s"$dir/codes_v$next", "id",
-      m.buckets)
+    // shuffle-free bucket-aligned rewrite, one file per bucket (see
+    // CurationStream.compactSeenTable0 for why the scan must be pinned)
+    graft.core.Bucketing.withForcedBucketedScan(spark) {
+      graft.core.Bucketing.writeBucketed(
+        spark.table(ivfPqTable(dir, cdir)),
+        ivfPqTable(dir, s"cells_v$next"), s"$dir/cells_v$next", "id",
+        m.buckets)
+      graft.core.Bucketing.writeBucketed(
+        spark.table(ivfPqTable(dir, kdir)),
+        ivfPqTable(dir, s"codes_v$next"), s"$dir/codes_v$next", "id",
+        m.buckets)
+    }
     val files = parquetFileCount(spark, s"$dir/cells_v$next") +
       parquetFileCount(spark, s"$dir/codes_v$next")
     writeIvfPqMeta(spark, dir, IvfPqMeta(m.buckets, tableV = next,

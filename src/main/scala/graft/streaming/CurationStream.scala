@@ -501,12 +501,20 @@ object CurationStream {
       am.confirmBuckets)
     val next = stateVersion(spark, dir) + 1
     val newSub = s"seen_hashes_v$next"
-    // one sorted file per bucket: the bucketed writer shuffles into the
-    // bucket spec, so each bucket's delta fragments collapse
-    graft.core.Bucketing.writeBucketed(
-      spark.table(confirmTable(dir, suffix)),
-      confirmTable(dir, s"seen_v$next"), s"$dir/$newSub", "h",
-      am.confirmBuckets)
+    // SHUFFLE-FREE rewrite, one file per bucket: force the BUCKETED scan
+    // of the old table (one task per bucket holding all that bucket's
+    // delta fragments), so the bucketBy write emits exactly one file per
+    // bucket with zero data movement. Without the pin Spark's planner
+    // both removes an explicit repartition ("child already distributes
+    // by the bucket key") AND then auto-disables the bucketed scan as
+    // unneeded — leaving size-packed file splits whose every task spans
+    // many buckets, i.e. a re-fragmented "compaction".
+    graft.core.Bucketing.withForcedBucketedScan(spark) {
+      graft.core.Bucketing.writeBucketed(
+        spark.table(confirmTable(dir, suffix)),
+        confirmTable(dir, s"seen_v$next"), s"$dir/$newSub", "h",
+        am.confirmBuckets)
+    }
     val files = {
       val p = new org.apache.hadoop.fs.Path(s"$dir/$newSub")
       p.getFileSystem(spark.sessionState.newHadoopConf())
