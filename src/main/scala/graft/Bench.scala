@@ -146,7 +146,7 @@ object Bench {
     // price each phase separately. Freeze timing INCLUDES materializing
     // every frozen artifact (train once, ship warm); apply then measures
     // only curateBatch against them.
-    val frozenResults: Seq[(String, Seq[(Double, Boolean)])] =
+    def frozenSuite(): Seq[(String, Seq[(Double, Boolean)])] =
       if (pipelineNames.isEmpty) Nil
       else {
         import org.apache.spark.sql.functions.col
@@ -194,7 +194,21 @@ object Bench {
           "t_frozen_curation_apply" -> passes.map(_._2))
       }
     val pipelineResults = runSuite(pipelineNames, 2, " (pipeline)") ++
-      frozenResults
+      frozenSuite()
+    // The pipeline suite in the OPPOSITE AQE mode (VERDICT r12 #8): the
+    // headline records both modes but the heavy pipeline rows recorded
+    // only the primary, so a mode-flip regression in exactly the rows
+    // most sensitive to runtime re-planning was invisible in the driver
+    // artifact. Same skip-switch as the headline's alt pass.
+    val altPipelineResults: Seq[(String, Seq[(Double, Boolean)])] =
+      if (altResults.isEmpty || pipelineNames.isEmpty) Nil
+      else {
+        spark.conf.set("spark.sql.adaptive.enabled", altAqe)
+        val r = runSuite(pipelineNames, 2, s" (pipeline aqe=$altAqe)") ++
+          frozenSuite()
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        r
+      }
     // headline value per query = min of the OK samples (scheduling-noise
     // floor); all samples are recorded so a contaminated run is visible in
     // the artifact itself (VERDICT r6 #2), not just in its total. A sample
@@ -226,7 +240,8 @@ object Bench {
       (qmap(rs, minOk), tot, qmap(rs, medianOk))
     }
     val failedJson = (results.map(("" , _)) ++ altResults.map(("aqe_alt:", _)) ++
-        pipelineResults.map(("pipeline:", _)))
+        pipelineResults.map(("pipeline:", _)) ++
+        altPipelineResults.map(("pipeline_aqe_alt:", _)))
       .collect { case (pfx, (k, v)) if minOk(v).isEmpty => "\"" + pfx + k + "\"" }
       .mkString("[", ",", "]")
     val (qs, total, qMed) = suiteJson(results)
@@ -249,6 +264,13 @@ object Bench {
         s""""pipeline_queries":$pq,"pipeline_total":$pt,""" +
           s""""pipeline_medians":$pm,"""
       }
+    val altPipeJson =
+      if (altPipelineResults.isEmpty) ""
+      else {
+        val (pq, pt, _) = suiteJson(altPipelineResults)
+        s""""pipeline_${altName}_queries":$pq,""" +
+          s""""pipeline_${altName}_total":$pt,"""
+      }
     val commonTail =
       s""""failed":$failedJson,""" +
         f""""calib_sec":$calib%.3f,""" +
@@ -257,7 +279,8 @@ object Bench {
     val detailJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""query_medians":$qMed,""" +
-        s""""samples":$samplesJson,$aqeJson$pipeJson""" + commonTail
+        s""""samples":$samplesJson,$aqeJson$pipeJson$altPipeJson""" +
+        commonTail
     // COMPACT driver line (VERDICT r11 #1/#7): the driver records only the
     // last ~2000 chars of stdout, and round-11's single detail line grew to
     // 3003 chars — its head (the {"metric"... prefix) fell off the capture
@@ -277,10 +300,16 @@ object Bench {
         val (pq, pt, _) = suiteJson(pipelineResults)
         s""""pipeline_queries":$pq,"pipeline_total":$pt,"""
       }
+    // alt-mode pipeline: TOTAL only in the compact line (the per-query
+    // detail lives in BENCH_LAST.json; the compact line must stay well
+    // under the driver's ~2000-char tail capture)
+    val altPipeTotalJson =
+      if (altPipelineResults.isEmpty) ""
+      else s""""pipeline_${altName}_total":${suiteJson(altPipelineResults)._2},"""
     val compactJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""query_medians":$qMed,""" + altTotalJson + pipeCompactJson +
-        commonTail
+        altPipeTotalJson + commonTail
     // bare stdout lines (build.sbt strips sbt's [info] framing via
     // OutputStrategy): detail first, compact LAST so the tail capture
     // always holds one complete parseable record; the file copy keeps the

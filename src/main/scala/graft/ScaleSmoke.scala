@@ -455,6 +455,20 @@ object ScaleSmoke {
           topk = 5, m = 4, dim = 64).count()
       })
       graft.core.CacheScope.release()
+      // round-13: the ARTIFACT delta path (addToSavedIvfPq — the one a
+      // day-2 job actually runs) at factor: encode 2x the fit set under
+      // the stored frozen geometry, bucket-append, search the reloaded
+      // index. Must track ivfpq_persist_add_search (same arithmetic, plus
+      // the append), never the full save cost.
+      val dir2 = java.nio.file.Files
+        .createTempDirectory("scale_ivfpq_delta").toString
+      Similarity.saveIvfPq(mdl, dir2) // untimed day-1 publish
+      time("ivfpq_saved_delta_add")({
+        val grown = Similarity.addToSavedIvfPq(spark, dir2, newVecs)
+        Similarity.ivfPqSearch(grown, bigEmb.filter(col("vec_id") < 10),
+          topk = 5, m = 4, dim = 64).count()
+      })
+      graft.core.CacheScope.release()
     }
     // Frozen curation: freeze on the un-replicated base half + save
     // (untimed — freeze cost is priced by frozen_curation_apply above),
@@ -501,6 +515,56 @@ object ScaleSmoke {
         graft.streaming.CurationStream.release(loaded)
         n
       })
+      graft.core.CacheScope.release()
+    }
+    // round-13 (VERDICT r12 #2): delta SOAK — 30 sequential saveSeenDelta
+    // calls into ONE artifact with auto-compaction every 10. The claims
+    // under test: per-delta cost stays flat (no creep as appended
+    // generations accumulate) and the table's file count is BOUNDED by
+    // compaction instead of growing one file-set per delta forever (the
+    // small-file listing scale-killer no query plan shows). Batches come
+    // from the unreplicated base shard with a per-delta salt, so every
+    // delta appends genuinely new hashes.
+    if (only.isEmpty ||
+        only.exists(o => "curation_delta_soak".startsWith(o))) {
+      import graft.streaming.CurationStream
+      val refHalf = base.filter(col("doc_id") % 2 === 0)
+      val frozen = CurationStream.freeze(
+        refHalf, refHalf.filter(col("doc_id") % 31 === 0),
+        col("lang") === "en")
+      val sdir = java.nio.file.Files
+        .createTempDirectory("scale_soak").toString
+      CurationStream.save(frozen, sdir)
+      val nDeltas = 30
+      val perDelta = (1 to nDeltas).map { i =>
+        val batch = base.filter(col("doc_id") % 5 === 1).limit(20000)
+          .select(col("doc_id"),
+            concat(col("text"), lit(s" soak$i x"),
+              col("doc_id").cast("string")).as("text"))
+        val t0 = System.nanoTime()
+        CurationStream.saveSeenDelta(frozen, sdir, batch,
+          compactEvery = 10)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val sorted = perDelta.sorted
+      val med = sorted(nDeltas / 2)
+      val firstAvg = perDelta.take(10).sum / 10
+      val lastAvg = perDelta.takeRight(10).sum / 10
+      val am = CurationStream.readMeta(spark, sdir)
+      val filesNow = {
+        val p = new org.apache.hadoop.fs.Path(
+          CurationStream.seenTableDir(spark, sdir))
+        p.getFileSystem(spark.sessionState.newHadoopConf())
+          .listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+      }
+      println(f"[scale] curation_delta_soak$nDeltas median=$med%.2f s " +
+        f"first10avg=$firstAvg%.2f s last10avg=$lastAvg%.2f s " +
+        f"total=${perDelta.sum}%.2f s")
+      println(s"[scale] curation_delta_soak$nDeltas files=$filesNow " +
+        s"(buckets=${am.confirmBuckets}) deltas_since_compact=" +
+        s"${am.seenTableDeltas} meta_files=${am.seenTableFiles} " +
+        s"state_v=${CurationStream.stateVersion(spark, sdir)}")
+      CurationStream.release(frozen)
       graft.core.CacheScope.release()
     }
     spark.stop()
