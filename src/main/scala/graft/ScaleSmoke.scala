@@ -457,14 +457,13 @@ object ScaleSmoke {
       graft.core.CacheScope.release()
       // round-13: the ARTIFACT delta path (addToSavedIvfPq — the one a
       // day-2 job actually runs) at factor: encode 2x the fit set under
-      // the stored frozen geometry, bucket-append, search the reloaded
-      // index. Must track ivfpq_persist_add_search (same arithmetic, plus
-      // the append), never the full save cost.
-      val dir2 = java.nio.file.Files
-        .createTempDirectory("scale_ivfpq_delta").toString
-      Similarity.saveIvfPq(mdl, dir2) // untimed day-1 publish
+      // the STORED geometry of the artifact the previous entry just
+      // published (loadIvfPq collects geometry from disk — no in-memory
+      // model recompute enters this timing), bucket-append, search the
+      // reloaded index. Must track ivfpq_persist_add_search (same
+      // arithmetic, plus the append), never the full save cost.
       time("ivfpq_saved_delta_add")({
-        val grown = Similarity.addToSavedIvfPq(spark, dir2, newVecs)
+        val grown = Similarity.addToSavedIvfPq(spark, dir, newVecs)
         Similarity.ivfPqSearch(grown, bigEmb.filter(col("vec_id") < 10),
           topk = 5, m = 4, dim = 64).count()
       })

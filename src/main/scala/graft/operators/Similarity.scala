@@ -590,14 +590,17 @@ object Similarity {
         .limit(0)
     var assigned: DataFrame = null
     for (i <- 1 to iters) {
-      val ranked = array_sort(array(centroids.map { case (ci, cm) =>
+      // argmin via array_min over the unsorted (dist, cl) structs — same
+      // total order as the old array_sort()[1], O(k) per row (see
+      // nearestCell)
+      val cells = array(centroids.map { case (ci, cm) =>
         val c2 = cm.map(x => x * x).sum // exact: integer-valued doubles
         struct(
           (col("vm2") - lit(2.0) * dot(col("vm"), typedlit(cm.toSeq)) + lit(c2))
             .cast("long").as("dist"),
           lit(ci).as("cl"))
-      }: _*))
-      assigned = base.withColumn("best", element_at(ranked, 1))
+      }: _*)
+      assigned = base.withColumn("best", array_min(cells))
         .select(col("id"), col("vm"),
           col("best.cl").as("cluster"), col("best.dist").as("dist_sq"))
       if (i < iters) {
@@ -737,24 +740,25 @@ object Similarity {
 
   /** Row-local nearest-codeword assignment per (vector, subspace) row:
     * exact integer squared-L2 against each literal codeword, argmin via
-    * one array_sort of (dist, code) structs — ties to the lowest code,
-    * the same total order the SQL replay uses. */
+    * `array_min` of (dist, code) structs — ties to the lowest code,
+    * the same total order the SQL replay uses (O(k) per row; see
+    * [[nearestCell]]). */
   private def assignSubCodes(subbed: DataFrame,
                              cb: IndexedSeq[IndexedSeq[(Int, Array[Double])]],
                              m: Int): DataFrame = {
     val sv2 = dot(col("sv"), col("sv"))
-    def rankedFor(s: Int): Column =
-      array_sort(array(cb(s).map { case (ci, cm) =>
+    def cellsFor(s: Int): Column =
+      array(cb(s).map { case (ci, cm) =>
         val c2 = cm.map(x => x * x).sum // exact: integer-valued doubles
         struct(
           (sv2 - lit(2.0) * dot(col("sv"), typedlit(cm.toSeq)) + lit(c2))
             .cast("long").as("dist"),
           lit(ci).as("code"))
-      }: _*))
-    val ranked = (1 until m).foldLeft(when(col("sub") === 0, rankedFor(0))) {
-      (acc, s) => acc.when(col("sub") === s, rankedFor(s))
+      }: _*)
+    val cells = (1 until m).foldLeft(when(col("sub") === 0, cellsFor(0))) {
+      (acc, s) => acc.when(col("sub") === s, cellsFor(s))
     }
-    subbed.withColumn("best", element_at(ranked, 1))
+    subbed.withColumn("best", array_min(cells))
       .select(col("id"), col("sub"), col("sv"),
         col("best.code").as("code"), col("best.dist").as("dist_sq"))
   }
@@ -1040,20 +1044,28 @@ object Similarity {
     * ([[nearestCell]]) and search-side probing (nprobe slice): a change
     * here cannot desync the two. Input must carry `vm` (micro ints) and
     * `vm2`. */
-  private def rankedCellArray(cents: Seq[(Int, Array[Double])]): Column =
-    array_sort(array(cents.map { case (ci, cm) =>
+  private def cellArray(cents: Seq[(Int, Array[Double])]): Column =
+    array(cents.map { case (ci, cm) =>
       val c2 = cm.map(x => x * x).sum
       struct(
         (col("vm2") - lit(2.0) * dot(col("vm"), typedlit(cm.toSeq)) + lit(c2))
           .cast("long").as("dist"),
         lit(ci).as("cell"))
-    }: _*))
+    }: _*)
+
+  private def rankedCellArray(cents: Seq[(Int, Array[Double])]): Column =
+    array_sort(cellArray(cents))
 
   /** Row-local argmin over literal micro-int centroids — the [[kmeansFit]]
-    * assignment shape (no shuffle). */
+    * assignment shape (no shuffle). `array_min` over the UNSORTED struct
+    * array, not `array_sort(...)[1]`: the same interpreted struct
+    * ordering picks the same (dist, cell) minimum, but in O(cells)
+    * per row instead of a per-row O(cells log cells) sort + array copy —
+    * at the sqrt(n) cell counts a 10^7-vector fit uses (thousands of
+    * cells), the sort dominated assignment (round-13 1600x ladder). */
   private def nearestCell(df: DataFrame,
                           cents: Seq[(Int, Array[Double])]): DataFrame =
-    df.withColumn("cell", element_at(rankedCellArray(cents), 1).getField("cell"))
+    df.withColumn("cell", array_min(cellArray(cents)).getField("cell"))
 
   /** Train: coarse-assign every vector to its nearest of the `nlist`
     * lowest-id seed centroids, subtract the centroid (exact integer

@@ -108,7 +108,10 @@ case class DeflatedSize(child: Expression, level: Int)
       s"deflated_size needs a string/binary input, got ${dt.simpleString}")
   }
 
-  private def isString = child.dataType == StringType
+  // resolved once, not per row (interpreted eval calls nullSafeEval per
+  // row and dataType on a nested child is a recursive walk — the
+  // VectorExpressions round-13 lesson)
+  @transient private lazy val isString = child.dataType == StringType
 
   override protected def nullSafeEval(v: Any): Any = {
     val bytes =
@@ -141,7 +144,10 @@ case class DeflateRoundTripOk(child: Expression, level: Int)
       s"deflate_roundtrip_ok needs a string/binary input, got ${dt.simpleString}")
   }
 
-  private def isString = child.dataType == StringType
+  // resolved once, not per row (interpreted eval calls nullSafeEval per
+  // row and dataType on a nested child is a recursive walk — the
+  // VectorExpressions round-13 lesson)
+  @transient private lazy val isString = child.dataType == StringType
 
   override protected def nullSafeEval(v: Any): Any = {
     val bytes =

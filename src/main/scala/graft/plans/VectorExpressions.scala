@@ -38,17 +38,28 @@ case class DotProduct(left: Expression, right: Expression)
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  // CACHED element-type flags: `dataType` on a nested child (e.g. an
+  // ArrayTransform from a micro-int transform()) is a RECURSIVE tree
+  // resolution, and interpreted eval calls nullSafeEval per ROW — at
+  // round-13's 1600x ladder a sqrt(n)=2828-cell literal centroid array
+  // blew the whole-stage codegen method limit, fell back to interpreted
+  // eval, and the per-row-per-cell dataType walks burned 68 CPU-minutes
+  // in ONE task (thread-dump root-caused). Resolved once here; the
+  // codegen path already evaluates them at generation time.
+  @transient private lazy val leftIsFloat = isFloat(left)
+  @transient private lazy val rightIsFloat = isFloat(right)
+
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
-    if (isFloat(left) && isFloat(right)) {
+    if (leftIsFloat && rightIsFloat) {
       while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
-    } else if (isFloat(left)) {
+    } else if (leftIsFloat) {
       while (i < n) { acc += a.getFloat(i).toDouble * b.getDouble(i); i += 1 }
-    } else if (isFloat(right)) {
+    } else if (rightIsFloat) {
       while (i < n) { acc += a.getDouble(i) * b.getFloat(i).toDouble; i += 1 }
     } else {
       while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }

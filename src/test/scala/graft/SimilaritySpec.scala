@@ -748,4 +748,55 @@ class SimilaritySpec extends AnyFunSuite {
     assert(dup.cells.count() == grown.cells.count())
     graft.core.CacheScope.release()
   }
+
+  test("addToSavedIvfPq crash repair: a delta interrupted between the " +
+       "codes and cells appends re-runs to a complete, duplicate-free " +
+       "index (round 13 codes-first ordering)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val m = 16
+    val fit = emb.filter($"vec_id" % 3 === 0)
+    val batch = emb.filter($"vec_id" % 3 === 1)
+    val model = Similarity.ivfPqFit(fit, nlist = 4, m = m, k = 32,
+      dim = 64, coarseIters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_crash").toString
+    Similarity.saveIvfPq(model, dir)
+    // fabricate the crash WINDOW the append ordering defends: the codes
+    // delta landed, the cells delta did not (writer died between the two
+    // inserts; the lock, per contract, was deleted by the operator after
+    // verifying the writer is dead)
+    val loaded = Similarity.loadIvfPq(spark, dir)
+    val (cellsDelta, codesDelta) =
+      Similarity.ivfPqEncodeDelta(loaded, batch)
+    // capture the delta sizes BEFORE any append mutates the tables the
+    // lazy anti-joins read (a post-repair re-evaluation sees its own
+    // rows as stored and collapses to 0 — vacuous)
+    val nCellsDelta = cellsDelta.count()
+    val nCodesDelta = codesDelta.count()
+    assert(nCellsDelta > 0 && nCodesDelta > 0,
+      "fabricated crash window is vacuous")
+    codesDelta.write.mode("append")
+      .insertInto(Similarity.ivfPqTable(dir, "codes_v0"))
+    spark.catalog.refreshTable(Similarity.ivfPqTable(dir, "codes_v0"))
+    // the torn index serves: orphan codes rows are dropped by the
+    // search's codes JOIN cells inner join — batch ids are ABSENT, never
+    // wrong, and the base index still answers
+    val torn = Similarity.loadIvfPq(spark, dir)
+    assert(torn.cells.count() == model.cells.count())
+    assert(torn.pq.codes.count() ==
+      model.pq.codes.count() + nCodesDelta)
+    // re-running the SAME delta repairs: the encode anti-join (vs cells)
+    // re-derives the batch ids, the codes anti skips their already-stored
+    // rows (no duplicates), the cells append completes the pair
+    val repaired = Similarity.addToSavedIvfPq(spark, dir, batch)
+    val expect = Similarity.ivfPqAdd(model, batch)
+    def cellsOf(mm: Similarity.IvfPq.Model) = mm.cells.collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    def codesOf(mm: Similarity.IvfPq.Model) = mm.pq.codes.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(cellsOf(repaired) == cellsOf(expect))
+    assert(codesOf(repaired).length == codesOf(expect).length,
+      "crash repair duplicated codes rows")
+    assert(codesOf(repaired).toSet == codesOf(expect).toSet)
+    graft.core.CacheScope.release()
+  }
 }
