@@ -437,15 +437,22 @@ object Similarity {
         lit(0.0).as("cos_sim"), lit(0L).as("rank")).limit(0)
     // (negCos, seedId) structs sort ascending == cosine desc, seed-id asc —
     // the same total order the round-1 window (and the oracle) used.
-    val ranked = array_sort(array(seeds.toSeq.map { case (sid, sv) =>
+    val seedArr = array(seeds.toSeq.map { case (sid, sv) =>
       val sn = math.sqrt(sv.map(x => x * x).sum)
       struct(
         (-round(dot(col("v"), typedlit(sv)) / (col("vn") * lit(sn)), 6))
           .as("neg_cos"),
         lit(sid).as("seed_id"))
-    }: _*))
+    }: _*)
+    // this runs per CORPUS row: at nprobe=1 (the common case — and the
+    // fit-side shape) the prefix is just the minimum, so array_min's
+    // O(nlist) replaces a per-row O(nlist log nlist) sort + copy —
+    // identical struct ordering (round-13; same as nearestCell)
+    val topCells =
+      if (nprobe == 1) array(array_min(seedArr))
+      else slice(array_sort(seedArr), 1, nprobe)
     val cells = c.withColumn("cells",
-      transform(slice(ranked, 1, nprobe), s => s.getField("seed_id")))
+      transform(topCells, s => s.getField("seed_id")))
     val assigned = cells
       .select(col("id"), col("v"), col("vn"), col("cells").getItem(0).as("cell"))
     val probed = cells
