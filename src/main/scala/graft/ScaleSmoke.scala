@@ -516,6 +516,34 @@ object ScaleSmoke {
       })
       graft.core.CacheScope.release()
     }
+    // round-13: IVF-PQ delta SOAK — 30 sequential addToSavedIvfPq calls
+    // (distinct ids per delta) with auto-compaction every 10: per-delta
+    // cost must stay flat and the bucketed cells/codes tables bounded,
+    // the saveSeenDelta soak's twin for the ANN artifact.
+    if (only.isEmpty ||
+        only.exists(o => "ivfpq_delta_soak".startsWith(o))) {
+      val mdl = Similarity.ivfPqFit(emb, nlist = 8, m = 4, k = 16, dim = 64)
+      val idir = java.nio.file.Files
+        .createTempDirectory("scale_ivfpq_soak").toString
+      Similarity.saveIvfPq(mdl, idir)
+      graft.core.CacheScope.release()
+      val nD = 30
+      val per = (1 to nD).map { i =>
+        val batch = emb.select(
+          (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          col("embedding"))
+        val t0 = System.nanoTime()
+        Similarity.addToSavedIvfPq(spark, idir, batch, compactEvery = 10)
+        graft.core.CacheScope.release()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val im = Similarity.readIvfPqMeta(spark, idir)
+      println(f"[scale] ivfpq_delta_soak$nD median=${per.sorted.apply(nD / 2)}%.2f s " +
+        f"first10avg=${per.take(10).sum / 10}%.2f s " +
+        f"last10avg=${per.takeRight(10).sum / 10}%.2f s " +
+        f"total=${per.sum}%.2f s")
+      println(s"[scale] ivfpq_delta_soak$nD meta=$im")
+    }
     // round-13 (VERDICT r12 #2): delta SOAK — 30 sequential saveSeenDelta
     // calls into ONE artifact with auto-compaction every 10. The claims
     // under test: per-delta cost stays flat (no creep as appended

@@ -957,6 +957,43 @@ object Similarity {
     }
   }
 
+  /** Drop every index state generation except the CURRENT one — the
+    * explicit storage-reclaim op ([[graft.streaming.CurationStream.vacuum]]'s
+    * twin) for operators who know no reader is mid-scan; the automatic
+    * prune always keeps the previous generation as a grace window, which
+    * for corpus-sized cells/codes means up to 2x storage between state
+    * changes. Runs under the delta lock. */
+  def vacuumIvfPq(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  leaseMs: Long = graft.core.Fs.NoLease): Unit =
+    graft.core.Fs.withLock(spark, s"$dir/_delta_lock",
+      "re-run the vacuum (it only deletes non-current state)",
+      leaseMs = leaseMs) {
+      val cur = graft.core.Fs.readPointer(spark, dir).getOrElse(-1L)
+      if (cur >= 0) {
+        val m = readIvfPqMeta(spark, dir)
+        val hp = new org.apache.hadoop.fs.Path(dir)
+        val f = hp.getFileSystem(spark.sessionState.newHadoopConf())
+        val Versioned = """(meta|cells|codes)_v(\d+)""".r
+        f.listStatus(hp).foreach { st =>
+          st.getPath.getName match {
+            case Versioned("meta", v) if v.toLong != cur =>
+              f.delete(st.getPath, true)
+            case Versioned(t @ ("cells" | "codes"), v)
+                if v.toLong != m.tableV =>
+              f.delete(st.getPath, true)
+              spark.sql(
+                s"DROP TABLE IF EXISTS ${ivfPqTable(dir, s"${t}_v$v")}")
+            case _ => ()
+          }
+        }
+        graft.core.Fs.delete(spark, s"$dir/meta")
+        if (m.tableV >= 0) for (t <- Seq("cells", "codes")) {
+          graft.core.Fs.delete(spark, s"$dir/$t")
+          spark.sql(s"DROP TABLE IF EXISTS ${ivfPqTable(dir, t)}")
+        }
+      }
+    }
+
   def saveIvfPq(model: IvfPq.Model, dir: String, buckets: Int = -1): Unit = {
     val spark = model.cells.sparkSession
     import spark.implicits._

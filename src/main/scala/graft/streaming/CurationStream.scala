@@ -741,6 +741,50 @@ object CurationStream {
       seenBloomV = l("seen_bloom_v"), seenTableV = l("seen_table_v"))
   }
 
+  /** Drop every state generation except the CURRENT one — the explicit
+    * storage-reclaim op for operators who KNOW no reader is mid-scan
+    * (the automatic [[pruneVersions]] always keeps the previous
+    * generation as the reader grace window, which for the history-sized
+    * seen table means up to 2x its storage between state changes). Runs
+    * under the delta lock: vacuuming concurrently with a delta could
+    * delete the very version the delta is superseding while the delta's
+    * reader still joins against it. */
+  def vacuum(spark: org.apache.spark.sql.SparkSession, dir: String,
+             leaseMs: Long = graft.core.Fs.NoLease): Unit =
+    graft.core.Fs.withLock(spark, s"$dir/_delta_lock",
+      "re-run the vacuum (it only deletes non-current state)",
+      leaseMs = leaseMs) {
+      val cur = stateVersion(spark, dir)
+      if (cur >= 0) { // pre-round-13 artifacts have nothing versioned
+        val am = readMeta(spark, dir)
+        val (f, p) = {
+          val hp = new org.apache.hadoop.fs.Path(dir)
+          (hp.getFileSystem(spark.sessionState.newHadoopConf()), hp)
+        }
+        val Versioned = """(meta|seen_bloom|seen_hashes)_v(\d+)""".r
+        f.listStatus(p).foreach { st =>
+          st.getPath.getName match {
+            case Versioned("meta", v) if v.toLong != cur =>
+              f.delete(st.getPath, true)
+            case Versioned("seen_bloom", v) if v.toLong != am.seenBloomV =>
+              f.delete(st.getPath, true)
+            case Versioned("seen_hashes", v) if v.toLong != am.seenTableV =>
+              f.delete(st.getPath, true)
+              spark.sql(
+                s"DROP TABLE IF EXISTS ${confirmTable(dir, s"seen_v$v")}")
+            case _ => ()
+          }
+        }
+        graft.core.Fs.delete(spark, s"$dir/meta")
+        if (am.seenBloomV >= 0)
+          graft.core.Fs.delete(spark, s"$dir/seen_bloom")
+        if (am.seenTableV >= 0) {
+          graft.core.Fs.delete(spark, s"$dir/seen_hashes")
+          spark.sql(s"DROP TABLE IF EXISTS ${confirmTable(dir, "seen")}")
+        }
+      }
+    }
+
   /** Rows per confirm bucket targeted by [[save]]'s auto-sizer: one
     * bucket of hash/shingle rows stays a few MB (comfortably inside an
     * executor core) while the bucket count GROWS with the history — a

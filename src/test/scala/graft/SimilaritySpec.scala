@@ -799,4 +799,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(codesOf(repaired).toSet == codesOf(expect).toSet)
     graft.core.CacheScope.release()
   }
+
+  test("vacuumIvfPq drops every non-current generation; the index still " +
+       "loads and searches identically (round 13)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val m = 16
+    val model = Similarity.ivfPqFit(emb.filter($"vec_id" % 3 === 0),
+      nlist = 4, m = m, k = 32, dim = 64, coarseIters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_vac").toString
+    Similarity.saveIvfPq(model, dir)
+    val grown = Similarity.addToSavedIvfPq(spark, dir,
+      emb.filter($"vec_id" % 3 === 1))
+    Similarity.compactIvfPq(spark, dir)
+    def res(mm: Similarity.IvfPq.Model) =
+      Similarity.ivfPqSearch(mm, emb.filter($"vec_id" < 20),
+          topk = 5, m = m, dim = 64, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))).toSet
+    val before = res(Similarity.loadIvfPq(spark, dir))
+    // capture through the CURRENT generation before vacuuming: `grown`
+    // still points at the pre-compaction v0 tables, which vacuum deletes
+    val nCells = grown.cells.count()
+    Similarity.vacuumIvfPq(spark, dir)
+    val names = new java.io.File(dir).list().toSeq
+    for (pfx <- Seq("meta_v", "cells_v", "codes_v"))
+      assert(names.count(_.startsWith(pfx)) == 1,
+        s"vacuum left ${names.filter(_.startsWith(pfx))}")
+    val reloaded = Similarity.loadIvfPq(spark, dir)
+    assert(res(reloaded) == before, "vacuum changed search results")
+    assert(reloaded.cells.count() == nCells)
+    assert(!graft.core.Fs.exists(spark, s"$dir/_delta_lock"))
+    graft.core.CacheScope.release()
+  }
 }

@@ -1608,4 +1608,43 @@ class StreamingSpec extends AnyFunSuite {
     CurationStream.release(frozen)
     graft.core.CacheScope.release()
   }
+
+  test("vacuum drops every non-current state generation; the artifact " +
+       "still loads and serves identical verdicts (round 13)") {
+    import graft.streaming.CurationStream
+    val (frozen, adir, docs) = freshArtifact()
+    val arriving = docs.filter(col("doc_id") % 2 === 1)
+    def day(k: Int) = docs.filter(col("doc_id") % 7 === k)
+      .select(col("doc_id"),
+        concat(graft.operators.TextAnalysis.cleanText(col("text")),
+          lit(s" r13vac$k")).as("text"))
+    for (k <- 1 to 2) CurationStream.saveSeenDelta(frozen, adir, day(k))
+    CurationStream.compactSeenTable(spark, adir)
+    val before = {
+      val l = CurationStream.load(spark, adir)
+      val v = CurationStream.curateBatch(arriving, l).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      CurationStream.release(l); v
+    }
+    CurationStream.vacuum(spark, adir)
+    // exactly one generation of each state file remains
+    val names = new java.io.File(adir).list().toSeq
+    for (pfx <- Seq("meta_v", "seen_bloom_v", "seen_hashes_v"))
+      assert(names.count(_.startsWith(pfx)) == 1,
+        s"vacuum left ${names.filter(_.startsWith(pfx))}")
+    assert(!names.contains("meta") && !names.contains("seen_bloom") &&
+      !names.contains("seen_hashes"), "vacuum left legacy paths")
+    val l2 = CurationStream.load(spark, adir)
+    val after = CurationStream.curateBatch(arriving, l2).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(after == before, "vacuum changed served verdicts")
+    assert(CurationStream.curateBatch(day(2), l2).count() == 0,
+      "vacuum lost the delta history")
+    assert(!graft.core.Fs.exists(spark, s"$adir/_delta_lock"))
+    CurationStream.release(l2)
+    CurationStream.release(frozen)
+    graft.core.CacheScope.release()
+  }
 }
