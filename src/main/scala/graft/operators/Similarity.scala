@@ -916,9 +916,12 @@ object Similarity {
       .toLong
   }
 
-  /** Delete index state versions older than the previous generation (the
-    * reader grace window — the curation artifact's retention rule), plus
-    * the legacy unversioned paths once both kept metas are versioned. */
+  /** Delete index state versions older than TWO generations back (the
+    * reader grace window — the curation artifact's retention rule: one
+    * `addToSavedIvfPq` call can bump the version twice via its
+    * auto-compaction, so keep-two guarantees no single write call
+    * outruns a concurrent reader), plus the legacy unversioned paths
+    * once no kept meta references them. */
   private def pruneIvfPqVersions(spark: org.apache.spark.sql.SparkSession,
                                  dir: String): Unit = {
     val cur = graft.core.Fs.readPointer(spark, dir).getOrElse(-1L)
@@ -928,7 +931,7 @@ object Similarity {
       if (df.columns.contains("table_v")) df.head().getAs[Long]("table_v")
       else -1L
     }
-    val keep = Seq(cur, cur - 1)
+    val keep = Seq(cur, cur - 1, cur - 2)
       .filter(v => v >= 0 &&
         graft.core.Fs.exists(spark, ivfPqMetaPath(dir, v)))
       .map(tableVAt).toSet
@@ -938,7 +941,7 @@ object Similarity {
     val Versioned = """(meta|cells|codes)_v(\d+)""".r
     f.listStatus(hp).foreach { st =>
       st.getPath.getName match {
-        case Versioned("meta", v) if v.toLong < cur - 1 =>
+        case Versioned("meta", v) if v.toLong < cur - 2 =>
           f.delete(st.getPath, true)
         case Versioned(t @ ("cells" | "codes"), v)
             if v.toLong < cur && !keep(v.toLong) =>
@@ -948,7 +951,7 @@ object Similarity {
         case _ => ()
       }
     }
-    if (cur >= 1) {
+    if (cur >= 2) {
       graft.core.Fs.delete(spark, s"$dir/meta")
       if (!keep(-1L)) for (t <- Seq("cells", "codes")) {
         graft.core.Fs.delete(spark, s"$dir/$t")

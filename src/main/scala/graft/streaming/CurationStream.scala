@@ -676,18 +676,20 @@ object CurationStream {
   }
 
   /** Delete state versions no in-flight reader can need: everything older
-    * than the PREVIOUS generation (the current version serves new readers;
-    * the previous one is the documented grace window for readers that
-    * resolved the pointer just before a flip). A version directory is kept
-    * if the current OR previous meta still references it — a compaction
-    * bumps the table version while the previous meta still points at the
-    * old table, so the old history directory survives exactly one more
-    * state change. */
+    * than TWO generations back. Two, not one: a single `saveSeenDelta`
+    * call can bump the version TWICE (the delta publish plus its
+    * auto-compaction), so a keep-one-back rule could delete the state a
+    * reader resolved just before that one call — keep-two guarantees no
+    * single write API call outruns a concurrent reader. A version
+    * directory is kept if any retained meta still references it — a
+    * compaction bumps the table version while older metas still point at
+    * the old table, so the old history directory survives the same grace
+    * window. ([[vacuum]] is the explicit no-readers reclaim.) */
   private def pruneVersions(spark: org.apache.spark.sql.SparkSession,
                             dir: String): Unit = {
     val cur = stateVersion(spark, dir)
     if (cur < 0) return
-    val metas = Seq(cur, cur - 1)
+    val metas = Seq(cur, cur - 1, cur - 2)
       .filter(v => v >= 0 && graft.core.Fs.exists(spark, metaPath(dir, v)))
       .map(v => readMeta0(spark, dir, v))
     val keepBlooms = metas.map(_.seenBloomV).toSet
@@ -700,7 +702,7 @@ object CurationStream {
     val Versioned = """(meta|seen_bloom|seen_hashes)_v(\d+)""".r
     f.listStatus(p).foreach { st =>
       st.getPath.getName match {
-        case Versioned("meta", v) if v.toLong < cur - 1 =>
+        case Versioned("meta", v) if v.toLong < cur - 2 =>
           f.delete(st.getPath, true)
         case Versioned("seen_bloom", v)
             if v.toLong < cur && !keepBlooms(v.toLong) =>
@@ -716,9 +718,9 @@ object CurationStream {
       }
     }
     // the pre-round-13 unversioned paths count as the generation BEFORE
-    // v0: they stay for one state change after migration (the same grace
-    // window) and go once both kept metas reference versioned state
-    if (cur >= 1) {
+    // v0: they stay for the same two-state-change grace window after
+    // migration and go once no kept meta references them
+    if (cur >= 2) {
       graft.core.Fs.delete(spark, s"$dir/meta")
       if (!keepBlooms(-1L)) graft.core.Fs.delete(spark, s"$dir/seen_bloom")
       if (!keepTables(-1L)) {

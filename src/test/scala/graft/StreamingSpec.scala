@@ -1491,16 +1491,28 @@ class StreamingSpec extends AnyFunSuite {
       .sortBy(_._1).toSeq
     assert(got == expected,
       "pre-delta reader's verdicts changed under a concurrent publish")
-    // a second delta moves the grace window: v0 is pruned, v1 kept
-    val day2 = docs.filter(col("doc_id") % 4 === 2)
+    // the retention rule keeps TWO generations back — one saveSeenDelta
+    // call can bump the version twice (delta + auto-compaction), so
+    // keep-one would let a single call outrun a reader that resolved the
+    // pointer just before it. Second delta: v0 still within the window.
+    def salted(k: Int) = docs.filter(col("doc_id") % 4 === 2)
       .select(col("doc_id"),
         concat(graft.operators.TextAnalysis.cleanText(col("text")),
-          lit(" r13grace")).as("text"))
-    CurationStream.saveSeenDelta(frozen, adir, day2)
+          lit(s" r13grace$k")).as("text"))
+    CurationStream.saveSeenDelta(frozen, adir, salted(2))
+    assert(graft.core.Fs.exists(spark, s"$adir/meta_v$v0"),
+      "grace window must span two state changes (delta + auto-compact " +
+        "in one call)")
+    // the DOUBLE-BUMP call itself: a delta with compactEvery=1 publishes
+    // the delta version AND the compacted version — the version a reader
+    // resolved immediately before the call (v0+2) must survive it
+    CurationStream.saveSeenDelta(frozen, adir, salted(3), compactEvery = 1)
+    assert(CurationStream.stateVersion(spark, adir) == v0 + 4,
+      "expected delta + inline compaction to publish two versions")
+    assert(graft.core.Fs.exists(spark, s"$adir/meta_v${v0 + 2}"),
+      "the single double-bump call deleted its caller's resolved state")
     assert(!graft.core.Fs.exists(spark, s"$adir/meta_v$v0"),
-      "two-generations-old meta not pruned")
-    assert(graft.core.Fs.exists(spark, s"$adir/meta_v${v0 + 1}"),
-      "previous-generation meta must survive as the grace window")
+      "three-generations-old meta not pruned")
     CurationStream.release(reader)
     CurationStream.release(frozen)
     graft.core.CacheScope.release()
