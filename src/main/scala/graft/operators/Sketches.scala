@@ -229,6 +229,16 @@ object Sketches {
   def bloomShards(n: Long, bitsPerKey: Int = 10,
                   maxBits: Int = 1 << 27): Int = {
     require(n >= 0 && bitsPerKey >= 1 && maxBits >= 32)
+    // one key must fit the per-shard budget (ADVICE r13): with
+    // bitsPerKey > maxBits no shard count satisfies the loop condition
+    // short of s = n — ~n iterations (an effective hang at n=10^10) and
+    // then a negative Int from s.toInt. Rejecting the degenerate config
+    // up front also makes the correction loop provably O(1): each
+    // increment shrinks ceil(n/s) by at least one key's bits once
+    // s >= n*bitsPerKey/maxBits.
+    require(bitsPerKey <= maxBits,
+      s"bitsPerKey=$bitsPerKey exceeds the per-shard budget " +
+        s"maxBits=$maxBits: one key alone cannot fit any shard")
     var s = math.max(1L, (n * bitsPerKey + maxBits - 1) / maxBits)
     while (s < n && ((n + s - 1) / s) * bitsPerKey > maxBits) s += 1
     s.toInt

@@ -447,4 +447,18 @@ class SketchesSpec extends AnyFunSuite {
     assert(!errBuf.toString.contains("capped"),
       s"boundary-cardinality sharding still warns: ${errBuf.toString}")
   }
+
+  test("bloomShards rejects bitsPerKey > maxBits up front — the " +
+       "degenerate config would otherwise loop ~n times and overflow " +
+       "negative (ADVICE r13)") {
+    val e = intercept[IllegalArgumentException] {
+      // pre-fix this ran ~10^10 increments (an effective hang) and then
+      // s.toInt went negative; the require must fire immediately
+      Sketches.bloomShards(10_000_000_000L, bitsPerKey = 8192,
+        maxBits = 4096)
+    }
+    assert(e.getMessage.contains("bitsPerKey"), e.getMessage)
+    // the boundary itself is legal: one key exactly fills a shard
+    assert(Sketches.bloomShards(10L, bitsPerKey = 4096, maxBits = 4096) == 10)
+  }
 }
