@@ -193,7 +193,19 @@ object CurationStream {
     * ce_micro evidence columns. */
   def curateBatch(batch: DataFrame, m: FrozenCuration,
                   idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame = {
+                  textCol: String = "text"): DataFrame =
+    curateBatchStages(batch, m, idCol, textCol).last._2
+
+  /** The [[curateBatch]] chain exposed stage-by-stage: cumulative
+    * survivor sets after (resample, decontam, dedup, perplexity) — the
+    * LAST element is exactly curateBatch's output (curateBatch delegates
+    * here, so the two can never drift). For per-stage scale adjudication
+    * (VERDICT r13 #1): the composed apply number cannot say WHICH stage
+    * stopped scaling; ScaleSmoke times each increment with the previous
+    * stage persisted, naming the dominant stage per ladder notch. */
+  def curateBatchStages(batch: DataFrame, m: FrozenCuration,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): Seq[(String, DataFrame)] = {
     val cleaned = batch.select(col(idCol),
       TextAnalysis.cleanText(col(textCol)).as(textCol))
     val scored = Dsir.scoreDocuments(
@@ -234,9 +246,11 @@ object CurationStream {
       .select(col(idCol),
         round(col("cross_entropy") * 1e6, 0).cast("long").as("ce_micro"))
     // `fresh` still carries score_micro from the resample join
-    fresh.join(ce, Seq(idCol))
+    val out = fresh.join(ce, Seq(idCol))
       .filter(col("ce_micro") <= lit(m.ceCutMicro))
       .select(col(idCol), col(textCol), col("score_micro"), col("ce_micro"))
+    Seq("resample" -> kept, "decontam" -> decon, "dedup" -> fresh,
+      "perplexity" -> out)
   }
 
 
@@ -321,6 +335,7 @@ object CurationStream {
     * then one atomic pointer flip. */
   def rebuildSeenBloom(spark: org.apache.spark.sql.SparkSession,
                        dir: String): Unit = {
+    graft.core.Fs.requireAtomicStore(spark, dir, "rebuildSeenBloom")
     val am = readMeta(spark, dir)
     val seen =
       if (am.confirmBuckets > 0) {
@@ -383,7 +398,13 @@ object CurationStream {
     * anti-join still sees those hashes missing and re-appends; the Bloom
     * re-merge is idempotent, publishing the next version). The reverse
     * order would leave stored hashes the filter doesn't know — false
-    * NEGATIVES, with nothing downstream to catch them.
+    * NEGATIVES, with nothing downstream to catch them. One advisory
+    * scalar rides with the early publish: the re-run counts the same
+    * nNew hashes as new again, so `seen_keys` OVER-counts by nNew after
+    * a crash+re-run (ADVICE r13) — conservative for everything it feeds
+    * (the saturation warning fires early, bucket auto-sizing rounds up)
+    * and self-healing: [[compactSeenTable]] recounts the rewritten table
+    * exactly, so the drift is bounded by one compaction window.
     *
     * Filter geometry comes from the ARTIFACT's meta, never the caller's
     * model (ADVICE r11): merging a delta built at a mismatched geometry
@@ -520,11 +541,20 @@ object CurationStream {
       p.getFileSystem(spark.sessionState.newHadoopConf())
         .listStatus(p).count(st => st.getPath.getName.endsWith(".parquet"))
     }
+    // exact seen-key RECOUNT (ADVICE r13): a crash between the delta's
+    // pointer flip and its hash append, followed by the documented
+    // re-run, increments seen_keys by nNew TWICE (the re-run's anti-join
+    // sees the same hashes missing) — an over-count that can fire the
+    // saturation warning prematurely. The compaction just rewrote the
+    // whole table, so the recount is parquet-footer-only over the fresh
+    // files and seen_keys self-heals to exact every compactEvery deltas.
+    val exactKeys = spark.table(confirmTable(dir, s"seen_v$next")).count()
     writeMeta(spark, dir, am.copy(seenTableV = next, seenTableDeltas = 0L,
-      seenTableFiles = files.toLong), next)
+      seenTableFiles = files.toLong, seenKeys = exactKeys), next)
     graft.core.Fs.writePointer(spark, dir, next)
     System.err.println(s"[compactSeenTable] $dir seen table compacted to " +
-      s"version $next ($files files, ${am.confirmBuckets} buckets)")
+      s"version $next ($files files, ${am.confirmBuckets} buckets, " +
+      s"$exactKeys keys recounted)")
     pruneVersions(spark, dir)
   }
 
@@ -818,9 +848,32 @@ object CurationStream {
     * (VERDICT r11 #2): max(cluster parallelism, 32, keys /
     * [[TargetRowsPerBucket]]), logged — a fixed bucket count is a silent
     * parallelism ceiling once histories outgrow it. Pass an explicit
-    * count to pin it (tests / cross-artifact layout compat). */
-  def save(m: FrozenCuration, dir: String, confirmBuckets: Int = -1): Unit = {
+    * count to pin it (tests / cross-artifact layout compat).
+    *
+    * FRESH-DIR CONTRACT, enforced (VERDICT r13 #3): save() REFUSES a
+    * directory that already holds a published artifact. Only the mutable
+    * state (seen table/Bloom/meta) is versioned + pointer-flipped; the
+    * frozen-side tables (`weights`, `eval_shingles`, `eval_bloom`,
+    * `kn3_logprobs`) are rewritten IN PLACE, so a re-save over a live
+    * artifact tears them under any concurrent reader and a crash
+    * mid-save leaves them torn on disk with no previous version to fall
+    * back to. Publish a re-freeze to a FRESH directory; pass
+    * `force = true` only when provably no reader exists and a crashed
+    * re-save may be re-run to completion. */
+  def save(m: FrozenCuration, dir: String, confirmBuckets: Int = -1,
+           force: Boolean = false): Unit = {
     val spark = m.weights.sparkSession
+    graft.core.Fs.requireAtomicStore(spark, dir, "CurationStream.save")
+    if (!force && (graft.core.Fs.exists(spark, s"$dir/CURRENT") ||
+        graft.core.Fs.exists(spark, s"$dir/meta")))
+      throw new IllegalStateException(s"CurationStream.save: $dir already " +
+        "holds a published artifact. The frozen-side tables (weights, " +
+        "eval_shingles, eval_bloom, kn3_logprobs) are rewritten in place " +
+        "— re-saving over a LIVE artifact tears them for concurrent " +
+        "readers, and a crash mid-save leaves no complete version. " +
+        "Save the re-freeze to a fresh directory (deltas go through " +
+        "saveSeenDelta), or pass force = true if provably no reader " +
+        "exists.")
     val buckets =
       if (confirmBuckets > 0) confirmBuckets
       else {

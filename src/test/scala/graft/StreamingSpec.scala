@@ -1659,4 +1659,60 @@ class StreamingSpec extends AnyFunSuite {
     CurationStream.release(frozen)
     graft.core.CacheScope.release()
   }
+
+  test("save() refuses a directory with a LIVE artifact (the frozen-side " +
+       "tables are rewritten in place); force=true re-saves " +
+       "(VERDICT r13 #3)") {
+    import graft.streaming.CurationStream
+    val (frozen, adir, _) = freshArtifact()
+    val e = intercept[IllegalStateException] {
+      CurationStream.save(frozen, adir)
+    }
+    for (must <- Seq("already", "fresh directory", "force"))
+      assert(e.getMessage.contains(must),
+        s"guard must name $must: ${e.getMessage}")
+    // the published artifact is untouched by the refused save
+    val l = CurationStream.load(spark, adir)
+    assert(l.weights.count() > 0)
+    CurationStream.release(l)
+    // the documented escape hatch: an explicitly-forced re-save lands
+    CurationStream.save(frozen, adir, force = true)
+    val l2 = CurationStream.load(spark, adir)
+    assert(l2.weights.count() > 0)
+    CurationStream.release(l2)
+    CurationStream.release(frozen)
+    graft.core.CacheScope.release()
+  }
+
+  test("compactSeenTable recounts seen_keys exactly — a crash+re-run " +
+       "over-count self-heals at compaction (ADVICE r13)") {
+    import graft.streaming.CurationStream
+    val (frozen, adir, docs) = freshArtifact()
+    val day1 = docs.filter(col("doc_id") % 5 === 1)
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.cleanText(col("text")).as("text"))
+    CurationStream.saveSeenDelta(frozen, adir, day1)
+    val trueKeys = spark.table(CurationStream.seenTableName(spark, adir))
+      .count()
+    assert(CurationStream.readMeta(spark, adir).seenKeys == trueKeys)
+    // simulate the documented crash window: a delta whose pointer flip
+    // landed but whose hash append did not, then the re-run — seen_keys
+    // was incremented twice, the table only once. Inject the drift by
+    // republishing the meta with an inflated count (the only field the
+    // crash corrupts).
+    val v = CurationStream.stateVersion(spark, adir)
+    spark.read.parquet(s"$adir/meta_v$v")
+      .withColumn("seen_keys", col("seen_keys") + lit(7L))
+      .coalesce(1).write.parquet(s"$adir/meta_v${v + 1}")
+    graft.core.Fs.writePointer(spark, adir, v + 1)
+    assert(CurationStream.readMeta(spark, adir).seenKeys == trueKeys + 7,
+      "drift injection failed")
+    CurationStream.compactSeenTable(spark, adir)
+    val am = CurationStream.readMeta(spark, adir)
+    assert(am.seenKeys == trueKeys,
+      s"compaction must recount exactly: ${am.seenKeys} vs $trueKeys")
+    assert(am.seenTableDeltas == 0L)
+    CurationStream.release(frozen)
+    graft.core.CacheScope.release()
+  }
 }
