@@ -435,24 +435,20 @@ object Similarity {
     if (seeds.isEmpty)
       return c.select(col("id").as("query_id"), col("id").as("neighbor_id"),
         lit(0.0).as("cos_sim"), lit(0L).as("rank")).limit(0)
-    // (negCos, seedId) structs sort ascending == cosine desc, seed-id asc —
-    // the same total order the round-1 window (and the oracle) used.
-    val seedArr = array(seeds.toSeq.map { case (sid, sv) =>
-      val sn = math.sqrt(sv.map(x => x * x).sum)
-      struct(
-        (-round(dot(col("v"), typedlit(sv)) / (col("vn") * lit(sn)), 6))
-          .as("neg_cos"),
-        lit(sid).as("seed_id"))
-    }: _*)
-    // this runs per CORPUS row: at nprobe=1 (the common case — and the
-    // fit-side shape) the prefix is just the minimum, so array_min's
-    // O(nlist) replaces a per-row O(nlist log nlist) sort + copy —
-    // identical struct ordering (round-13; same as nearestCell)
-    val topCells =
-      if (nprobe == 1) array(array_min(seedArr))
-      else slice(array_sort(seedArr), 1, nprobe)
+    // top-nprobe seed INDEXES by (-round(cos, 6) asc, index asc) — index
+    // order IS seed-id order (seeds were collected ascending), so this is
+    // the same total order the round-1 window (and the oracle) used. One
+    // constant-size codegen'd expression instead of a per-seed literal
+    // struct array (VERDICT r13 #5: the old form generated one dot
+    // product per seed and fell to interpreted eval past janino's method
+    // limit at sqrt(n)-sized nlist); the index -> id map is one literal
+    // array lookup, id-type-agnostic.
+    val topIdx = graft.plans.CoarseAssignExpressions.nearestSeeds(
+      col("v"), col("vn"), seeds.toSeq.map(_._2.toArray), nprobe)
+    val seedIdArr = graft.plans.CoarseAssignExpressions.idArray(
+      seeds.toSeq.map(_._1), corpus.schema(idCol).dataType)
     val cells = c.withColumn("cells",
-      transform(topCells, s => s.getField("seed_id")))
+      transform(topIdx, i => element_at(seedIdArr, i + lit(1))))
     val assigned = cells
       .select(col("id"), col("v"), col("vn"), col("cells").getItem(0).as("cell"))
     val probed = cells
@@ -597,19 +593,13 @@ object Similarity {
         .limit(0)
     var assigned: DataFrame = null
     for (i <- 1 to iters) {
-      // argmin via array_min over the unsorted (dist, cl) structs — same
-      // total order as the old array_sort()[1], O(k) per row (see
-      // nearestCell)
-      val cells = array(centroids.map { case (ci, cm) =>
-        val c2 = cm.map(x => x * x).sum // exact: integer-valued doubles
-        struct(
-          (col("vm2") - lit(2.0) * dot(col("vm"), typedlit(cm.toSeq)) + lit(c2))
-            .cast("long").as("dist"),
-          lit(ci).as("cl"))
-      }: _*)
-      assigned = base.withColumn("best", array_min(cells))
+      // argmin in one constant-size codegen'd expression — same (dist,
+      // cluster) total order as the old per-centroid struct array, but
+      // the generated code no longer grows with k (see rankedCells)
+      assigned = base
+        .withColumn("best", rankedCells(centroids, 1).getItem(0))
         .select(col("id"), col("vm"),
-          col("best.cl").as("cluster"), col("best.dist").as("dist_sq"))
+          col("best.cell").as("cluster"), col("best.dist").as("dist_sq"))
       if (i < iters) {
         // k x dim rows — bounded by geometry, not data.
         val upd = assigned
@@ -997,9 +987,29 @@ object Similarity {
       }
     }
 
-  def saveIvfPq(model: IvfPq.Model, dir: String, buckets: Int = -1): Unit = {
+  /** FRESH-DIR CONTRACT, enforced (VERDICT r13 #3): like
+    * [[graft.streaming.CurationStream.save]], saveIvfPq REFUSES a
+    * directory that already holds a published index — the cells/codes
+    * tables are versioned + pointer-flipped, but `centroids` and
+    * `codebooks` are rewritten IN PLACE, so a re-save over a live index
+    * tears the very geometry every search resolves first. Save the
+    * refit to a fresh directory (growth goes through
+    * [[addToSavedIvfPq]]); `force = true` only when provably no reader
+    * exists. */
+  def saveIvfPq(model: IvfPq.Model, dir: String, buckets: Int = -1,
+                force: Boolean = false): Unit = {
     val spark = model.cells.sparkSession
     import spark.implicits._
+    graft.core.Fs.requireAtomicStore(spark, dir, "saveIvfPq")
+    if (!force && (graft.core.Fs.exists(spark, s"$dir/CURRENT") ||
+        graft.core.Fs.exists(spark, s"$dir/meta")))
+      throw new IllegalStateException(s"saveIvfPq: $dir already holds a " +
+        "published index. centroids/codebooks are rewritten in place — " +
+        "re-saving over a LIVE index tears the geometry under concurrent " +
+        "searches, and a crash mid-save leaves no complete version. Save " +
+        "the refit to a fresh directory (growth goes through " +
+        "addToSavedIvfPq), or pass force = true if provably no reader " +
+        "exists.")
     val nb =
       if (buckets > 0) buckets
       else {
@@ -1085,34 +1095,32 @@ object Similarity {
     IvfPq.Model(cells, centroids, Pq.Model(codes, codebooks))
   }
 
-  /** Cells ranked by exact integer squared-L2 to literal micro-int
-    * centroids, nearest first (ties to the lowest index) — the ONE
-    * definition of coarse-cell order, shared by fit-side assignment
-    * ([[nearestCell]]) and search-side probing (nprobe slice): a change
-    * here cannot desync the two. Input must carry `vm` (micro ints) and
-    * `vm2`. */
-  private def cellArray(cents: Seq[(Int, Array[Double])]): Column =
-    array(cents.map { case (ci, cm) =>
-      val c2 = cm.map(x => x * x).sum
-      struct(
-        (col("vm2") - lit(2.0) * dot(col("vm"), typedlit(cm.toSeq)) + lit(c2))
-          .cast("long").as("dist"),
-        lit(ci).as("cell"))
-    }: _*)
+  /** Top-`k` cells ranked by exact integer squared-L2 to the frozen
+    * micro-int centroids, nearest first (ties to the lowest cell id) —
+    * the ONE definition of coarse-cell order, shared by fit-side
+    * assignment ([[nearestCell]]) and search-side probing (the nprobe
+    * prefix): a change here cannot desync the two. Input must carry `vm`
+    * (micro ints) and `vm2`.
+    *
+    * One constant-size expression ([[graft.plans.NearestCells]]), NOT a
+    * per-cell literal struct array (VERDICT r13 #5): the old
+    * `array_min(array(struct(dist_0, 0), ...))` generated one dot-product
+    * expression per cell, blew janino's method limit at the sqrt(n) cell
+    * counts a big corpus uses (~2828 cells at 8M vectors), and dropped
+    * the hottest ANN stage to interpreted eval exactly at big-corpus
+    * geometry. The matrix now rides as a reference object and the argmin
+    * is one codegen'd loop whose code size is independent of nlist. */
+  private def rankedCells(cents: Seq[(Int, Array[Double])],
+                          k: Int): Column =
+    graft.plans.CoarseAssignExpressions.nearestCells(
+      col("vm"), col("vm2"), cents, k)
 
-  private def rankedCellArray(cents: Seq[(Int, Array[Double])]): Column =
-    array_sort(cellArray(cents))
-
-  /** Row-local argmin over literal micro-int centroids — the [[kmeansFit]]
-    * assignment shape (no shuffle). `array_min` over the UNSORTED struct
-    * array, not `array_sort(...)[1]`: the same interpreted struct
-    * ordering picks the same (dist, cell) minimum, but in O(cells)
-    * per row instead of a per-row O(cells log cells) sort + array copy —
-    * at the sqrt(n) cell counts a 10^7-vector fit uses (thousands of
-    * cells), the sort dominated assignment (round-13 1600x ladder). */
+  /** Row-local argmin over the frozen micro-int centroids — the
+    * [[kmeansFit]] assignment shape (no shuffle; see [[rankedCells]]). */
   private def nearestCell(df: DataFrame,
                           cents: Seq[(Int, Array[Double])]): DataFrame =
-    df.withColumn("cell", array_min(cellArray(cents)).getField("cell"))
+    df.withColumn("cell",
+      rankedCells(cents, 1).getItem(0).getField("cell"))
 
   /** Train: coarse-assign every vector to its nearest of the `nlist`
     * lowest-id seed centroids, subtract the centroid (exact integer
@@ -1160,7 +1168,8 @@ object Similarity {
         base.select(col("id"), lit(0).as("cell")).limit(0), Nil,
         Pq.Model(base.select(col("id"), lit(0).as("sub"), lit(0).as("code"),
           lit(0L).as("dist_sq")).limit(0), Nil))
-    val centLit = array(cents.map(c => typedlit(c._2.toSeq)): _*)
+    val centLit =
+      graft.plans.CoarseAssignExpressions.centroidMatrix(cents.map(_._2))
     val assigned = graft.core.CacheScope.persist(
       nearestCell(base, cents)
         .withColumn("res",
@@ -1241,7 +1250,8 @@ object Similarity {
       // idempotent add: ids already indexed are skipped, never duplicated
       .join(model.cells.select(col("id")), Seq("id"), "left_anti")
     val cents = model.centroids
-    val centLit = array(cents.map(c => typedlit(c._2.toSeq)): _*)
+    val centLit =
+      graft.plans.CoarseAssignExpressions.centroidMatrix(cents.map(_._2))
     val assigned = graft.core.CacheScope.persist(
       nearestCell(base, cents)
         .withColumn("res",
@@ -1320,9 +1330,18 @@ object Similarity {
           // completes the pair. Cells-first would instead leave ids the
           // encode anti-join skips FOREVER with no codes — silently
           // unsearchable.
+          //
+          // The anti-join is at (id, sub) granularity, NOT id (ADVICE
+          // r13): a task-level commit or speculative task can tear a
+          // crashed append WITHIN one id, persisting some but not all of
+          // its m subspace rows. An id-only anti-join would then skip the
+          // whole id forever, and the cells append would make it
+          // searchable with INCOMPLETE codes — silently wrong ADC
+          // distances. Per-(id, sub), the re-run appends exactly the
+          // missing subspace rows and the id completes.
           val kdFresh = kd.join(
-            ss.table(ivfPqTable(dir, kdir)).select(col("id")),
-            Seq("id"), "left_anti")
+            ss.table(ivfPqTable(dir, kdir)).select(col("id"), col("sub")),
+            Seq("id", "sub"), "left_anti")
           kdFresh.write.mode("append").insertInto(ivfPqTable(dir, kdir))
           cd.write.mode("append").insertInto(ivfPqTable(dir, cdir))
           // publish the bumped fragmentation counter as a new meta
@@ -1412,17 +1431,17 @@ object Similarity {
     val cb = model.pq.codebooks
       .map { case (s, c, cm) => (s, c, cm.toSeq) }.toDF("sub", "code", "cm")
       .withColumn("cm2", dot(col("cm"), col("cm")))
-    val centLit = array(model.centroids.map(c => typedlit(c._2.toSeq)): _*)
+    val centLit = graft.plans.CoarseAssignExpressions.centroidMatrix(
+      model.centroids.map(_._2))
     val vmq = transform(col(vecCol), x => round(x.cast("double") * lit(1e6), 0))
-    // rank ALL cells per query (the shared rankedCellArray order) and
-    // probe the top `nprobe`. Each probed cell gets its OWN query
-    // residual — IVF-PQ distances are relative to the probed cell's
-    // centroid, not the query's home cell.
-    val rankedCells = rankedCellArray(model.centroids)
+    // the top `nprobe` cells per query (the shared rankedCells order).
+    // Each probed cell gets its OWN query residual — IVF-PQ distances
+    // are relative to the probed cell's centroid, not the query's home
+    // cell.
     val qres = queries.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"), vmq.as("vm"))
       .withColumn("vm2", dot(col("vm"), col("vm")))
-      .withColumn("pc", explode(slice(rankedCells, 1, nprobe)))
+      .withColumn("pc", explode(rankedCells(model.centroids, nprobe)))
       .withColumn("qcell", col("pc.cell"))
       .withColumn("qr",
         zip_with(col("vm"), element_at(centLit, col("qcell") + 1),

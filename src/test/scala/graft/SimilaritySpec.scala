@@ -831,4 +831,97 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!graft.core.Fs.exists(spark, s"$dir/_delta_lock"))
     graft.core.CacheScope.release()
   }
+
+  test("coarse assignment keeps WHOLE-STAGE CODEGEN at sqrt(n)-scale " +
+       "cell counts: nlist=2828 compiles with fallback disabled " +
+       "(VERDICT r13 #5 — the old per-cell literal form blew janino's " +
+       "method limit and dropped the hottest ANN stage to interpreted)") {
+    // 3000 deterministic 64-dim vectors: enough distinct seeds for the
+    // 2828-cell geometry an 8M-vector corpus' sqrt(n) rule picks
+    // (id*64 + j) mod 1009 cannot vanish for all 64 j at once, so no
+    // vector is all-zero (a zero norm would be a legitimate ANSI
+    // divide-by-zero in the cosine, not a codegen signal)
+    val vecs = spark.range(3000).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(64)),
+        j => pmod((col("id") * 64L + j.cast("long")) * 2654435761L,
+          lit(1009L)).cast("double") / lit(1009.0)).as("embedding"))
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback")
+    val prevFactory = spark.conf.get("spark.sql.codegen.factoryMode")
+    try {
+      // janino failure now THROWS instead of silently interpreting
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      assert(Similarity.knnIvf(vecs, k = 3, nlist = 2828, nprobe = 2)
+        .count() > 0)
+      val mdl = Similarity.ivfPqFit(vecs, nlist = 2828, m = 4, k = 4,
+        dim = 64)
+      assert(mdl.cells.count() == 3000)
+      assert(Similarity.ivfPqSearch(mdl, vecs.filter(col("vec_id") < 3),
+        topk = 3, m = 4, dim = 64, nprobe = 2).count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFactory)
+    }
+    graft.core.CacheScope.release()
+  }
+
+  test("saveIvfPq refuses a directory with a LIVE index (centroids/" +
+       "codebooks are rewritten in place); force=true re-saves " +
+       "(VERDICT r13 #3)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = Similarity.ivfPqFit(emb.filter($"vec_id" < 2000), nlist = 4,
+      m = 16, k = 32, dim = 64, coarseIters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_guard").toString
+    Similarity.saveIvfPq(model, dir)
+    val e = intercept[IllegalStateException] {
+      Similarity.saveIvfPq(model, dir)
+    }
+    for (must <- Seq("already", "fresh directory", "force"))
+      assert(e.getMessage.contains(must),
+        s"guard must name $must: ${e.getMessage}")
+    Similarity.saveIvfPq(model, dir, force = true)
+    assert(Similarity.loadIvfPq(spark, dir).cells.count() ==
+      model.cells.count())
+    graft.core.CacheScope.release()
+  }
+
+  test("addToSavedIvfPq repairs a TORN per-id codes append: the re-run " +
+       "completes the missing (id, sub) rows instead of skipping the id " +
+       "(ADVICE r13)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val m = 16
+    val even = emb.filter($"vec_id" % 2 === 0)
+    val odd = emb.filter($"vec_id" % 2 === 1)
+    val model = Similarity.ivfPqFit(even, nlist = 4, m = m, k = 32,
+      dim = 64, coarseIters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_torn").toString
+    Similarity.saveIvfPq(model, dir)
+    // simulate the crash the repair exists for: a codes append that a
+    // task-level commit TORE mid-id — some of an id's m subspace rows
+    // persisted (here: subs 0..4 of every new id), cells never appended
+    val (_, codesDelta) = Similarity.ivfPqEncodeDelta(model, odd)
+    codesDelta.filter($"sub" < 5)
+      .write.mode("append").insertInto(Similarity.ivfPqTable(dir, "codes_v0"))
+    // the re-run of the interrupted add must COMPLETE each torn id
+    val viaDelta = Similarity.addToSavedIvfPq(spark, dir, odd)
+    val perId = viaDelta.pq.codes.groupBy("id").count().collect()
+    assert(perId.forall(_.getLong(1) == m.toLong),
+      s"ids with != $m code rows: " +
+        perId.filter(_.getLong(1) != m.toLong).take(5).mkString(","))
+    val dupPairs = viaDelta.pq.codes.groupBy("id", "sub").count()
+      .filter(col("count") > 1).count()
+    assert(dupPairs == 0, s"$dupPairs duplicated (id, sub) pairs")
+    // and the repaired artifact is value-identical to the in-memory add
+    val inMem = Similarity.ivfPqAdd(model, odd)
+    def codesOf(mm: Similarity.IvfPq.Model) = mm.pq.codes.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(codesOf(viaDelta) == codesOf(inMem))
+    def res(mm: Similarity.IvfPq.Model) =
+      Similarity.ivfPqSearch(mm, emb.filter($"vec_id" < 20),
+          topk = 5, m = m, dim = 64, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))).toSet
+    assert(res(viaDelta) == res(inMem))
+    graft.core.CacheScope.release()
+  }
 }
