@@ -271,10 +271,24 @@ object Bench {
         s""""pipeline_${altName}_queries":$pq,""" +
           s""""pipeline_${altName}_total":$pt,"""
       }
+    // Host fingerprint (VERDICT r13 #6): round-over-round artifacts must
+    // be machine-adjudicable — r13 burned a same-host A/B to prove a
+    // uniform 1.1-1.45x shift on byte-identical code was the host. The
+    // cpu model + core count identify the machine class; calib_sec (the
+    // fixed 50M-row sum) is the speed scalar to normalize by.
+    val cpuModel = try {
+      val src = scala.io.Source.fromFile("/proc/cpuinfo")
+      try src.getLines().collectFirst {
+        case l if l.startsWith("model name") => l.split(":", 2)(1).trim
+      }.getOrElse("unknown")
+      finally src.close()
+    } catch { case _: Exception => "unknown" }
+    val nCores = Runtime.getRuntime.availableProcessors()
     val commonTail =
       s""""failed":$failedJson,""" +
         f""""calib_sec":$calib%.3f,""" +
         s""""calib_tries":$calibTries,"contended":$contended,""" +
+        s""""host_cpu":"${cpuModel.replace("\"", "'")}","host_cores":$nCores,""" +
         s""""aqe":$aqe,"sf":"$sfDir"}"""
     val detailJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

@@ -477,11 +477,47 @@ object ScaleSmoke {
     // number must track frozen_curation_apply: the bucketed confirm
     // tables shuffle nothing on the frozen side.
     if (only.isEmpty ||
-        only.exists(o => "frozen_curation_load_apply".startsWith(o))) {
+        Seq("frozen_curation_load_apply", "frozen_apply_staged",
+            "curation_advance_delta")
+          .exists(n => only.exists(n.startsWith))) {
       val refHalf = base.filter(col("doc_id") % 2 === 0)
       val frozen = graft.streaming.CurationStream.freeze(
         refHalf, refHalf.filter(col("doc_id") % 31 === 0),
         col("lang") === "en")
+      // round-14 (VERDICT r13 #1): the PER-STAGE apply ladder. The
+      // composed apply number cannot say WHICH stage stopped scaling —
+      // and the r13 cross-host ladder read superlinear without being
+      // able to name a culprit. Each curateBatchStages increment is
+      // timed with its predecessor PERSISTED (so increment i prices
+      // stage i alone, not the re-run of 1..i-1), plus a final
+      // verdict-write increment (noop-format materialization of the
+      // survivor table — the sink a deployment actually pays).
+      def stagedApply(tag: String,
+                      m: graft.streaming.CurationStream.FrozenCuration): Unit = {
+        if (only.nonEmpty && !only.exists(s"frozen_apply_staged_$tag".startsWith))
+          return
+        val t0 = System.nanoTime()
+        val stages = graft.streaming.CurationStream.curateBatchStages(docs, m)
+        var prev = t0
+        val parts = stages.map { case (name, df) =>
+          df.persist()
+          val rows = df.count()
+          val now = System.nanoTime()
+          val s = (now - prev) / 1e9; prev = now
+          (name, s, rows)
+        }
+        val wrote = stages.last._2
+        wrote.write.format("noop").mode("overwrite").save()
+        val now = System.nanoTime()
+        val wsec = (now - prev) / 1e9
+        val total = (now - t0) / 1e9
+        println(f"[scale] frozen_apply_staged_$tag%-14s total=$total%8.2f s  " +
+          parts.map { case (n, s, r) => f"$n=$s%.2f s(rows=$r)" }
+            .mkString(" ") + f" write=$wsec%.2f s")
+        stages.foreach(_._2.unpersist(blocking = false))
+      }
+      stagedApply("mem", frozen)
+      graft.core.CacheScope.release()
       val fdir = java.nio.file.Files
         .createTempDirectory("scale_frozen").toString
       graft.streaming.CurationStream.save(frozen, fdir)
@@ -497,6 +533,14 @@ object ScaleSmoke {
         graft.streaming.CurationStream.release(loaded)
         kept
       })
+      graft.core.CacheScope.release()
+      if (only.isEmpty ||
+          only.exists(o => "frozen_apply_staged_loaded".startsWith(o))) {
+        val loaded2 = graft.streaming.CurationStream.load(spark, fdir)
+        stagedApply("loaded", loaded2)
+        graft.streaming.CurationStream.release(loaded2)
+        graft.core.CacheScope.release()
+      }
       // the day-2 advance at factor: fold a 100k-doc accepted batch
       // (distinct token-salted content, so the delta is genuinely new)
       // into the SAVED artifact — one anti-join + bucket-append + Bloom
@@ -527,7 +571,7 @@ object ScaleSmoke {
         .createTempDirectory("scale_ivfpq_soak").toString
       Similarity.saveIvfPq(mdl, idir)
       graft.core.CacheScope.release()
-      val nD = 30
+      val nD = sys.env.getOrElse("SPARK_GRAFT_SOAK_DELTAS", "30").toInt
       val per = (1 to nD).map { i =>
         val batch = emb.select(
           (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
@@ -562,7 +606,7 @@ object ScaleSmoke {
       val sdir = java.nio.file.Files
         .createTempDirectory("scale_soak").toString
       CurationStream.save(frozen, sdir)
-      val nDeltas = 30
+      val nDeltas = sys.env.getOrElse("SPARK_GRAFT_SOAK_DELTAS", "30").toInt
       val perDelta = (1 to nDeltas).map { i =>
         val batch = base.filter(col("doc_id") % 5 === 1).limit(20000)
           .select(col("doc_id"),

@@ -736,29 +736,25 @@ object Similarity {
   }
 
   /** Row-local nearest-codeword assignment per (vector, subspace) row:
-    * exact integer squared-L2 against each literal codeword, argmin via
-    * `array_min` of (dist, code) structs — ties to the lowest code,
-    * the same total order the SQL replay uses (O(k) per row; see
-    * [[nearestCell]]). */
+    * exact integer squared-L2, argmin with ties to the lowest code — the
+    * same total order the SQL replay's min-of-struct uses (O(k) per row;
+    * see [[nearestCell]]).
+    *
+    * One constant-size expression ([[graft.plans.NearestSubCode]]), NOT
+    * a per-codeword literal struct array chained in a `when(sub === s)`
+    * ladder (VERDICT r13 #5's second site): the old form generated code
+    * proportional to m x codebookSize x dim, blew janino's method limit
+    * at trained-codebook sizes, and silently dropped EVERY PQ encode
+    * (pqFit, ivfPqFit, addToSavedIvfPq, compaction re-encode checks) to
+    * interpreted eval. */
   private def assignSubCodes(subbed: DataFrame,
                              cb: IndexedSeq[IndexedSeq[(Int, Array[Double])]],
-                             m: Int): DataFrame = {
-    val sv2 = dot(col("sv"), col("sv"))
-    def cellsFor(s: Int): Column =
-      array(cb(s).map { case (ci, cm) =>
-        val c2 = cm.map(x => x * x).sum // exact: integer-valued doubles
-        struct(
-          (sv2 - lit(2.0) * dot(col("sv"), typedlit(cm.toSeq)) + lit(c2))
-            .cast("long").as("dist"),
-          lit(ci).as("code"))
-      }: _*)
-    val cells = (1 until m).foldLeft(when(col("sub") === 0, cellsFor(0))) {
-      (acc, s) => acc.when(col("sub") === s, cellsFor(s))
-    }
-    subbed.withColumn("best", array_min(cells))
+                             m: Int): DataFrame =
+    subbed.withColumn("best",
+        graft.plans.CoarseAssignExpressions.nearestSubCode(
+          col("sv"), dot(col("sv"), col("sv")), col("sub").cast("int"), cb))
       .select(col("id"), col("sub"), col("sv"),
         col("best.code").as("code"), col("best.dist").as("dist_sq"))
-  }
 
   /** Asymmetric-distance (ADC) top-k search over a PQ model: the query
     * keeps full precision, the corpus is its codes. Per query the m*k
@@ -955,12 +951,17 @@ object Similarity {
     * twin) for operators who know no reader is mid-scan; the automatic
     * prune always keeps the previous generation as a grace window, which
     * for corpus-sized cells/codes means up to 2x storage between state
-    * changes. Runs under the delta lock. */
+    * changes. Runs under the delta lock.
+    *
+    * Returns what was reclaimed (VERDICT r13 #9) so index hygiene is
+    * monitorable as data — append `.toDF` to a run manifest. */
   def vacuumIvfPq(spark: org.apache.spark.sql.SparkSession, dir: String,
-                  leaseMs: Long = graft.core.Fs.NoLease): Unit =
+                  leaseMs: Long = graft.core.Fs.NoLease)
+      : graft.core.VacuumStats =
     graft.core.Fs.withLock(spark, s"$dir/_delta_lock",
       "re-run the vacuum (it only deletes non-current state)",
       leaseMs = leaseMs) {
+      var stats = graft.core.VacuumStats.Zero
       val cur = graft.core.Fs.readPointer(spark, dir).getOrElse(-1L)
       if (cur >= 0) {
         val m = readIvfPqMeta(spark, dir)
@@ -970,21 +971,26 @@ object Similarity {
         f.listStatus(hp).foreach { st =>
           st.getPath.getName match {
             case Versioned("meta", v) if v.toLong != cur =>
-              f.delete(st.getPath, true)
+              stats += graft.core.VacuumStats.delete(f, st.getPath)
             case Versioned(t @ ("cells" | "codes"), v)
                 if v.toLong != m.tableV =>
-              f.delete(st.getPath, true)
+              stats += graft.core.VacuumStats.delete(f, st.getPath)
               spark.sql(
                 s"DROP TABLE IF EXISTS ${ivfPqTable(dir, s"${t}_v$v")}")
             case _ => ()
           }
         }
-        graft.core.Fs.delete(spark, s"$dir/meta")
+        val legacyMeta = new org.apache.hadoop.fs.Path(s"$dir/meta")
+        if (f.exists(legacyMeta))
+          stats += graft.core.VacuumStats.delete(f, legacyMeta)
         if (m.tableV >= 0) for (t <- Seq("cells", "codes")) {
-          graft.core.Fs.delete(spark, s"$dir/$t")
+          val lp = new org.apache.hadoop.fs.Path(s"$dir/$t")
+          if (f.exists(lp))
+            stats += graft.core.VacuumStats.delete(f, lp)
           spark.sql(s"DROP TABLE IF EXISTS ${ivfPqTable(dir, t)}")
         }
       }
+      stats
     }
 
   /** FRESH-DIR CONTRACT, enforced (VERDICT r13 #3): like

@@ -221,6 +221,90 @@ case class NearestSeeds(v: Expression, vn: Expression,
     copy(v = newLeft, vn = newRight)
 }
 
+/** Nearest PQ codeword of a micro-int SUBvector, the codebook selected by
+  * the row's `sub` value: returns `struct<dist: long, code: int>` — the
+  * [[NearestCells]] story for the PQ encode path. The old formulation
+  * (`array_min(array(struct(...)))` per codeword, chained in a
+  * `when(sub === s, ...)` ladder across subspaces) generated code
+  * proportional to m x codebookSize x dim and blew janino's method limit
+  * at exactly the codebook sizes a big corpus trains (VERDICT r13 #5's
+  * second site — pqFit/ivfPqFit/addToSavedIvfPq all encode through here).
+  *
+  * Engine-exact contract unchanged: dist = (long)((sv2 - 2 sv.c) + c2)
+  * over integer-valued doubles (< 2^53, same association as the
+  * expression form), ties to the LOWEST code — the total order the SQL
+  * replay's min-of-struct uses. `books(s)(i)` is subspace s's codeword
+  * with id `codeIds(s)(i)`; `c2(s)(i)` its precomputed |c|^2. */
+case class NearestSubCode(sv: Expression, sv2: Expression, sub: Expression,
+    books: Array[Array[Array[Double]]], c2: Array[Array[Double]],
+    codeIds: Array[Array[Int]])
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  require(books.length == c2.length && books.length == codeIds.length,
+    "codebook / norms / ids subspace count mismatch")
+
+  override def first: Expression = sv
+  override def second: Expression = sv2
+  override def third: Expression = sub
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("dist", LongType, nullable = false),
+    StructField("code", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    sv.dataType match {
+      case ArrayType(DoubleType, _)
+          if sv2.dataType == DoubleType && sub.dataType == IntegerType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_sub_code needs (array<double>, double, int), got " +
+            s"${sv.dataType.simpleString} / ${sv2.dataType.simpleString} / " +
+            s"${sub.dataType.simpleString}")
+    }
+
+  def compute(a: ArrayData, v2: Double, s: Int): InternalRow = {
+    val cms = books(s)
+    val n2s = c2(s)
+    val ids = codeIds(s)
+    var bestD = Double.NaN
+    var bestI = Int.MaxValue
+    var have = false
+    var i = 0
+    while (i < cms.length) {
+      val cm = cms(i)
+      val len = math.min(a.numElements(), cm.length)
+      var acc = 0.0
+      var j = 0
+      while (j < len) { acc += a.getDouble(j) * cm(j); j += 1 }
+      val dist = (v2 - 2.0 * acc + n2s(i)).toLong
+      val d = dist.toDouble // exact below 2^53 (micro-int geometry)
+      // (dist, code) min with NaN greatest, ties to the lowest code —
+      // array_min's total order over the old struct array
+      if (!have || d < bestD || (d == bestD && ids(i) < bestI)) {
+        bestD = d; bestI = ids(i); have = true
+      }
+      i += 1
+    }
+    InternalRow(bestD.toLong, bestI)
+  }
+
+  override protected def nullSafeEval(l: Any, m: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData],
+      m.asInstanceOf[java.lang.Number].doubleValue(),
+      r.asInstanceOf[java.lang.Number].intValue())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestSubCode", this,
+      classOf[NearestSubCode].getName)
+    nullSafeCodeGen(ctx, ev,
+      (a, b, c) => s"${ev.value} = $ref.compute($a, $b, $c);")
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): NearestSubCode =
+    copy(sv = newFirst, sv2 = newSecond, sub = newThird)
+}
+
 object CoarseAssignExpressions {
   import org.apache.spark.sql.graftshim.ColumnShims
 
@@ -241,6 +325,18 @@ object CoarseAssignExpressions {
       ColumnShims.expression(v), ColumnShims.expression(vn),
       seeds.toArray,
       seeds.map(s => math.sqrt(s.map(x => x * x).sum)).toArray, k))
+
+  /** Best (dist, code) struct for a micro-int subvector against the
+    * codebook of its row's subspace. `books(s)` must be sorted by code
+    * id ascending (the pqFit collect order). */
+  def nearestSubCode(sv: Column, sv2: Column, sub: Column,
+      books: IndexedSeq[IndexedSeq[(Int, Array[Double])]]): Column =
+    ColumnShims.column(NearestSubCode(
+      ColumnShims.expression(sv), ColumnShims.expression(sv2),
+      ColumnShims.expression(sub),
+      books.map(_.map(_._2).toArray).toArray,
+      books.map(_.map(_._2.map(x => x * x).sum).toArray).toArray,
+      books.map(_.map(_._1).toArray).toArray))
 
   /** A centroid matrix as ONE nested-array literal — a single reference
     * object, zero per-cell generated code (the old `array(typedlit(c0),

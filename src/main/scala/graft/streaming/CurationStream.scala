@@ -610,7 +610,11 @@ object CurationStream {
     *    `seen_table_v` name the live `seen_bloom_v<N>` / `seen_hashes_v<N>`
     *    paths; -1 = the legacy unversioned paths) and the fragmentation
     *    stats `seen_table_deltas` (bucket-appends since the last full
-    *    write) / `seen_table_files` (file count at that write). */
+    *    write) / `seen_table_files` (file count at that write);
+    *  - round-14: + `keep_generations` (VERDICT r13 #8), the save-time
+    *    retention knob [[pruneVersions]] honors — how many state
+    *    generations back a concurrent reader is guaranteed to find
+    *    (missing = the historical 2). */
   private[graft] final case class ArtifactMeta(
       numBuckets: Int, scoreMaxMicro: Long, temperature: Double,
       ceCutMicro: Long, shingleN: Int, evalBloomBits: Int,
@@ -618,7 +622,8 @@ object CurationStream {
       bitsPerKey: Int, evalShards: Int, seenShards: Int,
       evalKeys: Long, seenKeys: Long,
       seenBloomV: Long = -1L, seenTableV: Long = -1L,
-      seenTableDeltas: Long = -1L, seenTableFiles: Long = -1L)
+      seenTableDeltas: Long = -1L, seenTableFiles: Long = -1L,
+      keepGenerations: Int = 2)
 
   /** Current state version of the artifact at `dir`; -1 for a
     * pre-round-13 artifact (unversioned `meta` path). */
@@ -682,7 +687,8 @@ object CurationStream {
       seenBloomV = l("seen_bloom_v", -1L),
       seenTableV = l("seen_table_v", -1L),
       seenTableDeltas = l("seen_table_deltas", -1L),
-      seenTableFiles = l("seen_table_files", -1L))
+      seenTableFiles = l("seen_table_files", -1L),
+      keepGenerations = i("keep_generations", 2))
   }
 
   /** Write the one-row meta to the version-`v` path (the caller publishes
@@ -696,21 +702,26 @@ object CurationStream {
         am.shingleN, am.evalBloomBits, am.seenBloomBits, am.bloomHashes,
         am.confirmBuckets, am.bitsPerKey, am.evalShards, am.seenShards,
         am.evalKeys, am.seenKeys, am.seenBloomV, am.seenTableV,
-        am.seenTableDeltas, am.seenTableFiles))
+        am.seenTableDeltas, am.seenTableFiles, am.keepGenerations))
       .toDF("num_buckets", "score_max_micro", "temperature",
         "ce_cut_micro", "shingle_n", "eval_bloom_bits", "seen_bloom_bits",
         "bloom_hashes", "confirm_buckets", "bits_per_key", "eval_shards",
         "seen_shards", "eval_keys", "seen_keys", "seen_bloom_v",
-        "seen_table_v", "seen_table_deltas", "seen_table_files")
+        "seen_table_v", "seen_table_deltas", "seen_table_files",
+        "keep_generations")
       .coalesce(1).write.mode("overwrite").parquet(metaPath(dir, v))
   }
 
   /** Delete state versions no in-flight reader can need: everything older
-    * than TWO generations back. Two, not one: a single `saveSeenDelta`
-    * call can bump the version TWICE (the delta publish plus its
-    * auto-compaction), so a keep-one-back rule could delete the state a
-    * reader resolved just before that one call — keep-two guarantees no
-    * single write API call outruns a concurrent reader. A version
+    * than `keep_generations` back (the [[save]]-time knob in the meta,
+    * VERDICT r13 #8; floor TWO). Two is the floor, not a default
+    * optimum: a single `saveSeenDelta` call can bump the version TWICE
+    * (the delta publish plus its auto-compaction), so a keep-one-back
+    * rule could delete the state a reader resolved just before that one
+    * call — keep-two guarantees no single write API call outruns a
+    * concurrent reader. Raise the knob when readers can out-LAST two
+    * delta intervals (a long analytics scan over the seen table loses
+    * files mid-scan if deltas land faster than it reads). A version
     * directory is kept if any retained meta still references it — a
     * compaction bumps the table version while older metas still point at
     * the old table, so the old history directory survives the same grace
@@ -719,7 +730,8 @@ object CurationStream {
                             dir: String): Unit = {
     val cur = stateVersion(spark, dir)
     if (cur < 0) return
-    val metas = Seq(cur, cur - 1, cur - 2)
+    val keep = math.max(2, readMeta0(spark, dir, cur).keepGenerations).toLong
+    val metas = (cur - keep to cur)
       .filter(v => v >= 0 && graft.core.Fs.exists(spark, metaPath(dir, v)))
       .map(v => readMeta0(spark, dir, v))
     val keepBlooms = metas.map(_.seenBloomV).toSet
@@ -732,7 +744,7 @@ object CurationStream {
     val Versioned = """(meta|seen_bloom|seen_hashes)_v(\d+)""".r
     f.listStatus(p).foreach { st =>
       st.getPath.getName match {
-        case Versioned("meta", v) if v.toLong < cur - 2 =>
+        case Versioned("meta", v) if v.toLong < cur - keep =>
           f.delete(st.getPath, true)
         case Versioned("seen_bloom", v)
             if v.toLong < cur && !keepBlooms(v.toLong) =>
@@ -748,9 +760,9 @@ object CurationStream {
       }
     }
     // the pre-round-13 unversioned paths count as the generation BEFORE
-    // v0: they stay for the same two-state-change grace window after
-    // migration and go once no kept meta references them
-    if (cur >= 2) {
+    // v0: they stay for the same grace window after migration and go
+    // once no kept meta references them
+    if (cur >= keep) {
       graft.core.Fs.delete(spark, s"$dir/meta")
       if (!keepBlooms(-1L)) graft.core.Fs.delete(spark, s"$dir/seen_bloom")
       if (!keepTables(-1L)) {
@@ -770,7 +782,9 @@ object CurationStream {
     def l(name: String): Long =
       if (cols(name)) r.getAs[Long](name) else -1L
     ArtifactMeta(0, 0L, 0.0, 0L, 0, 0, 0, 0, 0, 0, 0, 0, -1L, -1L,
-      seenBloomV = l("seen_bloom_v"), seenTableV = l("seen_table_v"))
+      seenBloomV = l("seen_bloom_v"), seenTableV = l("seen_table_v"),
+      keepGenerations =
+        if (cols("keep_generations")) r.getAs[Int]("keep_generations") else 2)
   }
 
   /** Drop every state generation except the CURRENT one — the explicit
@@ -780,12 +794,16 @@ object CurationStream {
     * seen table means up to 2x its storage between state changes). Runs
     * under the delta lock: vacuuming concurrently with a delta could
     * delete the very version the delta is superseding while the delta's
-    * reader still joins against it. */
+    * reader still joins against it.
+    *
+    * Returns what was reclaimed (VERDICT r13 #9) so artifact hygiene is
+    * monitorable as data — append `.toDF` to a run manifest. */
   def vacuum(spark: org.apache.spark.sql.SparkSession, dir: String,
-             leaseMs: Long = graft.core.Fs.NoLease): Unit =
+             leaseMs: Long = graft.core.Fs.NoLease): graft.core.VacuumStats =
     graft.core.Fs.withLock(spark, s"$dir/_delta_lock",
       "re-run the vacuum (it only deletes non-current state)",
       leaseMs = leaseMs) {
+      var stats = graft.core.VacuumStats.Zero
       val cur = stateVersion(spark, dir)
       if (cur >= 0) { // pre-round-13 artifacts have nothing versioned
         val am = readMeta(spark, dir)
@@ -797,24 +815,27 @@ object CurationStream {
         f.listStatus(p).foreach { st =>
           st.getPath.getName match {
             case Versioned("meta", v) if v.toLong != cur =>
-              f.delete(st.getPath, true)
+              stats += graft.core.VacuumStats.delete(f, st.getPath)
             case Versioned("seen_bloom", v) if v.toLong != am.seenBloomV =>
-              f.delete(st.getPath, true)
+              stats += graft.core.VacuumStats.delete(f, st.getPath)
             case Versioned("seen_hashes", v) if v.toLong != am.seenTableV =>
-              f.delete(st.getPath, true)
+              stats += graft.core.VacuumStats.delete(f, st.getPath)
               spark.sql(
                 s"DROP TABLE IF EXISTS ${confirmTable(dir, s"seen_v$v")}")
             case _ => ()
           }
         }
-        graft.core.Fs.delete(spark, s"$dir/meta")
-        if (am.seenBloomV >= 0)
-          graft.core.Fs.delete(spark, s"$dir/seen_bloom")
-        if (am.seenTableV >= 0) {
-          graft.core.Fs.delete(spark, s"$dir/seen_hashes")
-          spark.sql(s"DROP TABLE IF EXISTS ${confirmTable(dir, "seen")}")
+        for (legacy <- Seq("meta", "seen_bloom", "seen_hashes")
+             if (legacy != "seen_bloom" || am.seenBloomV >= 0) &&
+               (legacy != "seen_hashes" || am.seenTableV >= 0)) {
+          val lp = new org.apache.hadoop.fs.Path(s"$dir/$legacy")
+          if (f.exists(lp))
+            stats += graft.core.VacuumStats.delete(f, lp)
+          if (legacy == "seen_hashes")
+            spark.sql(s"DROP TABLE IF EXISTS ${confirmTable(dir, "seen")}")
         }
       }
+      stats
     }
 
   /** Rows per confirm bucket targeted by [[save]]'s auto-sizer: one
@@ -861,7 +882,11 @@ object CurationStream {
     * `force = true` only when provably no reader exists and a crashed
     * re-save may be re-run to completion. */
   def save(m: FrozenCuration, dir: String, confirmBuckets: Int = -1,
-           force: Boolean = false): Unit = {
+           force: Boolean = false, keepGenerations: Int = 2): Unit = {
+    require(keepGenerations >= 2, s"keepGenerations=$keepGenerations: " +
+      "2 is the floor — one saveSeenDelta call can bump the state version " +
+      "twice (delta + auto-compaction), so fewer grace generations lets a " +
+      "single write API call outrun a concurrent reader")
     val spark = m.weights.sparkSession
     graft.core.Fs.requireAtomicStore(spark, dir, "CurationStream.save")
     if (!force && (graft.core.Fs.exists(spark, s"$dir/CURRENT") ||
@@ -914,7 +939,8 @@ object CurationStream {
       m.seenBloomBits, m.bloomHashes, buckets, m.bitsPerKey,
       m.evalShards, m.seenShards, m.evalKeys, m.seenKeys,
       seenBloomV = next, seenTableV = next, seenTableDeltas = 0L,
-      seenTableFiles = files.toLong), next)
+      seenTableFiles = files.toLong, keepGenerations = keepGenerations),
+      next)
     graft.core.Fs.writePointer(spark, dir, next)
     pruneVersions(spark, dir)
   }

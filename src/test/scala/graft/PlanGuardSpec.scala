@@ -110,4 +110,19 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "cartesian in t_distilled_quality")
     assert(p.contains("BroadcastHashJoin"), "no broadcast join in distillation")
   }
+
+  test("FULL registry: no CartesianProduct anywhere (VERDICT r13 #4)") {
+    // The total version of the PLANS.md machine scan: every registry
+    // query's physical plan, not a headline sample. A CartesianProduct
+    // means both sides are data-sized with no key — never acceptable; a
+    // BroadcastNestedLoopJoin is allowed only because every use in the
+    // library is a geometry-sized (1-row/k-row) broadcast compose, which
+    // the per-operator tests above pin individually.
+    val offenders = Queries.all.map(_._1).flatMap { name =>
+      val p = planOf(name)
+      if (p.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"CartesianProduct in: ${offenders.mkString(", ")}")
+  }
 }

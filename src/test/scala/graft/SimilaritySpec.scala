@@ -820,7 +820,12 @@ class SimilaritySpec extends AnyFunSuite {
     // capture through the CURRENT generation before vacuuming: `grown`
     // still points at the pre-compaction v0 tables, which vacuum deletes
     val nCells = grown.cells.count()
-    Similarity.vacuumIvfPq(spark, dir)
+    val reclaimed = Similarity.vacuumIvfPq(spark, dir)
+    // the reclaim is reported as DATA (VERDICT r13 #9); idempotent zero
+    // on an already-clean index
+    assert(reclaimed.pathsDropped > 0 && reclaimed.filesReclaimed > 0 &&
+      reclaimed.bytesReclaimed > 0, s"vacuumIvfPq reported $reclaimed")
+    assert(Similarity.vacuumIvfPq(spark, dir) == graft.core.VacuumStats.Zero)
     val names = new java.io.File(dir).list().toSeq
     for (pfx <- Seq("meta_v", "cells_v", "codes_v"))
       assert(names.count(_.startsWith(pfx)) == 1,
@@ -853,11 +858,14 @@ class SimilaritySpec extends AnyFunSuite {
       spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
       assert(Similarity.knnIvf(vecs, k = 3, nlist = 2828, nprobe = 2)
         .count() > 0)
-      val mdl = Similarity.ivfPqFit(vecs, nlist = 2828, m = 4, k = 4,
+      // production PQ geometry (m=16 subspaces x 256-codeword books):
+      // the old per-codeword when-ladder blew the method limit right
+      // here — k=4 books compiled fine and masked it (round 14)
+      val mdl = Similarity.ivfPqFit(vecs, nlist = 2828, m = 16, k = 256,
         dim = 64)
       assert(mdl.cells.count() == 3000)
       assert(Similarity.ivfPqSearch(mdl, vecs.filter(col("vec_id") < 3),
-        topk = 3, m = 4, dim = 64, nprobe = 2).count() > 0)
+        topk = 3, m = 16, dim = 64, nprobe = 2).count() > 0)
     } finally {
       spark.conf.set("spark.sql.codegen.fallback", prevFallback)
       spark.conf.set("spark.sql.codegen.factoryMode", prevFactory)

@@ -1639,7 +1639,16 @@ class StreamingSpec extends AnyFunSuite {
         .sortBy(_._1).toSeq
       CurationStream.release(l); v
     }
-    CurationStream.vacuum(spark, adir)
+    val reclaimed = CurationStream.vacuum(spark, adir)
+    // the reclaim is reported as DATA (VERDICT r13 #9): versions were
+    // dropped, so paths/files/bytes must all be positive — and a second
+    // vacuum of an already-clean artifact reclaims exactly nothing
+    assert(reclaimed.pathsDropped > 0 && reclaimed.filesReclaimed > 0 &&
+      reclaimed.bytesReclaimed > 0, s"vacuum reported $reclaimed")
+    assert(reclaimed.toDF(spark).columns.toSeq ==
+      Seq("paths_dropped", "files_reclaimed", "bytes_reclaimed"))
+    assert(CurationStream.vacuum(spark, adir) == graft.core.VacuumStats.Zero,
+      "second vacuum of a clean artifact reclaimed something")
     // exactly one generation of each state file remains
     val names = new java.io.File(adir).list().toSeq
     for (pfx <- Seq("meta_v", "seen_bloom_v", "seen_hashes_v"))
@@ -1656,6 +1665,48 @@ class StreamingSpec extends AnyFunSuite {
       "vacuum lost the delta history")
     assert(!graft.core.Fs.exists(spark, s"$adir/_delta_lock"))
     CurationStream.release(l2)
+    CurationStream.release(frozen)
+    graft.core.CacheScope.release()
+  }
+
+  test("keepGenerations is a save-time knob recorded in meta: pruning " +
+       "honors it; 2 is the enforced floor (VERDICT r13 #8)") {
+    import graft.streaming.CurationStream
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val frozen = CurationStream.freeze(
+      ref, ref.filter(col("doc_id") % 31 === 0), col("lang") === "en")
+    // fewer than 2 grace generations lets one saveSeenDelta call (delta +
+    // auto-compaction = two version bumps) outrun a concurrent reader
+    val bad = intercept[IllegalArgumentException] {
+      CurationStream.save(frozen,
+        java.nio.file.Files.createTempDirectory("keepgen_bad").toString,
+        keepGenerations = 1)
+    }
+    assert(bad.getMessage.contains("floor"), bad.getMessage)
+    val adir = java.nio.file.Files.createTempDirectory("keepgen").toString
+    CurationStream.save(frozen, adir, keepGenerations = 4)
+    assert(CurationStream.readMeta(spark, adir).keepGenerations == 4,
+      "knob not recorded in meta")
+    def day(k: Int) = docs.filter(col("doc_id") % 11 === k)
+      .select(col("doc_id"),
+        concat(graft.operators.TextAnalysis.cleanText(col("text")),
+          lit(s" keepgen$k")).as("text"))
+    for (k <- 1 to 6) CurationStream.saveSeenDelta(frozen, adir, day(k))
+    // save=v0 + 6 deltas -> cur=6; keep=4 retains meta v2..v6 where the
+    // default 2 would have kept only v4..v6
+    val names = new java.io.File(adir).list().toSeq
+    for (v <- 2 to 6)
+      assert(names.contains(s"meta_v$v"), s"keep=4 lost meta_v$v: $names")
+    for (v <- 0 to 1)
+      assert(!names.contains(s"meta_v$v"), s"prune left meta_v$v: $names")
+    // the knob survives the delta path (am.copy carries it) and the
+    // artifact still serves
+    assert(CurationStream.readMeta(spark, adir).keepGenerations == 4)
+    val l = CurationStream.load(spark, adir)
+    assert(CurationStream.curateBatch(day(3), l).count() == 0,
+      "retention change lost delta history")
+    CurationStream.release(l)
     CurationStream.release(frozen)
     graft.core.CacheScope.release()
   }
