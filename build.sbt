@@ -36,3 +36,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dsun.jnu.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The test JVM is ONE fork shared by all ~38 suites — a full-registry
+// plan scan, ANN fits at production codebook geometry, and multi-delta
+// artifact soaks accumulate heap pressure the 8g run-default doesn't
+// survive (round 14: StreamingSpec OOM'd mid-AQE-explain at 8g). The
+// last -Xmx on the command line wins, so this appends a higher floor
+// for tests only; SPARK_GRAFT_TEST_MEM overrides.
+Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_GRAFT_TEST_MEM", "16g")}"

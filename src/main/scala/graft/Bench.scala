@@ -29,6 +29,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // bound AQE's per-replan explain-string rebuild (debug-only value,
+      // multi-hundred-MB allocation spikes on deep lineages otherwise)
+      .config("spark.sql.maxPlanStringLength", (1 << 20).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: spin up executors/codegen so the first timed query

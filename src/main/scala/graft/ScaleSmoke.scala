@@ -26,6 +26,9 @@ object ScaleSmoke {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // bound AQE's per-replan explain-string rebuild (debug-only value,
+      // multi-hundred-MB allocation spikes on deep lineages otherwise)
+      .config("spark.sql.maxPlanStringLength", (1 << 20).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")

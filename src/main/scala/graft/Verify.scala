@@ -20,6 +20,9 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // bound AQE's per-replan explain-string rebuild (debug-only value,
+      // multi-hundred-MB allocation spikes on deep lineages otherwise)
+      .config("spark.sql.maxPlanStringLength", (1 << 20).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

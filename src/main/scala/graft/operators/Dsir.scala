@@ -125,12 +125,65 @@ object Dsir {
         ) * lit(1e6), 0).cast("long").as("w_micro"))
   }
 
+  /** The (score_micro, weighted_hits) column pair of
+    * `scoreDocuments(hashedFeatures(...))` computed ROW-LOCALLY against a
+    * COLLECTED weight table — zero shuffles, zero joins: the per-doc
+    * bucket multiset never leaves the row. The weight model is
+    * geometry-sized by construction (≤ numBuckets rows), so it rides as
+    * two literal lookup arrays (one reference object each, O(1)
+    * element_at — never a MapType probe, which scans linearly).
+    *
+    * Value contract, replicated EXACTLY from the join form (the frozen
+    * curation oracle depends on it):
+    *  - score = Σ over feature OCCURRENCES of w(bucket) — the same exact
+    *    long sum as Σ_b cnt(b)·w(b); buckets absent from the weight
+    *    table contribute 0 (the inner join dropped those rows);
+    *  - `weighted_hits` counts occurrences in WEIGHTED buckets: the join
+    *    form emits a score row only for docs with ≥ 1 such occurrence
+    *    (an all-unweighted or token-free doc vanished at the inner
+    *    join), so callers must filter `weighted_hits > 0` to keep the
+    *    same doc set.
+    *
+    * This is the batch-apply scoring shape ([[graft.streaming.
+    * CurationStream.curateBatch]]): the round-14 per-stage ladder showed
+    * DSIR resample at 70-80% of apply wall time, and its only shuffles
+    * were the (doc, bucket) feature aggregate and the score aggregate —
+    * both eliminated here. [[scoreDocuments]] stays for model-side uses
+    * (training replays, incremental maintenance) where the feature table
+    * already exists. */
+  def rowLocalScore(text: Column, weights: DataFrame,
+                    numBuckets: Int): (Column, Column) = {
+    val wArr = new Array[Long](numBuckets)
+    val hArr = new Array[Long](numBuckets)
+    weights.collect().foreach { r =>
+      val b = r.getAs[Long]("bucket").toInt
+      wArr(b) = r.getAs[Long]("w_micro")
+      hArr(b) = 1L
+    }
+    val wLit = typedlit(wArr.toSeq)
+    val hLit = typedlit(hArr.toSeq)
+    // identical feature construction to [[hashedFeatures]]
+    val toks = tokens(text)
+    val bi = transform(
+      sequence(lit(1), size(toks) - lit(1)),
+      i => concat(element_at(toks, i), lit(" "),
+        element_at(toks, i + lit(1))))
+    val feats = concat(toks,
+      when(size(toks) >= 2, bi).otherwise(array()))
+    val bks = transform(feats,
+      f => (pmod(hash60(concat(lit("dsir:"), f)), lit(numBuckets.toLong))
+        + lit(1L)).cast("int")) // element_at is 1-based
+    (aggregate(bks, lit(0L), (acc, b) => acc + element_at(wLit, b)),
+      aggregate(bks, lit(0L), (acc, b) => acc + element_at(hLit, b)))
+  }
+
   /** Per-document importance score: Σ_b cnt(b) · w_micro(b), via a
     * BROADCAST join of the (≤ numBuckets)-row weight table — the
     * corpus-sized feature table is never reshuffled for the join.
     * Output: (idCol, score_micro). Buckets with no weight row cannot occur
     * when `weights` was built from the same raw corpus (inner join is
-    * therefore lossless). */
+    * therefore lossless — but CAN occur for an arriving batch scored
+    * against a frozen reference model; see [[rowLocalScore]]). */
   def scoreDocuments(rawFeats: DataFrame, weights: DataFrame,
                      idCol: String = "doc_id"): DataFrame =
     rawFeats.join(broadcast(weights), Seq("bucket"))

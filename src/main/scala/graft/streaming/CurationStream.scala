@@ -208,11 +208,21 @@ object CurationStream {
                         textCol: String = "text"): Seq[(String, DataFrame)] = {
     val cleaned = batch.select(col(idCol),
       TextAnalysis.cleanText(col(textCol)).as(textCol))
-    val scored = Dsir.scoreDocuments(
-      Dsir.hashedFeatures(cleaned, m.numBuckets, idCol, textCol),
-      m.weights, idCol)
+    // DSIR resample, ROW-LOCAL (round 14): the per-stage ladder showed
+    // this stage at 70-80% of apply wall time, and its only shuffles were
+    // the (doc, bucket) feature aggregate + the score aggregate + the
+    // score join. The weight model is geometry-sized, so scoring rides as
+    // a literal lookup array instead ([[Dsir.rowLocalScore]], exact value
+    // contract incl. the inner-join doc-drop semantics via hits > 0) —
+    // the whole resample stage is now scan-shaped: tokenize, hash, sum,
+    // filter, NO exchange before the decontam shuffle.
+    val (dsirScore, dsirHits) =
+      Dsir.rowLocalScore(col(textCol), m.weights, m.numBuckets)
     val kept = graft.core.CacheScope.persist(cleaned
-      .join(scored, Seq(idCol))
+      .withColumn("score_micro", dsirScore)
+      .withColumn("__wh", dsirHits)
+      .filter(col("__wh") > 0)
+      .drop("__wh")
       .withColumn("p_micro",
         round(exp((col("score_micro") - lit(m.scoreMaxMicro)).cast("double") /
           lit(1e6 * m.temperature)) * lit(1e6), 0).cast("long"))

@@ -18,6 +18,12 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // AQE re-builds the plan's explain STRING on every runtime re-plan
+      // (AdaptiveSparkPlanExec.onUpdatePlan) even with the UI off; for
+      // the deep artifact-delta lineages some suites build, an uncapped
+      // string is a multi-hundred-MB heap spike (round-14 OOM site).
+      // 1 MB keeps the debug value and bounds the allocation.
+      .config("spark.sql.maxPlanStringLength", (1 << 20).toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
