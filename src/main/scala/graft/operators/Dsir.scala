@@ -125,10 +125,10 @@ object Dsir {
         ) * lit(1e6), 0).cast("long").as("w_micro"))
   }
 
-  /** The (score_micro, weighted_hits) column pair of
-    * `scoreDocuments(hashedFeatures(...))` computed ROW-LOCALLY against a
-    * COLLECTED weight table — zero shuffles, zero joins: the per-doc
-    * bucket multiset never leaves the row. The weight model is
+  /** `docs` with (score_micro, weighted_hits) columns appended: the
+    * `scoreDocuments(hashedFeatures(...))` values computed ROW-LOCALLY
+    * against a COLLECTED weight table — zero shuffles, zero joins: the
+    * per-doc bucket multiset never leaves the row. The weight model is
     * geometry-sized by construction (≤ numBuckets rows), so it rides as
     * two literal lookup arrays (one reference object each, O(1)
     * element_at — never a MapType probe, which scans linearly).
@@ -151,8 +151,8 @@ object Dsir {
     * both eliminated here. [[scoreDocuments]] stays for model-side uses
     * (training replays, incremental maintenance) where the feature table
     * already exists. */
-  def rowLocalScore(text: Column, weights: DataFrame,
-                    numBuckets: Int): (Column, Column) = {
+  def scoreRowLocal(docs: DataFrame, weights: DataFrame, numBuckets: Int,
+                    textCol: String = "text"): DataFrame = {
     val wArr = new Array[Long](numBuckets)
     val hArr = new Array[Long](numBuckets)
     weights.collect().foreach { r =>
@@ -160,21 +160,19 @@ object Dsir {
       wArr(b) = r.getAs[Long]("w_micro")
       hArr(b) = 1L
     }
-    val wLit = typedlit(wArr.toSeq)
-    val hLit = typedlit(hArr.toSeq)
-    // identical feature construction to [[hashedFeatures]]
-    val toks = tokens(text)
-    val bi = transform(
-      sequence(lit(1), size(toks) - lit(1)),
-      i => concat(element_at(toks, i), lit(" "),
-        element_at(toks, i + lit(1))))
-    val feats = concat(toks,
-      when(size(toks) >= 2, bi).otherwise(array()))
-    val bks = transform(feats,
-      f => (pmod(hash60(concat(lit("dsir:"), f)), lit(numBuckets.toLong))
-        + lit(1L)).cast("int")) // element_at is 1-based
-    (aggregate(bks, lit(0L), (acc, b) => acc + element_at(wLit, b)),
-      aggregate(bks, lit(0L), (acc, b) => acc + element_at(hLit, b)))
+    // ONE codegen'd fold over the token array ([[graft.plans.DsirScore]]).
+    // Not a transform/aggregate HOF composition: HOFs are CodegenFallback,
+    // and the interpreted per-feature md5 tree walk measured 2.2x the
+    // join-based scoring this function replaces (and the first, non-staged
+    // HOF cut re-ran the regex tokenizer per element — 3.6x the whole
+    // apply). The struct is staged as a column so the two field reads
+    // cannot re-evaluate it.
+    docs
+      .withColumn("__dsir", graft.plans.DsirExpressions.dsirScore(
+        tokens(col(textCol)), wArr, hArr))
+      .withColumn("score_micro", col("__dsir.score_micro"))
+      .withColumn("weighted_hits", col("__dsir.weighted_hits"))
+      .drop("__dsir")
   }
 
   /** Per-document importance score: Σ_b cnt(b) · w_micro(b), via a
@@ -183,7 +181,7 @@ object Dsir {
     * Output: (idCol, score_micro). Buckets with no weight row cannot occur
     * when `weights` was built from the same raw corpus (inner join is
     * therefore lossless — but CAN occur for an arriving batch scored
-    * against a frozen reference model; see [[rowLocalScore]]). */
+    * against a frozen reference model; see [[scoreRowLocal]]). */
   def scoreDocuments(rawFeats: DataFrame, weights: DataFrame,
                      idCol: String = "doc_id"): DataFrame =
     rawFeats.join(broadcast(weights), Seq("bucket"))

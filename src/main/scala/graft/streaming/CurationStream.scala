@@ -212,17 +212,14 @@ object CurationStream {
     // this stage at 70-80% of apply wall time, and its only shuffles were
     // the (doc, bucket) feature aggregate + the score aggregate + the
     // score join. The weight model is geometry-sized, so scoring rides as
-    // a literal lookup array instead ([[Dsir.rowLocalScore]], exact value
+    // a literal lookup array instead ([[Dsir.scoreRowLocal]], exact value
     // contract incl. the inner-join doc-drop semantics via hits > 0) —
     // the whole resample stage is now scan-shaped: tokenize, hash, sum,
     // filter, NO exchange before the decontam shuffle.
-    val (dsirScore, dsirHits) =
-      Dsir.rowLocalScore(col(textCol), m.weights, m.numBuckets)
-    val kept = graft.core.CacheScope.persist(cleaned
-      .withColumn("score_micro", dsirScore)
-      .withColumn("__wh", dsirHits)
-      .filter(col("__wh") > 0)
-      .drop("__wh")
+    val kept = graft.core.CacheScope.persist(
+      Dsir.scoreRowLocal(cleaned, m.weights, m.numBuckets, textCol)
+      .filter(col("weighted_hits") > 0)
+      .drop("weighted_hits")
       .withColumn("p_micro",
         round(exp((col("score_micro") - lit(m.scoreMaxMicro)).cast("double") /
           lit(1e6 * m.temperature)) * lit(1e6), 0).cast("long"))

@@ -157,6 +157,47 @@ class DsirSpec extends AnyFunSuite {
     }
   }
 
+  test("scoreRowLocal == join-form scoring, bit-exact incl. doc-drop " +
+       "semantics (round 14: the codegen'd apply hot path)") {
+    val b = 512
+    val feats = Dsir.hashedFeatures(docs, b)
+    val tf = feats.join(
+      docs.filter(col("lang") === "en").select("doc_id"), Seq("doc_id"), "semi")
+    val weights = Dsir.importanceWeights(tf, feats, b)
+    val joinForm = Dsir.scoreDocuments(feats, weights).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rowLocal = Dsir.scoreRowLocal(docs, weights, b)
+      .filter(col("weighted_hits") > 0)
+      .select(col("doc_id"), col("score_micro")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rowLocal == joinForm,
+      s"row-local scores diverge from the join form: $rowLocal vs $joinForm")
+    // the empty (7) and null-text (8) docs produce NO score row in the
+    // join form; the hits filter must reproduce that drop exactly
+    assert(!rowLocal.contains(7L) && !rowLocal.contains(8L))
+    // a weight table MISSING some buckets (an arriving batch against a
+    // frozen reference model hits unweighted buckets): absent buckets
+    // contribute 0 to the sum, and a doc with NO weighted occurrence drops
+    val partial = weights.limit(3)
+    val arriving = Seq((100L, "alpha beta zork"), (101L, "nosuchtoken"))
+      .toDF("doc_id", "text")
+    val pw = partial.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = Dsir.hashedFeatures(arriving, b).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        val hits = rows.filter(r => pw.contains(r.getLong(1)))
+        id -> (hits.map(r => r.getLong(2) * pw(r.getLong(1))).sum,
+          hits.map(_.getLong(2)).sum)
+      }
+      .collect { case (id, (s, h)) if h > 0 => id -> s }
+    val got = Dsir.scoreRowLocal(arriving, partial, b)
+      .filter(col("weighted_hits") > 0)
+      .select(col("doc_id"), col("score_micro")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect, s"partial-model scoring diverges: $got vs $expect")
+    graft.core.CacheScope.release()
+  }
+
   test("bucket collisions stay in-range at tiny bucket counts") {
     val f = Dsir.hashedFeatures(docs, numBuckets = 4)
     val bks = f.select("bucket").distinct().collect().map(_.getLong(0))
