@@ -291,7 +291,7 @@ object Bench {
       s""""failed":$failedJson,""" +
         f""""calib_sec":$calib%.3f,""" +
         s""""calib_tries":$calibTries,"contended":$contended,""" +
-        s""""host_cpu":"${cpuModel.replace("\"", "'")}","host_cores":$nCores,""" +
+        s""""host_cpu":"${cpuModel.replace("\\", "/").replace("\"", "'")}","host_cores":$nCores,""" +
         s""""aqe":$aqe,"sf":"$sfDir"}"""
     val detailJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

@@ -479,10 +479,14 @@ object ScaleSmoke {
     // load -> curateBatch over the full factor-x corpus. The apply
     // number must track frozen_curation_apply: the bucketed confirm
     // tables shuffle nothing on the frozen side.
+    // symmetric prefix match (ADVICE r14): the harness itself prints
+    // tag-qualified staged names (frozen_apply_staged_mem/_loaded), so an
+    // `only` entry carrying the full tag must still open the outer block —
+    // the inner guards then select the exact stage run.
     if (only.isEmpty ||
         Seq("frozen_curation_load_apply", "frozen_apply_staged",
             "curation_advance_delta")
-          .exists(n => only.exists(n.startsWith))) {
+          .exists(n => only.exists(o => o.startsWith(n) || n.startsWith(o)))) {
       val refHalf = base.filter(col("doc_id") % 2 === 0)
       val frozen = graft.streaming.CurationStream.freeze(
         refHalf, refHalf.filter(col("doc_id") % 31 === 0),

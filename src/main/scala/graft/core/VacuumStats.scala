@@ -29,14 +29,19 @@ object VacuumStats {
 
   /** Measure-then-delete: summarize `p` (0s if it vanished between list
     * and summary — another vacuum racing is benign), delete it, return
-    * what was reclaimed. */
+    * what was reclaimed. The delete's boolean is honored (ADVICE r14): a
+    * failed or raced-away delete reports Zero, never phantom reclaimed
+    * bytes; and the summary catch is the full IOException so a transient
+    * store error degrades to "nothing measured" instead of aborting a
+    * vacuum the old delete-only loop would have survived. */
   def delete(f: org.apache.hadoop.fs.FileSystem,
              p: org.apache.hadoop.fs.Path): VacuumStats = {
     val s = try {
       val cs = f.getContentSummary(p)
       VacuumStats(1L, cs.getFileCount, cs.getLength)
-    } catch { case _: java.io.FileNotFoundException => Zero }
-    f.delete(p, true)
-    s
+    } catch { case _: java.io.IOException => Zero }
+    val deleted = try f.delete(p, true)
+                  catch { case _: java.io.IOException => false }
+    if (deleted) s else Zero
   }
 }

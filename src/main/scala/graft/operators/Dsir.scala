@@ -157,6 +157,14 @@ object Dsir {
     val hArr = new Array[Long](numBuckets)
     weights.collect().foreach { r =>
       val b = r.getAs[Long]("bucket").toInt
+      // geometry guard (ADVICE r14): a weights table built under a LARGER
+      // numBuckets than the caller's would index past the lookup arrays —
+      // name the mismatch instead of throwing a bare AIOOBE from deep in
+      // the fill loop.
+      require(b >= 0 && b < numBuckets,
+        s"DSIR weight table bucket $b is outside [0, $numBuckets): the " +
+          "weights were built under a different numBuckets than the one " +
+          "passed to scoreRowLocal (model/caller geometry mismatch)")
       wArr(b) = r.getAs[Long]("w_micro")
       hArr(b) = 1L
     }

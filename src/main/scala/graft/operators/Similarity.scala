@@ -944,6 +944,8 @@ object Similarity {
         spark.sql(s"DROP TABLE IF EXISTS ${ivfPqTable(dir, t)}")
       }
     }
+    // pointer markers ride the same retention window (VERDICT r14 #1)
+    graft.core.Fs.prunePointers(spark, dir, cur - 2)
   }
 
   /** Drop every index state generation except the CURRENT one — the
@@ -989,6 +991,7 @@ object Similarity {
             stats += graft.core.VacuumStats.delete(f, lp)
           spark.sql(s"DROP TABLE IF EXISTS ${ivfPqTable(dir, t)}")
         }
+        graft.core.Fs.prunePointers(spark, dir, cur)
       }
       stats
     }
@@ -1007,7 +1010,7 @@ object Similarity {
     val spark = model.cells.sparkSession
     import spark.implicits._
     graft.core.Fs.requireAtomicStore(spark, dir, "saveIvfPq")
-    if (!force && (graft.core.Fs.exists(spark, s"$dir/CURRENT") ||
+    if (!force && (graft.core.Fs.pointerExists(spark, dir) ||
         graft.core.Fs.exists(spark, s"$dir/meta")))
       throw new IllegalStateException(s"saveIvfPq: $dir already holds a " +
         "published index. centroids/codebooks are rewritten in place — " +
@@ -1085,7 +1088,7 @@ object Similarity {
     // always-false on hdfs:///s3a:// paths, which silently demoted every
     // remote artifact to the pre-round-11 plain-parquet branch (ADVICE r11)
     val (cells, codes) =
-      if (graft.core.Fs.exists(spark, s"$dir/CURRENT") ||
+      if (graft.core.Fs.pointerExists(spark, dir) ||
           graft.core.Fs.exists(spark, s"$dir/meta")) {
         val m = readIvfPqMeta(spark, dir)
         if (m.deltas > 32L)
@@ -1320,7 +1323,7 @@ object Similarity {
       val cd = cellsDelta.localCheckpoint(true)
       val kd = codesDelta.localCheckpoint(true)
       if (cd.count() > 0) {
-        if (graft.core.Fs.exists(ss, s"$dir/CURRENT") ||
+        if (graft.core.Fs.pointerExists(ss, dir) ||
             graft.core.Fs.exists(ss, s"$dir/meta")) {
           val m = readIvfPqMeta(ss, dir)
           val (cdir, kdir) = ivfPqTableDirs(m)

@@ -263,6 +263,14 @@ case class NearestSubCode(sv: Expression, sv2: Expression, sub: Expression,
     }
 
   def compute(a: ArrayData, v2: Double, s: Int): InternalRow = {
+    // subspace guard (ADVICE r14): callers generate sub in [0, m) today,
+    // but an out-of-range sub from a geometry-mismatched caller must name
+    // the mismatch, not throw AIOOBE from generated code.
+    if (s < 0 || s >= books.length)
+      throw new IllegalArgumentException(
+        s"nearest_sub_code: subspace index $s is outside [0, " +
+          s"${books.length}): the row's sub value was generated under a " +
+          "different PQ subspace count m than this codebook's")
     val cms = books(s)
     val n2s = c2(s)
     val ids = codeIds(s)

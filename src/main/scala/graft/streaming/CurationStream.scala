@@ -412,7 +412,9 @@ object CurationStream {
     * ATOMIC STATE SWAP (VERDICT r12 #1): the merged filter and the
     * updated meta are written to fresh `seen_bloom_v<N+1>` /
     * `meta_v<N+1>` paths — the LIVE state is never touched — and
-    * published by atomically renaming the one-line `CURRENT` pointer.
+    * published by exclusively CREATING the `CURRENT.v<N+1>` marker
+    * (create-only protocol, [[graft.core.Fs.writePointer]]: one atomic
+    * PUT, no rename, so the same guarantee holds on object stores).
     * A crash anywhere leaves the pointer on the previous COMPLETE
     * version (no torn meta, so the recovery path never depends on a file
     * the crash destroyed), and a reader racing the delta resolves either
@@ -457,7 +459,7 @@ object CurationStream {
     // JVM never ran save()/load() — a day-2 delta job must not require
     // the day-1 session's catalog. Existence via the Hadoop FileSystem
     // API: java.io.File is always-false on hdfs:///s3a:// (ADVICE r11).
-    require(graft.core.Fs.exists(spark, s"$dir/CURRENT") ||
+    require(graft.core.Fs.pointerExists(spark, dir) ||
         graft.core.Fs.exists(spark, s"$dir/meta"),
       s"no saved artifact at $dir (run save() once before deltas)")
     graft.core.Fs.withLock(spark, s"$dir/_delta_lock",
@@ -796,6 +798,9 @@ object CurationStream {
         spark.sql(s"DROP TABLE IF EXISTS ${confirmTable(dir, "seen")}")
       }
     }
+    // pointer markers ride the same retention window as the state files
+    // they name (create-only publish protocol, VERDICT r14 #1)
+    graft.core.Fs.prunePointers(spark, dir, cur - keep)
   }
 
   /** readMeta at an EXPLICIT version (prune needs the previous meta, not
@@ -860,6 +865,7 @@ object CurationStream {
           if (legacy == "seen_hashes")
             spark.sql(s"DROP TABLE IF EXISTS ${confirmTable(dir, "seen")}")
         }
+        graft.core.Fs.prunePointers(spark, dir, cur)
       }
       stats
     }
@@ -915,7 +921,7 @@ object CurationStream {
       "single write API call outrun a concurrent reader")
     val spark = m.weights.sparkSession
     graft.core.Fs.requireAtomicStore(spark, dir, "CurationStream.save")
-    if (!force && (graft.core.Fs.exists(spark, s"$dir/CURRENT") ||
+    if (!force && (graft.core.Fs.pointerExists(spark, dir) ||
         graft.core.Fs.exists(spark, s"$dir/meta")))
       throw new IllegalStateException(s"CurationStream.save: $dir already " +
         "holds a published artifact. The frozen-side tables (weights, " +

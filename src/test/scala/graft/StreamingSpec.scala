@@ -1434,9 +1434,11 @@ class StreamingSpec extends AnyFunSuite {
     val keysBefore = CurationStream.readMeta(spark, adir).seenKeys
     // fabricate the CRASH WINDOW: the writer died after starting the next
     // version — a half-written seen_bloom_v<next> (one junk file, no
-    // parquet footer), no meta_v<next>, and a leftover CURRENT.tmp — and
-    // BEFORE the pointer flip. The published pointer must be untouched
-    // and every read path must serve the previous complete version.
+    // parquet footer), no meta_v<next>, and a leftover rename-era
+    // CURRENT.tmp (junk the create-only protocol never reads) — and
+    // BEFORE the CURRENT.v<next> marker create. The published pointer
+    // must be untouched and every read path must serve the previous
+    // complete version.
     val next = v1 + 1
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(s"$adir/seen_bloom_v$next"))
