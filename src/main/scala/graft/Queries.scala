@@ -628,6 +628,9 @@ object Queries {
     // loop; the operator turns it into ONE hash equi-join on the hour
     // granule (a point carries exactly one granule — no dedup, no point-
     // side fanout). Zero-hit sessions are kept (left join at the end).
+    // SMJ-adjudicated (VERDICT r14 #7): events x events on (user, session)
+    // granule keys — both sides event-scale, neither broadcastable; the
+    // sort-merge join IS the intended strategy at every SF.
     "q_events_range_join" -> Q(
       (s, dir) => {
         val ev = events(s, dir).withColumn("ms", expr("ts div 1000000"))
@@ -803,6 +806,9 @@ object Queries {
     // the odd-id batch — existing wordids STABLE, counts merged, new
     // tokens appended after the existing id range (the streaming-vocab
     // pattern the reference's static build lacks).
+    // SMJ-adjudicated: FullOuter shard merge — FullOuter cannot broadcast by
+    // definition, and both shards are vocab-scale (grow with the corpus).
+    // Unhinted on purpose.
     "t_vocab_merge" -> Q(
       (s, dir) => {
         val docs = rd(s, dir, "documents")
@@ -1234,6 +1240,8 @@ object Queries {
     // banding geometry is losing real duplicates. Both pair sets are the
     // oracle-checked operators above; the eval is two counts + one
     // semi-join intersection, all linear in the pair sets.
+    // SMJ-adjudicated: LeftSemi of the candidate-pair table against the
+    // truth-pair table — both corpus-derived pair sets; unhinted on purpose.
     "t_lsh_eval" -> Q(
       (s, dir) => {
         val docs = rd(s, dir, "documents")
@@ -1563,6 +1571,8 @@ object Queries {
     // deterministic mutation of the documents table (hash-bucketed: ~10%
     // removed, ~10% text-revised, ~10% re-added under new ids), diffed
     // against v1 by content fingerprint in ONE full-outer hash join.
+    // SMJ-adjudicated: FullOuter of two corpus snapshots — cannot broadcast,
+    // both sides corpus-scale; unhinted on purpose.
     "q_snapshot_diff" -> Q(
       (s, dir) => {
         import graft.functions.TextFunctions.hash60
@@ -1898,6 +1908,9 @@ object Queries {
     // rules were never run on). Pure composition of two oracle-checked
     // operators; the oracle chains the Gopher keep CTEs into the
     // perceptron's exact-integer training replay as the label relation.
+    // SMJ-adjudicated: the doc_id join of hashed features against teacher
+    // labels is corpus x corpus (the bounded weight VECTOR rides as a
+    // literal, not a join); unhinted on purpose.
     "t_distilled_quality" -> Q(
       (s, dir) => {
         val docs = rd(s, dir, "documents")
@@ -3196,6 +3209,8 @@ object Queries {
     // SAME curationStages frames the pipeline row runs, so the funnel
     // numbers are exactly the pipeline's own attrition, not a re-derivation
     // that could drift.
+    // SMJ-adjudicated: per-stage survivor joins are corpus x corpus on
+    // doc_id; unhinted on purpose.
     "t_curation_funnel" -> Q(
       (s, dir) => {
         val st = curationStages(s, dir)
@@ -3245,6 +3260,8 @@ object Queries {
     // full of eval contamination). Same stage frames, grouped by the
     // catalog's source column; a source with zero survivors at a stage
     // simply has no row there (inner-join semantics in both engines).
+    // SMJ-adjudicated: same corpus x corpus survivor joins as
+    // t_curation_funnel; unhinted on purpose.
     "t_curation_funnel_by_source" -> Q(
       (s, dir) => {
         val st = curationStages(s, dir)
@@ -3305,6 +3322,9 @@ object Queries {
     // trained on the reference stream, arriving docs scored under it
     // (out-of-support trigrams skipped), and the frozen head+middle
     // cutoff (window-ranked, boundary-inclusive).
+    // SMJ-adjudicated: the exact-confirm joins run batch x HISTORY (seen
+    // hashes / eval shingles grow without bound), the canonical
+    // large-large bucketed join; unhinted on purpose.
     "t_frozen_curation" -> Q(
       (s, dir) => {
         val docs = rd(s, dir, "documents")
@@ -3444,6 +3464,8 @@ object Queries {
     // per-arriving-doc verdict. The oracle replays the hash-set union
     // exactly: the Bloom is a no-false-negative prefilter, so the engine
     // result equals the exact membership test.
+    // SMJ-adjudicated: day-2 confirm joins against the advanced history —
+    // same batch x history shape as t_frozen_curation; unhinted on purpose.
     "t_curation_advance" -> Q(
       (s, dir) => {
         val docs = rd(s, dir, "documents")
@@ -4411,6 +4433,8 @@ object Queries {
     // exact phrase; the BM25 top-20 minus positives are the classic
     // lexically-similar-but-wrong hard negatives. One labeled
     // training-pair table per query, composed from existing operators.
+    // SMJ-adjudicated: doc_id LeftOuter of corpus-scale score tables;
+    // unhinted on purpose.
     "t_hard_negatives" -> Q(
       (s, dir) => {
         val docs = rd(s, dir, "documents")
@@ -4993,6 +5017,8 @@ object Queries {
     // oracle computes the same components by recursive-CTE transitive
     // closure. This is the stage that turns pairwise dup evidence into
     // "keep one document per cluster".
+    // SMJ-adjudicated: connected-components label propagation joins the
+    // corpus-derived pair graph against itself; unhinted on purpose.
     "e_dup_clusters" -> Q(
       (s, dir) =>
         Dedup.duplicateClusters(
@@ -5008,6 +5034,8 @@ object Queries {
     // Terminal dedup stage: drop every cosine-cluster member except the
     // min-id representative (anti-join against the loser set); survivors
     // accounted per label.
+    // SMJ-adjudicated: survivor anti-join against the corpus-derived cluster
+    // table; unhinted on purpose.
     "e_dedup_survivors" -> Q(
       (s, dir) => {
         val emb = rd(s, dir, "embeddings")
@@ -5172,6 +5200,8 @@ object Queries {
     // SemDeDup-style semantic dedup, pairs: k-means cells (the e_kmeans
     // chain, replayed) confine the quadratic cosine work; pairs above the
     // threshold are the semantic near-duplicates lexical dedup misses.
+    // SMJ-adjudicated: within-cell pair join of the clustered embedding
+    // table against itself — corpus-scale both sides; unhinted on purpose.
     "e_semdedup_pairs" -> Q(
       (s, dir) =>
         Similarity.semanticDupPairs(rd(s, dir, "embeddings"),
@@ -5184,6 +5214,8 @@ object Queries {
 
     // SemDeDup survivors under the greedy lowest-id-wins rule: drop any
     // vector that is a semantic near-duplicate of a lower id in its cell.
+    // SMJ-adjudicated: same within-cell self-join as e_semdedup_pairs plus
+    // the survivor anti-join; unhinted on purpose.
     "e_semdedup_keep" -> Q(
       (s, dir) => {
         val emb = rd(s, dir, "embeddings")

@@ -479,11 +479,16 @@ object Fs {
             }
           }
           if (won) {
-            if (readSmall(spark, lockPath).contains(seen)) {
+            val onDisk = readSmall(spark, lockPath)
+            if (onDisk.contains(seen)) {
               System.err.println(s"[Fs.withLock] taking over stale lock " +
                 s"$lockPath [${seen.trim}] older than lease ${leaseMs}ms " +
                 "(create-only election: this store has no atomic rename)")
               removeLock(spark, lockPath)
+              acquired = tryCreateLock(spark, lockPath, mine)
+            } else if (onDisk.isEmpty) {
+              // the stale holder released between our read and the
+              // election: nothing to take over — just acquire
               acquired = tryCreateLock(spark, lockPath, mine)
             }
             delete(spark, claim)

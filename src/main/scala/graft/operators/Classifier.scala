@@ -158,6 +158,12 @@ object Classifier {
       round(log(col("c_tl").cast("double") + lit(1d)) * 1e6, 0)
         .cast("long").as("lp"))
     val docTot = tok.groupBy(col(idCol)).agg(sum("count").cast("long").as("n_tok"))
+    // SMJ-adjudicated (VERDICT r14 #7): lp is the (token, label) model —
+    // vocab x |labels|, which GROWS with the corpus (at 100x vocab it is
+    // legitimately too big to broadcast), so the token-keyed join is left
+    // UNHINTED: the planner broadcasts while the model is small and
+    // sort-merges when it is not. The geometry-bounded per-label
+    // constants (langConst) ARE hinted above.
     val pres = tok.join(lp, Seq("token"))
       .groupBy(col(idCol), col("cand"))
       .agg(sum(col("count") * col("lp")).cast("long").as("s_pres"))

@@ -411,6 +411,11 @@ object TextRanking {
     * as [[kn3ScoreTrigrams]] documents. */
   def kn3ScoreTrigramsMerged(tri: DataFrame, logProbs: DataFrame,
                              idCol: String = "doc_id"): DataFrame =
+    // UNHINTED on purpose (VERDICT r14 #7): the log-prob table is
+    // trigram-TYPE-sized — it grows with the corpus, and at production
+    // vocab it is legitimately beyond broadcast; the planner broadcasts
+    // while small and sort-merges when not. Only geometry-bounded model
+    // tables (bucket grids, per-label constants) carry explicit hints.
     tri.join(logProbs, Seq("w0", "w1", "w2"))
       .groupBy(col(idCol))
       .agg(sum(col("count") * col("lp_scaled")).as("s"),
@@ -573,6 +578,9 @@ object TextRanking {
         round(log((lit(n.toDouble) - col("df") + lit(0.5)) /
           (col("df") + lit(0.5)) + lit(1.0)) * 1e6, 0).cast("long"))
     val (kPlus1, c1, c2) = bm25Constants(k1Milli, bMilli)
+    // UNHINTED on purpose: dfT is vocab-sized (corpus-derived) — the
+    // same broadcast-while-small / SMJ-when-not contract as the KN3
+    // log-prob join above.
     uni.join(dl, Seq(idCol)).join(dfT, Seq("token"))
       .withColumn("dl_ratio",
         col("dl").cast("double") * lit(1000.0) / lit(avgdlMilli.toDouble))

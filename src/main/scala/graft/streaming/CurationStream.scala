@@ -977,6 +977,43 @@ object CurationStream {
     pruneVersions(spark, dir)
   }
 
+  /** Artifact-hygiene MANIFEST (VERDICT r14 #8): one queryable row of
+    * the saved artifact's retention/compaction/fragmentation state, read
+    * from the same meta + directory listing every other operator
+    * resolves — so "is this artifact healthy" is a DataFrame join away
+    * from the run's other audit tables (e.g. union it next to
+    * [[graft.core.VacuumStats.toDF]] rows in a run manifest), not an
+    * operator reading logs. Columns:
+    *  - state_version: the CURRENT pointer (-1 = pre-versioned artifact);
+    *  - keep_generations: the [[save]]-time retention knob honored by
+    *    pruneVersions;
+    *  - seen_keys / seen_table_deltas / seen_table_files: history size
+    *    and fragmentation at the last full write (compaction resets
+    *    deltas; [[load]] warns past [[FragmentationWarnDeltas]]);
+    *  - versions_on_disk: meta_v<N> directories present (retention + any
+    *    not-yet-pruned grace generations);
+    *  - pointer_markers: CURRENT.v<N> markers present (create-only
+    *    publish protocol; pruned with the same window). */
+  def manifest(spark: org.apache.spark.sql.SparkSession,
+               dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val am = readMeta(spark, dir)
+    val cur = stateVersion(spark, dir)
+    val (f, p) = {
+      val hp = new org.apache.hadoop.fs.Path(dir)
+      (hp.getFileSystem(spark.sessionState.newHadoopConf()), hp)
+    }
+    val names = f.listStatus(p).map(_.getPath.getName)
+    val metaVs = names.count(_.matches("meta_v\\d+"))
+    val markers = names.count(_.matches("CURRENT\\.v\\d+"))
+    Seq((cur, am.keepGenerations, am.seenKeys, am.seenTableDeltas,
+        am.seenTableFiles, metaVs.toLong, markers.toLong,
+        am.confirmBuckets, am.seenShards))
+      .toDF("state_version", "keep_generations", "seen_keys",
+        "seen_table_deltas", "seen_table_files", "versions_on_disk",
+        "pointer_markers", "confirm_buckets", "seen_shards")
+  }
+
   /** Load a [[save]]d frozen model (any schema generation — see
     * [[ArtifactMeta]]). Geometry-sized tables come back persisted with
     * the same frozen lifetime the in-memory freeze gives them

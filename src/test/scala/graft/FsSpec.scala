@@ -122,6 +122,32 @@ class FsSpec extends AnyFunSuite {
     assert(!Fs.createOnlyStore(spark, dir))
   }
 
+  test("scheme-list conf parsing edges: empty string, whitespace-only, " +
+       "stray commas and mixed case (VERDICT r14 #9)") {
+    spark.sparkContext.hadoopConfiguration.set("fs.mock.impl",
+      classOf[MockNonAtomicFileSystem].getName)
+    val dir = s"mock://${tmp("fs_parse")}"
+    def withConf(key: String, v: String)(f: => Unit): Unit = {
+      spark.conf.set(key, v)
+      try f finally spark.conf.unset(key)
+    }
+    // empty / whitespace-only / bare commas: no schemes admitted, no throw
+    for (v <- Seq("", "   ", ",", " , ,, "))
+      withConf("spark.graft.atomicSchemes", v) {
+        assert(!Fs.atomicStore(spark, dir),
+          s"'$v' must admit no scheme")
+      }
+    // mixed case + padding normalize to the lowercase scheme
+    withConf("spark.graft.atomicSchemes", "  MoCk , WEIRD ") {
+      assert(Fs.atomicStore(spark, dir))
+    }
+    withConf("spark.graft.createOnlySchemes", "\tMOCK\t") {
+      assert(Fs.createOnlyStore(spark, dir))
+      assert(!Fs.atomicStore(spark, dir),
+        "createOnlySchemes must not grant full-atomic trust")
+    }
+  }
+
   // ---------------- create-only publish protocol (VERDICT r14 #1) ------
 
   test("create-only pointer: publish is an exclusive marker create, " +
