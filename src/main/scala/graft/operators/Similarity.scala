@@ -894,6 +894,28 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(ivfPqMetaPath(dir, v))
   }
 
+  /** Index-hygiene MANIFEST — [[graft.streaming.CurationStream.manifest]]'s
+    * IVF-PQ twin (VERDICT r14 #8): one queryable row of the saved index's
+    * retention/fragmentation state from the same meta + listing every
+    * search resolves, so "does this index need a compaction/vacuum" is a
+    * DataFrame predicate, not a log grep. `deltas` counts bucket-appends
+    * since the last full write ([[loadIvfPq]] warns past 32); `files` is
+    * the code-table file count at that write. */
+  def ivfPqManifest(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val m = readIvfPqMeta(spark, dir)
+    val cur = graft.core.Fs.readPointer(spark, dir).getOrElse(-1L)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val names = p.getFileSystem(spark.sessionState.newHadoopConf())
+      .listStatus(p).map(_.getPath.getName)
+    Seq((cur, m.buckets, m.tableV, m.deltas, m.files,
+        names.count(_.matches("meta_v\\d+")).toLong,
+        names.count(_.matches("CURRENT\\.v\\d+")).toLong))
+      .toDF("state_version", "buckets", "table_version", "deltas",
+        "files_at_last_write", "versions_on_disk", "pointer_markers")
+  }
+
   private def parquetFileCount(spark: org.apache.spark.sql.SparkSession,
                                path: String): Long = {
     val p = new org.apache.hadoop.fs.Path(path)

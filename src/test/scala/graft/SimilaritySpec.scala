@@ -830,6 +830,15 @@ class SimilaritySpec extends AnyFunSuite {
     for (pfx <- Seq("meta_v", "cells_v", "codes_v"))
       assert(names.count(_.startsWith(pfx)) == 1,
         s"vacuum left ${names.filter(_.startsWith(pfx))}")
+    // index hygiene as DATA (VERDICT r14 #8): the manifest row reflects
+    // the compacted + vacuumed state
+    val man = Similarity.ivfPqManifest(spark, dir).head()
+    assert(man.getAs[Long]("versions_on_disk") == 1L, s"manifest: $man")
+    assert(man.getAs[Long]("pointer_markers") == 1L, s"manifest: $man")
+    assert(man.getAs[Long]("deltas") == 0L,
+      "compaction did not reset the delta counter in the manifest")
+    assert(man.getAs[Long]("state_version") >= 2L)
+    assert(man.getAs[Int]("buckets") > 0)
     val reloaded = Similarity.loadIvfPq(spark, dir)
     assert(res(reloaded) == before, "vacuum changed search results")
     assert(reloaded.cells.count() == nCells)
