@@ -360,23 +360,34 @@ object CurationStream {
     * filter publishes like any delta: a NEW `seen_bloom_v<N>` + meta,
     * then one atomic pointer flip. */
   def rebuildSeenBloom(spark: org.apache.spark.sql.SparkSession,
-                       dir: String): Unit = {
+                       dir: String,
+                       leaseMs: Long = graft.core.Fs.NoLease): Unit = {
     graft.core.Fs.requireAtomicStore(spark, dir, "rebuildSeenBloom")
-    val am = readMeta(spark, dir)
-    val seen =
-      if (am.confirmBuckets > 0) {
-        val (sub, suffix) = seenTableNames(am)
-        attachConfirmTable(spark, dir, suffix, sub, "h STRING", "h",
-          am.confirmBuckets)
-      } else spark.read.parquet(s"$dir/seen_hashes")
-    val next = stateVersion(spark, dir) + 1
-    Sketches.bloomBuildSharded(seen, "h", am.seenShards, am.seenBloomBits,
-        am.bloomHashes)
-      .localCheckpoint(true)
-      .write.mode("overwrite").parquet(s"$dir/seen_bloom_v$next")
-    writeMeta(spark, dir, am.copy(seenBloomV = next), next)
-    graft.core.Fs.writePointer(spark, dir, next)
-    pruneVersions(spark, dir)
+    // under the delta lock like every other state writer (round 15): a
+    // rebuild racing a live delta would interleave two publishes of the
+    // same next version — the create-only pointer makes the loser fail
+    // LOUDLY rather than silently overwrite, but the loser could still
+    // have overwritten the winner's freshly-written seen_bloom_v<next>
+    // files before losing; single-writer is the only safe contract
+    graft.core.Fs.withLock(spark, s"$dir/_delta_lock",
+      "re-run the rebuild (it writes a fresh version; the pointer still " +
+        "serves the previous complete state)", leaseMs = leaseMs) {
+      val am = readMeta(spark, dir)
+      val seen =
+        if (am.confirmBuckets > 0) {
+          val (sub, suffix) = seenTableNames(am)
+          attachConfirmTable(spark, dir, suffix, sub, "h STRING", "h",
+            am.confirmBuckets)
+        } else spark.read.parquet(s"$dir/seen_hashes")
+      val next = stateVersion(spark, dir) + 1
+      Sketches.bloomBuildSharded(seen, "h", am.seenShards, am.seenBloomBits,
+          am.bloomHashes)
+        .localCheckpoint(true)
+        .write.mode("overwrite").parquet(s"$dir/seen_bloom_v$next")
+      writeMeta(spark, dir, am.copy(seenBloomV = next), next)
+      graft.core.Fs.writePointer(spark, dir, next)
+      pruneVersions(spark, dir)
+    }
   }
 
   /** Unpersist ONLY the seen-side artifacts of a model — what a daily
