@@ -311,7 +311,15 @@ object Fs {
     * names the operation for the message (e.g. "saveSeenDelta at
     * <dir>"). Object stores with conditional-PUT create are ADMITTED
     * via `spark.graft.createOnlySchemes` — the publish path is
-    * create-only, so rename emulation no longer disqualifies a store. */
+    * create-only, so rename emulation no longer disqualifies a store.
+    *
+    * The vouch is TRUSTED, not behaviorally probed: no black-box test
+    * can distinguish an atomic PUT-if-absent from a racy
+    * exists-then-create (a sequential double-create fails the second
+    * time under both), so a runtime probe would only be theater. The
+    * operator vouching for a scheme is asserting what their connector's
+    * documentation guarantees (hadoop-aws ≥ 3.4.1 `fs.s3a.create.
+    * conditional.enabled`, GCS ifGenerationMatch, ABFS create). */
   def requireAtomicStore(spark: SparkSession, dir: String,
                          what: String): Unit =
     if (!createOnlyStore(spark, dir)) {

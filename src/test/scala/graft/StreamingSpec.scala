@@ -1712,6 +1712,12 @@ class StreamingSpec extends AnyFunSuite {
       assert(names.contains(s"meta_v$v"), s"keep=4 lost meta_v$v: $names")
     for (v <- 0 to 1)
       assert(!names.contains(s"meta_v$v"), s"prune left meta_v$v: $names")
+    // pointer markers ride the SAME retention window (round 15): exactly
+    // the kept generations' markers remain — the soak-bound property,
+    // marker count can never grow past keep+1 no matter how many deltas
+    val markers = names.filter(_.matches("CURRENT\\.v\\d+"))
+    assert(markers.toSet == (2 to 6).map(v => s"CURRENT.v$v").toSet,
+      s"pointer markers out of step with retention: $markers")
     // the knob survives the delta path (am.copy carries it) and the
     // artifact still serves
     assert(CurationStream.readMeta(spark, adir).keepGenerations == 4)
