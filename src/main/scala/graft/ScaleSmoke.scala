@@ -660,6 +660,19 @@ object ScaleSmoke {
         f"last10avg=${per.takeRight(10).sum / 10}%.2f s " +
         f"total=${per.sum}%.2f s")
       println(s"[scale] ivfpq_delta_soak$nD meta=$im")
+      // pointer-marker bound under the create-only protocol (round 15):
+      // after nD deltas + compactions the marker count must sit at the
+      // retention window, never grow with the soak
+      val imMan = Similarity.ivfPqManifest(spark, idir).head()
+      println(s"[scale] ivfpq_delta_soak$nD pointer_markers=" +
+        s"${imMan.getAs[Long]("pointer_markers")} versions_on_disk=" +
+        s"${imMan.getAs[Long]("versions_on_disk")}")
+      record(s"ivfpq_delta_soak$nD", factor, per.sum, nD.toLong,
+        Seq(("median", per.sorted.apply(nD / 2), nD.toLong),
+          ("first10avg", per.take(10).sum / 10, 10L),
+          ("last10avg", per.takeRight(10).sum / 10, 10L),
+          ("pointer_markers",
+            imMan.getAs[Long]("pointer_markers").toDouble, 1L)))
     }
     // round-13 (VERDICT r12 #2): delta SOAK — 30 sequential saveSeenDelta
     // calls into ONE artifact with auto-compaction every 10. The claims
@@ -708,6 +721,18 @@ object ScaleSmoke {
         s"(buckets=${am.confirmBuckets}) deltas_since_compact=" +
         s"${am.seenTableDeltas} meta_files=${am.seenTableFiles} " +
         s"state_v=${CurationStream.stateVersion(spark, sdir)}")
+      val sMan = CurationStream.manifest(spark, sdir).head()
+      println(s"[scale] curation_delta_soak$nDeltas pointer_markers=" +
+        s"${sMan.getAs[Long]("pointer_markers")} versions_on_disk=" +
+        s"${sMan.getAs[Long]("versions_on_disk")}")
+      record(s"curation_delta_soak$nDeltas", factor, perDelta.sum,
+        nDeltas.toLong,
+        Seq(("median", med, nDeltas.toLong),
+          ("first10avg", firstAvg, 10L),
+          ("last10avg", lastAvg, 10L),
+          ("seen_table_files", filesNow.toDouble, 1L),
+          ("pointer_markers",
+            sMan.getAs[Long]("pointer_markers").toDouble, 1L)))
       CurationStream.release(frozen)
       graft.core.CacheScope.release()
     }
