@@ -303,4 +303,38 @@ object DsirProps extends Properties("Dsir.importanceResample") {
         }) :| s"out=${out.toList} maxDocs=$maxDocs maxDoc=$maxDoc"
     }
   }
+
+}
+
+/** Invariants of the create-only pointer protocol (round 15): reads are
+  * monotone and equal to the newest publish under any publish/prune
+  * interleaving, and prune can never strand an artifact pointer-less. */
+object FsPointerProps extends Properties("Fs.pointer") {
+
+  property("publish/prune interleavings keep reads monotone and " +
+           "equal to the newest publish; prune never strands") = {
+    lazy val spark = TestSpark.spark
+    // a random schedule: publish versions 0..n-1 in order, with an
+    // arbitrary prunePointers(keepBelow) (any window, even absurd ones
+    // past the newest version) optionally interleaved after each publish
+    val planGen: Gen[(Int, List[(Long, Option[Long])])] = for {
+      n <- Gen.choose(1, 8)
+      prunes <- Gen.listOfN(n, Gen.option(Gen.choose(-2L, 12L)))
+    } yield (n, (0 until n).toList.map(v => (v.toLong, prunes(v))))
+    forAll(planGen) { case (n, steps) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("prop_ptr").toString
+      steps.foreach { case (v, pruneAfter) =>
+        graft.core.Fs.writePointer(spark, dir, v)
+        // read-after-publish is exactly the newest version
+        assert(graft.core.Fs.readPointer(spark, dir).contains(v))
+        pruneAfter.foreach(k => graft.core.Fs.prunePointers(spark, dir, k))
+        // prune (any window, even past the top) never strands the
+        // artifact and never changes the resolved version
+        assert(graft.core.Fs.readPointer(spark, dir).contains(v))
+      }
+      Prop(graft.core.Fs.readPointer(spark, dir).contains(n - 1L)) :|
+        s"final pointer != ${n - 1}: ${graft.core.Fs.readPointer(spark, dir)}"
+    }
+  }
 }
