@@ -59,11 +59,7 @@ object Bench {
     // loudly marked `"contended": true` in the JSON so the driver (or a
     // human) can discard/retry — a marked-dirty number beats a silent one.
     val idleCalibSec = sys.env.getOrElse("SPARK_GRAFT_IDLE_CALIB", "0.18").toDouble
-    def calibOnce(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(50000000L).selectExpr("sum(id * 3 + 1)").collect()
-      (System.nanoTime() - t0) / 1e9
-    }
+    def calibOnce(): Double = Calib.cpuOnce(spark)
     var calib = calibOnce()
     var calibTries = 1
     var settled = false
@@ -81,6 +77,13 @@ object Bench {
       calibTries += 1
     }
     val contended = calib > 3 * idleCalibSec
+    // Bandwidth-shaped second probe (VERDICT r15 #2): calib_sec prices a
+    // CPU burst and provably missed round-15's I/O/memory-bandwidth drift
+    // (calib 0.126-0.444s while totals swung 21.7-24.9s). calib_io_sec is
+    // a fixed scan+hash-agg over a pinned ~220 MB incompressible parquet
+    // fixture (graft.Calib) — flat calib + inflated calib_io in a row
+    // reads as bandwidth contention, not a code regression.
+    val calibIo = Calib.ioSettled(spark)
     // Dev profiling hook: SPARK_GRAFT_BENCH_QUERIES="a,b" restricts the run
     // to the named queries (any registry query, not just headlines).
     val names = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
@@ -289,7 +292,7 @@ object Bench {
     val nCores = Runtime.getRuntime.availableProcessors()
     val commonTail =
       s""""failed":$failedJson,""" +
-        f""""calib_sec":$calib%.3f,""" +
+        f""""calib_sec":$calib%.3f,"calib_io_sec":$calibIo%.3f,""" +
         s""""calib_tries":$calibTries,"contended":$contended,""" +
         s""""host_cpu":"${cpuModel.replace("\\", "/").replace("\"", "'")}","host_cores":$nCores,""" +
         s""""aqe":$aqe,"sf":"$sfDir"}"""

@@ -33,23 +33,39 @@ object ScaleSmoke {
   }
 
   private var calibSec: Double = -1.0
+  private var calibIoSec: Double = -1.0
 
   private def jsonStr(s: String): String =
     "\"" + s.replace("\\", "/").replace("\"", "'") + "\""
 
+  /** One SCALE.json row. `stages` carry per-stage TIMINGS only;
+    * non-timing measurements (marker counts, file counts, recall
+    * fractions) go in `counters` under their own key (ADVICE r15: packing
+    * them into a stage's wall_s slot made a consumer diffing wall ratios
+    * misread a marker count as seconds). `heap_g` records the JVM's max
+    * heap so memory-headroom brackets (the 64g-vs-96g 3200x composed
+    * spread) are machine-readable (VERDICT r15 #6). */
   private def record(op: String, factor: Int, wall: Double, rows: Long,
-                     stages: Seq[(String, Double, Long)] = Nil): Unit = {
+                     stages: Seq[(String, Double, Long)] = Nil,
+                     counters: Seq[(String, Double)] = Nil): Unit = {
     val stagesJson =
       if (stages.isEmpty) ""
       else stages.map { case (n, s, r) =>
         f"""${jsonStr(n)}:{"wall_s":$s%.3f,"rows":$r}"""
       }.mkString(""""stages":{""", ",", "},")
+    val countersJson =
+      if (counters.isEmpty) ""
+      else counters.map { case (n, v) => f"${jsonStr(n)}:$v%.4f" }
+        .mkString(""""counters":{""", ",", "},")
+    val heapG = Runtime.getRuntime.maxMemory.toDouble / (1L << 30)
     val line =
       f"""{"operator":${jsonStr(op)},"factor":$factor,"wall_s":$wall%.3f,""" +
-        s""""rows":$rows,$stagesJson""" +
+        s""""rows":$rows,$stagesJson$countersJson""" +
         s""""host_cpu":${jsonStr(hostCpu)},""" +
         s""""host_cores":${Runtime.getRuntime.availableProcessors()},""" +
-        f""""calib_sec":$calibSec%.3f,"ts_ms":${System.currentTimeMillis}}"""
+        f""""heap_g":$heapG%.1f,""" +
+        f""""calib_sec":$calibSec%.3f,"calib_io_sec":$calibIoSec%.3f,""" +
+        f""""ts_ms":${System.currentTimeMillis}}"""
     val w = new java.io.FileWriter("SCALE.json", true)
     try w.write(line + "\n") finally w.close()
   }
@@ -86,11 +102,11 @@ object ScaleSmoke {
     // one idle-calibration sample (Bench's fixed 50M-row sum) recorded in
     // every SCALE.json row, so cross-run ladder ratios carry their own
     // host-state evidence
-    locally {
-      val t0 = System.nanoTime()
-      spark.range(50000000L).selectExpr("sum(id * 3 + 1)").collect()
-      calibSec = (System.nanoTime() - t0) / 1e9
-    }
+    calibSec = Calib.cpuOnce(spark)
+    // the bandwidth-shaped twin (VERDICT r15 #2): same fixture and stat
+    // as Bench's calib_io_sec, so ladder rows and bench rows adjudicate
+    // cross-session drift with the same two-probe fingerprint
+    calibIoSec = Calib.ioSettled(spark)
     def time(name: String)(f: => Long): Unit = {
       if (only.nonEmpty && !only.exists(name.startsWith)) return
       val t0 = System.nanoTime()
@@ -372,6 +388,64 @@ object ScaleSmoke {
         bigEmb, topk = 5, m = 4, dim = 64, refine = 4).count()
     })
     graft.core.CacheScope.release()
+    // VERDICT r15 #5: ANN QUALITY at scale — the ladder prices IVF-PQ
+    // wall time but never recall, so nlist/nprobe geometry changes that
+    // silently trade recall for speed were invisible in the artifact.
+    // recall@10 of ivfPqSearch (and the exact-refine path) against
+    // knnBruteL2 ground truth over a 20-query sample, swept over nprobe.
+    // Replicated embeddings are EXACT copies (factor identical vectors
+    // per original), which makes id-based recall ill-defined — any 10 of
+    // N zero-distance copies are a correct top-10 — so each replica is
+    // deterministically jittered by a per-(id, element) hash first:
+    // distinct but tightly clustered vectors, the near-dup regime an ANN
+    // index actually serves. Both walls and recalls land in SCALE.json
+    // (recall under "counters", never wall_s — ADVICE r15), so a
+    // geometry change that buys speed with recall becomes a diff.
+    if (only.isEmpty || only.exists(o => "ivfpq_recall".startsWith(o))) {
+      val jit = bigEmb.select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x + (pmod(hash(col("vec_id"), i), lit(1000)) - lit(500))
+            .cast("double") / lit(5e4)).as("embedding")).persist()
+      jit.count()
+      val qs = jit.filter(col("vec_id") < 20).persist()
+      qs.count()
+      def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+        df.select(col("query_id"), col("neighbor_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+          .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+      val truth = topSets(Similarity.knnBruteL2(jit, qs, k = 10))
+      val mdl = Similarity.ivfPqFit(jit, nlist = ivfCells, m = 4, k = 16,
+        dim = 64)
+      mdl.cells.count(); mdl.pq.codes.persist().count()
+      def recallOf(got: Map[Long, Set[Long]]): Double =
+        truth.map { case (q, ts) =>
+          got.get(q).map(g => (g & ts).size.toDouble / ts.size).getOrElse(0.0)
+        }.sum / truth.size
+      for (np <- Seq(1, 4, 16)) {
+        val t0 = System.nanoTime()
+        val rec = recallOf(topSets(Similarity.ivfPqSearch(mdl, qs,
+          topk = 10, m = 4, dim = 64, nprobe = np)))
+        val w0 = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] ivfpq_recall np=$np adc recall@10=$rec%.4f " +
+          f"($w0%.2f s)")
+        record(s"ivfpq_recall_np$np", factor, w0, truth.size.toLong,
+          counters = Seq(("recall_at_10", rec), ("nprobe", np.toDouble),
+            ("nlist", ivfCells.toDouble)))
+        val t1 = System.nanoTime()
+        val recR = recallOf(topSets(Similarity.ivfPqSearchRefined(mdl, qs,
+          jit, topk = 10, m = 4, dim = 64, nprobe = np, refine = 4)))
+        val w1 = (System.nanoTime() - t1) / 1e9
+        println(f"[scale] ivfpq_recall np=$np refined recall@10=$recR%.4f " +
+          f"($w1%.2f s)")
+        record(s"ivfpq_recall_refined_np$np", factor, w1, truth.size.toLong,
+          counters = Seq(("recall_at_10", recR), ("nprobe", np.toDouble),
+            ("nlist", ivfCells.toDouble)))
+      }
+      mdl.pq.codes.unpersist(blocking = false)
+      qs.unpersist(blocking = false)
+      jit.unpersist(blocking = false)
+      graft.core.CacheScope.release()
+    }
     // DSIR selection: feature table = one explode + one (doc,bucket)
     // aggregate; the model is 4096 weight rows broadcast back — corpus
     // cost is two aggregates however large the corpus, then resampling is
@@ -633,6 +707,49 @@ object ScaleSmoke {
       })
       graft.core.CacheScope.release()
     }
+    // VERDICT r15 #8: the slowest bench row (t_frozen_curation_freeze,
+    // ~2/3 of pipeline wall excluding apply) broken into its per-artifact
+    // stages ONCE in SCALE.json, so the next freeze optimization target
+    // is named with data instead of guessed. The freeze() CALL is eager
+    // about the two scalar cuts (the DSIR score ceiling and the KN3
+    // perplexity cutoff — each an aggregate over the reference corpus,
+    // which forces the shared upstream tokenize/score materialization);
+    // the six frozen frames are then timed at first materialization in
+    // dependency order. Stages are cumulative-dependency laps: a stage
+    // prices what ITS materialization adds on top of everything already
+    // cached, mirroring Bench's t_frozen_curation_freeze total exactly
+    // (same frames, same order). Opt-in by name (a default run already
+    // pays two freezes); run with `ScaleSmoke <factor> frozen_freeze`.
+    if (only.exists(o => "frozen_freeze_staged".startsWith(o))) {
+      val refHalf = base.filter(col("doc_id") % 2 === 0)
+      val t0 = System.nanoTime()
+      var prev = t0
+      def lap(): Double = {
+        val n = System.nanoTime(); val s = (n - prev) / 1e9; prev = n; s
+      }
+      val f = graft.streaming.CurationStream.freeze(
+        refHalf, refHalf.filter(col("doc_id") % 31 === 0),
+        col("lang") === "en")
+      val callS = lap()
+      val parts = Seq(
+        "weights" -> f.weights, "eval_shingles" -> f.evalShingles,
+        "eval_bloom" -> f.evalBloom, "seen_hashes" -> f.seenHashes,
+        "seen_bloom" -> f.seenBloom, "kn3_logprobs" -> f.kn3LogProbs
+      ).map { case (n, df) =>
+        graft.core.CacheScope.track(df)
+        val rows = df.count()
+        (n, lap(), rows)
+      }
+      val total = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] frozen_freeze_staged total=$total%8.2f s  " +
+        f"scalar_cuts=$callS%.2f s " +
+        parts.map { case (n, s, r) => f"$n=$s%.2f s(rows=$r)" }
+          .mkString(" "))
+      record("frozen_freeze_staged", factor, total, parts.map(_._3).sum,
+        stages = ("scalar_cuts", callS, 2L) +: parts)
+      graft.streaming.CurationStream.release(f)
+      graft.core.CacheScope.release()
+    }
     // round-13: IVF-PQ delta SOAK — 30 sequential addToSavedIvfPq calls
     // (distinct ids per delta) with auto-compaction every 10: per-delta
     // cost must stay flat and the bucketed cells/codes tables bounded,
@@ -668,11 +785,11 @@ object ScaleSmoke {
         s"${imMan.getAs[Long]("pointer_markers")} versions_on_disk=" +
         s"${imMan.getAs[Long]("versions_on_disk")}")
       record(s"ivfpq_delta_soak$nD", factor, per.sum, nD.toLong,
-        Seq(("median", per.sorted.apply(nD / 2), nD.toLong),
+        stages = Seq(("median", per.sorted.apply(nD / 2), nD.toLong),
           ("first10avg", per.take(10).sum / 10, 10L),
-          ("last10avg", per.takeRight(10).sum / 10, 10L),
-          ("pointer_markers",
-            imMan.getAs[Long]("pointer_markers").toDouble, 1L)))
+          ("last10avg", per.takeRight(10).sum / 10, 10L)),
+        counters = Seq(("pointer_markers",
+          imMan.getAs[Long]("pointer_markers").toDouble)))
     }
     // round-13 (VERDICT r12 #2): delta SOAK — 30 sequential saveSeenDelta
     // calls into ONE artifact with auto-compaction every 10. The claims
@@ -727,12 +844,12 @@ object ScaleSmoke {
         s"${sMan.getAs[Long]("versions_on_disk")}")
       record(s"curation_delta_soak$nDeltas", factor, perDelta.sum,
         nDeltas.toLong,
-        Seq(("median", med, nDeltas.toLong),
+        stages = Seq(("median", med, nDeltas.toLong),
           ("first10avg", firstAvg, 10L),
-          ("last10avg", lastAvg, 10L),
-          ("seen_table_files", filesNow.toDouble, 1L),
+          ("last10avg", lastAvg, 10L)),
+        counters = Seq(("seen_table_files", filesNow.toDouble),
           ("pointer_markers",
-            sMan.getAs[Long]("pointer_markers").toDouble, 1L)))
+            sMan.getAs[Long]("pointer_markers").toDouble)))
       CurationStream.release(frozen)
       graft.core.CacheScope.release()
     }

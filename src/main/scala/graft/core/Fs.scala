@@ -200,10 +200,25 @@ object Fs {
   /** Read the artifact's current state version: the max over create-only
     * `CURRENT.v<N>` markers and (legacy, rename-era) the `CURRENT` file's
     * value. None for a pre-round-13 artifact (unversioned `meta`/
-    * `seen_bloom` paths) or an empty/missing dir. */
+    * `seen_bloom` paths) or an empty/missing dir.
+    *
+    * A PRESENT-but-unparseable legacy `CURRENT` fails LOUDLY (ADVICE r15):
+    * silently Try(...).toOption-ing it made a corrupted rename-era
+    * artifact read as "no artifact" (versioned artifacts keep state only
+    * under `*_v<N>` paths), which let the `force = false` overwrite
+    * guards in save()/saveIvfPq pass and publish a fresh `CURRENT.v0`
+    * OVER live state — readers snap from v<N> to the new v0 and the old
+    * generations orphan. Corruption must stop the writer, not unlock it. */
   def readPointer(spark: SparkSession, dir: String): Option[Long] = {
-    val legacy = readSmall(spark, s"$dir/CURRENT")
-      .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+    val legacy = readSmall(spark, s"$dir/CURRENT").map { s =>
+      scala.util.Try(s.trim.toLong).getOrElse(throw new IllegalStateException(
+        s"readPointer: $dir/CURRENT exists but is unparseable " +
+          s"[${s.trim.take(80)}]. Refusing to treat the artifact as " +
+          "absent — a silent parse-skip would let save()'s overwrite " +
+          "guard publish v0 over live state. Repair the file to hold the " +
+          "current version number, or delete it ONLY if a CURRENT.v<N> " +
+          "marker at/above its last known value exists."))
+    }
     (listPointerVersions(spark, dir) ++ legacy).maxOption
   }
 
@@ -220,6 +235,28 @@ object Fs {
     * number — both are writer bugs, never silently absorbed. */
   def writePointer(spark: SparkSession, dir: String, v: Long): Unit = {
     val marker = s"$dir/CURRENT.v$v"
+    // ownership re-check AT PUBLISH TIME (VERDICT r15 #3): if this thread
+    // entered the dir's delta lock via [[withLock]], re-read the lock
+    // payload immediately before the marker create and ABORT if it is no
+    // longer ours. The create-only election's residual window (a holder
+    // releasing + re-acquiring between a takeover winner's re-read and
+    // its delete — see the election comment in withLock) could otherwise
+    // leave two writers both believing they hold the lock for the REST of
+    // the critical section; this check shrinks that window to the marker
+    // create itself, which the store's conditional PUT then serializes.
+    // Publishes outside any withLock scope (the fresh-dir save paths) are
+    // unaffected — there is no lock to verify.
+    heldLocks.get.foreach { case (lockPath, mine) =>
+      if (lockPath.startsWith(dir + "/") &&
+          !readSmall(spark, lockPath).contains(mine))
+        throw new IllegalStateException(
+          s"writePointer: ABORTING publish of $marker — the delta lock " +
+            s"$lockPath this writer acquired is no longer its own (taken " +
+            "over by a lease claimer mid-run, or lost to the create-only " +
+            "election's takeover race). Publishing now could double-write " +
+            "a version. Nothing was published; the new holder owns the " +
+            "artifact — re-run this delta when the lock frees.")
+    }
     val payload = s"v=$v published_ts=${System.currentTimeMillis}"
     if (!tryCreateLock(spark, marker, payload)) {
       val holder = readSmall(spark, marker).getOrElse("<unreadable>")
@@ -232,18 +269,47 @@ object Fs {
     }
   }
 
+  /** Age threshold for sweeping orphaned lock-election debris
+    * (`*.claim-*` / `*.stale-*` files) during [[prunePointers]]. Generous
+    * on purpose: a live election's claim marker exists for milliseconds,
+    * and a tombstone a claimer is still mid-read of for not much longer —
+    * a day of slack can never race a live takeover, while still bounding
+    * the leak. */
+  val LockDebrisTtlMs: Long = 24L * 3600 * 1000
+
+  private val LockDebris = """.*\.(claim|stale)-.*""".r
+
   /** Prune pointer markers behind the caller's retention window: delete
     * `CURRENT.v<k>` for k < `keepBelow`, and the legacy rename-era
     * `CURRENT` file once a marker at or above its value exists AND its
     * value is behind the window (readers then resolve markers alone).
     * Runs under the caller's writer lock, like the state-file prune it
-    * accompanies. */
+    * accompanies.
+    *
+    * Also sweeps orphaned lock-election debris (ADVICE r15): a claim
+    * marker left by a takeover winner that crashed before its
+    * `delete(claim)` — its name is the sha1 of a payload that never
+    * recurs, so no later election reuses it — and rename-consume
+    * tombstones whose claimer crashed mid-adjudication. Both are inert
+    * (never consulted outside the election that made them) but leak one
+    * file per crashed takeover; files matching `*.claim-*`/`*.stale-*`
+    * older than [[LockDebrisTtlMs]] by modification time are deleted. */
   def prunePointers(spark: SparkSession, dir: String,
                     keepBelow: Long): Unit = {
     val markers = listPointerVersions(spark, dir)
+    val (f, dp) = fs(spark, dir)
+    // debris sweep runs even when there are no markers yet (a lock can
+    // orphan debris before the first publish)
+    val now = System.currentTimeMillis
+    try f.listStatus(dp).foreach { st =>
+      st.getPath.getName match {
+        case LockDebris(_) if now - st.getModificationTime > LockDebrisTtlMs =>
+          f.delete(st.getPath, false)
+        case _ => ()
+      }
+    } catch { case _: java.io.FileNotFoundException => () }
     if (markers.isEmpty) return // never strand an artifact pointer-less
     val top = markers.max
-    val (f, _) = fs(spark, dir)
     markers.filter(k => k < keepBelow && k < top).foreach { k =>
       f.delete(new org.apache.hadoop.fs.Path(s"$dir/CURRENT.v$k"), false)
     }
@@ -340,7 +406,10 @@ object Fs {
         "first-class. Stores that also guarantee atomic rename belong " +
         "in spark.graft.atomicSchemes (tightest lock takeover). " +
         "Otherwise run mutable artifacts on file://or hdfs://, or set " +
-        "spark.graft.allowNonAtomicStore=true to proceed anyway."
+        "spark.graft.allowNonAtomicStore=true to proceed anyway. " +
+        "Per-store connector flags and the exact failure modes if a " +
+        "vouch is wrong: README section 'Object-store deployment " +
+        "(mutable artifacts)'."
       if (spark.conf.getOption("spark.graft.allowNonAtomicStore")
             .exists(_.trim.equalsIgnoreCase("true")))
         System.err.println(s"[Fs] WARNING (waived): $msg")
@@ -348,6 +417,17 @@ object Fs {
     }
 
   // ------------------------------------------------------------------ lock
+
+  /** Locks this THREAD currently holds via [[withLock]] (lockPath →
+    * payload). Lets [[writePointer]] re-verify ownership immediately
+    * before the publish marker create (VERDICT r15 #3) without threading
+    * the payload through every call site. Thread-local is the right
+    * scope: withLock runs `f` on the calling thread, and a lock is never
+    * shared across threads of one process by design (each acquisition
+    * has a unique nonce). */
+  private val heldLocks = new ThreadLocal[Map[String, String]] {
+    override def initialValue(): Map[String, String] = Map.empty
+  }
 
   /** Default lock lease: effectively infinite — a lock is NEVER taken over
     * unless the caller configures a lease, because only the deployment
@@ -482,6 +562,17 @@ object Fs {
               payloadTs(c).forall(ts =>
                 System.currentTimeMillis - ts > leaseMs))
             if (claimStale) {
+              // expired-claim recovery is delete-then-create — the exact
+              // pattern ADVICE r13 banned for the LOCK itself — and is
+              // tolerable here ONLY because the claim is not the
+              // arbiter: two racing recoveries that both pass this
+              // delete+create still funnel into the exclusive lock
+              // create below plus the ownership re-check (and
+              // writePointer's publish-time re-check), which is where
+              // the election is actually decided. A claim orphaned by a
+              // crashed winner of an OLDER lock instance (its name = the
+              // sha1 of a payload that never recurs) is swept by
+              // prunePointers' debris sweep (ADVICE r15).
               delete(spark, claim)
               won = tryCreateLock(spark, claim, mine)
             }
@@ -511,7 +602,13 @@ object Fs {
       }
       if (!acquired) fail(readSmall(spark, lockPath).getOrElse(seen))
     }
+    // register for writePointer's publish-time ownership re-check; save
+    // the previous entry so nested withLock on the SAME path (not a real
+    // pattern, but cheap to be correct about) restores it on exit
+    val before = heldLocks.get
+    heldLocks.set(before + (lockPath -> mine))
     try f finally {
+      heldLocks.set(before)
       if (readSmall(spark, lockPath).contains(mine))
         removeLock(spark, lockPath)
       else

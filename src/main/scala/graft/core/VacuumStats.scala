@@ -27,21 +27,22 @@ final case class VacuumStats(
 object VacuumStats {
   val Zero: VacuumStats = VacuumStats(0L, 0L, 0L)
 
-  /** Measure-then-delete: summarize `p` (0s if it vanished between list
-    * and summary — another vacuum racing is benign), delete it, return
-    * what was reclaimed. The delete's boolean is honored (ADVICE r14): a
-    * failed or raced-away delete reports Zero, never phantom reclaimed
-    * bytes; and the summary catch is the full IOException so a transient
-    * store error degrades to "nothing measured" instead of aborting a
-    * vacuum the old delete-only loop would have survived. */
+  /** Measure-then-delete: summarize `p`, delete it, return what was
+    * reclaimed. The delete's boolean is honored (ADVICE r14): a failed or
+    * raced-away delete reports Zero, never phantom reclaimed bytes. A
+    * summary that fails with a transient IOException while the delete
+    * STILL SUCCEEDS counts the path as dropped with unknown size —
+    * VacuumStats(1, 0, 0) — rather than Zero (ADVICE r15: callers gating
+    * on pathsDropped > 0 would otherwise report a successful vacuum as a
+    * no-op); Zero is reserved for a delete that failed or raced away. */
   def delete(f: org.apache.hadoop.fs.FileSystem,
              p: org.apache.hadoop.fs.Path): VacuumStats = {
     val s = try {
       val cs = f.getContentSummary(p)
-      VacuumStats(1L, cs.getFileCount, cs.getLength)
-    } catch { case _: java.io.IOException => Zero }
+      Some(VacuumStats(1L, cs.getFileCount, cs.getLength))
+    } catch { case _: java.io.IOException => None }
     val deleted = try f.delete(p, true)
                   catch { case _: java.io.IOException => false }
-    if (deleted) s else Zero
+    if (deleted) s.getOrElse(VacuumStats(1L, 0L, 0L)) else Zero
   }
 }

@@ -240,10 +240,19 @@ class FsSpec extends AnyFunSuite {
     Fs.writePointer(spark, dir, 7L)
     Fs.writePointer(spark, dir, 8L)
     assert(Fs.readPointer(spark, dir).contains(8L))
-    // a malformed legacy CURRENT degrades to "no legacy candidate"
+    // a malformed legacy CURRENT fails LOUDLY (ADVICE r15): silently
+    // treating it as "no legacy candidate" let a corrupted rename-era
+    // artifact read as absent, unlocking save()'s overwrite guard
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$dir/CURRENT"), "junk".getBytes("UTF-8"))
-    assert(Fs.readPointer(spark, dir).contains(8L))
+    val eCorrupt = intercept[IllegalStateException] {
+      Fs.readPointer(spark, dir)
+    }
+    assert(eCorrupt.getMessage.contains("unparseable"))
+    assert(intercept[IllegalStateException] {
+      Fs.pointerExists(spark, dir)
+    }.getMessage.contains("CURRENT"),
+      "pointerExists must never answer 'absent' over a corrupt CURRENT")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$dir/CURRENT"), "5".getBytes("UTF-8"))
     // prune behind the window: markers < 7 go, legacy CURRENT (5 < 7) goes
@@ -289,5 +298,103 @@ class FsSpec extends AnyFunSuite {
       assert(r2 == 7)
       assert(!Fs.exists(spark, lock))
     } finally spark.conf.unset("spark.graft.createOnlySchemes")
+  }
+
+  test("writePointer ABORTS the publish when the delta lock was lost " +
+       "mid-critical-section (VERDICT r15 #3): the create-only election's " +
+       "residual two-writer window now ends at the marker create, not at " +
+       "lock acquisition") {
+    val dir = tmp("fs_pubcheck")
+    val lock = s"$dir/_delta_lock"
+    // the EXACT residual interleaving, staged from the loser's seat: a
+    // takeover winner W re-read the stale payload, then the holder H
+    // (this thread) released and re-acquired inside W's window, then W's
+    // delete consumed H's FRESH lock and W created its own — both H and
+    // W now believe they hold the lock. H reaches its publish: the lock
+    // on disk carries W's payload, so H must abort BEFORE creating the
+    // marker instead of double-writing the version W is about to write.
+    val e = intercept[IllegalStateException] {
+      Fs.withLock(spark, lock, "noop") {
+        // simulate W's delete+create landing mid-run: H's lock file is
+        // replaced by W's
+        Fs.removeLock(spark, lock)
+        assert(Fs.tryCreateLock(spark, lock,
+          s"owner=election-winner ts=${System.currentTimeMillis} nonce=w"))
+        Fs.writePointer(spark, dir, 0L)
+      }
+    }
+    assert(e.getMessage.contains("ABORTING publish"), e.getMessage)
+    assert(!Fs.exists(spark, s"$dir/CURRENT.v0"),
+      "the loser's marker must never land")
+    assert(Fs.readPointer(spark, dir).isEmpty, "nothing was published")
+    // W's lock survives H's release path (ownership-checked release)
+    assert(Fs.readSmall(spark, lock).exists(_.contains("election-winner")))
+    Fs.removeLock(spark, lock)
+    // and with the lock STILL OURS the same publish goes through — the
+    // re-check gates on ownership, not on being inside withLock
+    Fs.withLock(spark, lock, "noop") { Fs.writePointer(spark, dir, 0L) }
+    assert(Fs.readPointer(spark, dir).contains(0L))
+    // a lock held for some OTHER artifact dir never gates this publish
+    val other = tmp("fs_pubcheck_other")
+    Fs.withLock(spark, s"$other/_delta_lock", "noop") {
+      Fs.writePointer(spark, dir, 1L)
+    }
+    assert(Fs.readPointer(spark, dir).contains(1L))
+  }
+
+  test("prunePointers sweeps lock-election debris older than the TTL " +
+       "(ADVICE r15: a claim marker orphaned by a crashed winner of an " +
+       "older lock instance leaked forever)") {
+    val dir = tmp("fs_debris")
+    Fs.writePointer(spark, dir, 0L)
+    val oldTs = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis - Fs.LockDebrisTtlMs - 3_600_000L)
+    for (n <- Seq("_delta_lock.claim-deadbeef", "_delta_lock.stale-0000")) {
+      val p = java.nio.file.Paths.get(s"$dir/$n")
+      java.nio.file.Files.write(p, "owner=crashed ts=1".getBytes("UTF-8"))
+      java.nio.file.Files.setLastModifiedTime(p, oldTs)
+    }
+    // a YOUNG claim marker (a live election could be mid-flight) stays
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_delta_lock.claim-live"),
+      "owner=racing ts=now".getBytes("UTF-8"))
+    Fs.prunePointers(spark, dir, keepBelow = 0L)
+    val left = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(left == Set("CURRENT.v0", "_delta_lock.claim-live"),
+      s"expected expired debris swept, live claim kept: $left")
+    // the sweep also runs on a dir with NO markers yet (debris can
+    // orphan before the first publish) — and still never strands state
+    val dir2 = tmp("fs_debris2")
+    val p2 = java.nio.file.Paths.get(s"$dir2/_delta_lock.stale-1111")
+    java.nio.file.Files.write(p2, "x".getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(p2, oldTs)
+    Fs.prunePointers(spark, dir2, keepBelow = 100L)
+    assert(new java.io.File(dir2).listFiles().isEmpty,
+      "pre-publish debris must be swept too")
+  }
+
+  test("VacuumStats.delete counts a dropped path even when the size " +
+       "summary fails transiently — Zero only for a failed/raced-away " +
+       "delete (ADVICE r15: callers gate on pathsDropped > 0)") {
+    val d = tmp("fs_vacstats")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$d/gone"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$d/gone/f"), Array[Byte](1, 2))
+    val raw = new org.apache.hadoop.fs.RawLocalFileSystem() {
+      override def getContentSummary(f: org.apache.hadoop.fs.Path)
+          : org.apache.hadoop.fs.ContentSummary =
+        throw new java.io.IOException("transient store error")
+    }
+    raw.initialize(java.net.URI.create("file:///"),
+      spark.sessionState.newHadoopConf())
+    val p = new org.apache.hadoop.fs.Path(s"$d/gone")
+    val s = graft.core.VacuumStats.delete(raw, p)
+    assert(s.pathsDropped == 1L, s"dropped path not counted: $s")
+    assert(s.filesReclaimed == 0L && s.bytesReclaimed == 0L,
+      s"unknown size must report 0, never a phantom: $s")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/gone")))
+    // a delete that finds nothing (raced away) still reports Zero
+    assert(graft.core.VacuumStats.delete(raw, p) == graft.core.VacuumStats.Zero)
   }
 }

@@ -1826,8 +1826,8 @@ class StreamingSpec extends AnyFunSuite {
       val l0 = CurationStream.load(spark, adir)
       assert(CurationStream.curateBatch(day(2), l0).count() == 0,
         "mock-store artifact lost its delta history")
-      // and arriving-batch verdicts are IDENTICAL to the in-memory model
-      // extended with the same days (model equivalence across the store)
+      // (arriving-batch model equivalence vs the in-memory extendSeen
+      // chain is asserted below, after the vacuum — the strictest point)
       CurationStream.release(l0)
       CurationStream.compactSeenTable(spark, adir)
       val reclaimed = CurationStream.vacuum(spark, adir)
@@ -1847,6 +1847,25 @@ class StreamingSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
         .sortBy(_._1).toSeq
       assert(got.nonEmpty, "no verdicts served from the mock store")
+      // the title's model-equivalence claim, actually CHECKED (ADVICE
+      // r15: this used to assert only got.nonEmpty): the same freeze
+      // extended IN MEMORY with the same day(k) batches must yield
+      // verdict tuples identical to the store-served model — across
+      // save, three deltas, compaction, and vacuum on the mock scheme
+      var mem = frozen
+      for (k <- 1 to 3) {
+        val next = CurationStream.extendSeen(mem, day(k))
+        if (!(mem eq frozen)) CurationStream.releaseSeenSide(mem)
+        mem = next
+      }
+      val memGot = CurationStream.curateBatch(arriving, mem).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      assert(memGot == got,
+        s"mock-store verdicts diverge from the in-memory model: " +
+          s"store=${got.size} rows mem=${memGot.size} rows; first diff=" +
+          s"${memGot.zip(got).find(p => p._1 != p._2)}")
+      if (!(mem eq frozen)) CurationStream.releaseSeenSide(mem)
       assert(CurationStream.curateBatch(day(3), l1).count() == 0,
         "vacuumed mock-store artifact lost the compacted history")
       CurationStream.release(l1)
