@@ -83,7 +83,14 @@ object Bench {
     // a fixed scan+hash-agg over a pinned ~220 MB incompressible parquet
     // fixture (graft.Calib) — flat calib + inflated calib_io in a row
     // reads as bandwidth contention, not a code regression.
-    val calibIo = Calib.ioSettled(spark)
+    // the fingerprint must never kill the measurement: a probe failure
+    // records -1 (visible in the artifact) instead of aborting the run
+    val calibIo =
+      try Calib.ioSettled(spark)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] calib_io probe failed: ${e.getMessage}")
+        -1.0
+      }
     // Dev profiling hook: SPARK_GRAFT_BENCH_QUERIES="a,b" restricts the run
     // to the named queries (any registry query, not just headlines).
     val names = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")

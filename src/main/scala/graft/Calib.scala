@@ -70,10 +70,14 @@ object Calib {
   def ioOnce(spark: SparkSession): Double = {
     val dir = ioFixture(spark)
     val t0 = System.nanoTime()
+    // pmod bounds the summand: a raw sum of 14M full-range xxhash64
+    // longs overflows under ANSI mode (Spark 4 default) — found by the
+    // first BenchAB child run, which is exactly the kind of failure the
+    // harness exists to surface loudly
     spark.read.parquet(dir)
-      .selectExpr("pmod(h1, 1024) AS k", "h2")
+      .selectExpr("pmod(h1, 1024) AS k", "pmod(h2, 1000000) AS v")
       .groupBy("k")
-      .agg(org.apache.spark.sql.functions.expr("sum(h2) AS s"),
+      .agg(org.apache.spark.sql.functions.expr("sum(v) AS s"),
         org.apache.spark.sql.functions.expr("count(*) AS n"))
       .collect()
     (System.nanoTime() - t0) / 1e9
@@ -108,10 +112,13 @@ object Calib {
     val idleIo = ioSettled(spark, 3)
     val hogs = Runtime.getRuntime.availableProcessors() / 2
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // per-thread footprint 2 x 32 MB — larger than any LLC slice (so the
+    // copies stream from DRAM and saturate the bus) but small enough that
+    // the hog never pressures the 8g default heap into GC thrash
     val threads = (1 to hogs).map { _ =>
       val t = new Thread(() => {
-        val a = new Array[Long](32 << 20) // 256 MB
-        val b = new Array[Long](32 << 20)
+        val a = new Array[Long](4 << 20) // 32 MB
+        val b = new Array[Long](4 << 20)
         while (!stop.get()) System.arraycopy(a, 0, b, 0, a.length)
       })
       t.setDaemon(true); t.start(); t

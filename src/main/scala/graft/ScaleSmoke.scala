@@ -105,8 +105,14 @@ object ScaleSmoke {
     calibSec = Calib.cpuOnce(spark)
     // the bandwidth-shaped twin (VERDICT r15 #2): same fixture and stat
     // as Bench's calib_io_sec, so ladder rows and bench rows adjudicate
-    // cross-session drift with the same two-probe fingerprint
-    calibIoSec = Calib.ioSettled(spark)
+    // cross-session drift with the same two-probe fingerprint; a probe
+    // failure records -1 rather than killing a multi-hour ladder run
+    calibIoSec =
+      try Calib.ioSettled(spark)
+      catch { case e: Throwable =>
+        System.err.println(s"[scale] calib_io probe failed: ${e.getMessage}")
+        -1.0
+      }
     def time(name: String)(f: => Long): Unit = {
       if (only.nonEmpty && !only.exists(name.startsWith)) return
       val t0 = System.nanoTime()
