@@ -5253,8 +5253,9 @@ object Queries {
         |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
         |ve AS (SELECT vec_id, unnest(range(0, len(vm))) AS dim,
         |    CAST(unnest(vm) AS BIGINT) AS v FROM vm),
-        |seeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
-        |  FROM vm ORDER BY vec_id LIMIT 16),
+        |seeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY
+        |      CAST('0x' || substring(md5('pqseed:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id) - 1 AS INT) AS code
+        |  FROM vm ORDER BY CAST('0x' || substring(md5('pqseed:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id LIMIT 16),
         |c0 AS (SELECT s.code, ve.dim, ve.v AS cm
         |  FROM seeds s JOIN ve ON s.vec_id = ve.vec_id),
         |d1 AS (SELECT ve.vec_id, ve.dim // 16 AS sub, c.code,
@@ -5322,8 +5323,9 @@ object Queries {
         |res AS (SELECT ve.vec_id, ve.dim, ve.v - c.cm AS r
         |  FROM ve JOIN ca a ON ve.vec_id = a.vec_id
         |  JOIN cc c ON c.cell = a.cell AND c.dim = ve.dim),
-        |ps AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
-        |  FROM vm ORDER BY vec_id LIMIT 16),
+        |ps AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY
+        |      CAST('0x' || substring(md5('pqseed:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id) - 1 AS INT) AS code
+        |  FROM vm ORDER BY CAST('0x' || substring(md5('pqseed:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id LIMIT 16),
         |p0 AS (SELECT s.code, r.dim, r.r AS cm
         |  FROM ps s JOIN res r ON s.vec_id = r.vec_id),
         |pd1 AS (SELECT res.vec_id, res.dim // 16 AS sub, c.code,
@@ -5406,8 +5408,9 @@ object Queries {
         |res AS (SELECT ve.vec_id, ve.dim, ve.v - c.cm AS r
         |  FROM ve JOIN ca2 a ON ve.vec_id = a.vec_id
         |  JOIN cu c ON c.cell = a.cell AND c.dim = ve.dim),
-        |ps AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
-        |  FROM vm ORDER BY vec_id LIMIT 16),
+        |ps AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY
+        |      CAST('0x' || substring(md5('pqseed:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id) - 1 AS INT) AS code
+        |  FROM vm ORDER BY CAST('0x' || substring(md5('pqseed:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id LIMIT 16),
         |p0 AS (SELECT s.code, r.dim, r.r AS cm
         |  FROM ps s JOIN res r ON s.vec_id = r.vec_id),
         |pd1 AS (SELECT res.vec_id, res.dim // 16 AS sub, c.code,
@@ -5507,8 +5510,9 @@ object Queries {
         |res AS (SELECT ve.vec_id, ve.dim, ve.v - c.cm AS r
         |  FROM ve JOIN ca a ON ve.vec_id = a.vec_id
         |  JOIN cc c ON c.cell = a.cell AND c.dim = ve.dim),
-        |ps AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
-        |  FROM vm ORDER BY vec_id LIMIT 16),
+        |ps AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY
+        |      CAST('0x' || substring(md5('pqseed:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id) - 1 AS INT) AS code
+        |  FROM vm ORDER BY CAST('0x' || substring(md5('pqseed:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id LIMIT 16),
         |p0 AS (SELECT s.code, r.dim, r.r AS cm
         |  FROM ps s JOIN res r ON s.vec_id = r.vec_id),
         |pd1 AS (SELECT res.vec_id, res.dim // 16 AS sub, c.code,

@@ -402,52 +402,87 @@ object ScaleSmoke {
     // Replicated embeddings are EXACT copies (factor identical vectors
     // per original), which makes id-based recall ill-defined — any 10 of
     // N zero-distance copies are a correct top-10 — so each replica is
-    // deterministically jittered by a per-(id, element) hash first:
-    // distinct but tightly clustered vectors, the near-dup regime an ANN
-    // index actually serves. Both walls and recalls land in SCALE.json
-    // (recall under "counters", never wall_s — ADVICE r15), so a
-    // geometry change that buys speed with recall becomes a diff.
+    // deterministically jittered by a per-(id, element) hash first.
+    // Jitter AMPLITUDE matters — the fixtures are UNIT vectors with
+    // inter-base L2 ~1.41 (random unit pairs). A first run at ±0.01
+    // produced ε-duplicate clusters (sibling L2 ~0.05) whose internal
+    // ordering only exact distances can resolve — recall@10 pinned at
+    // 0.005 and FLAT across nprobe 1..16, a guard with zero sensitivity
+    // to the geometry it exists to watch; ±1.0 is the opposite failure
+    // (sibling L2 ~6.5 >> 1.41 — structure destroyed, truth is random
+    // pairs, recall 0 for ANY index). ±0.1 per element (sibling L2
+    // ~0.65, cluster radius ~0.46 vs 1.41 base spacing) makes the
+    // corpus a mixture of factor-sized, well-separated clusters — a
+    // realistic ANN workload where recall responds to nprobe and to
+    // codebook geometry. Both walls and recalls land in SCALE.json
+    // (recall under "counters", never wall_s — ADVICE r15; jitter
+    // amplitude recorded so superseded rows in the append-only artifact
+    // are distinguishable), so a geometry change that buys speed with
+    // recall becomes a diff.
     if (only.isEmpty || only.exists(o => "ivfpq_recall".startsWith(o))) {
       val jit = bigEmb.select(col("vec_id"),
         transform(col("embedding"), (x, i) =>
           x + (pmod(hash(col("vec_id"), i), lit(1000)) - lit(500))
-            .cast("double") / lit(5e4)).as("embedding")).persist()
+            .cast("double") / lit(5000.0)).as("embedding")).persist()
       jit.count()
-      val qs = jit.filter(col("vec_id") < 20).persist()
+      // queries HASH-SAMPLED across the id space, never `vec_id < 20`:
+      // ivfPqFit seeds its coarse cells from the lowest-id vectors
+      // (coarseIters=1 default — seeds ARE the centroids), so low-id
+      // queries coincide with centroids exactly, the query residual is
+      // the zero vector, and the query side of every ADC partial
+      // vanishes — the first measurement ranked candidates by their own
+      // quantized-residual norms alone and was provably inert to both
+      // nprobe and m. ~20 deterministic queries, none centroid-seeded.
+      val qs = jit.filter(
+        pmod(hash(col("vec_id"), lit(42)), lit(math.max(nVec / 20L, 1L)))
+          === 0).persist()
       qs.count()
       def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
         df.select(col("query_id"), col("neighbor_id")).collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSeq
           .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
       val truth = topSets(Similarity.knnBruteL2(jit, qs, k = 10))
-      val mdl = Similarity.ivfPqFit(jit, nlist = ivfCells, m = 4, k = 16,
-        dim = 64)
-      mdl.cells.count(); mdl.pq.codes.persist().count()
       def recallOf(got: Map[Long, Set[Long]]): Double =
         truth.map { case (q, ts) =>
           got.get(q).map(g => (g & ts).size.toDouble / ts.size).getOrElse(0.0)
         }.sum / truth.size
-      for (np <- Seq(1, 4, 16)) {
-        val t0 = System.nanoTime()
-        val rec = recallOf(topSets(Similarity.ivfPqSearch(mdl, qs,
-          topk = 10, m = 4, dim = 64, nprobe = np)))
-        val w0 = (System.nanoTime() - t0) / 1e9
-        println(f"[scale] ivfpq_recall np=$np adc recall@10=$rec%.4f " +
-          f"($w0%.2f s)")
-        record(s"ivfpq_recall_np$np", factor, w0, truth.size.toLong,
-          counters = Seq(("recall_at_10", rec), ("nprobe", np.toDouble),
-            ("nlist", ivfCells.toDouble)))
-        val t1 = System.nanoTime()
-        val recR = recallOf(topSets(Similarity.ivfPqSearchRefined(mdl, qs,
-          jit, topk = 10, m = 4, dim = 64, nprobe = np, refine = 4)))
-        val w1 = (System.nanoTime() - t1) / 1e9
-        println(f"[scale] ivfpq_recall np=$np refined recall@10=$recR%.4f " +
-          f"($w1%.2f s)")
-        record(s"ivfpq_recall_refined_np$np", factor, w1, truth.size.toLong,
-          counters = Seq(("recall_at_10", recR), ("nprobe", np.toDouble),
-            ("nlist", ivfCells.toDouble)))
+      // sweep CODE GEOMETRY beside nprobe: at the ladder's wall-pricing
+      // geometry (m=4 -> 16-dim subspaces, 16-bit codes) ADC cannot rank
+      // within a near-dup cluster — measured refined recall 0.185 at 50x
+      // ~= the random-candidate baseline (40 of ~316 per cell), and
+      // nprobe is inert because a whole cluster fits one cell. m=16
+      // (4-dim subspaces, 8-byte codes) is the recall-bearing geometry;
+      // recording both makes the speed-for-recall trade a DIFF in the
+      // artifact instead of an invisible constant.
+      for (mm <- Seq(4, 16)) {
+        val mdl = Similarity.ivfPqFit(jit, nlist = ivfCells, m = mm, k = 16,
+          dim = 64)
+        mdl.cells.count(); mdl.pq.codes.persist().count()
+        for (np <- Seq(1, 4, 16)) {
+          val t0 = System.nanoTime()
+          val rec = recallOf(topSets(Similarity.ivfPqSearch(mdl, qs,
+            topk = 10, m = mm, dim = 64, nprobe = np)))
+          val w0 = (System.nanoTime() - t0) / 1e9
+          println(f"[scale] ivfpq_recall m=$mm np=$np adc " +
+            f"recall@10=$rec%.4f ($w0%.2f s)")
+          record(s"ivfpq_recall_m${mm}_np$np", factor, w0, truth.size.toLong,
+            counters = Seq(("recall_at_10", rec), ("nprobe", np.toDouble),
+              ("m", mm.toDouble),
+              ("nlist", ivfCells.toDouble), ("jitter_amp", 0.1)))
+          val t1 = System.nanoTime()
+          val recR = recallOf(topSets(Similarity.ivfPqSearchRefined(mdl, qs,
+            jit, topk = 10, m = mm, dim = 64, nprobe = np, refine = 4)))
+          val w1 = (System.nanoTime() - t1) / 1e9
+          println(f"[scale] ivfpq_recall m=$mm np=$np refined " +
+            f"recall@10=$recR%.4f ($w1%.2f s)")
+          record(s"ivfpq_recall_refined_m${mm}_np$np", factor, w1,
+            truth.size.toLong,
+            counters = Seq(("recall_at_10", recR), ("nprobe", np.toDouble),
+              ("m", mm.toDouble),
+              ("nlist", ivfCells.toDouble), ("jitter_amp", 0.1)))
+        }
+        mdl.pq.codes.unpersist(blocking = false)
       }
-      mdl.pq.codes.unpersist(blocking = false)
       qs.unpersist(blocking = false)
       jit.unpersist(blocking = false)
       graft.core.CacheScope.release()

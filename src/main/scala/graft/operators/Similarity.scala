@@ -704,7 +704,25 @@ object Similarity {
         struct(lit(s).as("sub"),
           slice(col("vm"), s * dsub + 1, dsub).as("sv"))): _*)).as("e"))
       .select(col("id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
-    val seedRows = base.orderBy("id").limit(k).select("vm").collect()
+    // Seed codewords in HASH order, never id order (round 16 — a REAL
+    // degeneracy the new recall row caught): inside ivfPqFit this fit
+    // runs on coarse RESIDUALS, and the coarse seeds are themselves the
+    // lowest-nlist ids — so with id-ordered seeds and k <= nlist (every
+    // production geometry: adaptiveNlist >> 16), all k PQ seeds were
+    // coarse centroids whose residuals are EXACTLY ZERO. k identical
+    // zero codewords tie every assignment to code 0, the single Lloyd
+    // update collapses the codebook to one codeword, and ADC distances
+    // degenerate to a per-cell constant — search ranked by neighbor id.
+    // The oracle rows stayed green because the SQL replays the same
+    // seed rule (self-consistent, quality-blind). Hash-spread seeds are
+    // deterministic, engine-replayable (md5 — the oracles' sqlHash60),
+    // and generically distinct/nonzero. Measured at the 50x ladder
+    // notch (m=4/k=16/nlist=316, 20 queries): ADC recall@10 went from
+    // id-tie noise to rank-bearing, and nprobe/m became live knobs.
+    val seedRows = base.orderBy(
+        graft.functions.TextFunctions.hash60(
+          concat(lit("pqseed:"), col("id").cast("string"))), col("id"))
+      .limit(k).select("vm").collect()
       .map(_.getSeq[Double](0).toArray)
     if (seedRows.isEmpty)
       return Pq.Model(
