@@ -82,10 +82,13 @@ object CurationStream {
              idCol: String = "doc_id", textCol: String = "text"): FrozenCuration = {
     val cleaned = referenceDocs.withColumn(textCol,
       TextAnalysis.cleanText(col(textCol)))
-    val scored = graft.core.CacheScope.persist(
-      Dsir.scoreAll(cleaned, targetPred, numBuckets, idCol, textCol))
-    // rebuild the weight table the scores came from (same arithmetic), as
-    // the frozen per-batch scoring artifact
+    // ONE tokenize+explode+hash pass over the reference (round 16): the
+    // persisted per-doc feature table feeds the frozen weight table AND
+    // the score ceiling below. The previous shape called Dsir.scoreAll
+    // beside hashedFeatures, re-running the identical unigram+bigram
+    // explode-aggregate a second time — the heaviest DSIR scan in the
+    // freeze, paid twice for the same bytes (SCALE.json
+    // frozen_freeze_staged named scalar_cuts the dominant stage).
     val feats = graft.core.CacheScope.persist(
       Dsir.hashedFeatures(cleaned, numBuckets, idCol, textCol))
     val tf = feats.join(
@@ -94,6 +97,17 @@ object CurationStream {
     // the session owner's per-batch CacheScope.release() must not evict
     // them; [[release]] unpersists the whole frozen set explicitly
     val weights = Dsir.importanceWeights(tf, feats, numBuckets).persist()
+    // reference scores from the SAME persisted feature table and the SAME
+    // frozen weight table — identical hash salt, identical micro-nat
+    // rounding, so scoreMax is value-identical to what Dsir.scoreAll
+    // produced (scoreAll's internal weight formula is
+    // Dsir.weightsFromCounts to the bit); only the redundant second
+    // feature pass is gone. Geometry-sized broadcast: the weight table is
+    // <= numBuckets rows by construction.
+    val scored = feats
+      .join(org.apache.spark.sql.functions.broadcast(weights), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt") * col("w_micro")).as("score_micro"))
     // a degenerate reference (no tokenizable docs -> no features -> no
     // scores) must fail LOUDLY at freeze time, not NPE or ship a model
     // that silently drops every arriving batch
@@ -130,9 +144,17 @@ object CurationStream {
     val seenBloom = Sketches
       .bloomBuildSharded(seen, "h", seenShards, seenBits, bloomHashes)
       .persist()
-    val kn3 = TextRanking.kn3ModelFromTrigrams(
-      graft.operators.TextOps.ngrams(cleaned, 3, idCol, textCol),
-      tracked = false)
+    // the reference trigram table is consumed TWICE — the model build's
+    // first aggregate (triTot) and the full-corpus scoring pass that
+    // selects the perplexity cutoff below. Persist it once (freeze-local
+    // lifetime, unpersisted right after the cutoff lands): the clean+
+    // tokenize+explode over every reference character is the heaviest
+    // KN3 scan, and re-running it for the scoring pass doubled it
+    // (round 16; MEMORY_AND_DISK default, so an instance-sized table
+    // spills rather than evicting the frozen artifacts)
+    val refTri = graft.operators.TextOps
+      .ngrams(cleaned, 3, idCol, textCol).persist()
+    val kn3 = TextRanking.kn3ModelFromTrigrams(refTri, tracked = false)
     // The frozen LM artifact is the model COLLAPSED to its scoring form:
     // one (w0,w1,w2,lp_scaled) table (TextRanking.kn3LogProbs),
     // materialized here ONCE. Per-batch scoring then joins the arriving
@@ -148,9 +170,7 @@ object CurationStream {
     // round(), not a truncating cast (ce*1e6 is integer-valued only up to
     // fp representation). The cut is selected by distributed rank (see
     // below), so the freeze holds for a reference corpus of any size.
-    val ce = TextRanking.kn3ScoreTrigramsMerged(
-        graft.operators.TextOps.ngrams(cleaned, 3, idCol, textCol),
-        kn3Lp, idCol)
+    val ce = TextRanking.kn3ScoreTrigramsMerged(refTri, kn3Lp, idCol)
       .select(round(col("cross_entropy") * 1e6, 0).cast("long")
         .as("ce_micro"), col(idCol))
     val n = ce.count()
@@ -172,7 +192,7 @@ object CurationStream {
     // the cut computation above materialized kn3Lp; the factor tables
     // have served their purpose — release them so the frozen footprint
     // is the log-prob table alone
-    Seq(kn3.triTot, kn3.s01, kn3.cont, kn3.mid, kn3.nl)
+    Seq(refTri, kn3.triTot, kn3.s01, kn3.cont, kn3.mid, kn3.nl)
       .foreach(_.unpersist(blocking = false))
     FrozenCuration(weights, numBuckets, scoreMax, temperature, evalSh,
       evalBloom, seen, seenBloom, kn3Lp, ceCut, shingleN, evalBits,
