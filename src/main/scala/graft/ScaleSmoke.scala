@@ -762,7 +762,15 @@ object ScaleSmoke {
     // (same frames, same order). Opt-in by name (a default run already
     // pays two freezes); run with `ScaleSmoke <factor> frozen_freeze`.
     if (only.exists(o => "frozen_freeze_staged".startsWith(o))) {
-      val refHalf = base.filter(col("doc_id") % 2 === 0)
+      // freeze on the REPLICATED corpus half, not the fixed base half
+      // (round 16): freeze cost scales with the REFERENCE corpus — a
+      // factor that only grew the arriving batch made this row a
+      // constant, not a ladder. Unsalted replication keeps the model
+      // TYPE tables (vocab, trigram types, distinct hashes/shingles)
+      // base-sized while every scan processes factor-x instances —
+      // exactly the scan-cost share the single-pass freeze shape (one
+      // DSIR explode, one persisted trigram table) is designed around.
+      val refHalf = docs.filter(col("doc_id") % 2 === 0)
       val t0 = System.nanoTime()
       var prev = t0
       def lap(): Double = {
