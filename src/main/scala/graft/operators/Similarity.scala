@@ -1177,7 +1177,18 @@ object Similarity {
     * codes, one Lloyd update). Scale shape: both assignments are row-local
     * projections against literal geometry; the only aggregates are
     * pqFit's k x dim codebook update — nothing driver-side grows with the
-    * corpus. */
+    * corpus.
+    *
+    * GEOMETRY GUIDANCE, measured (SCALE.json `ivfpq_recall_*` rows,
+    * round 16): the m=4/k=16 default (16-dim subspaces, 16-bit codes) is
+    * a WALL-PRICING geometry — its ADC cannot rank within near-duplicate
+    * clusters (recall@10 ~0.13 refined at the 800x notch). Recall-bearing
+    * search over 64-dim unit vectors wants m=16 (4-dim subspaces, 8-byte
+    * codes: ~2.5x the ADC recall, 0.31-0.34 refined at 800x and 0.93 at
+    * 50x with nprobe=16 + refine=4) — encode cost is the same two
+    * row-local passes, the codes table is 4x wider, and search wall was
+    * measured FASTER (fewer within-cell ties to break). Re-measure with
+    * `ScaleSmoke <factor> ivfpq_recall` when changing geometry. */
   def ivfPqFit(corpus: DataFrame, nlist: Int = 8, m: Int = 4, k: Int = 16,
                dim: Int = -1, idCol: String = "vec_id",
                vecCol: String = "embedding",
