@@ -483,6 +483,49 @@ object ScaleSmoke {
         }
         mdl.pq.codes.unpersist(blocking = false)
       }
+      // COSINE-family recall on the same sampled truth (round 16): the
+      // ivfpq rows guard the PQ path but knnIvf (cosine IVF) and
+      // knnLshMulti had no measured quality anywhere. Both are self-join
+      // kNN operators (every corpus vector is a query), so the
+      // measurement runs the operator as-is — the same work the wall
+      // ladder prices — and evaluates only the sampled ids' neighbor
+      // sets against a cosine brute-force truth.
+      val qidList = truth.keys.toSeq
+      val truthCos = topSets(Similarity.knnBrute(jit, qs, k = 10)
+        .select(col("query_id"), col("neighbor_id")))
+      def recallCosOf(got: Map[Long, Set[Long]]): Double =
+        truthCos.map { case (q, ts) =>
+          got.get(q).map(g => (g & ts).size.toDouble / ts.size).getOrElse(0.0)
+        }.sum / truthCos.size
+      for (np <- Seq(1, 4)) {
+        val t0 = System.nanoTime()
+        val rec = recallCosOf(topSets(
+          Similarity.knnIvf(jit, k = 10, nlist = ivfCells, nprobe = np)
+            .filter(col("query_id").isin(qidList: _*))
+            .select(col("query_id"), col("neighbor_id"))))
+        val w = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] knn_ivf_recall np=$np recall@10=$rec%.4f " +
+          f"($w%.2f s)")
+        record(s"knn_ivf_recall_np$np", factor, w, truthCos.size.toLong,
+          counters = Seq(("recall_at_10", rec), ("nprobe", np.toDouble),
+            ("nlist", ivfCells.toDouble), ("jitter_amp", 0.1)))
+      }
+      locally {
+        val nb = Similarity.adaptiveNbits(nVec)
+        val t0 = System.nanoTime()
+        val rec = recallCosOf(topSets(
+          Similarity.knnLshMulti(jit, k = 10, nbits = nb, tables = 4,
+            dim = 64)
+            .filter(col("query_id").isin(qidList: _*))
+            .select(col("query_id"), col("neighbor_id"))))
+        val w = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] knn_lsh_multi_recall t=4 b=$nb " +
+          f"recall@10=$rec%.4f ($w%.2f s)")
+        record(s"knn_lsh_multi_recall_t4_b$nb", factor, w,
+          truthCos.size.toLong,
+          counters = Seq(("recall_at_10", rec), ("tables", 4.0),
+            ("nbits", nb.toDouble), ("jitter_amp", 0.1)))
+      }
       qs.unpersist(blocking = false)
       jit.unpersist(blocking = false)
       graft.core.CacheScope.release()
