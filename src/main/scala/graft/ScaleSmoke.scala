@@ -481,6 +481,25 @@ object ScaleSmoke {
               ("m", mm.toDouble),
               ("nlist", ivfCells.toDouble), ("jitter_amp", 0.1)))
         }
+        // refine-starvation probe (round 16): at 800x the refined path
+        // stalled at 0.34 while exact-in-cell knnIvf reached 0.90 — if
+        // the ADC top-(topk*refine) candidate list is what starves the
+        // exact re-rank, a larger refine multiplier closes the gap at
+        // candidate-sized cost. One extra point at the recall-bearing
+        // geometry (m=16, np=16) with refine=16.
+        if (mm == 16) {
+          val t2 = System.nanoTime()
+          val recW = recallOf(topSets(Similarity.ivfPqSearchRefined(mdl, qs,
+            jit, topk = 10, m = mm, dim = 64, nprobe = 16, refine = 16)))
+          val w2 = (System.nanoTime() - t2) / 1e9
+          println(f"[scale] ivfpq_recall m=$mm np=16 refine=16 " +
+            f"recall@10=$recW%.4f ($w2%.2f s)")
+          record(s"ivfpq_recall_refined_m${mm}_np16_r16", factor, w2,
+            truth.size.toLong,
+            counters = Seq(("recall_at_10", recW), ("nprobe", 16.0),
+              ("m", mm.toDouble), ("refine", 16.0),
+              ("nlist", ivfCells.toDouble), ("jitter_amp", 0.1)))
+        }
         mdl.pq.codes.unpersist(blocking = false)
       }
       // COSINE-family recall on the same sampled truth (round 16): the

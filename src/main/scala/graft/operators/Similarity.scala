@@ -1187,7 +1187,12 @@ object Similarity {
     * codes: ~2.5x the ADC recall, 0.31-0.34 refined at 800x and 0.93 at
     * 50x with nprobe=16 + refine=4) — encode cost is the same two
     * row-local passes, the codes table is 4x wider, and search wall was
-    * measured FASTER (fewer within-cell ties to break). Re-measure with
+    * measured FASTER (fewer within-cell ties to break). When the
+    * clusters are dense, REFINE is the lever, not nprobe: at 800x,
+    * refine=16 lifted refined recall 0.34 -> 0.70 at the same wall
+    * (the exact re-rank is candidate-sized — it was starved at
+    * refine=4, not probe-limited), while exact-in-cell [[knnIvf]]
+    * reads 0.83-0.90 holding full vectors. Re-measure with
     * `ScaleSmoke <factor> ivfpq_recall` when changing geometry. */
   def ivfPqFit(corpus: DataFrame, nlist: Int = 8, m: Int = 4, k: Int = 16,
                dim: Int = -1, idCol: String = "vec_id",
