@@ -297,8 +297,61 @@ object Bench {
       finally src.close()
     } catch { case _: Exception => "unknown" }
     val nCores = Runtime.getRuntime.availableProcessors()
+    // Per-query regression watch (VERDICT r16 #8): the 2x gate is defined
+    // on suite TOTALS, so one slow query can hide under a fast total.
+    // Compare this run's per-query MEDIANS against the previous
+    // BENCH_LAST.json (read before it is overwritten below) and record
+    // every query whose median exceeds 2x its predecessor — but ONLY when
+    // both calibration probes are flat (<= 1.5x the previous run's), so
+    // host drift (the adjudicated r15/r16 swing mode) never lands in the
+    // watch list as a fake code regression. Non-fatal by design: the
+    // driver consumes exit 0; the artifact carries the flag.
+    val prevBench: Option[String] =
+      try {
+        val p = java.nio.file.Paths.get("BENCH_LAST.json")
+        if (java.nio.file.Files.exists(p))
+          Some(java.nio.file.Files.readString(p))
+        else None
+      } catch { case _: Exception => None }
+    def mediansOf(json: String, key: String): Map[String, Double] =
+      ("\"" + key + "\":\\{([^}]*)\\}").r.findFirstMatchIn(json)
+        .map(_.group(1)).toSeq.flatMap { body =>
+          "\"([^\"]+)\":([0-9][0-9.]*)".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble)
+        }.toMap
+    def scalarOf(json: String, key: String): Option[Double] =
+      ("\"" + key + "\":(-?[0-9][0-9.]*)").r.findFirstMatchIn(json)
+        .map(_.group(1).toDouble)
+    val watchJson = prevBench match {
+      case _ if sys.env.get("SPARK_GRAFT_WATCH").contains("false") => "[]"
+      case None => "[]"
+      case Some(prev) =>
+        val calibFlat = Seq(("calib_sec", calib), ("calib_io_sec", calibIo))
+          .forall { case (k, cur) =>
+            scalarOf(prev, k).forall(p => p <= 0 || cur <= 0 || cur <= 1.5 * p)
+          }
+        if (!calibFlat) {
+          System.err.println("[bench] watch list suppressed: calibration " +
+            "probes moved >1.5x vs the previous run (host drift, not code)")
+          "[]"
+        } else {
+          val prevMed = mediansOf(prev, "query_medians") ++
+            mediansOf(prev, "pipeline_medians")
+          val slow = (results ++ pipelineResults).flatMap { case (k, v) =>
+            (medianOk(v), prevMed.get(k)) match {
+              case (Some(cur), Some(p)) if p > 0 && cur > 2 * p =>
+                System.err.println(
+                  f"[bench] WATCH $k: median $cur%.3fs > 2x previous $p%.3fs" +
+                    " with calibs flat")
+                Some("\"" + k + "\"")
+              case _ => None
+            }
+          }
+          slow.mkString("[", ",", "]")
+        }
+    }
     val commonTail =
-      s""""failed":$failedJson,""" +
+      s""""watch":$watchJson,"failed":$failedJson,""" +
         f""""calib_sec":$calib%.3f,"calib_io_sec":$calibIo%.3f,""" +
         s""""calib_tries":$calibTries,"contended":$contended,""" +
         s""""host_cpu":"${cpuModel.replace("\\", "/").replace("\"", "'")}","host_cores":$nCores,""" +

@@ -95,6 +95,10 @@ object BenchAB {
     val (code, out) = run(cmd, scratch, Map(
       "SPARK_GRAFT_SF_DIR" -> sfDir,
       "SPARK_GRAFT_AQE_BOTH" -> "false",
+      // alternating children share the scratch dir's BENCH_LAST.json, so
+      // the regression watch would "compare" A against B — that is this
+      // harness's OWN job, done properly with ratios; suppress it
+      "SPARK_GRAFT_WATCH" -> "false",
       "SPARK_GRAFT_CPUS" -> sys.env.getOrElse("SPARK_GRAFT_CPUS",
         Runtime.getRuntime.availableProcessors().toString)))
     require(code == 0, s"child Bench exited $code (classes: $classesDir)")
@@ -108,7 +112,18 @@ object BenchAB {
       "usage: BenchAB <refA> [refB|WORKTREE] [alternations]")
     val refA = args(0)
     val refB = if (args.length > 1) args(1) else "WORKTREE"
-    val rounds = if (args.length > 2) args(2).toInt else 2
+    val rounds = if (args.length > 2) args(2).toInt else 4
+    // Noise floor, self-calibrated by the committed r16 artifact
+    // (ABBENCH.json's own 2-vs-4 alternation pair): at 2 alternations
+    // diff-empty queries swing ±20-40%, settling only at 4. Per-query
+    // ratios from fewer than 4 alternations are NOT adjudicable and
+    // totals need >= 4 — warn loudly rather than let a below-floor run
+    // masquerade as an adjudication (VERDICT r16 #7).
+    if (rounds < 4)
+      System.err.println(s"[benchab] WARNING: $rounds alternations is " +
+        "below the measured noise floor — per-query ratios swing " +
+        "±20-40% at 2 alternations (see README, 'A/B noise floor'); " +
+        "use >= 4 for an adjudicable comparison")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val repo = new java.io.File(".").getCanonicalFile
 

@@ -113,6 +113,15 @@ object Queries {
   private def sqlHash60(x: String): String =
     s"CAST('0x' || substring(md5($x), 1, 15) AS BIGINT)"
 
+  /** The pqFit codeword-seed ORDER BY, shared by all four PQ oracle
+    * replays (e_pq_adc, e_ivf_pq, e_ivf_pq_probe, e_ivf_pq_refine) —
+    * ONE definition of the hash-spread seed rule so the replays cannot
+    * drift from each other or from the Scala hash60 contract on a
+    * future edit (ADVICE r16; the rule itself is the round-16
+    * codebook-collapse fix: seeds in hash order, never id order). */
+  private lazy val sqlPqSeedOrder: String =
+    s"${sqlHash60("'pqseed:' || CAST(vec_id AS VARCHAR)")}, vec_id"
+
   /** BPE replay chain (6 rounds) over $ToksCte/$StreamCte: wbpe is the
     * lowercased [a-z]+ word-frequency table, s0..s6 the boundary-safe
     * symbol states (word carried through), t1..t6 each round's winning
@@ -5248,14 +5257,14 @@ object Queries {
             topk = 5, m = 4, dim = 64)
           .orderBy("query_id", "rank")
       },
-      Some("""WITH vm AS (SELECT vec_id,
+      Some(s"""WITH vm AS (SELECT vec_id,
         |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000, 0)) AS vm
         |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
         |ve AS (SELECT vec_id, unnest(range(0, len(vm))) AS dim,
         |    CAST(unnest(vm) AS BIGINT) AS v FROM vm),
         |seeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY
-        |      CAST('0x' || substring(md5('pqseed:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id) - 1 AS INT) AS code
-        |  FROM vm ORDER BY CAST('0x' || substring(md5('pqseed:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id LIMIT 16),
+        |      $sqlPqSeedOrder) - 1 AS INT) AS code
+        |  FROM vm ORDER BY $sqlPqSeedOrder LIMIT 16),
         |c0 AS (SELECT s.code, ve.dim, ve.v AS cm
         |  FROM seeds s JOIN ve ON s.vec_id = ve.vec_id),
         |d1 AS (SELECT ve.vec_id, ve.dim // 16 AS sub, c.code,
@@ -5304,7 +5313,7 @@ object Queries {
             topk = 5, m = 4, dim = 64)
           .orderBy("query_id", "rank")
       },
-      Some("""WITH vm AS (SELECT vec_id,
+      Some(s"""WITH vm AS (SELECT vec_id,
         |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000, 0)) AS vm
         |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
         |ve AS (SELECT vec_id, unnest(range(0, len(vm))) AS dim,
@@ -5324,8 +5333,8 @@ object Queries {
         |  FROM ve JOIN ca a ON ve.vec_id = a.vec_id
         |  JOIN cc c ON c.cell = a.cell AND c.dim = ve.dim),
         |ps AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY
-        |      CAST('0x' || substring(md5('pqseed:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id) - 1 AS INT) AS code
-        |  FROM vm ORDER BY CAST('0x' || substring(md5('pqseed:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id LIMIT 16),
+        |      $sqlPqSeedOrder) - 1 AS INT) AS code
+        |  FROM vm ORDER BY $sqlPqSeedOrder LIMIT 16),
         |p0 AS (SELECT s.code, r.dim, r.r AS cm
         |  FROM ps s JOIN res r ON s.vec_id = r.vec_id),
         |pd1 AS (SELECT res.vec_id, res.dim // 16 AS sub, c.code,
@@ -5379,7 +5388,7 @@ object Queries {
             topk = 5, m = 4, dim = 64, nprobe = 2)
           .orderBy("query_id", "rank")
       },
-      Some("""WITH vm AS (SELECT vec_id,
+      Some(s"""WITH vm AS (SELECT vec_id,
         |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000, 0)) AS vm
         |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
         |ve AS (SELECT vec_id, unnest(range(0, len(vm))) AS dim,
@@ -5409,8 +5418,8 @@ object Queries {
         |  FROM ve JOIN ca2 a ON ve.vec_id = a.vec_id
         |  JOIN cu c ON c.cell = a.cell AND c.dim = ve.dim),
         |ps AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY
-        |      CAST('0x' || substring(md5('pqseed:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id) - 1 AS INT) AS code
-        |  FROM vm ORDER BY CAST('0x' || substring(md5('pqseed:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id LIMIT 16),
+        |      $sqlPqSeedOrder) - 1 AS INT) AS code
+        |  FROM vm ORDER BY $sqlPqSeedOrder LIMIT 16),
         |p0 AS (SELECT s.code, r.dim, r.r AS cm
         |  FROM ps s JOIN res r ON s.vec_id = r.vec_id),
         |pd1 AS (SELECT res.vec_id, res.dim // 16 AS sub, c.code,
@@ -5491,7 +5500,7 @@ object Queries {
             emb, topk = 5, m = 4, dim = 64, nprobe = 1, refine = 4)
           .orderBy("query_id", "rank")
       },
-      Some("""WITH vm AS (SELECT vec_id,
+      Some(s"""WITH vm AS (SELECT vec_id,
         |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000, 0)) AS vm
         |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
         |ve AS (SELECT vec_id, unnest(range(0, len(vm))) AS dim,
@@ -5511,8 +5520,8 @@ object Queries {
         |  FROM ve JOIN ca a ON ve.vec_id = a.vec_id
         |  JOIN cc c ON c.cell = a.cell AND c.dim = ve.dim),
         |ps AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY
-        |      CAST('0x' || substring(md5('pqseed:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id) - 1 AS INT) AS code
-        |  FROM vm ORDER BY CAST('0x' || substring(md5('pqseed:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id LIMIT 16),
+        |      $sqlPqSeedOrder) - 1 AS INT) AS code
+        |  FROM vm ORDER BY $sqlPqSeedOrder LIMIT 16),
         |p0 AS (SELECT s.code, r.dim, r.r AS cm
         |  FROM ps s JOIN res r ON s.vec_id = r.vec_id),
         |pd1 AS (SELECT res.vec_id, res.dim // 16 AS sub, c.code,

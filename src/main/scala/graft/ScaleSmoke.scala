@@ -442,6 +442,11 @@ object ScaleSmoke {
           .map(r => (r.getLong(0), r.getLong(1))).toSeq
           .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
       val truth = topSets(Similarity.knnBruteL2(jit, qs, k = 10))
+      // loud, not NaN: an unlucky hash sample with zero query ids would
+      // otherwise divide by truth.size == 0 and append silent NaN recall
+      // rows into the append-only SCALE.json (ADVICE r16)
+      require(truth.nonEmpty,
+        "ivfpq_recall: hash sample produced no queries at this factor")
       def recallOf(got: Map[Long, Set[Long]]): Double =
         truth.map { case (q, ts) =>
           got.get(q).map(g => (g & ts).size.toDouble / ts.size).getOrElse(0.0)
@@ -454,7 +459,13 @@ object ScaleSmoke {
       // (4-dim subspaces, 8-byte codes) is the recall-bearing geometry;
       // recording both makes the speed-for-recall trade a DIFF in the
       // artifact instead of an invisible constant.
-      for (mm <- Seq(4, 16)) {
+      // past 3200x the m=4 half of the sweep is dropped: its verdict is
+      // ladder-settled (wall-pricing geometry, recall 0.02-0.13, decaying
+      // — three notches of evidence) and each extra point costs a full
+      // 12.8M-vector fit; 6400x measures what matters there — the
+      // recall-bearing m=16 family and the defaults row
+      val mSweep = if (factor > 3200) Seq(16) else Seq(4, 16)
+      for (mm <- mSweep) {
         val mdl = Similarity.ivfPqFit(jit, nlist = ivfCells, m = mm, k = 16,
           dim = 64)
         mdl.cells.count(); mdl.pq.codes.persist().count()
@@ -502,13 +513,45 @@ object ScaleSmoke {
         }
         mdl.pq.codes.unpersist(blocking = false)
       }
+      // THE DEFAULTS ROW (VERDICT r16 #1/#2): fit and search with every
+      // geometry knob left to its auto-scaled default — nlist from
+      // adaptiveNlist, m from adaptiveM, refine from adaptiveRefine on
+      // the index's own cell occupancy, nprobe 1 — so what a caller gets
+      // OUT OF THE BOX is a ladder artifact, not scaladoc guidance, and
+      // the occupancy-scaled refine is measured against the fixed-refine
+      // decay (0.70 at 800x -> 0.64 at 3200x at refine=16) notch by
+      // notch. Resolved knobs ride the counters so a future defaults
+      // change shows up as a counter diff, not a silent re-key.
+      locally {
+        val mdl = Similarity.ivfPqFit(jit, dim = 64)
+        mdl.cells.count(); mdl.pq.codes.persist().count()
+        val mRes = mdl.pq.codebooks.map(_._1).max + 1
+        val rfRes = Similarity.adaptiveRefine(
+          nVec.toDouble / mdl.centroids.size, 10)
+        val t0 = System.nanoTime()
+        val rec = recallOf(topSets(Similarity.ivfPqSearchRefined(mdl, qs,
+          jit, topk = 10, dim = 64)))
+        val w0 = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] ivfpq_recall defaults (m=$mRes np=1 refine=$rfRes" +
+          f" nlist=${mdl.centroids.size}) recall@10=$rec%.4f ($w0%.2f s)")
+        record("ivfpq_recall_refined_defaults", factor, w0, truth.size.toLong,
+          counters = Seq(("recall_at_10", rec), ("nprobe", 1.0),
+            ("m", mRes.toDouble), ("refine", rfRes.toDouble),
+            ("nlist", mdl.centroids.size.toDouble), ("jitter_amp", 0.1)))
+        mdl.pq.codes.unpersist(blocking = false)
+      }
       // COSINE-family recall on the same sampled truth (round 16): the
       // ivfpq rows guard the PQ path but knnIvf (cosine IVF) and
       // knnLshMulti had no measured quality anywhere. Both are self-join
       // kNN operators (every corpus vector is a query), so the
       // measurement runs the operator as-is — the same work the wall
       // ladder prices — and evaluates only the sampled ids' neighbor
-      // sets against a cosine brute-force truth.
+      // sets against a cosine brute-force truth. Separately gated
+      // ("knn_recall") since round 17: these are the block's two
+      // heaviest rows (self-join kNN over the WHOLE replicated corpus —
+      // 135 s and 300 s at 800x), and an `only ivfpq_recall` ladder run
+      // at a big factor should not pay for them implicitly.
+      if (only.isEmpty || only.exists(o => "knn_recall".startsWith(o))) {
       val qidList = truth.keys.toSeq
       val truthCos = topSets(Similarity.knnBrute(jit, qs, k = 10)
         .select(col("query_id"), col("neighbor_id")))
@@ -540,10 +583,14 @@ object ScaleSmoke {
         val w = (System.nanoTime() - t0) / 1e9
         println(f"[scale] knn_lsh_multi_recall t=4 b=$nb " +
           f"recall@10=$rec%.4f ($w%.2f s)")
-        record(s"knn_lsh_multi_recall_t4_b$nb", factor, w,
+        // row name is FACTOR-STABLE (ADVICE r16): nbits adapts per
+        // notch and already rides the counters — embedding it in the
+        // key broke cross-factor comparison by name
+        record("knn_lsh_multi_recall_t4", factor, w,
           truthCos.size.toLong,
           counters = Seq(("recall_at_10", rec), ("tables", 4.0),
             ("nbits", nb.toDouble), ("jitter_amp", 0.1)))
+      }
       }
       qs.unpersist(blocking = false)
       jit.unpersist(blocking = false)

@@ -9,11 +9,16 @@ import org.apache.spark.sql.types._
   * metadata struct, flowing through the same partition/shuffle machinery as
   * every other column.
   *
-  * The actual media DECODE step is stubbed (no image/audio libraries in this
-  * environment — clearly marked below); everything around it — schema,
-  * batch shape, partitioning, deterministic frame sampling, feature layout —
-  * is real and tested. Swapping the stub for a JNI/ffmpeg decode keeps the
-  * plan identical.
+  * Image and audio DECODE are REAL, using the JDK's own codecs: images
+  * through `javax.imageio.ImageIO` (PNG/JPEG/BMP/GIF — decode, resize,
+  * aHash below) and audio through `javax.sound.sampled.AudioSystem`
+  * (WAV/AU PCM — sample extraction, energy/VAD), both inside batched
+  * `mapPartitions` so one task amortizes codec setup across its rows.
+  * The documented boundary is INTER-FRAME VIDEO: no bare-JVM codec
+  * exists, so video flows as opaque bytes with deterministic byte-range
+  * frame sampling ([[frameSample]]) standing in for codec-true frame
+  * extraction — swapping in a JNI/ffmpeg decode keeps the plan shape
+  * identical.
   */
 object Multimodal {
 

@@ -205,8 +205,23 @@ object Similarity {
     * same-bucket pairs across tables. A true neighbor colliding with
     * per-plane probability p is recalled with `1 - (1 - p^nbits)^tables`
     * while per-table bucket occupancy — the quadratic term — stays fixed.
-    * This is the 100TB recall strategy: hold nbits at
-    * [[adaptiveNbits]](count) and raise `tables`.
+    *
+    * BATCH CALLERS: USE [[knnIvf]] INSTEAD — measured, not folklore
+    * (SCALE.json, round 16, 800x notch, same sampled truth): this
+    * operator at t=4, nbits=adaptiveNbits=15 reads recall@10 0.26 for
+    * 295-314 s, while exact-in-cell [[knnIvf]] reads 0.83 at nprobe=1
+    * for 135 s and 0.90 at nprobe=4 — the worst quality-per-second in
+    * the ANN family by ~7x. The gap is structural at this workload
+    * shape, not a tuning miss: with cluster-sibling collision
+    * probability p ~ 0.8 per plane, recall 0.6 at nbits=15 needs
+    * tables ~ 28 (7x the candidate work, ~2000 s), and shortening
+    * codes instead (nbits 15 -> 11) multiplies per-table bucket
+    * occupancy — the quadratic term — by 16. knnLshMulti remains the
+    * right operator in exactly ONE role: STREAMING GROWTH, where
+    * [[graft.streaming.NearDupStream]] needs a bucket function that is
+    * stable under appends (IVF cells re-seed as the corpus grows; the
+    * deterministic plane matrix never does). For that role, hold nbits
+    * at [[adaptiveNbits]](count) and raise `tables`.
     *
     * One bucketed table with an exploded (table, bucket) key; the join is
     * still a single hash-partitioned equi-join. Duplicate candidate pairs
@@ -476,6 +491,47 @@ object Similarity {
     math.min(maxList.toDouble, math.max(minList.toDouble, s)).toInt
   }
 
+  /** PQ subspace count for a `dim`-wide embedding — the divisor of dim
+    * whose subspace width is closest to 4 (ties to the NARROWER
+    * subspace, i.e. more subspaces). Measured (SCALE.json
+    * `ivfpq_recall_*`, rounds 16-17): over 64-dim unit vectors the old
+    * m=4 default (16-dim subspaces) cannot rank within near-duplicate
+    * clusters — ADC recall@10 0.05 at the 800x notch — while m=16
+    * (4-dim subspaces) reads ~2.5-3x that at the SAME two row-local
+    * encode passes and a FASTER measured search wall (fewer within-cell
+    * ties). 4-dim subspaces with k=16 codewords spend one 4-bit code
+    * per 4 dims — the classic PQ operating point (Jégou et al., TPAMI
+    * 2011 use 8-dim x 256 codes; at k=16 halving the subspace keeps
+    * codewords-per-degree-of-freedom comparable). A prime dim degrades
+    * to m=dim (scalar quantization per dimension) — still valid, codes
+    * dim bytes wide. */
+  def adaptiveM(dim: Int, targetDsub: Int = 4): Int = {
+    require(dim >= 1, s"need dim >= 1, got $dim")
+    val dsub = (1 to dim).filter(dim % _ == 0)
+      .minBy(w => (math.abs(w - targetDsub), w))
+    dim / dsub
+  }
+
+  /** Refine multiplier for [[ivfPqSearchRefined]] — candidate list sized
+    * to the average coarse-cell occupancy: ceil(occupancy / topk),
+    * floored at 16, capped at `cap`. WHY occupancy: the round-16
+    * refine-starvation probe proved candidates, not probes, bind in
+    * dense clusters (refine 4 -> 16 lifted refined recall@10 0.34 ->
+    * 0.70 at 800x at the same wall, while nprobe 1 -> 16 moved it
+    * ~0.03); when topk*refine covers a whole cell, the refined result
+    * equals the EXACT in-cell ranking ([[knnIvf]]'s measured 0.83-0.90)
+    * because every probed-cell member reaches the exact re-rank. With
+    * [[adaptiveNlist]]'s sqrt rule, occupancy ~ sqrt(n), so this is the
+    * knob that auto-compensates the measured recall decay with corpus
+    * growth (0.70 at 800x -> 0.64 at 3200x at FIXED refine=16). Cost is
+    * candidate-sized only: the ADC scan is unchanged and the exact
+    * re-rank runs on queries x topk*refine rows. */
+  def adaptiveRefine(cellOccupancy: Double, topk: Int, floor: Int = 16,
+                     cap: Int = 1024): Int = {
+    val want = math.ceil(cellOccupancy / math.max(topk, 1)).toInt
+    math.min(cap, math.max(floor, want))
+  }
+
   /** Per-label embedding centroids in flat form (label, dim, centroid) —
     * the building block of k-means assignment refinement, class prototypes,
     * and semantic-dedup cluster summaries. Components are integer-scaled
@@ -688,19 +744,22 @@ object Similarity {
       corpus(idCol) === col("id_b"), "left_anti")
 
   /** Train (seed -> assign -> mean update) and encode (final assignment
-    * against the updated codebooks). `dim` must be divisible by `m`. */
-  def pqFit(corpus: DataFrame, m: Int = 4, k: Int = 16, dim: Int = -1,
+    * against the updated codebooks). `dim` must be divisible by `m`;
+    * `m <= 0` (the default) resolves to [[adaptiveM]]'s ~4-dim-subspace
+    * rule — the measured recall-bearing geometry (see [[ivfPqFit]]). */
+  def pqFit(corpus: DataFrame, m: Int = -1, k: Int = 16, dim: Int = -1,
             idCol: String = "vec_id", vecCol: String = "embedding"): Pq.Model = {
     val d = if (dim > 0) dim else sniffDim(corpus, vecCol)
-    require(d % m == 0, s"dim $d not divisible by m subspaces $m")
-    val dsub = d / m
+    val ms = if (m > 0) m else adaptiveM(d)
+    require(d % ms == 0, s"dim $d not divisible by m subspaces $ms")
+    val dsub = d / ms
     val vm = transform(col(vecCol), x => round(x.cast("double") * lit(1e6), 0))
     val base = graft.core.CacheScope.persist(
       corpus.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
         .select(col(idCol).as("id"), vm.as("vm")))
     // one row per (vector, subspace): the unit PQ quantizes
     val subbed = base.select(col("id"),
-      explode(array((0 until m).map(s =>
+      explode(array((0 until ms).map(s =>
         struct(lit(s).as("sub"),
           slice(col("vm"), s * dsub + 1, dsub).as("sv"))): _*)).as("e"))
       .select(col("id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
@@ -729,9 +788,9 @@ object Similarity {
         subbed.select(col("id"), col("sub"), lit(0).as("code"),
           lit(0L).as("dist_sq")).limit(0), Nil)
     val c0: IndexedSeq[IndexedSeq[(Int, Array[Double])]] =
-      (0 until m).map(s => seedRows.toIndexedSeq.zipWithIndex.map {
+      (0 until ms).map(s => seedRows.toIndexedSeq.zipWithIndex.map {
         case (v, ci) => (ci, v.slice(s * dsub, (s + 1) * dsub)) })
-    val a1 = assignSubCodes(subbed, c0, m)
+    val a1 = assignSubCodes(subbed, c0, ms)
     // one Lloyd update: integer micro means per (sub, code, dim) —
     // k * d rows total, bounded by geometry
     val upd = a1
@@ -742,15 +801,15 @@ object Similarity {
         round(col("s").cast("double") / col("n"), 0).as("cm"))
       .collect()
     val c1: IndexedSeq[IndexedSeq[(Int, Array[Double])]] =
-      (0 until m).map { s =>
+      (0 until ms).map { s =>
         upd.filter(_.getInt(0) == s).groupBy(_.getInt(1)).toIndexedSeq
           .sortBy(_._1).map { case (code, rows) =>
             (code, rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray) }
       }
-    val codes = assignSubCodes(subbed, c1, m)
+    val codes = assignSubCodes(subbed, c1, ms)
       .select(col("id"), col("sub"), col("code"), col("dist_sq"))
     Pq.Model(codes,
-      for (s <- 0 until m; (code, cm) <- c1(s)) yield (s, code, cm))
+      for (s <- 0 until ms; (code, cm) <- c1(s)) yield (s, code, cm))
   }
 
   /** Row-local nearest-codeword assignment per (vector, subspace) row:
@@ -1179,22 +1238,27 @@ object Similarity {
     * pqFit's k x dim codebook update — nothing driver-side grows with the
     * corpus.
     *
-    * GEOMETRY GUIDANCE, measured (SCALE.json `ivfpq_recall_*` rows,
-    * round 16): the m=4/k=16 default (16-dim subspaces, 16-bit codes) is
-    * a WALL-PRICING geometry — its ADC cannot rank within near-duplicate
-    * clusters (recall@10 ~0.13 refined at the 800x notch). Recall-bearing
-    * search over 64-dim unit vectors wants m=16 (4-dim subspaces, 8-byte
-    * codes: ~2.5x the ADC recall, 0.31-0.34 refined at 800x and 0.93 at
-    * 50x with nprobe=16 + refine=4) — encode cost is the same two
-    * row-local passes, the codes table is 4x wider, and search wall was
-    * measured FASTER (fewer within-cell ties to break). When the
-    * clusters are dense, REFINE is the lever, not nprobe: at 800x,
-    * refine=16 lifted refined recall 0.34 -> 0.70 at the same wall
-    * (the exact re-rank is candidate-sized — it was starved at
-    * refine=4, not probe-limited), while exact-in-cell [[knnIvf]]
-    * reads 0.83-0.90 holding full vectors. Re-measure with
-    * `ScaleSmoke <factor> ivfpq_recall` when changing geometry. */
-  def ivfPqFit(corpus: DataFrame, nlist: Int = 8, m: Int = 4, k: Int = 16,
+    * THIS IS WHAT THE DEFAULTS DO (round 17 — the round-16 recall rows
+    * proved the old m=4/refine=4 defaults were recall-poor, so the
+    * measured-good geometry IS now the default, auto-scaled):
+    *   - `nlist <= 0` resolves to [[adaptiveNlist]] (sqrt(n) over one
+    *     count of the persisted fit input);
+    *   - `m <= 0` resolves to [[adaptiveM]] (~4-dim subspaces — m=16
+    *     at dim=64), the geometry measured at 2.5-3x the ADC recall of
+    *     m=4 with a FASTER search wall (codes table 4x wider, encode
+    *     cost unchanged: the same two row-local passes);
+    *   - the search-side [[ivfPqSearchRefined]] default refine resolves
+    *     to [[adaptiveRefine]] (cell-occupancy-sized candidates,
+    *     floor 16) — the knob the refine-starvation probe showed binds
+    *     in dense clusters (0.34 -> 0.70 refined recall@10 at 800x at
+    *     the same wall; occupancy-sized refine recovers the EXACT
+    *     in-cell ranking, measured 0.83-0.90 on [[knnIvf]]).
+    * SCALE.json `ivfpq_recall_refined_defaults` rows measure the
+    * resolved defaults per ladder notch; re-measure with
+    * `ScaleSmoke <factor> ivfpq_recall` when changing geometry.
+    * Explicit m=4 remains available as a wall-pricing geometry (codes
+    * 4x narrower; ADC recall ~0.13 refined at 800x with refine=4). */
+  def ivfPqFit(corpus: DataFrame, nlist: Int = -1, m: Int = -1, k: Int = 16,
                dim: Int = -1, idCol: String = "vec_id",
                vecCol: String = "embedding",
                coarseIters: Int = 1): IvfPq.Model = {
@@ -1205,8 +1269,12 @@ object Similarity {
       corpus.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
         .select(col(idCol).as("id"), vm.as("vm"))
         .withColumn("vm2", dot(col("vm"), col("vm"))))
+    // auto-geometry: one count over the just-persisted fit input — cheap
+    // beside the two full encode passes that follow, and it makes the
+    // default index sqrt(n)-celled instead of frozen at a toy constant
+    val nl = if (nlist > 0) nlist else adaptiveNlist(base.count())
     var cents: Seq[(Int, Array[Double])] =
-      base.orderBy("id").limit(nlist).select("vm").collect()
+      base.orderBy("id").limit(nl).select("vm").collect()
         .toIndexedSeq.zipWithIndex
         .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
     // coarseIters > 1: Lloyd-refine the coarse geometry (the kmeansFit
@@ -1479,19 +1547,29 @@ object Similarity {
     * against THAT centroid, builds its m x k partial-distance table (one
     * broadcast — k*m rows per query), and ADC-scores ONLY the vectors
     * whose coarse cell matches (the inverted-file read). Exact integers
-    * end to end; ties to the lowest neighbor id. */
+    * end to end; ties to the lowest neighbor id.
+    *
+    * GEOMETRY IS THE MODEL'S (the [[ivfPqAdd]] rule, extended to search
+    * in round 17): `m <= 0` (the default) derives the subspace count
+    * from the frozen codebooks, and an explicit `m` is only an
+    * assertion — a caller stating the wrong m fails loudly instead of
+    * mis-slicing every query residual. */
   def ivfPqSearch(model: IvfPq.Model, queries: DataFrame, topk: Int,
-                  m: Int = 4, dim: Int = -1, idCol: String = "vec_id",
+                  m: Int = -1, dim: Int = -1, idCol: String = "vec_id",
                   vecCol: String = "embedding", nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, "need nprobe >= 1")
     val spark = queries.sparkSession
-    val d = if (dim > 0) dim else sniffDim(queries, vecCol)
-    require(d % m == 0, s"dim $d not divisible by m subspaces $m")
-    val dsub = d / m
     if (model.centroids.isEmpty || model.pq.codebooks.isEmpty)
       return queries.select(col(idCol).as("query_id"),
         col(idCol).as("neighbor_id"), lit(0L).as("adist"),
         lit(0L).as("rank")).limit(0)
+    val modelM = model.pq.codebooks.map(_._1).max + 1
+    require(m <= 0 || m == modelM,
+      s"caller m=$m contradicts the frozen index's m=$modelM")
+    val ms = modelM
+    val d = if (dim > 0) dim else sniffDim(queries, vecCol)
+    require(d % ms == 0, s"dim $d not divisible by m subspaces $ms")
+    val dsub = d / ms
     import spark.implicits._
     val cb = model.pq.codebooks
       .map { case (s, c, cm) => (s, c, cm.toSeq) }.toDF("sub", "code", "cm")
@@ -1513,7 +1591,7 @@ object Similarity {
           (a, b) => a - b))
       .select(col("query_id"), col("qcell"), col("qr"))
     val qsub = qres.select(col("query_id"), col("qcell"),
-      explode(array((0 until m).map(s =>
+      explode(array((0 until ms).map(s =>
         struct(lit(s).as("sub"),
           slice(col("qr"), s * dsub + 1, dsub).as("qv"))): _*)).as("e"))
       .select(col("query_id"), col("qcell"),
@@ -1552,14 +1630,26 @@ object Similarity {
     *
     * Output: (query_id, neighbor_id, dist, rank) — `dist` is the EXACT
     * integer micro squared-L2 (the [[knnBruteL2]] metric), ties to the
-    * lowest neighbor id. Fully SQL-replayable (`e_ivf_pq_refine`). */
+    * lowest neighbor id. Fully SQL-replayable (`e_ivf_pq_refine`).
+    *
+    * `refine <= 0` (the default) resolves to [[adaptiveRefine]] on the
+    * index's measured cell occupancy (one count over the cells table —
+    * metadata-cheap beside the ADC scan that follows, and the SAME
+    * table the search reads anyway). The round-16 starvation probe is
+    * the evidence: candidates, not probes, bind in dense clusters, and
+    * occupancy-sized candidates recover the exact in-cell ranking. An
+    * explicit refine pins the candidate budget for wall-pricing. */
   def ivfPqSearchRefined(model: IvfPq.Model, queries: DataFrame,
-                         corpus: DataFrame, topk: Int, m: Int = 4,
+                         corpus: DataFrame, topk: Int, m: Int = -1,
                          dim: Int = -1, idCol: String = "vec_id",
                          vecCol: String = "embedding", nprobe: Int = 1,
-                         refine: Int = 4): DataFrame = {
-    require(refine >= 1, "need refine >= 1")
-    val cand = ivfPqSearch(model, queries, topk * refine, m, dim,
+                         refine: Int = -1): DataFrame = {
+    val rf =
+      if (refine > 0) refine
+      else if (model.centroids.isEmpty) 16
+      else adaptiveRefine(
+        model.cells.count().toDouble / model.centroids.size, topk)
+    val cand = ivfPqSearch(model, queries, topk * rf, m, dim,
       idCol, vecCol, nprobe).select(col("query_id"), col("neighbor_id"))
     val vm = transform(col(vecCol), x => round(x.cast("double") * lit(1e6), 0))
     val nv = corpus.filter(col(idCol).isNotNull && col(vecCol).isNotNull)

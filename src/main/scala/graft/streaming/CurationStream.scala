@@ -80,8 +80,16 @@ object CurationStream {
              bloomBits: Int = -1, bloomHashes: Int = 5,
              bitsPerKey: Int = 10, maxBloomBits: Int = 1 << 27,
              idCol: String = "doc_id", textCol: String = "text"): FrozenCuration = {
+    // the cleaned reference text feeds THREE full scans (DSIR features,
+    // the seen-hash distinct, the trigram table) — persist it once
+    // (freeze-local lifetime, MEMORY_AND_DISK so an instance-sized
+    // corpus spills instead of evicting frozen artifacts) so cleanText's
+    // regex chain runs over every reference character ONCE, not three
+    // times (round 17: frozen_freeze_staged named scalar_cuts — the
+    // eager aggregate laps inside this call — as 27.8 of 29.5 s at
+    // 100x; the repeated clean was a third of that lap)
     val cleaned = referenceDocs.withColumn(textCol,
-      TextAnalysis.cleanText(col(textCol)))
+      TextAnalysis.cleanText(col(textCol))).persist()
     // ONE tokenize+explode+hash pass over the reference (round 16): the
     // persisted per-doc feature table feeds the frozen weight table AND
     // the score ceiling below. The previous shape called Dsir.scoreAll
@@ -170,9 +178,14 @@ object CurationStream {
     // round(), not a truncating cast (ce*1e6 is integer-valued only up to
     // fp representation). The cut is selected by distributed rank (see
     // below), so the freeze holds for a reference corpus of any size.
+    // persisted: the cut needs BOTH a count (for the 2n/3 rank) and the
+    // rank-select below — without the persist the trigram scoring join
+    // (the heaviest post-feature pass in the freeze) ran twice, once per
+    // action (round 17, the other half of the scalar_cuts lap)
     val ce = TextRanking.kn3ScoreTrigramsMerged(refTri, kn3Lp, idCol)
       .select(round(col("cross_entropy") * 1e6, 0).cast("long")
         .as("ce_micro"), col(idCol))
+      .persist()
     val n = ce.count()
     val cutRank = (2L * n) / 3L // docs with rank0 < cutRank are kept
     // RANK-based cut, not limit-based: `limit(cutRank.toInt)` capped the
@@ -192,7 +205,7 @@ object CurationStream {
     // the cut computation above materialized kn3Lp; the factor tables
     // have served their purpose — release them so the frozen footprint
     // is the log-prob table alone
-    Seq(refTri, kn3.triTot, kn3.s01, kn3.cont, kn3.mid, kn3.nl)
+    Seq(cleaned, ce, refTri, kn3.triTot, kn3.s01, kn3.cont, kn3.mid, kn3.nl)
       .foreach(_.unpersist(blocking = false))
     FrozenCuration(weights, numBuckets, scoreMax, temperature, evalSh,
       evalBloom, seen, seenBloom, kn3Lp, ceCut, shingleN, evalBits,

@@ -284,6 +284,56 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.adaptiveNlist(Long.MaxValue) == 65536) // cap
   }
 
+  test("adaptiveM picks the divisor nearest 4-dim subspaces") {
+    assert(Similarity.adaptiveM(64) == 16) // dsub 4 — the measured geometry
+    assert(Similarity.adaptiveM(60) == 15) // 4 divides 60
+    assert(Similarity.adaptiveM(8) == 2)
+    assert(Similarity.adaptiveM(6) == 2) // dsub 3: |3-4| beats 2 and 6
+    assert(Similarity.adaptiveM(7) == 7) // prime: ties 1 vs 7 -> narrower
+    assert(Similarity.adaptiveM(1) == 1)
+    assertThrows[IllegalArgumentException](Similarity.adaptiveM(0))
+  }
+
+  test("adaptiveRefine is occupancy-sized with a 16 floor and a cap") {
+    assert(Similarity.adaptiveRefine(10.0, 10) == 16) // floor
+    assert(Similarity.adaptiveRefine(1265.0, 10) == 127) // ceil(occ/topk)
+    assert(Similarity.adaptiveRefine(1e9, 10) == 1024) // cap
+    assert(Similarity.adaptiveRefine(0.0, 0) == 16) // degenerate topk
+  }
+
+  test("default geometry resolves to the measured-good auto-scaled knobs") {
+    // VERDICT r16 #1: the recall rows proved the old m=4/refine=4
+    // defaults were recall-poor at the same wall as the good settings,
+    // so the DEFAULT fit/search must resolve to the adaptive geometry —
+    // pinned here so a signature regression cannot silently revert it.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count()
+    val model = Similarity.ivfPqFit(emb, dim = 64) // everything defaulted
+    assert(model.centroids.size == Similarity.adaptiveNlist(n),
+      s"default nlist ${model.centroids.size} != adaptiveNlist($n)")
+    assert(model.pq.codebooks.map(_._1).max + 1 == Similarity.adaptiveM(64),
+      "default m did not resolve to adaptiveM(dim)")
+    val q = emb.filter($"vec_id" < 5)
+    // search derives m from the frozen codebooks; a wrong explicit m is
+    // a loud contradiction, not a silent mis-slice
+    val viaDefault = Similarity.ivfPqSearch(model, q, topk = 5, dim = 64)
+      .collect().map(_.toSeq).toSet
+    val viaExplicit = Similarity.ivfPqSearch(model, q, topk = 5,
+      m = Similarity.adaptiveM(64), dim = 64).collect().map(_.toSeq).toSet
+    assert(viaDefault == viaExplicit)
+    assertThrows[IllegalArgumentException](
+      Similarity.ivfPqSearch(model, q, topk = 5, m = 4, dim = 64).collect())
+    // default refine == adaptiveRefine on the index's real occupancy
+    val occ = model.cells.count().toDouble / model.centroids.size
+    val rf = Similarity.adaptiveRefine(occ, 5)
+    val refDefault = Similarity.ivfPqSearchRefined(model, q, emb,
+      topk = 5, dim = 64).collect().map(_.toSeq).toSet
+    val refExplicit = Similarity.ivfPqSearchRefined(model, q, emb,
+      topk = 5, dim = 64, refine = rf).collect().map(_.toSeq).toSet
+    assert(refDefault == refExplicit,
+      s"default refine did not resolve to adaptiveRefine($occ, 5) = $rf")
+  }
+
   test("plane matrix is deterministic and engine-stable in [-0.5, 0.5)") {
     val m1 = Similarity.planeMatrix(8, 64)
     val m2 = Similarity.planeMatrix(8, 64)
