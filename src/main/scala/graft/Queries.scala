@@ -1752,7 +1752,30 @@ object Queries {
     * every downstream plan is the same size as its standalone row's. */
   private[graft] final case class CurationStages(
       cleaned: DataFrame, keptIds: DataFrame, train: DataFrame,
-      decon: DataFrame, surv: DataFrame, finalDocs: DataFrame)
+      decon: DataFrame, surv: DataFrame,
+      private val finalDocsFut: scala.concurrent.Future[DataFrame]) {
+    /** The perplexity-filtered final doc set. Its KN3 model build + rank
+      * + checkpoint run on a BACKGROUND thread started once `surv` is
+      * checkpointed (round 17, guide §2.6): the pipeline/manifest rows
+      * train BPE on `surv` between constructing the stages and consuming
+      * `finalDocs`, and those two multi-job laps (measured 2.5 s and
+      * 4.3 s at sf0.1) are independent — overlapping them makes the row's
+      * wall the longer lap, not the sum. First use blocks until the
+      * checkpoint is done; values are unchanged (same frames, same
+      * deterministic chain, exceptions propagate through Await). */
+    def finalDocs: DataFrame = scala.concurrent.Await
+      .result(finalDocsFut, scala.concurrent.duration.Duration.Inf)
+  }
+
+  /** Daemon pool for [[CurationStages]]' background checkpoint — shared,
+    * unbounded-but-idle-reaped, never blocks JVM exit. */
+  private lazy val stagesPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-curation-stages")
+        t.setDaemon(true)
+        t
+      }))
 
   private def curationStages(s: SparkSession, dir: String): CurationStages =
     curationStagesFrom(rd(s, dir, "documents"))
@@ -1777,11 +1800,14 @@ object Queries {
     val decon = train.join(contaminated, Seq("doc_id"), "left_anti")
     val surv = Dedup.dropExactDuplicates(decon)
       .select("doc_id", "text").localCheckpoint()
-    val keepIds = TextRanking.perplexityBuckets(surv, nBuckets = 3)
-      .filter(col("bucket_id") <= 1).select("doc_id")
-    val finalDocs = surv.join(keepIds, Seq("doc_id"), "left_semi")
-      .localCheckpoint()
-    CurationStages(cleaned, keptIds, train, decon, surv, finalDocs)
+    // background (see CurationStages.finalDocs): everything below depends
+    // only on the already-checkpointed `surv`
+    val finalDocsFut = scala.concurrent.Future {
+      val keepIds = TextRanking.perplexityBuckets(surv, nBuckets = 3)
+        .filter(col("bucket_id") <= 1).select("doc_id")
+      surv.join(keepIds, Seq("doc_id"), "left_semi").localCheckpoint()
+    }(stagesPool)
+    CurationStages(cleaned, keptIds, train, decon, surv, finalDocsFut)
   }
 
   /** The curation chain's oracle CTE prefix (cleaned corpus `d`, DSIR

@@ -47,13 +47,23 @@ object Bpe {
   }
 
   /** The corpus word-frequency table BPE trains on: lowercased `[a-z]+`
-    * tokens with total occurrence counts — vocabulary-sized. */
+    * tokens with total occurrence counts — vocabulary-sized.
+    *
+    * ONE shuffle (round 17, guide §2.4): grouping the exploded token
+    * stream by the lowered word directly replaces the old two-aggregate
+    * chain (per-doc unigrams, then re-group by word) — the per-document
+    * intermediate carried no information the word table needs, and its
+    * corpus-sized exchange was pure overhead (map-side combine already
+    * collapses each task's occurrences to the vocab before the one
+    * remaining exchange). Totals are identical: Σ_doc count(doc, w) =
+    * count(w). */
   def wordTable(docs: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame =
-    TextOps.unigrams(docs, idCol, textCol)
-      .select(lower(col("token")).as("word"), col("count"))
+    docs.select(explode(
+        graft.functions.TextFunctions.tokens(col(textCol))).as("token"))
+      .select(lower(col("token")).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
-      .groupBy("word").agg(sum("count").as("cnt"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
 
   /** Train `nMerges` rounds; stops early when no pair is left. Returns the
     * merge table in learned order. */
@@ -140,6 +150,22 @@ object Bpe {
     spark.read.parquet(dir).as[Merge].collect().sortBy(_.step).toSeq
   }
 
+  /** Dense ids for a distinct piece table: GEOMETRY-BOUNDED rank — the
+    * piece universe is at most 26 + |merges| rows by construction (the
+    * replace chain only ever yields single letters or merge results), so
+    * a single-partition window is safe BY DESIGN at any corpus size and
+    * the general two-phase [[graft.core.Ids.denseRankBy]] (range-sample
+    * job + pinned cache + offsets join — built for data-sized inputs) is
+    * pure overhead here: it measured 1.55 s of encodeDocuments' 5.1 s at
+    * sf0.1 (round 17). `pmod(length, 1)` is the repo's bounded-window
+    * marker (constant 0, not foldable), same as Ids/TextOps/Sketches.
+    * Values identical: 0-based longs in piece asc order. */
+  private def pieceIds(distinctPieces: DataFrame): DataFrame =
+    distinctPieces.withColumn("piece_id",
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(pmod(length(col("piece")), lit(1)))
+        .orderBy(col("piece"))) - 1).cast("long"))
+
   def encodeDocuments(docs: DataFrame, merges: Seq[Merge],
                       idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
@@ -149,8 +175,7 @@ object Bpe {
     val pieces = graft.core.CacheScope.persist(
       words.select(col(idCol), col("pos"),
         posexplode(encode(col("word"), merges)).as(Seq("sp", "piece"))))
-    val vocab = graft.core.Ids.denseRankBy(
-      pieces.select("piece").distinct(), Seq(col("piece").asc), "piece_id")
+    val vocab = pieceIds(pieces.select("piece").distinct())
     pieces.join(broadcast(vocab), Seq("piece"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_pieces"),
@@ -166,13 +191,11 @@ object Bpe {
     * 26 + |merges| rows). */
   def pieceVocab(docs: DataFrame, merges: Seq[Merge],
                  textCol: String = "text"): DataFrame =
-    graft.core.Ids.denseRankBy(
-      docs.select(
-          explode(graft.functions.TextFunctions.tokens(col(textCol)))
-            .as("word"))
-        .select(explode(encode(col("word"), merges)).as("piece"))
-        .distinct(),
-      Seq(col("piece").asc), "piece_id")
+    pieceIds(docs.select(
+        explode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as("word"))
+      .select(explode(encode(col("word"), merges)).as("piece"))
+      .distinct())
 
   /** DECODE [[encodeDocuments]] output back to the concatenated piece
     * stream: parse ids_str, map ids back through the vocabulary
@@ -246,7 +269,17 @@ object Bpe {
       .withColumn("pg", col("start_tok") + col("ip"))
       .withColumn("seq_id", expr(s"pg DIV ${budget}L"))
       .groupBy(col("bucket"), col("seq_id"))
-      .agg(countDistinct(col(idCol)).as("n_docs"),
+      // n_docs WITHOUT countDistinct (round 17, guide §2.3): a doc's pieces
+      // are one contiguous pg range inside its bucket, so per (bucket, seq)
+      // each doc owns exactly one "first piece in this sequence" — its
+      // global start (ip = 0) if the doc begins mid-sequence, else the
+      // sequence boundary piece (pg ≡ 0 mod budget); a doc starting exactly
+      // on a boundary satisfies both on the SAME row. Counting those rows
+      // equals count(DISTINCT doc) exactly, and drops the distinct-agg's
+      // Expand operator, which doubled every row through the pack shuffle.
+      .agg(sum(when(col("ip") === 0 ||
+          col("pg") % lit(budget.toLong) === 0, 1L).otherwise(0L))
+          .as("n_docs"),
         count(lit(1)).as("n_pieces"),
         concat_ws(" ", transform(
           array_sort(collect_list(struct(col("pg"), col("pid")))),

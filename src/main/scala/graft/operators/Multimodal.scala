@@ -22,6 +22,21 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** ImageIO's stream plumbing defaults to a DISK-backed cache: every
+    * `ImageIO.read(InputStream)` / `write(..., OutputStream)` call wraps the
+    * stream in a `FileCache{Input,Output}Stream`, i.e. creates, writes and
+    * deletes ONE TEMP FILE PER IMAGE. On the codec hot path (one tiny PNG
+    * per document × 32 concurrent tasks) the temp-file churn dominates the
+    * actual decode and degrades as the tmp filesystem ages — measured this
+    * round at 3.3→8.2 s across three same-session m_image_resize runs.
+    * Payloads here are in-memory byte arrays, so the memory cache is
+    * strictly better. Called at the head of every ImageIO-using task
+    * closure (idempotent static flag, nanosecond cost) so executors are
+    * covered in cluster mode too, where the object initializer of the
+    * driver never runs. */
+  private[operators] def imageIoNoDiskCache(): Unit =
+    if (javax.imageio.ImageIO.getUseCache) javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed payload metadata carried next to every binary column. */
   val MetaType: StructType = StructType(Seq(
     StructField("mime", StringType),
@@ -126,6 +141,7 @@ object Multimodal {
     df.select(col(idCol).cast(LongType), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        imageIoNoDiskCache()
         rows.map { case (id, bytes) =>
           val img =
             if (bytes == null) null
@@ -288,6 +304,7 @@ object Multimodal {
     df.select(col(idCol).cast(LongType), col(payloadCol))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
+        imageIoNoDiskCache()
         val img =
           if (bytes == null) null
           else
@@ -334,6 +351,7 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast(LongType)).as[Long]
       .mapPartitions { ids =>
+        imageIoNoDiskCache()
         ids.map { id =>
           val base = id - id % 2
           val shift = (id % 2).toInt * 7
@@ -607,6 +625,7 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast(LongType)).as[Long]
       .mapPartitions { ids =>
+        imageIoNoDiskCache()
         ids.map { id =>
           val w = 1 + (id % 8).toInt
           val h = 1 + ((id / 8) % 5).toInt
@@ -641,6 +660,7 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast(LongType)).as[Long]
       .mapPartitions { ids =>
+        imageIoNoDiskCache()
         ids.map { id =>
           val w = 4 + (id % 12).toInt
           val h = 4 + ((id / 12) % 9).toInt
@@ -694,6 +714,7 @@ object Multimodal {
     df.select(col(idCol).cast(LongType), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        imageIoNoDiskCache()
         rows.map { case (id, bytes) =>
           val img =
             if (bytes == null) null

@@ -90,40 +90,6 @@ object CurationStream {
     // 100x; the repeated clean was a third of that lap)
     val cleaned = referenceDocs.withColumn(textCol,
       TextAnalysis.cleanText(col(textCol))).persist()
-    // ONE tokenize+explode+hash pass over the reference (round 16): the
-    // persisted per-doc feature table feeds the frozen weight table AND
-    // the score ceiling below. The previous shape called Dsir.scoreAll
-    // beside hashedFeatures, re-running the identical unigram+bigram
-    // explode-aggregate a second time — the heaviest DSIR scan in the
-    // freeze, paid twice for the same bytes (SCALE.json
-    // frozen_freeze_staged named scalar_cuts the dominant stage).
-    val feats = graft.core.CacheScope.persist(
-      Dsir.hashedFeatures(cleaned, numBuckets, idCol, textCol))
-    val tf = feats.join(
-      cleaned.filter(targetPred).select(idCol), Seq(idCol), "semi")
-    // frozen artifacts get a PLAIN persist (never CacheScope-tracked):
-    // the session owner's per-batch CacheScope.release() must not evict
-    // them; [[release]] unpersists the whole frozen set explicitly
-    val weights = Dsir.importanceWeights(tf, feats, numBuckets).persist()
-    // reference scores from the SAME persisted feature table and the SAME
-    // frozen weight table — identical hash salt, identical micro-nat
-    // rounding, so scoreMax is value-identical to what Dsir.scoreAll
-    // produced (scoreAll's internal weight formula is
-    // Dsir.weightsFromCounts to the bit); only the redundant second
-    // feature pass is gone. Geometry-sized broadcast: the weight table is
-    // <= numBuckets rows by construction.
-    val scored = feats
-      .join(org.apache.spark.sql.functions.broadcast(weights), Seq("bucket"))
-      .groupBy(col(idCol))
-      .agg(sum(col("cnt") * col("w_micro")).as("score_micro"))
-    // a degenerate reference (no tokenizable docs -> no features -> no
-    // scores) must fail LOUDLY at freeze time, not NPE or ship a model
-    // that silently drops every arriving batch
-    val scoreMax = Option(scored.agg(max("score_micro")).head().get(0))
-      .map(_.asInstanceOf[Long])
-      .getOrElse(throw new IllegalArgumentException(
-        "reference corpus produced no DSIR scores (no tokenizable text) — " +
-          "cannot freeze a curation model from it"))
     // per-set geometry: measured keys -> shard count -> bits per shard.
     // Sharding BEFORE the adaptive sizing means the per-shard ideal never
     // exceeds maxBloomBits, so the clamp inside adaptiveBloomBits is
@@ -138,79 +104,153 @@ object CurationStream {
           (n + shards - 1) / shards, bitsPerKey, maxBloomBits,
           label = label))
       }
-    val evalSh = Dedup.shingles(evalDocs.withColumn(textCol,
-          TextAnalysis.cleanText(col(textCol))), shingleN, idCol, textCol)
-      .select(hash60(col("shingle")).as("sh")).distinct().persist()
-    val evalN = evalSh.count()
-    val (evalShards, evalBits) = geometry(evalN, "freeze/eval")
-    val evalBloom = Sketches
-      .bloomBuildSharded(evalSh, "sh", evalShards, evalBits, bloomHashes)
-      .persist()
-    val seen = cleaned.select(md5(col(textCol)).as("h")).distinct().persist()
-    val seenN = seen.count()
-    val (seenShards, seenBits) = geometry(seenN, "freeze/seen")
-    val seenBloom = Sketches
-      .bloomBuildSharded(seen, "h", seenShards, seenBits, bloomHashes)
-      .persist()
-    // the reference trigram table is consumed TWICE — the model build's
-    // first aggregate (triTot) and the full-corpus scoring pass that
-    // selects the perplexity cutoff below. Persist it once (freeze-local
-    // lifetime, unpersisted right after the cutoff lands): the clean+
-    // tokenize+explode over every reference character is the heaviest
-    // KN3 scan, and re-running it for the scoring pass doubled it
-    // (round 16; MEMORY_AND_DISK default, so an instance-sized table
-    // spills rather than evicting the frozen artifacts)
-    val refTri = graft.operators.TextOps
-      .ngrams(cleaned, 3, idCol, textCol).persist()
-    val kn3 = TextRanking.kn3ModelFromTrigrams(refTri, tracked = false)
-    // The frozen LM artifact is the model COLLAPSED to its scoring form:
-    // one (w0,w1,w2,lp_scaled) table (TextRanking.kn3LogProbs),
-    // materialized here ONCE. Per-batch scoring then joins the arriving
-    // side against this single persisted table — the five-table model
-    // join chain runs at freeze time only, never per batch. The interim
-    // model tables are unpersisted after materialization: a frozen
-    // deployment ships the log-prob table, not the factors.
-    val kn3Lp = TextRanking.kn3LogProbs(kn3).persist()
-    // frozen cutoff: the cross-entropy of the LAST KEPT reference doc at
-    // the head+middle / tail boundary (rank 2n/3 - 1 in the deterministic
-    // (ce, id) total order); curateBatch keeps ce <= cut, so boundary
-    // TIES are kept (boundary-inclusive — documented). micro grid via
-    // round(), not a truncating cast (ce*1e6 is integer-valued only up to
-    // fp representation). The cut is selected by distributed rank (see
-    // below), so the freeze holds for a reference corpus of any size.
-    // persisted: the cut needs BOTH a count (for the 2n/3 rank) and the
-    // rank-select below — without the persist the trigram scoring join
-    // (the heaviest post-feature pass in the freeze) ran twice, once per
-    // action (round 17, the other half of the scalar_cuts lap)
-    val ce = TextRanking.kn3ScoreTrigramsMerged(refTri, kn3Lp, idCol)
-      .select(round(col("cross_entropy") * 1e6, 0).cast("long")
-        .as("ce_micro"), col(idCol))
-      .persist()
-    val n = ce.count()
-    val cutRank = (2L * n) / 3L // docs with rank0 < cutRank are kept
-    // RANK-based cut, not limit-based: `limit(cutRank.toInt)` capped the
-    // reference at 2^31 docs (2^31..2^32 threw; beyond that toInt wrapped
-    // SILENTLY to a small positive rank — the r9-advice trap) and its
-    // TakeOrdered holds cutRank rows on the driver. The two-phase
-    // distributed rank ([[graft.core.Ids.denseRankBy]], no
-    // single-partition window, 1-row collect) selects the (ce, id) pair
-    // at rank0 = cutRank - 1 in the same deterministic total order for
-    // ANY reference size — the overflow class is gone, not guarded.
-    val ceCut =
-      if (cutRank == 0) Long.MinValue
-      else graft.core.Ids
-        .denseRankBy(ce, Seq(col("ce_micro").asc, col(idCol).asc), "rank0")
-        .filter(col("rank0") === cutRank - 1L)
-        .select("ce_micro").head().getLong(0)
-    // the cut computation above materialized kn3Lp; the factor tables
-    // have served their purpose — release them so the frozen footprint
-    // is the log-prob table alone
-    Seq(cleaned, ce, refTri, kn3.triTot, kn3.s01, kn3.cont, kn3.mid, kn3.nl)
-      .foreach(_.unpersist(blocking = false))
-    FrozenCuration(weights, numBuckets, scoreMax, temperature, evalSh,
-      evalBloom, seen, seenBloom, kn3Lp, ceCut, shingleN, evalBits,
-      seenBits, bloomHashes, bitsPerKey, evalShards, seenShards,
-      evalN, seenN)
+    // The four artifact families (DSIR weights+ceiling, eval shingles+
+    // Bloom, seen hashes+Bloom, KN3 model+cutoff) are INDEPENDENT once
+    // `cleaned` exists, but each one ends in eager driver actions (the
+    // scalar cuts, the measured-cardinality Bloom geometry), so run
+    // serially they idle most of the cluster during every small tail job
+    // — SCALE.json's frozen_freeze_staged lap named exactly those eager
+    // aggregates (`scalar_cuts`) dominant. Round 17 (guide §2.6,
+    // overlapping independent jobs): each family runs on its own driver
+    // thread; Spark's FIFO scheduler back-fills executors freed by one
+    // branch's tail with the next branch's tasks, so the freeze wall is
+    // the LONGEST branch, not the sum. Every branch fully materializes
+    // its persisted artifacts (freeze has always been the train-once/
+    // ship-warm step — Bench and ScaleSmoke both price materialization
+    // inside freeze), values are byte-identical (no RNG anywhere, each
+    // branch unchanged), and concurrent first-use of `cleaned` is safe:
+    // the BlockManager serializes per-block cache computation. Exceptions
+    // (e.g. the degenerate-reference guard) propagate unchanged through
+    // Await.result.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val dsirBranch = Future {
+        // ONE tokenize+explode+hash pass over the reference (round 16):
+        // the persisted per-doc feature table feeds the frozen weight
+        // table AND the score ceiling. The previous shape called
+        // Dsir.scoreAll beside hashedFeatures, re-running the identical
+        // unigram+bigram explode-aggregate a second time.
+        val feats = graft.core.CacheScope.persist(
+          Dsir.hashedFeatures(cleaned, numBuckets, idCol, textCol))
+        val tf = feats.join(
+          cleaned.filter(targetPred).select(idCol), Seq(idCol), "semi")
+        // frozen artifacts get a PLAIN persist (never CacheScope-tracked):
+        // the session owner's per-batch CacheScope.release() must not
+        // evict them; [[release]] unpersists the whole frozen set
+        val weights = Dsir.importanceWeights(tf, feats, numBuckets).persist()
+        // reference scores from the SAME persisted feature table and the
+        // SAME frozen weight table — identical hash salt, identical
+        // micro-nat rounding, so scoreMax is value-identical to what
+        // Dsir.scoreAll produced. Geometry-sized broadcast: the weight
+        // table is <= numBuckets rows by construction.
+        val scored = feats
+          .join(org.apache.spark.sql.functions.broadcast(weights),
+            Seq("bucket"))
+          .groupBy(col(idCol))
+          .agg(sum(col("cnt") * col("w_micro")).as("score_micro"))
+        // a degenerate reference (no tokenizable docs -> no features -> no
+        // scores) must fail LOUDLY at freeze time, not NPE or ship a model
+        // that silently drops every arriving batch
+        val scoreMax = Option(scored.agg(max("score_micro")).head().get(0))
+          .map(_.asInstanceOf[Long])
+          .getOrElse(throw new IllegalArgumentException(
+            "reference corpus produced no DSIR scores (no tokenizable " +
+              "text) — cannot freeze a curation model from it"))
+        (weights, scoreMax)
+      }
+      val evalBranch = Future {
+        val evalSh = Dedup.shingles(evalDocs.withColumn(textCol,
+              TextAnalysis.cleanText(col(textCol))), shingleN, idCol, textCol)
+          .select(hash60(col("shingle")).as("sh")).distinct().persist()
+        val evalN = evalSh.count()
+        val (evalShards, evalBits) = geometry(evalN, "freeze/eval")
+        val evalBloom = Sketches
+          .bloomBuildSharded(evalSh, "sh", evalShards, evalBits, bloomHashes)
+          .persist()
+        evalBloom.count() // ship warm: materialized inside the freeze
+        (evalSh, evalN, evalShards, evalBits, evalBloom)
+      }
+      val seenBranch = Future {
+        val seen = cleaned.select(md5(col(textCol)).as("h")).distinct()
+          .persist()
+        val seenN = seen.count()
+        val (seenShards, seenBits) = geometry(seenN, "freeze/seen")
+        val seenBloom = Sketches
+          .bloomBuildSharded(seen, "h", seenShards, seenBits, bloomHashes)
+          .persist()
+        seenBloom.count() // ship warm
+        (seen, seenN, seenShards, seenBits, seenBloom)
+      }
+      val kn3Branch = Future {
+        // the reference trigram table is consumed TWICE — the model
+        // build's first aggregate (triTot) and the full-corpus scoring
+        // pass that selects the perplexity cutoff. Persist it once
+        // (freeze-local lifetime, unpersisted right after the cutoff
+        // lands): the clean+tokenize+explode over every reference
+        // character is the heaviest KN3 scan (round 16).
+        val refTri = graft.operators.TextOps
+          .ngrams(cleaned, 3, idCol, textCol).persist()
+        val kn3 = TextRanking.kn3ModelFromTrigrams(refTri, tracked = false)
+        // The frozen LM artifact is the model COLLAPSED to its scoring
+        // form: one (w0,w1,w2,lp_scaled) table, materialized here ONCE.
+        // Per-batch scoring joins the arriving side against this single
+        // persisted table — the five-table model join chain runs at
+        // freeze time only, never per batch.
+        val kn3Lp = TextRanking.kn3LogProbs(kn3).persist()
+        // frozen cutoff: the cross-entropy of the LAST KEPT reference doc
+        // at the head+middle / tail boundary (rank 2n/3 - 1 in the
+        // deterministic (ce, id) total order); curateBatch keeps
+        // ce <= cut, so boundary TIES are kept (boundary-inclusive).
+        // micro grid via round(), not a truncating cast. persisted: the
+        // cut needs BOTH a count (for the 2n/3 rank) and the rank-select
+        // below — without the persist the trigram scoring join ran twice.
+        val ce = TextRanking.kn3ScoreTrigramsMerged(refTri, kn3Lp, idCol)
+          .select(round(col("cross_entropy") * 1e6, 0).cast("long")
+            .as("ce_micro"), col(idCol))
+          .persist()
+        // RANK-based cut, not limit-based: `limit(cutRank.toInt)` capped
+        // the reference at 2^31 docs. The two-phase distributed rank
+        // ([[graft.core.Ids.denseRankBy]], no single-partition window,
+        // 1-row collect) selects the (ce, id) pair at rank0 = cutRank - 1
+        // in the same deterministic total order for ANY reference size.
+        // n and the rank-select land in ONE action (round 17, guide
+        // §1.2): n = max(rank0) + 1 over the SAME ranked table (cached
+        // inside denseRankBy), broadcast as a 1-row cross join, so the
+        // separate ce.count() job is gone; cutRank = 2n/3 == 0 (n <= 1)
+        // matches no row and falls back exactly as the old branch did.
+        val ranked = graft.core.Ids
+          .denseRankBy(ce, Seq(col("ce_micro").asc, col(idCol).asc),
+            "rank0")
+        val ceCut = ranked
+          .crossJoin(org.apache.spark.sql.functions.broadcast(
+            ranked.agg((max("rank0") + lit(1L)).as("__n"))))
+          .filter(col("rank0") ===
+            expr("(2L * __n) DIV 3L") - lit(1L)) // exact int64 division
+          .select("ce_micro").collect()
+          .headOption.map(_.getLong(0)).getOrElse(Long.MinValue)
+        (refTri, kn3, kn3Lp, ce, ceCut)
+      }
+      val (weights, scoreMax) = Await.result(dsirBranch, Duration.Inf)
+      val (evalSh, evalN, evalShards, evalBits, evalBloom) =
+        Await.result(evalBranch, Duration.Inf)
+      val (seen, seenN, seenShards, seenBits, seenBloom) =
+        Await.result(seenBranch, Duration.Inf)
+      val (refTri, kn3, kn3Lp, ce, ceCut) =
+        Await.result(kn3Branch, Duration.Inf)
+      // the cut computation above materialized kn3Lp; the factor tables
+      // have served their purpose — release them so the frozen footprint
+      // is the log-prob table alone
+      Seq(cleaned, ce, refTri, kn3.triTot, kn3.s01, kn3.cont, kn3.mid,
+          kn3.nl)
+        .foreach(_.unpersist(blocking = false))
+      FrozenCuration(weights, numBuckets, scoreMax, temperature, evalSh,
+        evalBloom, seen, seenBloom, kn3Lp, ceCut, shingleN, evalBits,
+        seenBits, bloomHashes, bitsPerKey, evalShards, seenShards,
+        evalN, seenN)
+    } finally pool.shutdown()
   }
 
   /** Curate ONE arriving batch under the frozen models. Stages (matching
