@@ -143,8 +143,16 @@ object Classifier {
       tok.join(docLang, Seq(idCol))
         .groupBy(col("token"), col("y_true").as("cand"))
         .agg(sum("count").cast("long").as("c_tl")))
-    val nDocs = d.count().toDouble
-    val vocabV = tok.select("token").distinct().count().toDouble
+    // one action for both model scalars (round 17, guide §1.2): the doc
+    // count and the distinct-vocab count were two sequential driver round
+    // trips; the 1-row cross join lands them in one job (which also
+    // materializes the persisted unigram cache exactly as before)
+    val scalars = d.agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(
+        tok.select("token").distinct().agg(count(lit(1)).as("v"))))
+      .head()
+    val nDocs = scalars.getLong(0).toDouble
+    val vocabV = scalars.getLong(1).toDouble
     val nl = tl.groupBy("cand").agg(sum("c_tl").cast("long").as("n_l"))
     val langConst = d.groupBy(col(labelCol).as("cand"))
       .agg(count(lit(1)).as("n_docs_l"))

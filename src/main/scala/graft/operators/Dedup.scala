@@ -104,12 +104,19 @@ object Dedup {
     * content hash; all original columns preserved. */
   def dropExactDuplicates(docs: DataFrame, idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__h").orderBy(col(idCol))
+    // min_by HASH aggregate, not a row_number window (round 17, guide §5
+    // hash-vs-sort operator choice): both shapes shuffle the full rows
+    // once by content hash, but the window then SORTS every partition by
+    // (hash, id) before its row_number filter — a data-sized sort the
+    // aggregate never pays (its buffer holds one candidate row per hash).
+    // Survivors identical: min_by keeps the row with the minimum id per
+    // hash group, ids are unique, and null-text rows (null md5) form one
+    // group either way.
+    val cols = docs.columns
     docs.withColumn("__h", md5(col(textCol)))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__h", "__rn")
+      .groupBy(col("__h"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__r"))
+      .select(cols.map(c => col("__r.`" + c + "`").as(c)): _*)
   }
 
   /** Distinct word-k-shingles per document: (docId, shingle) where shingle is

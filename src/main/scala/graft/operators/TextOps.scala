@@ -155,15 +155,18 @@ object TextOps {
       .select(col("token"),
         (coalesce(col("cold"), lit(0L)) + coalesce(col("cnew"), lit(0L)))
           .as("count"), col("wordid"))
-    // 1-row scalar; -1 on an empty existing vocab so new ids start at 0
-    val maxId = Option(joined.agg(max("wordid")).head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(-1L)
+    // max wordid rides as a broadcast 1-row aggregate instead of a driver
+    // scalar (round 17, guide §1.2) — the whole merge is one lazy plan;
+    // coalesce(-1) keeps the empty-vocab case starting new ids at 0
+    val maxIdTab = joined.agg(
+      coalesce(max("wordid"), lit(-1L)).as("__maxid"))
     val fresh = joined.filter(col("wordid").isNull)
       .select(col("token"), col("cnew").as("count"))
     val freshRanked = graft.core.Ids
       .denseRankBy(fresh, Seq(desc("count"), asc("token")), "__r")
+      .crossJoin(broadcast(maxIdTab))
       .select(col("token"), col("count"),
-        (col("__r") + lit(maxId + 1)).as("wordid"))
+        (col("__r") + col("__maxid") + lit(1L)).as("wordid"))
     kept.unionByName(freshRanked)
   }
 

@@ -29,13 +29,18 @@ object TextRanking {
     * a driver-side scalar, shipped as a literal. */
   def tfidf(docs: DataFrame, idCol: String = "doc_id",
             textCol: String = "text"): DataFrame = {
-    val n = docs.count()
     val uni = graft.core.CacheScope.persist(
       TextOps.unigrams(docs, idCol, textCol))
+    // N rides as a broadcast 1-row aggregate instead of a driver-side
+    // count (round 17, guide §1.2): the whole operator is now ONE lazy
+    // plan with zero pre-actions; log(N/df) math is double-identical.
+    val nTab = docs.agg(count(lit(1)).cast("double").as("__n"))
     // unigrams are already distinct per (doc, token): df = row count
     val dfTable = uni.groupBy("token").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nTab))
       .withColumn("idf_scaled",
-        round(log(lit(n.toDouble) / col("df")) * 1e6, 0).cast("long"))
+        round(log(col("__n") / col("df")) * 1e6, 0).cast("long"))
+      .drop("__n")
     uni.join(dfTable, Seq("token"))
       .select(col(idCol), col("token"), col("count").as("tf"), col("df"),
         (col("count") * col("idf_scaled") / 1e6).as("tfidf"))
@@ -61,9 +66,15 @@ object TextRanking {
       TextOps.ngrams(docs, 2, idCol, textCol)
         .groupBy("w0", "w1").agg(sum("count").as("cbi")))
     // coalesce: an empty or one-token corpus has no bigrams — totals must
-    // be 0, not null (the filter below then yields an empty result, no NPE)
-    val t = uniTot.agg(coalesce(sum("c"), lit(0L))).head().getLong(0).toDouble
-    val b = biTot.agg(coalesce(sum("cbi"), lit(0L))).head().getLong(0).toDouble
+    // be 0, not null (the filter below then yields an empty result, no NPE).
+    // Both scalars in ONE action (round 17, guide §1.2): the two head()s
+    // were sequential driver round trips, each materializing one of the
+    // persisted tables; the 1-row cross join does both in one job.
+    val totals = uniTot.agg(coalesce(sum("c"), lit(0L)).as("t"))
+      .crossJoin(broadcast(biTot.agg(coalesce(sum("cbi"), lit(0L)).as("b"))))
+      .head()
+    val t = totals.getLong(0).toDouble
+    val b = totals.getLong(1).toDouble
     biTot.filter(col("cbi") >= minCount)
       .join(broadcast(uniTot.select(col("token").as("w0"), col("c").as("c0"))), Seq("w0"))
       .join(broadcast(uniTot.select(col("token").as("w1"), col("c").as("c1"))), Seq("w1"))
@@ -99,15 +110,20 @@ object TextRanking {
     val uniTot = graft.core.CacheScope.persist(
       TextOps.unigrams(docs, idCol, textCol)
         .groupBy("token").agg(sum("count").as("c0")))
-    val v = uniTot.count().toDouble
+    // V rides as a broadcast 1-row aggregate instead of a driver-side
+    // count (round 17, guide §1.2) — one fewer action, identical doubles.
+    val vTab = uniTot.agg(count(lit(1)).cast("double").as("__v"))
     // NO broadcast hint on the unigram totals: unlike the capped vocab
     // joins, uniTot is the UNCAPPED distinct-token table — unbounded on a
     // web-scale corpus. The planner broadcasts it when it actually fits.
     bi.join(biTot, Seq("w0", "w1"))
       .join(uniTot.withColumnRenamed("token", "w0"), Seq("w0"))
+      .crossJoin(broadcast(vTab))
       .withColumn("lp_scaled",
         round(log((col("cbi").cast("double") + alpha) /
-          (col("c0").cast("double") + lit(alpha) * v)) * 1e6, 0).cast("long"))
+          (col("c0").cast("double") + lit(alpha) * col("__v"))) * 1e6, 0)
+          .cast("long"))
+      .drop("__v")
       .groupBy(col(idCol))
       .agg(sum(col("count") * col("lp_scaled")).as("s"),
         sum("count").as("n_bigrams"))
@@ -232,15 +248,20 @@ object TextRanking {
     val ctx0 = biTot.groupBy("w0")
       .agg(sum("cbi").as("s0"), count(lit(1)).as("n1r"))
     val ctx1 = biTot.groupBy("w1").agg(count(lit(1)).as("n1l"))
-    val b = biTot.count().toDouble // one scalar: the distinct-bigram count
+    // the distinct-bigram count B rides as a broadcast 1-row aggregate
+    // (round 17, guide §1.2): the operator is now one lazy plan with zero
+    // pre-actions; B enters the identical double arithmetic as a column.
+    val bTab = biTot.agg(count(lit(1)).cast("double").as("__b"))
     bi.join(biTot, Seq("w0", "w1"))
       .join(ctx0, Seq("w0"))
       .join(ctx1, Seq("w1"))
+      .crossJoin(broadcast(bTab))
       .withColumn("lp_scaled",
         round(log(
-          ((lit(4.0) * col("cbi") - lit(3.0)) * lit(b)
+          ((lit(4.0) * col("cbi") - lit(3.0)) * col("__b")
             + lit(3.0) * col("n1r") * col("n1l"))
-          / (lit(4.0) * col("s0") * lit(b))) * 1e6, 0).cast("long"))
+          / (lit(4.0) * col("s0") * col("__b"))) * 1e6, 0).cast("long"))
+      .drop("__b")
       .groupBy(col(idCol))
       .agg(sum(col("count") * col("lp_scaled")).as("s"),
         sum("count").as("n_bigrams"))
@@ -334,7 +355,6 @@ object TextRanking {
       .agg(sum("ncont").as("nmid"), count(lit(1)).as("n1rc")))
     val nl = keep(
       cont.groupBy("w2").agg(count(lit(1)).as("nl")))
-    val b = cont.count() // one scalar: distinct (w1,w2) in trigram support
     // ENFORCED overflow guard (the scaladoc bound, made a runtime failure
     // instead of silent non-ANSI wraparound): every num/den term is bounded
     // by 37·s01·nmid·b (num: 16 + 21 from the two addends with ncont,
@@ -343,11 +363,20 @@ object TextRanking {
     // vocab²-sized model tables, not the corpus — proves every per-row
     // int64 product is in range. 40 leaves slack over the exact 37.
     // max() over an EMPTY model table (degenerate corpus: no trigrams) is
-    // NULL — no rows means no products to overflow, so treat as 0
-    val maxS01 = Option(s01.agg(max("s01")).head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
-    val maxNmid = Option(mid.agg(max("nmid")).head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    // NULL — no rows means no products to overflow, so treat as 0.
+    // The three scalars (B = |cont|, max s01, max nmid) land in ONE action
+    // (round 17, guide §1.2): they were three sequential driver round
+    // trips, each a full job whose fixed scheduling cost dwarfed its
+    // one-row result; the 1-row cross joins are broadcast by construction
+    // and the single job materializes tri -> triTot -> {s01, cont, mid}
+    // into their persisted form exactly as the separate actions did.
+    val guards = s01.agg(max("s01").as("max_s01"))
+      .crossJoin(broadcast(mid.agg(max("nmid").as("max_nmid"))))
+      .crossJoin(broadcast(cont.agg(count(lit(1)).as("b"))))
+      .head()
+    val maxS01 = Option(guards.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val maxNmid = Option(guards.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val b = guards.getLong(2) // one scalar: distinct (w1,w2) in trigram support
     require(BigInt(40) * maxS01 * maxNmid * b <= BigInt(Long.MaxValue),
       s"trigram-KN int64 headroom exceeded (max s01=$maxS01, max nmid=" +
         s"$maxNmid, B=$b): shard the model by w1 and renormalize")
@@ -561,13 +590,18 @@ object TextRanking {
   def bm25(docs: DataFrame, k1Milli: Long = 1200, bMilli: Long = 750,
            idCol: String = "doc_id", textCol: String = "text",
            unigrams: DataFrame = null): DataFrame = {
-    val n = docs.count()
     // callers holding a persisted unigram table pass it in — BM25 is one
     // more consumer of the single-tokenize convention, not a second scan
     val uni = Option(unigrams).getOrElse(graft.core.CacheScope.persist(
       TextOps.unigrams(docs, idCol, textCol)))
     val dl = uni.groupBy(idCol).agg(sum("count").as("dl"))
-    val totalTokens = dl.agg(coalesce(sum("dl"), lit(0L))).head().getLong(0)
+    // doc count and token total in ONE action (round 17, guide §1.2):
+    // two sequential scalar jobs fused via 1-row broadcast cross join
+    val scalars = docs.agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(dl.agg(coalesce(sum("dl"), lit(0L)).as("tt"))))
+      .head()
+    val n = scalars.getLong(0)
+    val totalTokens = scalars.getLong(1)
     // avgdl at milli precision: an exact integer both engines derive from
     // the same two exact integers (guard: >= 1 so the ratio never divides
     // by zero on an empty corpus)
