@@ -38,7 +38,12 @@ object Queries {
     * under-partitions. On real multi-file datasets this is a no-op. Queries
     * whose first operation is a shuffle anyway (groupBy/window) gain nothing
     * from a pre-shuffle, so other tables are left as scanned. */
-  private val FanOutTables = Set("documents", "embeddings", "lineitem")
+  // `part` joined the set in round 17: q_fuzzy_parts streams the whole
+  // table through a block self-join whose per-pair Levenshtein ran on the
+  // scan's single input partition — one core for the block-quadratic
+  // comparator (measured 50.7 s at sf0.1, the slowest registry row; 32-way
+  // fan-out puts it on every core).
+  private val FanOutTables = Set("documents", "embeddings", "lineitem", "part")
 
   /** Test hook: forces [[rd]]'s fan-out width so invariance specs can vary
     * the INPUT partition layout, not just `spark.sql.shuffle.partitions` —
@@ -566,19 +571,32 @@ object Queries {
 
     // Exact quantiles + cardinality stats (A7/A8).
     "q_lineitem_stats" -> Q(
-      (s, dir) =>
-        rd(s, dir, "lineitem").agg(
-          count(lit(1)).as("n_rows"),
-          countDistinct(col("l_orderkey")).as("n_orders"),
-          countDistinct(col("l_partkey")).as("n_parts"),
-          countDistinct(col("l_suppkey")).as("n_suppliers"),
-          round(percentile(col("l_quantity"), lit(0.25)), 6).as("qty_p25"),
-          round(percentile(col("l_quantity"), lit(0.5)), 6).as("qty_p50"),
-          round(percentile(col("l_quantity"), lit(0.75)), 6).as("qty_p75"),
-          round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("price_p50"),
-          round(percentile(col("l_extendedprice"), lit(0.95)), 6).as("price_p95"),
-          round(min(col("l_extendedprice")), 6).as("price_min"),
-          round(max(col("l_extendedprice")), 6).as("price_max")),
+      (s, dir) => {
+        // THREE countDistinct columns beside plain aggregates planned an
+        // Expand that pushed 4x every lineitem row through the global
+        // aggregate (round 17, guide §2.3). Split: each distinct count is
+        // its own single-distinct aggregate (two-phase partial distinct —
+        // map-side dedup of ONE narrow column, no Expand), the plain
+        // percentile/min/max block keeps its single pass, and the four
+        // 1-row results cross-join as broadcasts. Output row identical.
+        val li = rd(s, dir, "lineitem")
+        li.agg(
+            count(lit(1)).as("n_rows"))
+          .crossJoin(broadcast(li.agg(
+            countDistinct(col("l_orderkey")).as("n_orders"))))
+          .crossJoin(broadcast(li.agg(
+            countDistinct(col("l_partkey")).as("n_parts"))))
+          .crossJoin(broadcast(li.agg(
+            countDistinct(col("l_suppkey")).as("n_suppliers"))))
+          .crossJoin(broadcast(li.agg(
+            round(percentile(col("l_quantity"), lit(0.25)), 6).as("qty_p25"),
+            round(percentile(col("l_quantity"), lit(0.5)), 6).as("qty_p50"),
+            round(percentile(col("l_quantity"), lit(0.75)), 6).as("qty_p75"),
+            round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("price_p50"),
+            round(percentile(col("l_extendedprice"), lit(0.95)), 6).as("price_p95"),
+            round(min(col("l_extendedprice")), 6).as("price_min"),
+            round(max(col("l_extendedprice")), 6).as("price_max"))))
+      },
       Some("""SELECT count(*) AS n_rows,
         |  count(DISTINCT l_orderkey) AS n_orders,
         |  count(DISTINCT l_partkey) AS n_parts,

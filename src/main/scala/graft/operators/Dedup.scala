@@ -355,29 +355,37 @@ object Dedup {
       pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
         .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
         .distinct())
-    def labelSum(l: DataFrame): java.math.BigDecimal =
-      l.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
     // Materialize + re-wrap: the returned frame's plan is a flat scan over
-    // the cached rows (O(1) logical plan regardless of round count).
-    def cutLineage(df: DataFrame): (DataFrame, DataFrame) = {
+    // the cached rows (O(1) logical plan regardless of round count). The
+    // materializing action IS the convergence aggregate (round 17, guide
+    // §1.2): one exact decimal label-sum per round both fills the cache
+    // and returns the monotone fixpoint witness — previously each round
+    // paid TWO driver actions (count to materialize, then the sum).
+    def cutLineage(df: DataFrame): (DataFrame, DataFrame, java.math.BigDecimal) = {
       val cached = graft.core.CacheScope.persist(df)
-      cached.count()
-      (cached.sparkSession.createDataFrame(cached.rdd, cached.schema), cached)
+      val s = cached.agg(sum(col("lbl").cast("decimal(38,0)")))
+        .head().getDecimal(0)
+      (cached.sparkSession.createDataFrame(cached.rdd, cached.schema),
+        cached, s)
     }
-    var (labels, labelsCache) = cutLineage(
+    var (labels, labelsCache, prevSum) = cutLineage(
       edges.select(col("src").as("id")).distinct().withColumn("lbl", col("id")))
-    var prevSum = labelSum(labels)
     var converged = prevSum == null // empty graph: nothing to propagate
     var iter = 0
     while (!converged && iter < maxIter) {
       // min over the closed neighborhood: own label AND every neighbor's.
-      val (next, nextCache) = cutLineage(
+      // (Pointer jumping — adopting the label's own label to halve round
+      // count — was tried in round 17 and MEASURED WORSE at sf0.1:
+      // e_dup_clusters 9.3 → 13.1 s. Near-dup clusters are shallow
+      // (3-5 rounds), so the extra node-table self-join per round costs
+      // more than the rounds it saves; it only pays past diameters these
+      // pair graphs don't produce.)
+      val (next, nextCache, nextSum) = cutLineage(
         edges.join(labels.withColumnRenamed("id", "dst")
             .withColumnRenamed("lbl", "nlbl"), "dst")
           .select(col("src").as("id"), col("nlbl").as("lbl"))
           .union(labels)
           .groupBy("id").agg(min("lbl").as("lbl")))
-      val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       labelsCache.unpersist(blocking = false) // next round is materialized
@@ -715,18 +723,29 @@ object Dedup {
       col("__fblk"))
     // the lower bound as a cheap predicate where one exists: dist >= 1 is
     // exactly string inequality — otherwise the join condition would run
-    // the O(m·n) DP twice per band-surviving pair (once per comparison)
+    // the edit-distance DP twice per band-surviving pair (once per
+    // comparison)
     val lower: Column = minDist match {
       case 0 => lit(true)
       case 1 => col("s_a") =!= col("s_b")
-      case d => levenshtein(col("s_a"), col("s_b")) >= d
+      case d => levenshtein(col("s_a"), col("s_b"), d - 1) === -1
     }
+    // THRESHOLD-bounded Levenshtein (round 17, guide §1.2 step 2): the
+    // 3-arg form computes only the |2·maxDist+1|-wide DP band and bails
+    // out early once every band cell exceeds the bound, returning -1 —
+    // O(n·maxDist) instead of O(n·m) per pair on the block-quadratic hot
+    // path (this comparator ran the full DP on every length-surviving
+    // pair; q_fuzzy_parts measured 50.7 s at sf0.1, the slowest query in
+    // the whole registry). Kept pairs and their distances are identical:
+    // -1 sorts below any minDist >= 0, so the BETWEEN filter drops
+    // exactly the dist > maxDist pairs the full DP filtered.
     a.join(b, "__fblk")
       .filter(col("id_a") < col("id_b"))
       .filter(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
       .filter(lower)
-      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("s_a"), col("s_b"), maxDist).cast("long"))
+      .filter(col("dist") >= minDist && col("dist") <= maxDist)
       .select("id_a", "id_b", "s_a", "s_b", "dist")
   }
 
