@@ -96,6 +96,31 @@ object Bench {
     val names = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Queries.headlines)
+    // GC/heap telemetry (VERDICT r17 #7): the r17 artifact carried a
+    // 6x phantom swing on untouched code (e_knn_ivf 0.68 -> 4.12 s at
+    // local[32], 0.90 s at local[8] minutes later) with nothing in the
+    // JSON to attribute it — 32 concurrent tasks in one JVM share heap
+    // and memory bandwidth, and that contention mode was invisible.
+    // Record cumulative driver-JVM GC ms per suite (local mode: the
+    // driver IS the executor) plus the peak observed heap, so a slow
+    // row with flat calibs but inflated gc_ms reads as JVM/memory
+    // contention, not a code regression. Read-only diagnostics;
+    // additive JSON keys only.
+    def gcNowMs(): Long = {
+      val it = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.iterator()
+      var s = 0L
+      while (it.hasNext) { val t = it.next().getCollectionTime; if (t > 0) s += t }
+      s
+    }
+    var peakHeapMb = 0L
+    val suiteGcMs = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def recordGc[A](suite: String)(f: => A): A = {
+      val g0 = gcNowMs()
+      val r = f
+      suiteGcMs(suite) = suiteGcMs.getOrElse(suite, 0L) + (gcNowMs() - g0)
+      r
+    }
     // One timed materialization; `ok = false` marks a failed sample so it
     // can never pose as a valid timing (a failed query used to record its
     // elapsed time as a normal sample and flow into the totals with the
@@ -110,6 +135,9 @@ object Bench {
         System.err.println(s"[bench] $name$tag failed: ${e.getMessage}")
       }
       finally graft.core.CacheScope.release() // operator-internal persists
+      val used = java.lang.management.ManagementFactory.getMemoryMXBean
+        .getHeapMemoryUsage.getUsed >> 20
+      if (used > peakHeapMb) peakHeapMb = used
       ((System.nanoTime() - t0) / 1e9, ok)
     }
     def runSuite(qnames: Seq[String], nSamples: Int,
@@ -119,7 +147,7 @@ object Bench {
     // driver, and single samples carry multi-second scheduling noise —
     // round-6 measured the SAME code at 1.7s and 29s minutes apart under
     // host contention, so a third sample materially tightens the min.
-    val results = runSuite(names, 3, "")
+    val results = recordGc("headline")(runSuite(names, 3, ""))
     // Second recorded variant (VERDICT r7 #7, flipped r11 per r10 #7):
     // the same headline suite in the OPPOSITE AQE mode — with the
     // headline now AQE-on, this records the fixed-plan AQE-off baseline
@@ -133,7 +161,7 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_AQE_BOTH").contains("false")) Nil
       else {
         spark.conf.set("spark.sql.adaptive.enabled", altAqe)
-        val r = runSuite(names, 3, s" (aqe=$altAqe)")
+        val r = recordGc("aqe_alt")(runSuite(names, 3, s" (aqe=$altAqe)"))
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
         r
       }
@@ -206,8 +234,8 @@ object Bench {
         Seq("t_frozen_curation_freeze" -> passes.map(_._1),
           "t_frozen_curation_apply" -> passes.map(_._2))
       }
-    val pipelineResults = runSuite(pipelineNames, 2, " (pipeline)") ++
-      frozenSuite()
+    val pipelineResults = recordGc("pipeline")(
+      runSuite(pipelineNames, 2, " (pipeline)") ++ frozenSuite())
     // The pipeline suite in the OPPOSITE AQE mode (VERDICT r12 #8): the
     // headline records both modes but the heavy pipeline rows recorded
     // only the primary, so a mode-flip regression in exactly the rows
@@ -217,8 +245,9 @@ object Bench {
       if (altResults.isEmpty || pipelineNames.isEmpty) Nil
       else {
         spark.conf.set("spark.sql.adaptive.enabled", altAqe)
-        val r = runSuite(pipelineNames, 2, s" (pipeline aqe=$altAqe)") ++
-          frozenSuite()
+        val r = recordGc("pipeline_aqe_alt")(
+          runSuite(pipelineNames, 2, s" (pipeline aqe=$altAqe)") ++
+            frozenSuite())
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
         r
       }
@@ -350,8 +379,11 @@ object Bench {
           slow.mkString("[", ",", "]")
         }
     }
+    val gcJson = suiteGcMs
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val commonTail =
-      s""""watch":$watchJson,"failed":$failedJson,""" +
+      s""""gc_ms":$gcJson,"peak_heap_mb":$peakHeapMb,""" +
+        s""""watch":$watchJson,"failed":$failedJson,""" +
         f""""calib_sec":$calib%.3f,"calib_io_sec":$calibIo%.3f,""" +
         s""""calib_tries":$calibTries,"contended":$contended,""" +
         s""""host_cpu":"${cpuModel.replace("\\", "/").replace("\"", "'")}","host_cores":$nCores,""" +

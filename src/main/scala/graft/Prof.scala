@@ -217,6 +217,44 @@ object Prof {
       graft.core.CacheScope.release()
     }
 
+    if (wanted("cur3")) {
+      // the ROUND-18 chain shape (weightTable + scoreRowLocal head)
+      import graft.operators.{Bpe, Dedup, Dsir, TextAnalysis, TextRanking}
+      val cleaned = time("cleaned persist+count") {
+        val c = graft.core.CacheScope.persist(docs.select(col("doc_id"),
+          TextAnalysis.cleanText(col("text")).as("text"), col("lang")))
+        c.count(); c
+      }
+      val w = time("weightTable one-agg (lazy)")(
+        Dsir.weightTable(cleaned, col("lang") === "en", 4096))
+      val train = time("train persist+count (rowlocal score+resample)") {
+        val scored = Dsir.scoreRowLocal(cleaned, w, 4096)
+          .filter(col("weighted_hits") > 0).drop("weighted_hits")
+        val kept = Dsir.importanceResample(scored, temperature = 2.0)
+        val t = graft.core.CacheScope.persist(
+          kept.select("doc_id", "text", "lang")
+            .filter(col("doc_id") % 31 =!= 0))
+        t.count(); t
+      }
+      val evalDocs = cleaned.filter(col("doc_id") % 31 === 0)
+      val surv = time("surv ckpt (decontam+dedup from train)") {
+        val contaminated = Dedup.decontaminate(train, evalDocs, n = 8)
+          .select("doc_id")
+        val decon = train.join(contaminated, Seq("doc_id"), "left_anti")
+        Dedup.dropExactDuplicates(decon)
+          .select("doc_id", "text").localCheckpoint()
+      }
+      val finalDocs = time("finalDocs ckpt (kn3+rank)") {
+        val keepIds = TextRanking.perplexityBuckets(surv, nBuckets = 3)
+          .filter(col("bucket_id") <= 1).select("doc_id")
+        surv.join(keepIds, Seq("doc_id"), "left_semi").localCheckpoint()
+      }
+      val merges = time("Bpe.train(surv, 6)")(Bpe.train(surv, nMerges = 6))
+      noop(Bpe.packedInputIds(finalDocs, merges, budget = 128, nBuckets = 8)
+        .orderBy("bucket", "seq_id"), "pack tail noop")
+      graft.core.CacheScope.release()
+    }
+
     if (wanted("cur")) {
       noop(Queries.queries("t_curation_pipeline")(spark, sfDir),
         "t_curation_pipeline full")

@@ -1780,7 +1780,16 @@ object Queries {
       * 4.3 s at sf0.1) are independent — overlapping them makes the row's
       * wall the longer lap, not the sum. First use blocks until the
       * checkpoint is done; values are unchanged (same frames, same
-      * deterministic chain, exceptions propagate through Await). */
+      * deterministic chain, exceptions propagate through Await).
+      * Deliberately EAGER and UNBOUNDED (ADVICE r17 weighed): a lazy
+      * kickoff would forfeit the measured overlap (the whole point), and
+      * a timeout would turn a legitimately long checkpoint at scale into
+      * a spurious failure — a hung localCheckpoint hangs the standalone
+      * row identically, so no new failure mode is introduced. Callers
+      * that never read finalDocs leave at most one background
+      * checkpoint job racing a CacheScope.release(), which only evicts
+      * CacheScope-tracked frames — localCheckpoint blocks are
+      * GC-managed, not tracked, so the race is benign. */
     def finalDocs: DataFrame = scala.concurrent.Await
       .result(finalDocsFut, scala.concurrent.duration.Duration.Inf)
   }
@@ -1798,18 +1807,67 @@ object Queries {
   private def curationStages(s: SparkSession, dir: String): CurationStages =
     curationStagesFrom(rd(s, dir, "documents"))
 
+  /** Materialize the funnel stage frames as CONCURRENT Spark jobs (round
+    * 18, guide §2.6 — VERDICT r17 #4): the six per-stage semi-join
+    * aggregates are independent once their id frames exist, but composed
+    * as one lazy union they (a) serialize behind the plan-construction
+    * Await on `finalDocs` (the stage-5 frame blocks until the background
+    * KN3 checkpoint lands, so the tokenize/semi-join work of stages 0-4
+    * idles the cluster during it) and (b) run as one job whose small
+    * tail stages idle most executors. Here stages 0..4 are persisted and
+    * materialized on driver threads WHILE the stage-5 builder (which
+    * owns the Await) runs on its own thread — FIFO back-fill overlaps
+    * the branch jobs with the finalDocs checkpoint. The returned frames
+    * are the SAME persisted frames, fully materialized; the caller's
+    * union then only reads cache. Values identical: each branch's plan
+    * is unchanged, only WHEN it materializes moves. Exceptions propagate
+    * through Await. */
+  private def materializeConcurrently(
+      frames: Seq[() => DataFrame]): Seq[DataFrame] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val futs = frames.map(f => Future {
+      val df = graft.core.CacheScope.persist(f())
+      df.count() // materializes every column of the cached frame
+      df
+    }(stagesPool))
+    futs.map(Await.result(_, Duration.Inf))
+  }
+
   /** The chain over an arbitrary (doc_id, text, lang) corpus — exposed
     * package-private so ScaleSmoke can run the COMPOSED pipeline (not
     * just its stages) on a replicated corpus and confirm the lineage-cut
     * plan size is corpus-independent. */
   private[graft] def curationStagesFrom(docs: DataFrame): CurationStages = {
-    val cleaned = docs.select(col("doc_id"),
-      TextAnalysis.cleanText(col("text")).as("text"), col("lang"))
-    val scored = Dsir.scoreAll(cleaned, col("lang") === "en",
+    // `cleaned` feeds four scans (the weight aggregate, the row-local
+    // score pass + its resample max, the eval shard, the funnels'
+    // token counts) — persist it once so cleanText's regex chain runs
+    // over every character ONCE (round 18; the same measured decision
+    // freeze() took in r17 for its three scans). CacheScope lifetime:
+    // released by the session owner after the consuming action.
+    val cleaned = graft.core.CacheScope.persist(docs.select(col("doc_id"),
+      TextAnalysis.cleanText(col("text")).as("text"), col("lang")))
+    // DSIR head in the r14-adjudicated BATCH-APPLY shape (round 18,
+    // guide §2.4 — VERDICT r17 #3 "curation serial head"): weights from
+    // ONE bucket-keyed aggregate (no corpus-sized (doc, bucket)
+    // exchange), then ROW-LOCAL scoring against the collected
+    // geometry-sized weight array — the score exchange AND the
+    // keptIds semi-join attach (which re-shuffled the full text rows)
+    // both disappear; the text never leaves its row until the dedup
+    // hash exchange. Values byte-identical: weightTable replicates
+    // scoreAll's arithmetic, scoreRowLocal replicates the join scoring
+    // exactly (weighted_hits > 0 ≡ the old inner-join doc drop), and
+    // importanceResample sees the same (doc_id, score_micro) set, so
+    // the kept set — and every downstream stage — is unchanged
+    // (oracle-verified on all curation rows).
+    val w = Dsir.weightTable(cleaned, col("lang") === "en",
       numBuckets = 4096)
-    val keptIds = Dsir.importanceResample(scored, temperature = 2.0)
-      .select("doc_id")
-    val selected = cleaned.join(keptIds, Seq("doc_id"), "left_semi")
+    val scored = Dsir.scoreRowLocal(cleaned, w, numBuckets = 4096)
+      .filter(col("weighted_hits") > 0)
+      .drop("weighted_hits")
+    val kept = Dsir.importanceResample(scored, temperature = 2.0)
+    val keptIds = kept.select("doc_id")
+    val selected = kept.select("doc_id", "text", "lang")
     val train = graft.core.CacheScope.persist(
       selected.filter(col("doc_id") % 31 =!= 0))
     val evalDocs = cleaned.filter(col("doc_id") % 31 === 0)
@@ -3276,12 +3334,18 @@ object Queries {
               coalesce(sum("ntok"), lit(0L)).as("n_tokens"))
             .select(lit(i.toLong).as("stage"), lit(name).as("stage_name"),
               col("n_docs"), col("n_tokens"))
-        stage(0, "corpus", tokCounts)
-          .unionAll(stage(1, "dsir_resample", st.keptIds))
-          .unionAll(stage(2, "train_selected", st.train))
-          .unionAll(stage(3, "decontaminated", st.decon))
-          .unionAll(stage(4, "deduped", st.surv))
-          .unionAll(stage(5, "perplexity_filtered", st.finalDocs))
+        // concurrent stage jobs (round 18, §2.6): stages 0-4 materialize
+        // while the stage-5 builder waits out the background finalDocs
+        // checkpoint — see materializeConcurrently. Same frames, same
+        // values; the union below reads the persisted results.
+        materializeConcurrently(Seq(
+          () => stage(0, "corpus", tokCounts),
+          () => stage(1, "dsir_resample", st.keptIds),
+          () => stage(2, "train_selected", st.train),
+          () => stage(3, "decontaminated", st.decon),
+          () => stage(4, "deduped", st.surv),
+          () => stage(5, "perplexity_filtered", st.finalDocs)))
+          .reduce(_.unionAll(_))
           .orderBy("stage")
       },
       Some(s"""WITH $sqlCurationCtes,
@@ -3330,12 +3394,16 @@ object Queries {
               coalesce(sum("ntok"), lit(0L)).as("n_tokens"))
             .select(lit(i.toLong).as("stage"), lit(name).as("stage_name"),
               col("source"), col("n_docs"), col("n_tokens"))
-        stage(0, "corpus", tokCounts)
-          .unionAll(stage(1, "dsir_resample", st.keptIds))
-          .unionAll(stage(2, "train_selected", st.train))
-          .unionAll(stage(3, "decontaminated", st.decon))
-          .unionAll(stage(4, "deduped", st.surv))
-          .unionAll(stage(5, "perplexity_filtered", st.finalDocs))
+        // concurrent stage jobs (round 18, §2.6) — same shape as
+        // t_curation_funnel above
+        materializeConcurrently(Seq(
+          () => stage(0, "corpus", tokCounts),
+          () => stage(1, "dsir_resample", st.keptIds),
+          () => stage(2, "train_selected", st.train),
+          () => stage(3, "decontaminated", st.decon),
+          () => stage(4, "deduped", st.surv),
+          () => stage(5, "perplexity_filtered", st.finalDocs)))
+          .reduce(_.unionAll(_))
           .orderBy("stage", "source")
       },
       Some(s"""WITH $sqlCurationCtes,

@@ -214,9 +214,11 @@ object ScaleSmoke {
     // fixed vs sqrt(n) cell geometry: the fixed one degrades linearly
     time("knn_ivf_64cells")(
       Similarity.knnIvf(bigEmb, k = 5, nlist = 64, nprobe = 1).count())
+    // DEFAULT geometry (nlist omitted): since round 18 knnIvf resolves
+    // nlist <= 0 to adaptiveNlist(n) itself — this row proves the
+    // default ships the sqrt geometry, not the toy constant
     time(s"knn_ivf_adaptive_${Similarity.adaptiveNlist(nVec)}cells")(
-      Similarity.knnIvf(bigEmb, k = 5,
-        nlist = Similarity.adaptiveNlist(nVec), nprobe = 1).count())
+      Similarity.knnIvf(bigEmb, k = 5, nprobe = 1).count())
     // LSH with corpus-size-adaptive bucket geometry: occupancy (and so the
     // within-bucket quadratic term) stays flat as the corpus grows.
     time(s"knn_lsh_adaptive_b${Similarity.adaptiveNbits(nVec)}")(

@@ -112,6 +112,12 @@ object Dedup {
     // Survivors identical: min_by keeps the row with the minimum id per
     // hash group, ids are unique, and null-text rows (null md5) form one
     // group either way.
+    // CONTRACT (ADVICE r17): idCol must be NON-NULL. min_by skips rows
+    // whose ordering value is null, so a group mixing null and non-null
+    // ids would prefer a non-null id (the old window ordered nulls
+    // first) and an all-null-id group would emit one all-null row. No
+    // registry corpus has null ids (doc_id/vec_id are key columns); a
+    // caller with nullable ids must coalesce them before deduping.
     val cols = docs.columns
     docs.withColumn("__h", md5(col(textCol)))
       .groupBy(col("__h"))

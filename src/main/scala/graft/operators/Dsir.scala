@@ -244,6 +244,46 @@ object Dsir {
       .agg(sum(col("cnt") * col("w_micro")).as("score_micro"))
   }
 
+  /** The [[scoreAll]] weight table alone, from ONE bucket-keyed corpus
+    * aggregate (round 18, guide §2.3/§2.4): when scoring happens
+    * row-locally ([[scoreRowLocal]]), nothing downstream needs the
+    * per-document feature counts — only the per-bucket totals — so the
+    * corpus-sized (doc, bucket) exchange scoreAll pays disappears: the
+    * feature explode map-combines straight to ≤ numBuckets rows before
+    * its single tiny exchange. Arithmetic is byte-identical to
+    * [[scoreAll]]'s: c_r/c_t are occurrence totals per bucket (grouping
+    * occurrences directly ≡ summing scoreAll's per-doc counts), n_r/n_t
+    * their sums, and the w_micro expression is the same double chain. A
+    * null target predicate counts as non-target, matching scoreAll.
+    * Output: (bucket, w_micro), one row per bucket observed in `docs`. */
+  def weightTable(docs: DataFrame, targetPred: Column, numBuckets: Int,
+                  textCol: String = "text"): DataFrame = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val toks = docs.select(targetPred.as("__t"),
+      tokens(col(textCol)).as("toks"))
+    val bi = transform(
+      sequence(lit(1), size(col("toks")) - lit(1)),
+      i => concat(element_at(col("toks"), i), lit(" "),
+        element_at(col("toks"), i + lit(1))))
+    val feats = concat(
+      col("toks"),
+      when(size(col("toks")) >= 2, bi).otherwise(array()))
+    val bucketStats = toks.select(col("__t"), explode(feats).as("f"))
+      .select(col("__t"),
+        pmod(hash60(concat(lit("dsir:"), col("f"))), lit(numBuckets.toLong))
+          .as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("c_r"),
+        sum(when(col("__t"), lit(1L)).otherwise(lit(0L))).as("c_t"))
+    val tot = bucketStats.agg(sum("c_r").as("n_r"), sum("c_t").as("n_t"))
+    bucketStats.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        round(log(
+          (col("c_t") + lit(1)).cast("double") * (col("n_r") + lit(numBuckets)) /
+            ((col("c_r") + lit(1)).cast("double") * (col("n_t") + lit(numBuckets)))
+        ) * lit(1e6), 0).cast("long").as("w_micro"))
+  }
+
   /** End-to-end selection: target = `docs` rows matching `targetPred`; raw
     * = all of `docs`. Returns the top-k most target-like documents as
     * (idCol, score_micro, score) ordered (score desc, id asc) — a

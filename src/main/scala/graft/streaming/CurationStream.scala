@@ -126,6 +126,14 @@ object CurationStream {
     import scala.concurrent.duration.Duration
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // Every plain (non-CacheScope) persist a branch creates registers
+    // here, so a FAILED freeze can release its siblings' artifacts
+    // (ADVICE r17: pool.shutdown() does not cancel in-flight branches —
+    // on one branch's throw the other three ran to completion and their
+    // persisted artifacts leaked executor storage for the session).
+    val sidePersists =
+      new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    def keepSide(df: DataFrame): DataFrame = { sidePersists.add(df); df }
     try {
       val dsirBranch = Future {
         // ONE tokenize+explode+hash pass over the reference (round 16):
@@ -140,7 +148,8 @@ object CurationStream {
         // frozen artifacts get a PLAIN persist (never CacheScope-tracked):
         // the session owner's per-batch CacheScope.release() must not
         // evict them; [[release]] unpersists the whole frozen set
-        val weights = Dsir.importanceWeights(tf, feats, numBuckets).persist()
+        val weights =
+          keepSide(Dsir.importanceWeights(tf, feats, numBuckets).persist())
         // reference scores from the SAME persisted feature table and the
         // SAME frozen weight table — identical hash salt, identical
         // micro-nat rounding, so scoreMax is value-identical to what
@@ -162,25 +171,25 @@ object CurationStream {
         (weights, scoreMax)
       }
       val evalBranch = Future {
-        val evalSh = Dedup.shingles(evalDocs.withColumn(textCol,
+        val evalSh = keepSide(Dedup.shingles(evalDocs.withColumn(textCol,
               TextAnalysis.cleanText(col(textCol))), shingleN, idCol, textCol)
-          .select(hash60(col("shingle")).as("sh")).distinct().persist()
+          .select(hash60(col("shingle")).as("sh")).distinct().persist())
         val evalN = evalSh.count()
         val (evalShards, evalBits) = geometry(evalN, "freeze/eval")
-        val evalBloom = Sketches
+        val evalBloom = keepSide(Sketches
           .bloomBuildSharded(evalSh, "sh", evalShards, evalBits, bloomHashes)
-          .persist()
+          .persist())
         evalBloom.count() // ship warm: materialized inside the freeze
         (evalSh, evalN, evalShards, evalBits, evalBloom)
       }
       val seenBranch = Future {
-        val seen = cleaned.select(md5(col(textCol)).as("h")).distinct()
-          .persist()
+        val seen = keepSide(cleaned.select(md5(col(textCol)).as("h"))
+          .distinct().persist())
         val seenN = seen.count()
         val (seenShards, seenBits) = geometry(seenN, "freeze/seen")
-        val seenBloom = Sketches
+        val seenBloom = keepSide(Sketches
           .bloomBuildSharded(seen, "h", seenShards, seenBits, bloomHashes)
-          .persist()
+          .persist())
         seenBloom.count() // ship warm
         (seen, seenN, seenShards, seenBits, seenBloom)
       }
@@ -191,15 +200,16 @@ object CurationStream {
         // (freeze-local lifetime, unpersisted right after the cutoff
         // lands): the clean+tokenize+explode over every reference
         // character is the heaviest KN3 scan (round 16).
-        val refTri = graft.operators.TextOps
-          .ngrams(cleaned, 3, idCol, textCol).persist()
+        val refTri = keepSide(graft.operators.TextOps
+          .ngrams(cleaned, 3, idCol, textCol).persist())
         val kn3 = TextRanking.kn3ModelFromTrigrams(refTri, tracked = false)
+        Seq(kn3.triTot, kn3.s01, kn3.cont, kn3.mid, kn3.nl).foreach(keepSide)
         // The frozen LM artifact is the model COLLAPSED to its scoring
         // form: one (w0,w1,w2,lp_scaled) table, materialized here ONCE.
         // Per-batch scoring joins the arriving side against this single
         // persisted table — the five-table model join chain runs at
         // freeze time only, never per batch.
-        val kn3Lp = TextRanking.kn3LogProbs(kn3).persist()
+        val kn3Lp = keepSide(TextRanking.kn3LogProbs(kn3).persist())
         // frozen cutoff: the cross-entropy of the LAST KEPT reference doc
         // at the head+middle / tail boundary (rank 2n/3 - 1 in the
         // deterministic (ce, id) total order); curateBatch keeps
@@ -211,6 +221,7 @@ object CurationStream {
           .select(round(col("cross_entropy") * 1e6, 0).cast("long")
             .as("ce_micro"), col(idCol))
           .persist()
+        keepSide(ce)
         // RANK-based cut, not limit-based: `limit(cutRank.toInt)` capped
         // the reference at 2^31 docs. The two-phase distributed rank
         // ([[graft.core.Ids.denseRankBy]], no single-partition window,
@@ -233,13 +244,34 @@ object CurationStream {
           .headOption.map(_.getLong(0)).getOrElse(Long.MinValue)
         (refTri, kn3, kn3Lp, ce, ceCut)
       }
-      val (weights, scoreMax) = Await.result(dsirBranch, Duration.Inf)
+      // Settle ALL branches before propagating any failure (ADVICE r17):
+      // in-flight sibling branches cannot be cancelled mid-Spark-job, so
+      // throwing on the first failed Await left the others completing
+      // and their plain-persisted artifacts (never CacheScope-tracked)
+      // leaked executor storage for the session. Every branch is awaited
+      // to completion, then a failure unpersists everything registered
+      // in `sidePersists` and rethrows the FIRST failure in branch order
+      // — the dsir branch first, so the degenerate-reference guard
+      // surfaces the same exception it always did.
+      def settle[A](f: Future[A]): Either[Throwable, A] =
+        try Right(Await.result(f, Duration.Inf))
+        catch { case t: Throwable => Left(t) }
+      val rDsir = settle(dsirBranch)
+      val rEval = settle(evalBranch)
+      val rSeen = settle(seenBranch)
+      val rKn3 = settle(kn3Branch)
+      Seq(rDsir, rEval, rSeen, rKn3).collectFirst { case Left(t) => t }
+        .foreach { t =>
+          cleaned.unpersist(blocking = false)
+          sidePersists.forEach(df => df.unpersist(blocking = false))
+          throw t
+        }
+      val (weights, scoreMax) = rDsir.toOption.get
       val (evalSh, evalN, evalShards, evalBits, evalBloom) =
-        Await.result(evalBranch, Duration.Inf)
+        rEval.toOption.get
       val (seen, seenN, seenShards, seenBits, seenBloom) =
-        Await.result(seenBranch, Duration.Inf)
-      val (refTri, kn3, kn3Lp, ce, ceCut) =
-        Await.result(kn3Branch, Duration.Inf)
+        rSeen.toOption.get
+      val (refTri, kn3, kn3Lp, ce, ceCut) = rKn3.toOption.get
       // the cut computation above materialized kn3Lp; the factor tables
       // have served their purpose — release them so the frozen footprint
       // is the log-prob table alone
