@@ -901,12 +901,24 @@ object ScaleSmoke {
         (n, lap(), rows)
       }
       val total = (System.nanoTime() - t0) / 1e9
+      // Per-BRANCH walls (round 18, VERDICT r17 #6): freeze()'s four
+      // artifact families run concurrently since r17, so the
+      // first-materialization laps below read ~0/warm — the freeze call
+      // wall is the LONGEST branch, and the branch attribution comes
+      // from freeze's own per-branch clocks (branch_<name> stages; the
+      // branch that first touches the shared `cleaned` cache includes
+      // its build).
+      val branches = graft.streaming.CurationStream.lastFreezeBranchWalls
+        .toSeq.sortBy(_._1)
+        .map { case (n, s) => (s"branch_$n", s, 1L) }
       println(f"[scale] frozen_freeze_staged total=$total%8.2f s  " +
-        f"scalar_cuts=$callS%.2f s " +
+        f"freeze_call=$callS%.2f s " +
+        branches.map { case (n, s, _) => f"$n=$s%.2f s" }.mkString(" ") +
+        " " +
         parts.map { case (n, s, r) => f"$n=$s%.2f s(rows=$r)" }
           .mkString(" "))
       record("frozen_freeze_staged", factor, total, parts.map(_._3).sum,
-        stages = ("scalar_cuts", callS, 2L) +: parts)
+        stages = (("freeze_call", callS, 2L) +: branches) ++ parts)
       graft.streaming.CurationStream.release(f)
       graft.core.CacheScope.release()
     }

@@ -30,6 +30,21 @@ class BpeSpec extends AnyFunSuite {
     graft.core.CacheScope.release()
   }
 
+  test("driver-local training ≡ distributed rounds (round-18 guard path)") {
+    // the local fast path (default) against the distributed loop
+    // (forced via maxLocalVocab = 0) — merges must be IDENTICAL,
+    // including counts and tie-breaks, on both the classic corpus and a
+    // real testdata corpus (exercises multi-char symbols, exhaustion
+    // and richer tie structure)
+    for (corpus <- Seq(docs,
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))) {
+      val local = Bpe.train(corpus, nMerges = 8)
+      val dist = Bpe.train(corpus, nMerges = 8, maxLocalVocab = 0)
+      assert(local == dist)
+      graft.core.CacheScope.release()
+    }
+  }
+
   test("encode applies merges in order, leftmost-non-overlapping") {
     val merges = Bpe.train(docs, nMerges = 6)
     val enc = Seq("newest", "lowering", "LOW")
